@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Relational/batch query coverage over the TPC-H-ish star schema
+  * (TESTDATA.md). The reference itself has no joins (SURVEY.md §2.7) —
+  * these queries exercise the join/agg/sort capability the engine must
+  * have to serve the lakehouse's batch-inspection and spread-analysis
+  * layer at scale.
+  *
+  * Scale notes (100 TB design intent):
+  *  - Dimension tables (region/nation/supplier/customer at this ratio)
+  *    are broadcast explicitly — no shuffle of the fact table for
+  *    dim joins.
+  *  - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once;
+  *    aggregations are partial-agg'd map-side by Catalyst.
+  *  - All money aggregates round to a fixed scale so results are
+  *    bit-comparable across engines (oracle parity) while staying DOUBLE.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary over lineitem: full-scan grouped
+    * aggregate, the classic map-side-combine stress test.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem,
+    * revenue per order, top 10. customer is broadcast; orders⋈lineitem
+    * shuffles once on orderkey.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: 6-way join through the star
+    * schema with all dimensions broadcast; single shuffle for the final
+    * group-by on nation.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    val reg = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Orders per market segment — broadcast dim join + two-level agg. */
+  def ordersPerSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  /** Top suppliers by shipped quantity — fact⋈dim with broadcast,
+    * grouped agg, deterministic top-k.
+    */
+  def topSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    li.groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("total_qty"), col("n_lines"))
+      .orderBy(col("total_qty").desc, col("s_name"))
+      .limit(25)
+  }
+}
