@@ -1,16 +1,21 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.operators._
 import graft.util.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each `queries` entry is one operator capability from SURVEY.md §2
-  * (or a declared extension), runnable as a batch query over the
-  * driver-pinned tables at `sfDir`. `oracleSql` holds the DuckDB-
-  * equivalent ANSI SQL; column names/aliases match the Spark output
-  * exactly (the driver sorts columns by name before hashing).
+  * (or a declared training-data extension), runnable as a batch query
+  * over the driver-pinned tables at `sfDir`. `oracleSql` holds the
+  * DuckDB-equivalent ANSI SQL; column names/aliases match the Spark
+  * output exactly (the driver sorts columns by name before hashing).
+  * Queries without an oracle entry (hash-seeded MinHash/SimHash/LSH)
+  * get the driver's rows-only check and are instead verified against
+  * their exact counterparts in the ScalaTest suite.
   */
 object SparkEntry {
 
@@ -20,28 +25,97 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── bronze/silver layers (SURVEY §2.3 P1-P7)
+    "bronze_envelope" -> ((s, dir) =>
+      Tables.events(s, dir).selectExpr(
+        "CAST(event_id AS STRING) AS key", "props AS json_payload", "ts AS kafka_ts")),
+    "silver_parse_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("parsed", from_json(col("props"), new StructType().add("k", LongType)))
+        .filter(col("parsed.k").isNotNull)
+        .select(col("event_id"), col("parsed.k").as("k"))),
+    "silver_typed_events" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase", "view") &&
+          col("event_type").isNotNull)
+        .select(col("event_type").as("symbol"),
+          // decimal(18,8) cast is the silver-parity path (exact financial
+          // math); final re-cast to double keeps the oracle compare
+          // engine-neutral (DuckDB's client coerces DECIMAL to float)
+          col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
+          col("ts").as("trade_timestamp"),
+          col("user_id").as("trade_id"))),
     // ── gold layer: flagship candle aggregation (SURVEY §2.4 A1-A7, §7.5)
     "gold_candles_1m" -> ((s, dir) => Candles.ohlcv(Tables.events(s, dir))),
     "gold_vwap_true" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
       // volume stand-in: the JSON props field k (0..99), parsed from the raw payload
       val ev = Tables.events(s, dir)
         .withColumn("vol", get_json_object(col("props"), "$.k").cast("double"))
         .filter(col("vol") > 0)
       Candles.vwapTrue(ev, col("vol"))
     }),
+    // ── serving layer (SURVEY §2.3 P9, §2.5, §2.6)
+    "serve_latest_per_symbol" -> ((s, dir) =>
+      Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts")),
+    "serve_prev_close_delta" -> ((s, dir) =>
+      Serving.prevCloseDelta(Candles.ohlcv(Tables.events(s, dir)))),
+    "serve_top20_recent" -> ((s, dir) =>
+      Serving.topKRecent(Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value")), "ts", 20)),
+    "serve_distinct_symbols" -> ((s, dir) =>
+      Serving.distinctKeys(Tables.events(s, dir), "event_type")),
+    // spread queries use daily candles: at sf0.001 the event stream is
+    // too sparse for two symbols to share a 1-min window
+    "serve_spread_by_window" -> ((s, dir) =>
+      Serving.spreadByWindow(Candles.ohlcv(Tables.events(s, dir), "1 day"))),
+    "serve_spread_join" -> ((s, dir) =>
+      Serving.spreadJoin(Candles.ohlcv(Tables.events(s, dir), "1 day"), "click", "purchase")),
     // ── relational coverage (SURVEY §2.7 gap-closure + batch layer)
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q_orders_per_segment" -> ((s, dir) => Relational.ordersPerSegment(s, dir)),
     "q_top_suppliers" -> ((s, dir) => Relational.topSuppliers(s, dir)),
+    // ── training-data extensions: dedup
+    "dedup_exact_groups" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
+    "dedup_exact_rows" -> ((s, dir) => Dedup.exactRows(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), n = 2, threshold = 0.5)),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
+    // ── training-data extensions: text analysis
+    "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
+    "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    // ── training-data extensions: similarity search
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+    "sim_pairs_threshold" -> ((s, dir) =>
+      Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.4)),
+    "sim_lsh_pairs" -> ((s, dir) =>
+      Similarity.lshPairs(Tables.embeddings(s, dir), 0.4)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "bronze_envelope" ->
+      """SELECT CAST(event_id AS VARCHAR) AS key, props AS json_payload,
+         CAST(ts AS TIMESTAMP) AS kafka_ts FROM events""",
+    "silver_parse_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""",
+    "silver_typed_events" ->
+      """SELECT event_type AS symbol,
+         CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
+         CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
+         FROM events WHERE event_type IN ('click','purchase','view')""",
     "gold_candles_1m" ->
       """SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
          date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
@@ -59,6 +133,48 @@ object SparkEntry {
          round(sum(value * vol) / sum(vol), 6) AS vwap,
          round(sum(vol), 6) AS volume, count(*) AS trade_count
          FROM ev WHERE vol > 0 GROUP BY 1, 2""",
+    "serve_latest_per_symbol" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+               FROM events) WHERE rn = 1""",
+    "serve_prev_close_delta" ->
+      """WITH c AS (
+           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
+                  event_type AS symbol, arg_max(value, ts) AS close
+           FROM events GROUP BY 1, 2)
+         SELECT window_start, symbol, close,
+           lag(close) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close,
+           round(close - lag(close) OVER (PARTITION BY symbol ORDER BY window_start), 6) AS close_delta
+         FROM c""",
+    "serve_top20_recent" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+         FROM events ORDER BY ts DESC LIMIT 20""",
+    "serve_distinct_symbols" ->
+      "SELECT DISTINCT event_type FROM events",
+    "serve_spread_by_window" ->
+      """WITH c AS (
+           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+                  event_type AS symbol, arg_max(value, ts) AS close
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT window_start, symbol, close,
+             row_number() OVER (PARTITION BY window_start ORDER BY close DESC, symbol DESC) AS rmax,
+             row_number() OVER (PARTITION BY window_start ORDER BY close ASC, symbol ASC) AS rmin
+           FROM c)
+         SELECT window_start, round(max(close) - min(close), 6) AS spread,
+           max(CASE WHEN rmax = 1 THEN symbol END) AS rich_symbol,
+           max(CASE WHEN rmin = 1 THEN symbol END) AS cheap_symbol,
+           count(*) AS n_symbols
+         FROM r GROUP BY window_start HAVING count(*) > 1""",
+    "serve_spread_join" ->
+      """WITH c AS (
+           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+                  event_type AS symbol, arg_max(value, ts) AS close
+           FROM events GROUP BY 1, 2)
+         SELECT a.window_start AS window_start, a.close AS close_a, b.close AS close_b,
+           round(a.close - b.close, 6) AS spread
+         FROM c a JOIN c b ON a.window_start = b.window_start
+         WHERE a.symbol = 'click' AND b.symbol = 'purchase'""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
@@ -101,5 +217,87 @@ object SparkEntry {
          count(*) AS n_lines
          FROM lineitem, supplier WHERE l_suppkey = s_suppkey
          GROUP BY s_name ORDER BY total_qty DESC, s_name LIMIT 25""",
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS n_dups FROM documents GROUP BY md5(text)""",
+    "dedup_exact_rows" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+               FROM documents) WHERE doc_id = keep""",
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5""",
+    "text_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         round(list_sum(list_transform(string_split(text, ' '), x -> length(x))) * 1.0
+               / len(string_split(text, ' ')), 6) AS avg_token_len,
+         length(text) AS n_chars FROM documents""",
+    "text_quality_score" ->
+      """SELECT doc_id,
+         round(len(list_filter(string_split(text, ' '),
+               t -> list_contains(['the','a','of','and','to','in'], t))) * 1.0
+               / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         round(len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')), 6) AS type_token_ratio,
+         CAST(n_chars BETWEEN 50 AND 5000 AS INT) AS length_ok,
+         round(len(list_filter(string_split(text, ' '),
+               t -> list_contains(['the','a','of','and','to','in'], t))) * 1.0
+               / len(string_split(text, ' ')) * 0.3
+             + len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) * 0.5
+             + CAST(n_chars BETWEEN 50 AND 5000 AS INT) * 0.2, 6) AS quality_score
+         FROM documents""",
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+                    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         s AS (SELECT doc_id, labeled_lang,
+           len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','fast','slow','small','big'], x))) AS score_en,
+           len(list_filter(toks, x -> list_contains(
+             ['el','la','de','y','datos','tabla','fila','columna'], x))) AS score_es,
+           len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','zu','daten','zeile','spalte'], x))) AS score_de
+           FROM t)
+         SELECT doc_id, labeled_lang, score_en, score_es, score_de,
+           CASE WHEN score_de > score_en AND score_de > score_es THEN 'de'
+                WHEN score_es > score_en THEN 'es' ELSE 'en' END AS pred_lang
+         FROM s""",
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+         FROM documents""",
+    "sim_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))),
+                   6) AS cos
+               FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 5)
+         SELECT query_id, neighbor_id, cos, rank FROM
+           (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         WHERE rank <= 10""",
+    "sim_pairs_threshold" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+               6) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""",
   )
 }

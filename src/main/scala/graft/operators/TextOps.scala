@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language ID, and document
+  * fingerprinting over the `documents` table.
+  *
+  * All operators are single-pass, map-only (or one grouped agg),
+  * built from codegen'd built-ins — no UDFs. At 100 TB these scale
+  * linearly with input splits; nothing shuffles except explicit
+  * grouped outputs.
+  */
+object TextOps {
+
+  /** Deterministic whitespace tokenization — the one canonical
+    * tokenizer every operator here shares, so fingerprints/dedup/
+    * stats agree with each other.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document token statistics: counts, distinct counts, average
+    * token length, chars. One projection, no shuffle.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks),
+        6).as("avg_token_len"),
+      length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Quality score: stopword ratio, type-token ratio, length band.
+    * Deterministic heuristic — the shape of C4/Gopher-style quality
+    * filters with the lexicons shrunk to the synthetic corpus.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok
+    val typeToken = size(array_distinct(toks)).cast("double") / nTok
+    val lengthOk = (col("n_chars") >= 50 && col("n_chars") <= 5000).cast("int")
+    docs.select(
+      col("doc_id"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(typeToken, 6).as("type_token_ratio"),
+      lengthOk.as("length_ok"),
+      round(stopRatio * 0.3 + typeToken * 0.5 + lengthOk.cast("double") * 0.2, 6)
+        .as("quality_score"))
+  }
+
+  /** Language-ID by stopword-profile overlap (classic n-gram/lexicon
+    * heuristic, shrunk to small deterministic profiles). Scores each
+    * profile by distinct-token overlap; argmax with fixed tie order.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "fast", "slow", "small", "big"),
+    "es" -> Seq("el", "la", "de", "y", "datos", "tabla", "fila", "columna"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "daten", "zeile", "spalte"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val distinctToks = array_distinct(tokens(col("text")))
+    val scored = langProfiles.foldLeft(docs.select(col("doc_id"), col("lang"), distinctToks.as("toks"))) {
+      case (df, (lang, profile)) =>
+        val profArr = array(profile.map(lit): _*)
+        df.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => array_contains(profArr, t))).cast("long"))
+    }
+    // argmax with deterministic tie order = profile declaration order
+    val best = langProfiles.map { case (lang, _) => (lang, col(s"score_$lang")) }
+      .foldLeft((lit("und"), lit(-1L))) { case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+      }
+    scored.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        langProfiles.map { case (l, _) => col(s"score_$l") } :+
+        best._1.as("pred_lang"): _*)
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — an order/multiplicity-insensitive content hash (the
+    * "canonicalize then hash" fingerprinting family). Identical tokens
+    * in any order/repetition → identical fingerprint.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fingerprint"))
+}
