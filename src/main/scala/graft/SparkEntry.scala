@@ -56,12 +56,13 @@ object SparkEntry {
     }),
     // ── serving layer (SURVEY §2.3 P9, §2.5, §2.6)
     "serve_latest_per_symbol" -> ((s, dir) =>
-      Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts")),
+      Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts", "event_id")),
     "serve_prev_close_delta" -> ((s, dir) =>
       Serving.prevCloseDelta(Candles.ohlcv(Tables.events(s, dir)))),
     "serve_top20_recent" -> ((s, dir) =>
       Serving.topKRecent(Tables.events(s, dir)
-        .select(col("event_id"), col("ts"), col("event_type"), col("value")), "ts", 20)),
+        .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+        "ts", 20, "event_id")),
     "serve_distinct_symbols" -> ((s, dir) =>
       Serving.distinctKeys(Tables.events(s, dir), "event_type")),
     // spread queries use daily candles: at sf0.001 the event stream is
@@ -135,7 +136,8 @@ object SparkEntry {
          FROM ev WHERE vol > 0 GROUP BY 1, 2""",
     "serve_latest_per_symbol" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
-         FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
     "serve_prev_close_delta" ->
       """WITH c AS (
@@ -148,7 +150,7 @@ object SparkEntry {
          FROM c""",
     "serve_top20_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-         FROM events ORDER BY ts DESC LIMIT 20""",
+         FROM events ORDER BY ts DESC, event_id DESC LIMIT 20""",
     "serve_distinct_symbols" ->
       "SELECT DISTINCT event_type FROM events",
     "serve_spread_by_window" ->
@@ -280,9 +282,9 @@ object SparkEntry {
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 round(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
-                   / (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i])))
-                    * sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))),
+                 round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i])))
+                    * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i])))),
                    6) AS cos
                FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 5)
          SELECT query_id, neighbor_id, cos, rank FROM
@@ -293,9 +295,9 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          pairs AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
-                * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
                6) AS cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""",

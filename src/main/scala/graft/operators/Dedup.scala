@@ -161,14 +161,21 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
-    * 4×16-bit band blocking (pigeonhole: any pair within distance ≤ 3
-    * shares at least one exact 16-bit band).
+    * band blocking over `maxDist + 1` disjoint bit ranges (pigeonhole:
+    * ≤ maxDist differing bits cannot touch all maxDist+1 bands, so any
+    * qualifying pair shares at least one exact band).
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 63]")
+    val nBands = maxDist + 1
     val sig = simhash(docs)
-    val bandCols = (0 until 4).map { bId =>
+    val bandCols = (0 until nBands).map { bId =>
+      val lo = bId * 64 / nBands
+      val hi = (bId + 1) * 64 / nBands // exclusive
+      val width = hi - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
       struct(lit(bId).as("band"),
-        shiftright(col("simhash"), bId * 16).bitwiseAND(0xFFFFL).as("bucket"))
+        shiftright(col("simhash"), lo).bitwiseAND(mask).as("bucket"))
     }
     val buckets = sig.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))

@@ -45,7 +45,7 @@ object Relational {
     val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
@@ -66,7 +66,7 @@ object Relational {
     val supp = Tables.supplier(spark, sfDir)
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))

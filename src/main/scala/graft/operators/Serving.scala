@@ -18,9 +18,13 @@ object Serving {
 
   /** Latest row per symbol — pandas `iloc[-1]` (`dashboard/app.py:70`)
     * as `row_number() OVER (PARTITION BY symbol ORDER BY ts DESC) = 1`.
+    * `tieCols` break equal timestamps deterministically (descending),
+    * so row selection is stable across partitionings and engines.
     */
-  def latestPerKey(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).desc)
+  def latestPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCols: String*): DataFrame = {
+    val ord = (tsCol +: tieCols).map(col(_).desc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
@@ -40,10 +44,12 @@ object Serving {
   }
 
   /** Top-k most recent rows — `check_gold.py:16` orderBy+show pattern;
-    * compiles to TakeOrderedAndProject, not a global sort.
+    * compiles to TakeOrderedAndProject, not a global sort. `tieCols`
+    * make the cut line deterministic when timestamps collide.
     */
-  def topKRecent(df: DataFrame, tsCol: String, k: Int): DataFrame =
-    df.orderBy(col(tsCol).desc).limit(k)
+  def topKRecent(df: DataFrame, tsCol: String, k: Int,
+                 tieCols: String*): DataFrame =
+    df.orderBy((tsCol +: tieCols).map(col(_).desc): _*).limit(k)
 
   /** Distinct symbols — pandas `unique()` (`dashboard/app.py:57`). */
   def distinctKeys(df: DataFrame, keyCol: String): DataFrame =

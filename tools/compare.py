@@ -35,9 +35,15 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
+    dirs = {d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+    # union of declared oracles and produced dirs: a query that threw in
+    # Verify (no output dir) must count as a failure, not vanish
+    for name in sorted(dirs | set(oracle)):
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
+        if name not in dirs:
+            n_fail += 1
+            print(f"  [FAIL] {name}: no result directory (query crashed in Verify)")
             continue
         files = glob.glob(f"{qdir}/*.parquet")
         got = norm(pd.concat([pd.read_parquet(f) for f in files])
