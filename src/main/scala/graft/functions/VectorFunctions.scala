@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-level vector math built on the codegen'd [[DotProduct]]
+  * kernel. All results are double; accumulation is sequential in index
+  * order (deterministic, partitioning-independent).
+  */
+object VectorFunctions {
+
+  /** Dot product of two numeric array columns (double result). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Euclidean (L2) norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity computed directly; prefer pre-computing norms
+    * (or pre-normalizing) on each side of a pair join so the O(N²)
+    * stage only pays one dot per pair.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Distinct word n-gram shingle hashes (single-pass; see
+    * [[ShingleHashes]]).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Intersection cardinality of two sorted distinct `array<long>`
+    * columns (linear merge; see [[SortedIntersectSize]]).
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

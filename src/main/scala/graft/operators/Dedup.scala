@@ -50,52 +50,119 @@ object Dedup {
     }
   }
 
-  /** Exact n-gram Jaccard similarity for every candidate pair, via an
-    * inverted shingle index (explode → self-equi-join on shingle →
-    * count). Pairs sharing zero shingles never materialize. Output:
-    * (doc_a, doc_b, jaccard) for jaccard ≥ threshold, doc_a < doc_b.
+  /** Per-doc distinct shingle sets, hashed to 64-bit via xxhash64.
+    * Every downstream set operation (inverted index, intersection,
+    * MinHash) runs on 8-byte longs instead of shingle strings — the
+    * shuffle carries fixed-width keys and the Jaccard math is unchanged
+    * (distinct hashes ≡ distinct shingles up to a ~2⁻⁶⁴ collision).
+    */
+  private def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
+    // repartition on doc_id first: document corpora often arrive as few
+    // large files, and every downstream stage (shingle scan, index
+    // join, per-pair agg) inherits this partitioning — without it the
+    // whole pipeline can collapse into one task per input file. The
+    // partition count is EXPLICIT: a column-only repartition is an
+    // advisory-size exchange that AQE happily coalesces back to one
+    // partition when the *input* is small — even though the pipelined
+    // join fan-out downstream is thousands of rows per input row.
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.repartition(parts, col("doc_id")).select(col("doc_id"),
+      graft.functions.VectorFunctions.shingleHashes(col("text"), n).as("hs"))
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair at or above the
+    * threshold, doc_a < doc_b, via **prefix filtering** (the PPJoin
+    * family): because [[graft.functions.ShingleHashes]] sorts every
+    * doc's shingle hashes by the same global order, a pair with
+    * jaccard ≥ t has intersection ≥ ⌈t·|d|⌉ for BOTH docs, and by
+    * pigeonhole its smallest shared hash falls inside both docs'
+    * first `|d| - ⌈t·|d|⌉ + 1` hashes. So only those prefixes are
+    * indexed/joined — candidate generation shrinks ~(1-t)² with NO
+    * recall loss — and each distinct candidate pair is verified with
+    * an exact linear-merge intersection over the full sets.
     *
-    * `maxShingleDf` drops shingles appearing in more than that many
-    * docs from *candidate generation only* (classic stop-shingle
-    * cut — they generate O(df²) pairs and no near-dup signal); the
-    * Jaccard itself stays exact because sizes and intersections are
-    * computed over the full shingle sets when `maxShingleDf = 0`
-    * (disabled) or the dropped shingles are counted back via the
-    * full per-doc sizes. With the cut enabled the intersection count
-    * is a lower bound, so recall can drop for pairs whose overlap is
-    * exclusively stop-shingles — acceptable by construction.
+    * Scale shape: explode(prefix) → self-equi-join on the 8-byte hash
+    * → distinct pairs → two joins to fetch the full sets → one
+    * O(|A|+|B|) merge per pair. Nothing quadratic in the corpus
+    * materializes unless the data genuinely contains that many
+    * near-dup pairs.
+    *
+    * `maxShingleDf` additionally drops shingles appearing in more than
+    * that many docs from the index (classic stop-shingle cut — they
+    * generate O(df²) candidates and no near-dup signal); with the cut
+    * enabled recall can drop for pairs whose overlap is exclusively
+    * stop-shingles — acceptable by construction, disabled by default.
     */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
                    maxShingleDf: Int = 0): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val candidates0 =
-      if (maxShingleDf <= 0) sh
+    val sets = hashedShingles(docs, n)
+    // prefix length |d| - ceil(t*|d|) + 1 (exact-recall bound)
+    val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1).cast("int")
+    val prefix = sets.select(col("doc_id"), size(col("hs")).as("sz"),
+      posexplode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0)))).as(Seq("pos", "h")))
+    val index =
+      if (maxShingleDf <= 0) prefix
       else {
-        val w = Window.partitionBy(col("sh"))
-        sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= maxShingleDf).drop("df")
-      }
-    val a = candidates0.as("a")
-    val b = candidates0.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        val w = Window.partitionBy(col("h"))
+        prefix.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxShingleDf).drop("df")
+    }
+    // Broadcast the build side: near-dup-heavy corpora have few distinct
+    // shingles, so shuffling on `h` would concentrate heavy keys in one
+    // partition (skew); the streamed side keeps each doc's rows in one
+    // partition so the pair agg below combines map-side. When the
+    // prefix index outgrows a broadcast, the same join degrades
+    // gracefully to a shuffled join — or use [[minhashLsh]].
+    //
+    // Positional filter (the PPJoin refinement): per candidate pair,
+    // aggregate the prefix-match count and the max matched positions.
+    // Any shared shingle NOT matched prefix-to-prefix is, in the global
+    // sort order, greater than every prefix match (it sits past at
+    // least one doc's prefix boundary), so it lies past (maxPa, maxPb)
+    // in BOTH sorted arrays. Hence
+    //   overlap ≤ cnt + min(szA-1-maxPa, szB-1-maxPb)
+    // and pairs whose bound can't reach the Jaccard-implied overlap
+    // floor t·(szA+szB)/(1+t) are pruned before verification.
+    val cand = index.as("a")
+      .join(broadcast(index.as("b")),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a.pos")).as("mpa"), max(col("b.pos")).as("mpb"),
+        max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"))
+      .filter((col("cnt") +
+          least(col("sz_a") - 1 - col("mpa"), col("sz_b") - 1 - col("mpb")))
+        * (1.0 + threshold) >= lit(threshold) * (col("sz_a") + col("sz_b")) - 1e-9)
+      .select(col("doc_a"), col("doc_b"))
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    * fetch both full sorted shingle sets, merge-count the overlap.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.VectorFunctions.sortedIntersectSize(col("hs_a"), col("hs_b")).as("inter"),
+        size(col("hs_a")).cast("long").as("sz_a"), size(col("hs_b")).cast("long").as("sz_b"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** MinHash signatures: for each doc, `numHashes` minima of seeded
-    * xxhash64 over its shingle set. One explode + one grouped agg;
-    * signature is deterministic and partitioning-independent.
+    * xxhash64 over its shingle-hash set. One explode + one grouped agg
+    * (map-side partial min ⇒ the shuffle is one row per doc per
+    * partition); each of the `numHashes` functions re-hashes the 8-byte
+    * base shingle hash, not the string — string bytes are hashed exactly
+    * once per shingle. Deterministic and partitioning-independent.
     */
   def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    val sh = hashedShingles(docs, n).select(col("doc_id"), explode(col("hs")).as("h"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -126,28 +193,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard over full shingle sets
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-      .filter(col("sh_a") === col("sh_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // verify candidates with exact Jaccard over the full sorted sets
+    // (one linear merge per pair — see verifyJaccard)
+    verifyJaccard(cand, hashedShingles(docs, n), threshold)
   }
 
   /** 64-bit SimHash over the token stream: per bit, sum +1/-1 votes of
     * each token's xxhash64 bit, sign → bit. One explode + one agg.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = docs.repartition(parts, col("doc_id")).select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitVotes = (0 until 64).map { b =>

@@ -1,34 +1,44 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Similarity search over an embedding column (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, plus a
   * random-hyperplane LSH bucketed variant as the scale path, and
   * embedding-cosine near-dup pairs.
   *
-  * All vector math uses higher-order built-ins (`zip_with` +
-  * `aggregate`) over doubles — codegen'd, sequential (deterministic
-  * ordering, bit-stable across partitionings), no UDFs.
+  * All vector math runs through the codegen'd [[graft.functions.DotProduct]]
+  * kernel (double accumulation in index order — deterministic,
+  * bit-stable across partitionings, bit-identical to the sequential
+  * `list_sum(list_transform(...))` oracle formulation).
   *
-  * Scale design: brute-force is O(Q×N) with the Q side broadcast —
-  * correct for small query sets over any N (it's one scan of N).
-  * The LSH variant buckets both sides on sign-pattern prefixes so
-  * candidate generation is a bucket equi-join: O(N) shuffle instead
-  * of O(Q×N) compare, at tunable recall.
+  * Scale design:
+  *  - Norms are computed ONCE per vector in a pre-join projection, so
+  *    the O(N²)/O(candidates) stage pays exactly one dot per pair.
+  *  - Brute-force top-k is O(Q×N) with the query side broadcast —
+  *    one scan of N regardless of N's size.
+  *  - The LSH variant buckets both sides on hyperplane sign bands so
+  *    candidate generation is a bucket equi-join: an O(N) shuffle
+  *    instead of an O(N²) compare, at tunable recall.
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
+  /** Cosine similarity of two numeric array columns (double result). */
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
+
+  /** Spread the streamed side of a pair join across the session's
+    * shuffle-partition count. Embedding tables often arrive as one
+    * file; without this the O(N²)/O(candidates) probe stage runs as a
+    * single task. Explicit count — AQE would coalesce a column-only
+    * repartition of a small input even though the join fans out.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(parts, col("vec_id"))
   }
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
@@ -36,10 +46,13 @@ object Similarity {
     * Deterministic: rank on rounded cosine with vec_id tiebreak.
     */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val cand = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFunctions.norm(col("embedding")).as("q_nrm"))
+    val cand = spread(embeddings).select(col("vec_id").as("neighbor_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("c_nrm"))
     val scored = cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -52,29 +65,39 @@ object Similarity {
     * pairs); for the at-scale path see [[lshPairs]].
     */
   def pairsAboveThreshold(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val a = spread(embeddings).select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      VectorFunctions.norm(col("embedding")).as("nrm_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      VectorFunctions.norm(col("embedding")).as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane p,
-    * dim d: xxhash64 folded to [-1, 1]. No RNG state — the "planes"
-    * are pure functions of (p, d), so signatures are reproducible
-    * across runs and cluster layouts.
+  /** Deterministic pseudo-random hyperplane matrix: weight(p, d) is
+    * xxhash64(p, d) folded to [-1, 1]. No RNG state — the planes are a
+    * pure function of (plane, dim), so signatures are reproducible
+    * across runs and cluster layouts. Computed once on the driver and
+    * shipped as array literals (numPlanes × dim doubles — bytes, not
+    * a broadcast concern).
     */
-  private def planeWeight(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(2000001L)).cast("double") - lit(1000000.0)) / lit(1000000.0)
+  private[graft] def planeRow(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      // seed 42 = the default functions.xxhash64 seed
+      val h = XxHash64(Seq(Literal(p), Literal(d)), 42L).eval(null).asInstanceOf[Long]
+      val m = ((h % 2000001L) + 2000001L) % 2000001L // pmod
+      (m.toDouble - 1000000.0) / 1000000.0
+    }
 
-  /** Sign-bit signature of `numPlanes` random hyperplanes. */
-  def lshSignature(emb: Column, numPlanes: Int): Column = {
-    val dims = sequence(lit(0), size(emb) - 1)
+  /** Sign-bit signature of `numPlanes` deterministic hyperplanes; one
+    * codegen'd dot per plane against a literal weight array.
+    */
+  def lshSignature(emb: Column, numPlanes: Int, dim: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val dot = aggregate(dims, lit(0.0),
-        (acc, d) => acc + element_at(emb, (d + 1).cast("int")).cast("double") * planeWeight(p, d))
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(VectorFunctions.dot(emb, lit(planeRow(p, dim))) >= 0,
+        shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -85,27 +108,30 @@ object Similarity {
     * one full band of sign bits becomes a candidate).
     */
   def lshPairs(embeddings: DataFrame, threshold: Double,
-               numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+               numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(numPlanes % bands == 0)
     val r = numPlanes / bands
-    val sig = embeddings.select(col("vec_id"), col("embedding"),
-      lshSignature(col("embedding"), numPlanes).as("sig"))
+    val sig = spread(embeddings).select(col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"),
+      lshSignature(col("embedding"), numPlanes, dim).as("sig"))
     val bandCols = (0 until bands).map { bId =>
       struct(lit(bId).as("band"),
         shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1)).as("bucket"))
     }
-    val buckets = sig.select(col("vec_id"), col("embedding"),
+    val buckets = sig.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"),
+        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
       .distinct()
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between `Column` and Catalyst `Expression` for custom
+  * expressions. Spark 4 moved the Column↔Expression conversion behind
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`,
+  * columnNodeSupport.scala); this one-file shim re-exports the two
+  * conversions to graft — the same approach public Spark extension
+  * libraries use to register native expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
