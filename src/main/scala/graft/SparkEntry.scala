@@ -54,6 +54,23 @@ object SparkEntry {
         .filter(col("vol") > 0)
       Candles.vwapTrue(ev, col("vol"))
     }),
+    // ── streaming execution (SURVEY §2.8 T1-T3/T5/T8): the same gold
+    // aggregation run as a real append-mode Structured Streaming query
+    // over a chronological file-stream replay; emitted set = windows
+    // finalized by the 10-minute watermark. And the map-only silver
+    // projection through the same streaming path (no state).
+    "stream_gold_candles_1m" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
+        "ts", "event_id",
+        st => Candles.ohlcv(st.withWatermark("ts", "10 minutes")))),
+    "stream_silver_typed" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
+        "ts", "event_id",
+        st => st.filter(col("event_type").isin("click", "purchase", "view"))
+          .select(col("event_type").as("symbol"),
+            col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
+            col("ts").as("trade_timestamp"),
+            col("user_id").as("trade_id")))),
     // ── serving layer (SURVEY §2.3 P9, §2.5, §2.6)
     "serve_latest_per_symbol" -> ((s, dir) =>
       Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts", "event_id")),
@@ -125,6 +142,22 @@ object SparkEntry {
          arg_max(value, ts) AS close, count(*) AS trade_count,
          round(avg(value), 6) AS vwap
          FROM events GROUP BY 1, 2, 3""",
+    "stream_gold_candles_1m" ->
+      """SELECT * FROM (
+           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
+           date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
+           event_type AS symbol,
+           arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+           arg_max(value, ts) AS close, count(*) AS trade_count,
+           round(avg(value), 6) AS vwap
+           FROM events GROUP BY 1, 2, 3)
+         WHERE window_end <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE
+                              FROM events)""",
+    "stream_silver_typed" ->
+      """SELECT event_type AS symbol,
+         CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
+         CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
+         FROM events WHERE event_type IN ('click','purchase','view')""",
     "gold_vwap_true" ->
       """WITH ev AS (
            SELECT *, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Silver
+
+/** The medallion (bronze → silver → gold) transform chain — the
+  * reference's entire pipeline surface (reference
+  * `src/jobs/ingestion_bronze.py`, `process_silver.py`,
+  * `gold_layer.py`), expressed as plain DataFrame→DataFrame functions
+  * so the SAME plan runs in batch (oracle-checked) and in Structured
+  * Streaming (wired by [[StreamJobs]]).
+  *
+  * Scale notes: bronze and silver are map-only (scan → project/filter →
+  * write, no shuffle — pure split parallelism at any input size); gold
+  * is one watermarked streaming aggregation whose only shuffle is on
+  * `(window, symbol)`, with map-side partial aggregation and
+  * state-store-backed finalization.
+  */
+object Medallion {
+
+  /** Kafka-shaped input → bronze envelope (reference
+    * `ingestion_bronze.py:56-57`): CAST key/value to string, rename the
+    * broker timestamp, stamp ingest time. Works on any DataFrame/stream
+    * with `key`, `value`, `timestamp` columns (S1's surface).
+    */
+  def bronzeEnvelope(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped
+      .selectExpr(
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS json_payload",
+        "timestamp AS kafka_ts")
+      .withColumn("ingest_ts", current_timestamp())
+
+  /** bronze → silver: parse/filter/type the ticker JSON
+    * (`process_silver.py:98-114` via [[graft.operators.Silver]]), plus
+    * the streaming-dedup gap-closure the reference README declares but
+    * never built (`README.md:124`): `dropDuplicatesWithinWatermark` on
+    * the trade identity `(symbol, trade_id)` bounded by `dedupDelay`
+    * of event time.
+    */
+  def silverTrades(bronze: DataFrame, dedupDelay: Option[String] = None): DataFrame = {
+    val parsed = Silver.parseTickers(bronze)
+    dedupDelay match {
+      case Some(delay) =>
+        parsed.withWatermark("trade_timestamp", delay)
+          .dropDuplicatesWithinWatermark("symbol", "trade_id")
+      case None => parsed
+    }
+  }
+
+  /** silver → gold: watermarked 1-minute OHLC/VWAP candles
+    * (`gold_layer.py:55-80`). Reference-shaped output — including the
+    * `avg(price)` "vwap" whose decimal(18,8) input Catalyst widens to
+    * decimal(22,12), matching the reference's on-disk gold schema —
+    * but with deterministic `min_by`/`max_by` open/close instead of
+    * partition-order-dependent `first`/`last`.
+    */
+  def goldCandles(silver: DataFrame,
+                  watermarkDelay: String = "10 minutes",
+                  windowDur: String = "1 minute"): DataFrame = {
+    val ts = col("trade_timestamp")
+    silver
+      .withWatermark("trade_timestamp", watermarkDelay)
+      .groupBy(window(ts, windowDur).as("w"), col("symbol"))
+      .agg(
+        min_by(col("price"), ts).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), ts).as("close"),
+        count(lit(1)).as("trade_count"),
+        avg(col("price")).as("vwap"))
+      .select(
+        col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("symbol"), col("open"), col("high"), col("low"), col("close"),
+        col("trade_count"), col("vwap").cast(DecimalType(22, 12)).as("vwap"),
+        current_timestamp().as("gold_processed_at"))
+  }
+}

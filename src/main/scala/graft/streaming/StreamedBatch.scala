@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Run a watermarked streaming aggregation over a *batch* table by
+  * replaying it as a chronological file stream — the harness that lets
+  * the DuckDB oracle check real append-mode streaming semantics
+  * (emit-once-per-finalized-window, watermark-bounded lateness;
+  * SURVEY.md §2.8 T1-T3/T5/T8).
+  *
+  * Mechanics: the input is split into `chunks` event-time-ordered
+  * parquet files with strictly increasing modification times, streamed
+  * back with `maxFilesPerTrigger=1` (so the watermark advances batch by
+  * batch exactly as a live feed would), aggregated with a watermark,
+  * and append-sunk to parquet. `Trigger.AvailableNow` drains the
+  * backlog then runs the closing no-data micro-batch, which advances
+  * the watermark to max(event_time) − delay and finalizes every window
+  * at or below it. The emitted set is therefore a pure function of the
+  * data: all windows with `window_end <= max(ts) − delay` — which is
+  * what the oracle SQL asserts.
+  */
+object StreamedBatch {
+
+  /** Replay `input` (sorted by `tsCol`, `tieCol`) as a `chunks`-file
+    * stream; apply `agg` to the watermarked stream; return the
+    * append-mode output as a batch DataFrame.
+    */
+  def replayAggregate(spark: SparkSession, input: DataFrame,
+                      tsCol: String, tieCol: String,
+                      agg: DataFrame => DataFrame,
+                      chunks: Int = 3): DataFrame = {
+    val work = Files.createTempDirectory("graft-stream-").toFile
+    val streamIn = new File(work, "in"); streamIn.mkdirs()
+    val schema = input.schema
+
+    // deterministic chronological chunking, written in ONE job via a
+    // dynamic partition column (one sort, one pass, one file per chunk)
+    val w = Window.orderBy(col(tsCol), col(tieCol))
+    val stage = new File(work, "stage")
+    input.withColumn("__chunk", ntile(chunks).over(w))
+      .repartition(col("__chunk"))
+      .write.partitionBy("__chunk").mode("overwrite").parquet(stage.getAbsolutePath)
+    (1 to chunks).foreach { i =>
+      val part = new File(stage, s"__chunk=$i").listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new File(streamIn, f"chunk-$i%03d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      // strictly increasing mtimes pin the replay order (the file
+      // source processes oldest-first under maxFilesPerTrigger)
+      dst.setLastModified(1000000000000L + i * 60000L)
+    }
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamIn.getAbsolutePath)
+    val outDir = new File(work, "out").getAbsolutePath
+    val q = StreamJobs.parquetAppend(agg(stream), outDir,
+      new File(work, "ckpt").getAbsolutePath)
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+}
