@@ -46,7 +46,8 @@ object SparkEntry {
           col("ts").as("trade_timestamp"),
           col("user_id").as("trade_id"))),
     // ── gold layer: flagship candle aggregation (SURVEY §2.4 A1-A7, §7.5)
-    "gold_candles_1m" -> ((s, dir) => Candles.ohlcv(Tables.events(s, dir))),
+    "gold_candles_1m" -> ((s, dir) =>
+      Candles.ohlcv(Tables.events(s, dir), tieCol = Some("event_id"))),
     "gold_vwap_true" -> ((s, dir) => {
       // volume stand-in: the JSON props field k (0..99), parsed from the raw payload
       val ev = Tables.events(s, dir)
@@ -62,7 +63,8 @@ object SparkEntry {
     "stream_gold_candles_1m" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
-        st => Candles.ohlcv(st.withWatermark("ts", "10 minutes")))),
+        st => Candles.ohlcv(st.withWatermark("ts", "10 minutes"),
+          tieCol = Some("event_id")))),
     "stream_silver_typed" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
@@ -75,7 +77,8 @@ object SparkEntry {
     "serve_latest_per_symbol" -> ((s, dir) =>
       Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts", "event_id")),
     "serve_prev_close_delta" -> ((s, dir) =>
-      Serving.prevCloseDelta(Candles.ohlcv(Tables.events(s, dir)))),
+      Serving.prevCloseDelta(Candles.ohlcv(Tables.events(s, dir),
+        tieCol = Some("event_id")))),
     "serve_top20_recent" -> ((s, dir) =>
       Serving.topKRecent(Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value")),
@@ -85,9 +88,11 @@ object SparkEntry {
     // spread queries use daily candles: at sf0.001 the event stream is
     // too sparse for two symbols to share a 1-min window
     "serve_spread_by_window" -> ((s, dir) =>
-      Serving.spreadByWindow(Candles.ohlcv(Tables.events(s, dir), "1 day"))),
+      Serving.spreadByWindow(Candles.ohlcv(Tables.events(s, dir), "1 day",
+        tieCol = Some("event_id")))),
     "serve_spread_join" -> ((s, dir) =>
-      Serving.spreadJoin(Candles.ohlcv(Tables.events(s, dir), "1 day"), "click", "purchase")),
+      Serving.spreadJoin(Candles.ohlcv(Tables.events(s, dir), "1 day",
+        tieCol = Some("event_id")), "click", "purchase")),
     // ── relational coverage (SURVEY §2.7 gap-closure + batch layer)
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
@@ -135,22 +140,38 @@ object SparkEntry {
          CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
          FROM events WHERE event_type IN ('click','purchase','view')""",
     "gold_candles_1m" ->
-      """SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
-         date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
+      """WITH r AS (
+           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,
+                  event_type, value,
+                  row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts, event_id) AS rn_a,
+                  row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM events)
+         SELECT ws AS window_start, ws + INTERVAL 1 MINUTE AS window_end,
          event_type AS symbol,
-         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-         arg_max(value, ts) AS close, count(*) AS trade_count,
-         round(avg(value), 6) AS vwap
-         FROM events GROUP BY 1, 2, 3""",
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high, min(value) AS low,
+         max(CASE WHEN rn_z = 1 THEN value END) AS close,
+         count(*) AS trade_count, round(avg(value), 6) AS vwap
+         FROM r GROUP BY 1, 2, 3""",
     "stream_gold_candles_1m" ->
-      """SELECT * FROM (
-           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
-           date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
+      """WITH r AS (
+           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,
+                  event_type, value,
+                  row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts, event_id) AS rn_a,
+                  row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM events)
+         SELECT * FROM (
+           SELECT ws AS window_start, ws + INTERVAL 1 MINUTE AS window_end,
            event_type AS symbol,
-           arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-           arg_max(value, ts) AS close, count(*) AS trade_count,
-           round(avg(value), 6) AS vwap
-           FROM events GROUP BY 1, 2, 3)
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_z = 1 THEN value END) AS close,
+           count(*) AS trade_count, round(avg(value), 6) AS vwap
+           FROM r GROUP BY 1, 2, 3)
          WHERE window_end <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE
                               FROM events)""",
     "stream_silver_typed" ->
@@ -173,10 +194,15 @@ object SparkEntry {
                  (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
     "serve_prev_close_delta" ->
-      """WITH c AS (
-           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
-                  event_type AS symbol, arg_max(value, ts) AS close
-           FROM events GROUP BY 1, 2)
+      """WITH r AS (
+           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,
+                  row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM events),
+         c AS (
+           SELECT ws AS window_start, event_type AS symbol,
+                  max(CASE WHEN rn_z = 1 THEN value END) AS close
+           FROM r GROUP BY 1, 2)
          SELECT window_start, symbol, close,
            lag(close) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close,
            round(close - lag(close) OVER (PARTITION BY symbol ORDER BY window_start), 6) AS close_delta
@@ -187,10 +213,15 @@ object SparkEntry {
     "serve_distinct_symbols" ->
       "SELECT DISTINCT event_type FROM events",
     "serve_spread_by_window" ->
-      """WITH c AS (
-           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
-                  event_type AS symbol, arg_max(value, ts) AS close
-           FROM events GROUP BY 1, 2),
+      """WITH e AS (
+           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,
+                  row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM events),
+         c AS (
+           SELECT ws AS window_start, event_type AS symbol,
+                  max(CASE WHEN rn_z = 1 THEN value END) AS close
+           FROM e GROUP BY 1, 2),
          r AS (
            SELECT window_start, symbol, close,
              row_number() OVER (PARTITION BY window_start ORDER BY close DESC, symbol DESC) AS rmax,
@@ -202,10 +233,15 @@ object SparkEntry {
            count(*) AS n_symbols
          FROM r GROUP BY window_start HAVING count(*) > 1""",
     "serve_spread_join" ->
-      """WITH c AS (
-           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
-                  event_type AS symbol, arg_max(value, ts) AS close
-           FROM events GROUP BY 1, 2)
+      """WITH e AS (
+           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,
+                  row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM events),
+         c AS (
+           SELECT ws AS window_start, event_type AS symbol,
+                  max(CASE WHEN rn_z = 1 THEN value END) AS close
+           FROM e GROUP BY 1, 2)
          SELECT a.window_start AS window_start, a.close AS close_a, b.close AS close_b,
            round(a.close - b.close, 6) AS spread
          FROM c a JOIN c b ON a.window_start = b.window_start

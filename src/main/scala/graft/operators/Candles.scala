@@ -22,20 +22,24 @@ import org.apache.spark.sql.functions._
 object Candles {
 
   /** Batch/streaming-shared candle plan. Works on any DataFrame with an
-    * event-time column, a symbol column, and a price column.
+    * event-time column, a symbol column, and a price column. `tieCol`
+    * (e.g. a unique event id) makes open/close deterministic when two
+    * trades share a timestamp — without it `min_by`/`max_by` tie-break
+    * arbitrarily, which is partition-order dependent.
     */
   def ohlcv(events: DataFrame, windowDur: String = "1 minute",
             tsCol: String = "ts", symbolCol: String = "event_type",
-            priceCol: String = "value"): DataFrame = {
+            priceCol: String = "value", tieCol: Option[String] = None): DataFrame = {
     val ts = col(tsCol)
+    val ord = tieCol.map(t => struct(ts, col(t))).getOrElse(ts)
     val price = col(priceCol)
     events
       .groupBy(window(ts, windowDur).as("w"), col(symbolCol).as("symbol"))
       .agg(
-        min_by(price, ts).as("open"),
+        min_by(price, ord).as("open"),
         max(price).as("high"),
         min(price).as("low"),
-        max_by(price, ts).as("close"),
+        max_by(price, ord).as("close"),
         count(lit(1)).as("trade_count"),
         round(avg(price), 6).as("vwap"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),

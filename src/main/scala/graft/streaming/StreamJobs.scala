@@ -83,6 +83,10 @@ object StreamJobs {
                    windowDur: String = "1 minute",
                    trigger: Trigger = Trigger.ProcessingTime(0)):
       (StreamingQuery, StreamingQuery, StreamingQuery) = {
+    // the downstream file-stream sources tail these dirs before the
+    // upstream query's first commit creates them
+    Seq(paths.bronze, paths.silver, paths.gold)
+      .foreach(p => new java.io.File(p).mkdirs())
     val raw = jsonLinesStream(spark, rawJsonDir, kafkaShapedSchema)
     val bronzeQ = parquetAppend(Medallion.bronzeEnvelope(raw),
       paths.bronze, paths.checkpoint("bronze"), trigger)

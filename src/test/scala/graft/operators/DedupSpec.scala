@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite with Matchers {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** Naive exact Jaccard over ALL pairs — the O(N²) reference
+    * implementation the optimized operators must agree with.
+    */
+  private def naiveJaccard(d: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sets = d.select(col("doc_id"),
+      array_sort(array_distinct(transform(Dedup.shingles(col("text"), n),
+        s => xxhash64(s)))).as("hs"))
+    sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        functions.size(array_intersect(col("a.hs"), col("b.hs"))).cast("double").as("i"),
+        functions.size(col("a.hs")).as("sa"), functions.size(col("b.hs")).as("sb"))
+      .withColumn("jaccard", round(col("i") / (col("sa") + col("sb") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  test("exactGroups: one group per distinct text, counts conserve rows") {
+    val g = Dedup.exactGroups(docs)
+    g.count() shouldBe docs.select("text").distinct().count()
+    g.agg(sum("n_dups")).as[Long].head() shouldBe docs.count()
+  }
+
+  test("exactRows keeps the min doc_id per text group") {
+    val r = Dedup.exactRows(docs)
+    r.count() shouldBe docs.select("text").distinct().count()
+    // every surviving doc_id is the min of its text group
+    val mins = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    r.join(mins, Seq("text", "doc_id")).count() shouldBe r.count()
+  }
+
+  test("ngramJaccard (prefix filter) == naive all-pairs Jaccard") {
+    val fast = Dedup.ngramJaccard(docs, n = 2, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    val naive = naiveJaccard(docs, 2, 0.5).orderBy("doc_a", "doc_b").collect()
+    fast shouldBe naive
+    fast.length should be > 0
+  }
+
+  test("ngramJaccard exactness holds at a lower threshold too") {
+    val fast = Dedup.ngramJaccard(docs, n = 2, threshold = 0.3)
+      .orderBy("doc_a", "doc_b").collect()
+    val naive = naiveJaccard(docs, 2, 0.3).orderBy("doc_a", "doc_b").collect()
+    fast shouldBe naive
+  }
+
+  test("minhashLsh finds the same pairs as exact Jaccard on this corpus") {
+    val lsh = Dedup.minhashLsh(docs, n = 2, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    val exact = naiveJaccard(docs, 2, 0.5).orderBy("doc_a", "doc_b").collect()
+    // LSH is probabilistic-recall by construction; verified values are
+    // exact, so any found pair must match the exact result, and on this
+    // corpus (near-dup pairs have jaccard >= 0.8, 16 bands x 2 rows)
+    // recall is complete
+    lsh shouldBe exact
+  }
+
+  test("minhashSignatures: deterministic, partitioning-independent") {
+    val s1 = Dedup.minhashSignatures(docs, 2, 16).orderBy("doc_id").collect()
+    val s2 = Dedup.minhashSignatures(docs.repartition(7), 2, 16).orderBy("doc_id").collect()
+    s1 shouldBe s2
+  }
+
+  test("simhashPairs: all reported pairs respect maxDist; banding finds planted near-dups") {
+    val out = Dedup.simhashPairs(docs, maxDist = 3)
+    out.filter(col("hamming") > 3).count() shouldBe 0
+    // cross-check against brute-force hamming over full signatures
+    val sig = Dedup.simhash(docs)
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    out.orderBy("doc_a", "doc_b").collect() shouldBe brute.orderBy("doc_a", "doc_b").collect()
+  }
+
+  test("simhashPairs rejects invalid maxDist") {
+    an[IllegalArgumentException] should be thrownBy Dedup.simhashPairs(docs, maxDist = 64)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+class ServingSpec extends SparkSuite with Matchers {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latestPerKey breaks timestamp ties deterministically") {
+    val df = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "BTC"),
+      (2L, ts("2026-01-01 10:00:00"), "BTC"), // same ts, higher id wins
+      (3L, ts("2026-01-01 09:00:00"), "ETH")
+    ).toDF("event_id", "ts", "symbol")
+    val out = Serving.latestPerKey(df, "symbol", "ts", "event_id")
+      .orderBy("symbol").select("event_id").as[Long].collect()
+    out shouldBe Array(2L, 3L)
+  }
+
+  test("topKRecent returns k rows, newest first, id tiebreak") {
+    val df = Seq(
+      (1L, ts("2026-01-01 10:00:00")),
+      (2L, ts("2026-01-01 10:00:00")),
+      (3L, ts("2026-01-01 11:00:00"))
+    ).toDF("event_id", "ts")
+    Serving.topKRecent(df, "ts", 2, "event_id")
+      .select("event_id").as[Long].collect() shouldBe Array(3L, 2L)
+  }
+
+  test("prevCloseDelta lags within symbol") {
+    val candles = Seq(
+      (ts("2026-01-01 10:00:00"), "BTC", 100.0),
+      (ts("2026-01-01 10:01:00"), "BTC", 105.0),
+      (ts("2026-01-01 10:00:00"), "ETH", 10.0)
+    ).toDF("window_start", "symbol", "close")
+    val out = Serving.prevCloseDelta(candles)
+      .orderBy("symbol", "window_start")
+      .select("close_delta").as[Option[Double]].collect()
+    out shouldBe Array(None, Some(5.0), None)
+  }
+
+  test("spreadByWindow picks richest/cheapest symbols deterministically") {
+    val candles = Seq(
+      (ts("2026-01-01 10:00:00"), "BTC", 100.0),
+      (ts("2026-01-01 10:00:00"), "ETH", 90.0),
+      (ts("2026-01-01 10:00:00"), "SOL", 95.0),
+      (ts("2026-01-01 10:01:00"), "BTC", 50.0) // single-symbol window dropped
+    ).toDF("window_start", "symbol", "close")
+    val out = Serving.spreadByWindow(candles).collect()
+    out.length shouldBe 1
+    out(0).getAs[Double]("spread") shouldBe 10.0
+    out(0).getAs[String]("rich_symbol") shouldBe "BTC"
+    out(0).getAs[String]("cheap_symbol") shouldBe "ETH"
+  }
+
+  test("spreadJoin aligns two symbol series on window") {
+    val candles = Seq(
+      (ts("2026-01-01 10:00:00"), "BTC", 100.0),
+      (ts("2026-01-01 10:00:00"), "ETH", 90.0),
+      (ts("2026-01-01 10:01:00"), "BTC", 101.0) // no ETH -> dropped
+    ).toDF("window_start", "symbol", "close")
+    val out = Serving.spreadJoin(candles, "BTC", "ETH").collect()
+    out.length shouldBe 1
+    out(0).getAs[Double]("spread") shouldBe 10.0
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite with Matchers {
+  import spark.implicits._
+
+  private lazy val emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("bruteForceTopK: ranks by cosine desc with id tiebreak, k rows per query") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+    out.groupBy("query_id").count().select("count").distinct()
+      .as[Long].collect() shouldBe Array(5L)
+    // rank order consistent with cosine order
+    val bad = out.as("x").join(out.as("y"),
+      col("x.query_id") === col("y.query_id") && (col("x.rank") < col("y.rank")) &&
+        (col("x.cos") < col("y.cos"))).count()
+    bad shouldBe 0
+  }
+
+  test("pairsAboveThreshold: symmetric-free (a<b), values match direct cosine") {
+    val out = Similarity.pairsAboveThreshold(emb.limit(60), 0.3)
+    out.filter(col("id_a") >= col("id_b")).count() shouldBe 0
+    val recompute = out
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("cos2", round(Similarity.cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") =!= col("cos2"))
+    recompute.count() shouldBe 0
+  }
+
+  test("lshPairs is a subset of exact pairs with identical cosines") {
+    val exact = Similarity.pairsAboveThreshold(emb, 0.4)
+      .withColumnRenamed("cos", "cos_exact")
+    val lsh = Similarity.lshPairs(emb, 0.4)
+    lsh.join(exact, Seq("id_a", "id_b"), "left_anti").count() shouldBe 0
+    val joined = lsh.join(exact, Seq("id_a", "id_b"))
+    joined.filter(col("cos") =!= col("cos_exact")).count() shouldBe 0
+    // recall sanity on this corpus
+    lsh.count().toDouble should be >= exact.count() * 0.5
+  }
+
+  test("planeRow is deterministic and in [-1, 1]") {
+    val r1 = Similarity.planeRow(3, 64)
+    val r2 = Similarity.planeRow(3, 64)
+    r1 shouldBe r2
+    all(r1.toSeq) should (be >= -1.0 and be <= 1.0)
+    Similarity.planeRow(4, 64) should not be r1
+  }
+
+  test("lshSignature stable across partitionings") {
+    val s1 = emb.select(col("vec_id"), Similarity.lshSignature(col("embedding"), 16, 64).as("s"))
+      .orderBy("vec_id").collect()
+    val s2 = emb.repartition(7).select(col("vec_id"),
+      Similarity.lshSignature(col("embedding"), 16, 64).as("s")).orderBy("vec_id").collect()
+    s1 shouldBe s2
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+class TextOpsSpec extends SparkSuite with Matchers {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat and the dog", 19L),
+    (2L, "aaa bbb ccc", 11L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("tokenStats counts tokens, distinct tokens, avg length") {
+    val r = TextOps.tokenStats(docs).orderBy("doc_id")
+      .select("n_tokens", "n_distinct_tokens", "avg_token_len").collect()
+    r(0).getLong(0) shouldBe 5
+    r(0).getLong(1) shouldBe 4 // "the" repeated
+    r(0).getDouble(2) shouldBe 3.0 +- 1e-9
+    r(1).getLong(0) shouldBe 3
+    r(1).getLong(1) shouldBe 3
+  }
+
+  test("qualityScore components and weighting") {
+    val r = TextOps.qualityScore(docs).orderBy("doc_id").collect()
+    val row = r(0)
+    row.getAs[Double]("stopword_ratio") shouldBe 0.6 +- 1e-9 // the, and, the
+    row.getAs[Double]("type_token_ratio") shouldBe 0.8 +- 1e-9
+    row.getAs[Int]("length_ok") shouldBe 0 // 19 chars < 50
+    row.getAs[Double]("quality_score") shouldBe (0.6 * 0.3 + 0.8 * 0.5) +- 1e-6
+  }
+
+  test("langId predicts via profile overlap with deterministic ties") {
+    val multi = Seq(
+      (1L, "the fast data", "en"),
+      (2L, "el datos tabla fila", "es"),
+      (3L, "der daten und zeile", "de"),
+      (4L, "zzz qqq", "en") // zero hits everywhere -> declaration-order
+                            // tiebreak picks the first profile (en),
+                            // matching the oracle's CASE ordering
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.langId(multi).orderBy("doc_id").select("pred_lang").as[String].collect()
+    r shouldBe Array("en", "es", "de", "en")
+  }
+
+  test("fingerprint is order- and multiplicity-insensitive") {
+    val d = Seq((1L, "b a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(d).orderBy("doc_id").select("fingerprint").as[String].collect()
+    fp(0) shouldBe fp(1)
+    fp(0) should not be fp(2)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+/** Streaming-semantics tests (SURVEY.md §5.2): controlled event-time
+  * advancement through MemoryStream — no wall-clock dependence.
+  */
+class StreamingSpec extends SparkSuite with Matchers {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def ticker(symbol: String, price: String, time: String,
+                     tradeId: Long, tpe: String = "ticker"): String =
+    s"""{"type":"$tpe","product_id":"$symbol","price":"$price","volume_24h":"1",
+       |"time":"$time","trade_id":"$tradeId","side":"buy","last_size":"0.5"}"""
+      .stripMargin.replace("\n", "")
+
+  test("gold append mode: window emitted exactly once, after watermark passes; late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, java.math.BigDecimal)]
+    val silverShaped = in.toDF()
+      .toDF("trade_timestamp", "symbol", "price")
+      .withColumn("price", col("price").cast("decimal(18,8)"))
+    val gold = Medallion.goldCandles(silverShaped, watermarkDelay = "10 minutes")
+    val q = gold.writeStream.format("memory").queryName("gold_test")
+      .outputMode("append").start()
+    def emitted() = spark.table("gold_test")
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    def dec(s: String) = new java.math.BigDecimal(s)
+
+    // batch 0: two trades in window 10:00
+    in.addData((ts("2026-01-01 10:00:10"), "BTC", dec("100")),
+      (ts("2026-01-01 10:00:40"), "BTC", dec("102")))
+    q.processAllAvailable()
+    emitted().count() shouldBe 0 // watermark still at epoch; nothing finalized
+
+    // batch 1: event time jumps 20 min -> watermark = 10:20-10m = 10:10,
+    // closes window [10:00,10:01)
+    in.addData((ts("2026-01-01 10:20:00"), "BTC", dec("110")))
+    q.processAllAvailable()
+    val rows = emitted().select("window_start", "symbol", "open", "close", "trade_count").collect()
+    rows.length shouldBe 1
+    rows(0).getTimestamp(0) shouldBe ts("2026-01-01 10:00:00")
+    rows(0).getDecimal(2) shouldBe dec("100.00000000")
+    rows(0).getDecimal(3) shouldBe dec("102.00000000")
+    rows(0).getLong(4) shouldBe 2L
+
+    // batch 2: a row 30 min late (before the 10:10 watermark) is dropped,
+    // and the already-emitted window is NOT re-emitted
+    in.addData((ts("2026-01-01 10:00:55"), "BTC", dec("999")),
+      (ts("2026-01-01 10:40:00"), "BTC", dec("120")))
+    q.processAllAvailable()
+    val after = emitted()
+    after.filter(col("window_start") === ts("2026-01-01 10:00:00")).count() shouldBe 1
+    after.filter(col("open") === dec("999")).count() shouldBe 0
+    // the 10:20 window finalized by the 10:30 watermark
+    after.filter(col("window_start") === ts("2026-01-01 10:20:00")).count() shouldBe 1
+    q.stop()
+  }
+
+  test("silver dropDuplicatesWithinWatermark removes identity dups within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val bronzeShaped = in.toDF().toDF("json_payload")
+    val silver = Medallion.silverTrades(bronzeShaped, dedupDelay = Some("10 minutes"))
+    val q = silver.writeStream.format("memory").queryName("silver_dedup_test")
+      .outputMode("append").start()
+
+    in.addData(
+      ticker("BTC-USD", "100", "2026-01-01T10:00:00.000000Z", 1L),
+      ticker("BTC-USD", "100", "2026-01-01T10:00:00.000000Z", 1L), // dup same batch
+      ticker("BTC-USD", "101", "2026-01-01T10:00:30.000000Z", 2L))
+    q.processAllAvailable()
+    in.addData(ticker("BTC-USD", "100", "2026-01-01T10:01:00.000000Z", 1L)) // dup later batch
+    q.processAllAvailable()
+    val out = spark.table("silver_dedup_test")
+    out.count() shouldBe 2
+    out.select("trade_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    q.stop()
+  }
+
+  test("medallion end-to-end: raw JSON files -> bronze -> silver -> gold parquet") {
+    val root = tmp("graft-medallion-")
+    val rawDir = tmp("graft-raw-")
+    // kafka-shaped JSON lines: key/value/timestamp (FIXTURES.md §1 payloads)
+    val payload = Seq(
+      ("coinbase", ticker("BTC-USD", "100.5", "2026-01-01T10:00:05.000000Z", 1L)),
+      ("coinbase", ticker("BTC-USD", "101.5", "2026-01-01T10:00:45.000000Z", 2L)),
+      ("coinbase", ticker("ETH-USD", "10.25", "2026-01-01T10:00:20.000000Z", 3L)),
+      ("coinbase", ticker("BTC-USD", "999", "2026-01-01T10:00:50.000000Z", 4L, tpe = "subscriptions")),
+      ("coinbase", ticker("BTC-USD", "120", "2026-01-01T10:30:00.000000Z", 5L))
+    ).toDF("key", "value")
+      .withColumn("timestamp", lit(Timestamp.valueOf("2026-01-01 10:31:00")))
+    payload.coalesce(1).write.mode("overwrite").json(rawDir)
+
+    val paths = StreamJobs.MedallionPaths(root)
+    val (bq, sq, gq) = StreamJobs.runMedallion(spark, rawDir, paths,
+      Schemas.kafkaShaped, dedupDelay = None,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      bq.processAllAvailable(); sq.processAllAvailable(); gq.processAllAvailable()
+      // give silver/gold a second pass over files committed by upstream
+      sq.processAllAvailable(); gq.processAllAvailable()
+
+      val bronze = spark.read.schema(Schemas.bronze).parquet(paths.bronze)
+      bronze.count() shouldBe 5
+      bronze.schema.fieldNames shouldBe Array("key", "json_payload", "kafka_ts", "ingest_ts")
+
+      val silver = spark.read.schema(Schemas.silver).parquet(paths.silver)
+      silver.count() shouldBe 4 // subscriptions event filtered
+      silver.schema("price").dataType.simpleString shouldBe "decimal(18,8)"
+
+      val gold = spark.read.schema(Schemas.gold).parquet(paths.gold)
+      // watermark = 10:30 - 10min = 10:20 -> the 10:00 windows finalized
+      gold.count() shouldBe 2
+      val btc = gold.filter(col("symbol") === "BTC-USD").head()
+      btc.getAs[java.math.BigDecimal]("open") shouldBe new java.math.BigDecimal("100.50000000")
+      btc.getAs[java.math.BigDecimal]("close") shouldBe new java.math.BigDecimal("101.50000000")
+      btc.getAs[Long]("trade_count") shouldBe 2L
+      btc.getAs[java.math.BigDecimal]("vwap") shouldBe new java.math.BigDecimal("101.000000000000")
+    } finally {
+      bq.stop(); sq.stop(); gq.stop()
+    }
+  }
+
+  test("exactly-once file sink: restart from checkpoint does not duplicate") {
+    val root = tmp("graft-eos-")
+    val inDir = tmp("graft-eos-in-")
+    Seq("a", "b").toDF("v").coalesce(1).write.mode("append").json(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val q = StreamJobs.parquetAppend(
+        StreamJobs.jsonLinesStream(spark, inDir, schema),
+        s"$root/out", s"$root/ckpt", Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    run()
+    spark.read.parquet(s"$root/out").count() shouldBe 2
+    // restart with no new data: nothing re-emitted
+    run()
+    spark.read.parquet(s"$root/out").count() shouldBe 2
+    // new file appears; only it is processed
+    Seq("c").toDF("v").coalesce(1).write.mode("append").json(inDir)
+    run()
+    spark.read.parquet(s"$root/out").count() shouldBe 3
+  }
+}
