@@ -113,6 +113,17 @@ object SparkEntry {
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    // ── training-data extensions: multimodal binary columns
+    "mm_binary_stats" -> ((s, dir) =>
+      Multimodal.binaryStats(Multimodal.asMediaTable(Tables.documents(s, dir)))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(Multimodal.asMediaTable(Tables.documents(s, dir)), 224, 224)),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMediaTable(Tables.documents(s, dir)), 30)),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          round(col("byte_mean"), 6).as("byte_mean"))),
     // ── training-data extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -347,6 +358,39 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(
            list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+         FROM documents""",
+    "mm_binary_stats" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_md5,
+         CAST(doc_id % 640 + 32 AS INT) AS width,
+         CAST(doc_id % 480 + 32 AS INT) AS height
+         FROM documents""",
+    "mm_resize" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CASE WHEN doc_id % 3 = 0 THEN 224
+              ELSE CAST(doc_id % 640 + 32 AS INT) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN 224
+              ELSE CAST(doc_id % 480 + 32 AS INT) END AS height,
+         octet_length(encode(text)) AS n_bytes
+         FROM documents""",
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(doc_id % 300 + 1 AS INT) AS n_frames,
+         unnest(range(0, doc_id % 300 + 1, 30)) AS frame_idx
+         FROM documents WHERE doc_id % 3 = 2""",
+    "mm_features" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         -- corpus is ASCII (octet_length == length for every doc), so
+         -- per-char ord == per-byte value
+         round(list_avg(list_transform(string_split_regex(text, ''), c -> ord(c))), 6)
+           AS byte_mean
          FROM documents""",
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
