@@ -129,6 +129,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     }),
+    "sim_topk_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
     "sim_pairs_threshold" -> ((s, dir) =>
       Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.4)),
     "sim_lsh_pairs" -> ((s, dir) =>

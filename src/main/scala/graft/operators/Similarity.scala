@@ -102,6 +102,58 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style approximate top-k: partition the vector space into
+    * `nlist` cells around deterministic coarse centroids, assign every
+    * vector to its nearest cell (one pass, `nlist` codegen'd dots per
+    * row), and have each query search only its `nprobe` closest cells.
+    *
+    * This is the standard inverted-file ANN layout: at 100 TB the
+    * assignment is a map-only pass, vectors land bucketed/partitioned
+    * by cell, and query fan-out touches nprobe/nlist of the data
+    * instead of all of it. Exact cosine within probed cells; recall is
+    * the nprobe/nlist trade-off (spec-measured against brute force).
+    *
+    * Centroids are deterministic: the embeddings of the `nlist` lowest
+    * vec_ids (a fixed sample — no RNG, no iterative k-means), collected
+    * once on the driver (nlist × dim floats) and shipped as literals.
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val cents: Array[(Int, Array[Float], Double)] =
+      embeddings.orderBy("vec_id").limit(nlist).select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray).zipWithIndex
+        .map { case (v, i) =>
+          (i, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+        }
+    // score against centroid c: dot(e, c)/|c| — |e| is constant across
+    // centroids so it can't change the argmax; negate for min-ordering
+    def negScore(emb: Column, c: (Int, Array[Float], Double)): Column =
+      -VectorFunctions.dot(emb, lit(c._2)) / lit(c._3)
+    def cellOf(emb: Column): Column =
+      least(cents.map(c => struct(negScore(emb, c).as("s"), lit(c._1).as("cid"))): _*)
+        .getField("cid")
+    val assigned = spread(embeddings).select(col("vec_id").as("neighbor_id"),
+      col("embedding"), VectorFunctions.norm(col("embedding")).as("c_nrm"),
+      cellOf(col("embedding")).as("cell"))
+    // per query: the nprobe best cells, exploded into probe rows
+    val probeCells = slice(array_sort(array(
+      cents.map(c => struct(negScore(col("embedding"), c).as("s"), lit(c._1).as("cid"))): _*)),
+      1, nprobe)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFunctions.norm(col("embedding")).as("q_nrm"),
+      explode(probeCells.getField("cid")).as("probe_cell"))
+    val scored = assigned.join(broadcast(q),
+      col("cell") === col("probe_cell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("c_nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-bucketed near-neighbor pairs: bucket on band prefixes of the
     * hyperplane signature, candidate-join within buckets, verify with
     * exact cosine. Recall is tunable via bands (any pair agreeing on

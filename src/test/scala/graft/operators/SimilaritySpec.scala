@@ -44,6 +44,33 @@ class SimilaritySpec extends SparkSuite with Matchers {
     lsh.count().toDouble should be >= exact.count() * 0.5
   }
 
+  test("ivfTopK: exact cosines, deterministic, recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+    // cosines of returned pairs are exact (same values as brute force)
+    val joined = ivf.join(brute
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("cos_bf")),
+      Seq("query_id", "neighbor_id"))
+    joined.filter(col("cos") =!= col("cos_bf")).count() shouldBe 0
+    // probing 4/16 cells must still find a solid share of true top-10
+    val overlap = joined.count().toDouble / brute.count()
+    overlap should be >= 0.3
+    // determinism across partitionings
+    val again = Similarity.ivfTopK(emb.repartition(7), queries, k = 10, nlist = 16, nprobe = 4)
+    again.orderBy("query_id", "rank").collect() shouldBe
+      ivf.orderBy("query_id", "rank").collect()
+  }
+
+  test("ivfTopK with nprobe == nlist is exhaustive (matches brute force)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 8)
+      .orderBy("query_id", "rank").collect()
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+    ivf shouldBe brute
+  }
+
   test("planeRow is deterministic and in [-1, 1]") {
     val r1 = Similarity.planeRow(3, 64)
     val r2 = Similarity.planeRow(3, 64)

@@ -153,5 +153,12 @@ class StreamingSpec extends SparkSuite with Matchers {
     Seq("c").toDF("v").coalesce(1).write.mode("append").json(inDir)
     run()
     spark.read.parquet(s"$root/out").count() shouldBe 3
+
+    // Inspect.history (the Delta history() stand-in, SURVEY §2.9 D1)
+    // reconstructs the append timeline from the sink manifest
+    val hist = graft.util.Inspect.history(spark, s"$root/out")
+    hist.count() shouldBe 2 // two committed files (batch 0 and the new-file batch)
+    hist.select("action").distinct().as[String].collect() shouldBe Array("add")
+    hist.select("batch_id").distinct().count() shouldBe 2
   }
 }
