@@ -13,7 +13,9 @@ object Bench {
     // optional arg: comma-separated query-name substrings to bench (dev
     // loop); the driver invokes with no args = all queries
     val wanted = args.headOption.map(_.split(',').toSeq)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    // alphabetical order: deterministic run order makes per-query
+    // timings comparable across rounds (first query pays JVM warmup)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       wanted.forall(_.exists(name.contains))
     }
     val results = selected.map { case (name, fn) =>
@@ -23,7 +25,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

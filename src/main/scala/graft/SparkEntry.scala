@@ -113,6 +113,7 @@ object SparkEntry {
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    "text_token_bpe" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
     // ── training-data extensions: multimodal binary columns
     "mm_binary_stats" -> ((s, dir) =>
       Multimodal.binaryStats(Multimodal.asMediaTable(Tables.documents(s, dir)))),
@@ -362,6 +363,13 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(
            list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+         FROM documents""",
+    "text_token_bpe" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_runs,
+         len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_marks
          FROM documents""",
     "mm_binary_stats" ->
       """SELECT doc_id,

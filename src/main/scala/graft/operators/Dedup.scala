@@ -198,22 +198,17 @@ object Dedup {
     verifyJaccard(cand, hashedShingles(docs, n), threshold)
   }
 
-  /** 64-bit SimHash over the token stream: per bit, sum +1/-1 votes of
-    * each token's xxhash64 bit, sign → bit. One explode + one agg.
+  /** 64-bit frequency-weighted SimHash over the token stream, one
+    * map-only pass per document via [[graft.functions.SimHash64]]
+    * (bit-compatible with the classic explode → 64 bit-vote aggregates
+    * plan, which shuffles every token of the corpus; this shuffles
+    * nothing). The repartition spreads single-file corpora across
+    * tasks for the downstream band join.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val toks = docs.repartition(parts, col("doc_id")).select(col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
-    }
-    val votes = toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("doc_id"), sim.as("simhash"))
+    docs.repartition(parts, col("doc_id")).select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via

@@ -21,19 +21,43 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Per-document token statistics: counts, distinct counts, average
-    * token length, chars. One projection, no shuffle.
+    * token length, chars. One projection, no shuffle; the three token
+    * statistics come from the one-pass
+    * [[graft.functions.TokenStats]] kernel (the built-in
+    * `aggregate`/`array_distinct` formulation re-splits the text per
+    * lambda element access).
     */
-  def tokenStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", graft.functions.TextFunctions.tokenStats(col("text")))
+      .select(
+        col("doc_id"),
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_distinct_tokens").as("n_distinct_tokens"),
+        round(col("ts.sum_token_len").cast("double") / col("ts.n_tokens"), 6)
+          .as("avg_token_len"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** BPE-style pre-tokenization counts: the GPT-2-family pre-tokenizer
+    * splits runs of letters, runs of digits, and individual
+    * punctuation/symbol marks before byte-pair merging; these counts
+    * are the standard corpus-budget statistics (tokens-per-doc) a
+    * training pipeline computes at ingest. Pure regexp built-ins —
+    * map-only, codegen'd.
+    */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-      round(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks),
-        6).as("avg_token_len"),
-      length(col("text")).cast("long").as("n_chars"))
-  }
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+        .cast("long").as("n_alpha_runs"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_digit_runs"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_marks"))
 
   /** Quality score: stopword ratio, type-token ratio, length band.
     * Deterministic heuristic — the shape of C4/Gopher-style quality

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 import graft.SparkSuite
@@ -42,6 +43,30 @@ class TextOpsSpec extends SparkSuite with Matchers {
     ).toDF("doc_id", "text", "lang")
     val r = TextOps.langId(multi).orderBy("doc_id").select("pred_lang").as[String].collect()
     r shouldBe Array("en", "es", "de", "en")
+  }
+
+  test("tokenStats kernel agrees with the built-in formulation") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val toks = TextOps.tokens(col("text"))
+    val builtin = real.select(col("doc_id"),
+      functions.size(toks).cast("long").as("e_n"),
+      functions.size(array_distinct(toks)).cast("long").as("e_d"),
+      aggregate(toks, lit(0L), (acc, t) => acc + functions.length(t)).as("e_sum"))
+    val fast = TextOps.tokenStats(real)
+      .withColumn("sum_len", round(col("avg_token_len") * col("n_tokens")).cast("long"))
+    fast.join(builtin, "doc_id")
+      .filter(col("n_tokens") =!= col("e_n") || col("n_distinct_tokens") =!= col("e_d"))
+      .count() shouldBe 0
+  }
+
+  test("bpeTokenStats splits alpha runs, digit runs, and marks") {
+    val d = Seq((1L, "abc de4f, x-9!")).toDF("doc_id", "text")
+    val r = TextOps.bpeTokenStats(d).head()
+    // tokens: abc, de, 4, f, ",", x, -, 9, "!"
+    r.getAs[Long]("n_bpe_tokens") shouldBe 9
+    r.getAs[Long]("n_alpha_runs") shouldBe 4
+    r.getAs[Long]("n_digit_runs") shouldBe 2
+    r.getAs[Long]("n_marks") shouldBe 3
   }
 
   test("fingerprint is order- and multiplicity-insensitive") {
