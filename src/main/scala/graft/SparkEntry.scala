@@ -93,6 +93,25 @@ object SparkEntry {
     "serve_spread_join" -> ((s, dir) =>
       Serving.spreadJoin(Candles.ohlcv(Tables.events(s, dir), "1 day",
         tieCol = Some("event_id")), "click", "purchase")),
+    // as-of + range joins: time-series operators Spark lacks natively,
+    // composed shuffle-once (union+window / binned equi-join)
+    "serve_asof_close" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type")
+      val candles = Candles.ohlcv(Tables.events(s, dir), "1 hour", tieCol = Some("event_id"))
+        .select(col("symbol").as("event_type"), col("window_start"),
+          round(col("close"), 6).as("close"))
+      Serving.asofJoin(ev, candles, "event_type", "ts", "window_start", Seq("close"))
+    }),
+    "serve_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type")
+      val intervals = Candles.ohlcv(Tables.events(s, dir), "1 hour", tieCol = Some("event_id"))
+        .select(col("symbol").as("event_type"),
+          col("window_start").as("interval_start"),
+          (col("window_start") - expr("INTERVAL 30 MINUTE")).as("start"),
+          (col("window_end") + expr("INTERVAL 30 MINUTE")).as("end"))
+      Serving.rangeJoin(ev, "ts", intervals, "start", "end", "event_type", 3600L)
+        .select("event_id", "event_type", "interval_start")
+    }),
     // ── relational coverage (SURVEY §2.7 gap-closure + batch layer)
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
@@ -226,6 +245,27 @@ object SparkEntry {
     "serve_top20_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
          FROM events ORDER BY ts DESC, event_id DESC LIMIT 20""",
+    "serve_asof_close" ->
+      """WITH e AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,
+                  row_number() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM events),
+         c AS (
+           SELECT ws, event_type, round(max(CASE WHEN rn_z = 1 THEN value END), 6) AS close
+           FROM e GROUP BY 1, 2)
+         SELECT ev.event_id, CAST(ev.ts AS TIMESTAMP) AS ts, ev.event_type,
+                c.close AS asof_close
+         FROM events ev ASOF LEFT JOIN c
+           ON ev.event_type = c.event_type AND CAST(ev.ts AS TIMESTAMP) >= c.ws""",
+    "serve_range_join" ->
+      """WITH c AS (
+           SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type
+           FROM events)
+         SELECT ev.event_id, ev.event_type, c.ws AS interval_start
+         FROM events ev JOIN c ON ev.event_type = c.event_type
+           AND CAST(ev.ts AS TIMESTAMP) >= c.ws - INTERVAL 30 MINUTE
+           AND CAST(ev.ts AS TIMESTAMP) < c.ws + INTERVAL 90 MINUTE""",
     "serve_distinct_symbols" ->
       "SELECT DISTINCT event_type FROM events",
     "serve_spread_by_window" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,68 @@ object Serving {
         min_by(col("symbol"), struct(col("close"), col("symbol"))).as("cheap_symbol"),
         count(lit(1)).as("n_symbols"))
       .filter(col("n_symbols") > 1)
+
+  /** AS-OF join — an operator Spark has no native form of: for every
+    * left row, attach the single most recent right row with the same
+    * key and `rightTs <= leftTs`. The naive formulation is an
+    * inequality join + per-row argmax (quadratic per key); this is the
+    * scalable composition: tag and UNION both sides, one window pass
+    * per key ordered by (ts, side) carrying the last-seen right payload
+    * forward (`last_value(..., ignoreNulls)`), keep left rows. ONE
+    * shuffle on the key — the same cost as any keyed window — and no
+    * row-pair blowup, at any scale.
+    *
+    * Right rows sort before left rows at equal timestamps, giving the
+    * standard inclusive (`<=`) as-of semantics; `rightCols` are the
+    * payload columns to carry (each emitted as `asof_<name>`).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTsCol: String, rightTsCol: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = rightCols.map(c => col(c).as(s"asof_$c"))
+    val rTagged = right.select(
+      (col(keyCol).as(keyCol) +: col(rightTsCol).cast("timestamp").as("__ts") +:
+        lit(0).as("__side") +: payload) ++
+        leftCols.filterNot(c => c == keyCol).map(c => lit(null).as(c)): _*)
+    val lTagged = left.select(
+      (col(keyCol).as(keyCol) +: col(leftTsCol).cast("timestamp").as("__ts") +:
+        lit(1).as("__side") +: rightCols.map(c => lit(null).as(s"asof_$c"))) ++
+        leftCols.filterNot(c => c == keyCol).map(col): _*)
+    val unioned = rTagged.unionByName(lTagged)
+    // right (__side=0) sorts before left at equal ts => inclusive match
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Range (interval) join — each left row matched to every right
+    * interval `[startCol, endCol)` of the same key containing its
+    * timestamp. The naive plan is an inequality join (a nested-loop
+    * product); this is the scalable binned composition: each interval
+    * is exploded onto the fixed-width time bins it covers, the join is
+    * a plain equi-join on (key, bin), and the exact containment filter
+    * runs on bin-local candidates. Shuffle is O(rows + intervals ×
+    * bins-per-interval) on (key, bin) — pick `binWidthSec` near the
+    * typical interval length so that factor stays small.
+    */
+  def rangeJoin(left: DataFrame, leftTsCol: String,
+                right: DataFrame, startCol: String, endCol: String,
+                keyCol: String, binWidthSec: Long): DataFrame = {
+    val bin = (c: Column) => floor(unix_timestamp(c) / binWidthSec)
+    val rBinned = right.withColumn("__bin",
+      explode(sequence(bin(col(startCol)),
+        // end is exclusive: a zero-length interval still covers its bin
+        bin(greatest(col(endCol) - expr("INTERVAL 1 MICROSECOND"), col(startCol))))))
+    val lBinned = left.withColumn("__bin", bin(col(leftTsCol)))
+    lBinned.join(rBinned, Seq(keyCol, "__bin"))
+      .filter(col(leftTsCol) >= col(startCol) && col(leftTsCol) < col(endCol))
+      .drop("__bin")
+  }
 
   /** Spread as an explicit self-join of two candle series on the window
     * — the stream-stream-join-shaped formulation (exercises the join

@@ -57,6 +57,50 @@ class ServingSpec extends SparkSuite with Matchers {
     out(0).getAs[String]("cheap_symbol") shouldBe "ETH"
   }
 
+  test("asofJoin attaches the most recent right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, ts("2026-01-01 10:05:00"), "BTC"),
+      (2L, ts("2026-01-01 10:10:00"), "BTC"),
+      (3L, ts("2026-01-01 09:00:00"), "BTC"), // before any right row
+      (4L, ts("2026-01-01 10:00:00"), "ETH")  // equal-ts inclusive match
+    ).toDF("event_id", "ts", "symbol")
+    val right = Seq(
+      (ts("2026-01-01 10:00:00"), "BTC", 100.0),
+      (ts("2026-01-01 10:08:00"), "BTC", 108.0),
+      (ts("2026-01-01 10:00:00"), "ETH", 10.0)
+    ).toDF("rts", "symbol", "close")
+    val out = Serving.asofJoin(left, right, "symbol", "ts", "rts", Seq("close"))
+      .orderBy("event_id").select("asof_close").as[Option[Double]].collect()
+    out shouldBe Array(Some(100.0), Some(108.0), None, Some(10.0))
+  }
+
+  test("rangeJoin matches rows to every containing interval, across bin boundaries") {
+    val left = Seq(
+      (1L, ts("2026-01-01 10:05:00"), "BTC"),
+      (2L, ts("2026-01-01 11:59:00"), "BTC"),
+      (3L, ts("2026-01-01 13:00:00"), "BTC") // end-exclusive: no match
+    ).toDF("event_id", "ts", "symbol")
+    val right = Seq(
+      ("BTC", ts("2026-01-01 10:00:00"), ts("2026-01-01 12:00:00"), "a"),
+      ("BTC", ts("2026-01-01 11:00:00"), ts("2026-01-01 13:00:00"), "b"),
+      ("ETH", ts("2026-01-01 10:00:00"), ts("2026-01-01 12:00:00"), "c")
+    ).toDF("symbol", "start", "end", "tag")
+    val out = Serving.rangeJoin(left, "ts", right, "start", "end", "symbol", 1800L)
+      .select("event_id", "tag").as[(Long, String)].collect().sorted
+    out shouldBe Array((1L, "a"), (2L, "a"), (2L, "b"))
+  }
+
+  test("rangeJoin result independent of bin width") {
+    val left = Seq((1L, ts("2026-01-01 10:05:00"), "BTC"),
+      (2L, ts("2026-01-01 11:30:00"), "BTC")).toDF("event_id", "ts", "symbol")
+    val right = Seq(("BTC", ts("2026-01-01 10:00:00"), ts("2026-01-01 12:00:00"), "a"))
+      .toDF("symbol", "start", "end", "tag")
+    Seq(60L, 3600L, 86400L).foreach { bw =>
+      Serving.rangeJoin(left, "ts", right, "start", "end", "symbol", bw)
+        .count() shouldBe 2
+    }
+  }
+
   test("spreadJoin aligns two symbol series on window") {
     val candles = Seq(
       (ts("2026-01-01 10:00:00"), "BTC", 100.0),
