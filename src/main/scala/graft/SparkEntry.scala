@@ -48,6 +48,22 @@ object SparkEntry {
     // ── gold layer: flagship candle aggregation (SURVEY §2.4 A1-A7, §7.5)
     "gold_candles_1m" -> ((s, dir) =>
       Candles.ohlcv(Tables.events(s, dir), tieCol = Some("event_id"))),
+    "gold_candles_sliding" -> ((s, dir) =>
+      Candles.ohlcvSliding(Tables.events(s, dir), "2 minutes", "1 minute",
+        tieCol = Some("event_id"))),
+    "gold_sessions" -> ((s, dir) =>
+      Candles.sessions(Tables.events(s, dir), "30 minutes")),
+    "gold_vwap_typed" -> ((s, dir) => {
+      val vwap = udaf(VwapAggregator)
+      val ev = Tables.events(s, dir)
+        .withColumn("vol", get_json_object(col("props"), "$.k").cast("double"))
+        .filter(col("vol") > 0)
+      ev.groupBy(window(col("ts"), "1 minute").as("w"), col("event_type").as("symbol"))
+        .agg(round(vwap(col("value"), col("vol")), 6).as("vwap"),
+          count(lit(1)).as("trade_count"))
+        .select(col("w.start").as("window_start"), col("symbol"),
+          col("vwap"), col("trade_count"))
+    }),
     "gold_vwap_true" -> ((s, dir) => {
       // volume stand-in: the JSON props field k (0..99), parsed from the raw payload
       val ev = Tables.events(s, dir)
@@ -214,6 +230,42 @@ object SparkEntry {
          CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
          CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
          FROM events WHERE event_type IN ('click','purchase','view')""",
+    "gold_candles_sliding" ->
+      """WITH x AS (
+           SELECT unnest([date_trunc('minute', CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE,
+                          date_trunc('minute', CAST(ts AS TIMESTAMP))]) AS ws,
+                  CAST(ts AS TIMESTAMP) AS cts, event_id, event_type, value
+           FROM events),
+         r AS (
+           SELECT ws, event_type, value,
+                  row_number() OVER (PARTITION BY ws, event_type ORDER BY cts, event_id) AS rn_a,
+                  row_number() OVER (PARTITION BY ws, event_type ORDER BY cts DESC, event_id DESC) AS rn_z
+           FROM x)
+         SELECT ws AS window_start, ws + INTERVAL 2 MINUTE AS window_end,
+         event_type AS symbol,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high, min(value) AS low,
+         max(CASE WHEN rn_z = 1 THEN value END) AS close,
+         count(*) AS trade_count, round(avg(value), 6) AS vwap
+         FROM r GROUP BY 1, 2, 3""",
+    "gold_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value FROM events),
+         m AS (SELECT *, CASE WHEN lag(cts) OVER (PARTITION BY user_id ORDER BY cts) IS NULL
+                       OR cts - lag(cts) OVER (PARTITION BY user_id ORDER BY cts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk FROM e),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY cts
+                        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         SELECT user_id, min(cts) AS session_start, max(cts) AS session_last,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+         FROM s GROUP BY user_id, sid""",
+    "gold_vwap_typed" ->
+      """WITH ev AS (
+           SELECT *, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol
+           FROM events)
+         SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type AS symbol,
+         round(sum(value * vol) / sum(vol), 6) AS vwap, count(*) AS trade_count
+         FROM ev WHERE vol > 0 GROUP BY 1, 2""",
     "gold_vwap_true" ->
       """WITH ev AS (
            SELECT *, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol

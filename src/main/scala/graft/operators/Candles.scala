@@ -66,6 +66,50 @@ object Candles {
         col("trade_count"), col("vwap"))
   }
 
+  /** Sliding-window candles: overlapping windows of `windowDur` every
+    * `slideDur` (each event lands in windowDur/slideDur windows).
+    * Identical agg shape to [[ohlcv]]; the `window()` expression
+    * expands each row to its covering windows before the grouped agg,
+    * so the shuffle grows by the overlap factor — the standard cost of
+    * sliding aggregation, and the reason slideDur should divide
+    * windowDur.
+    */
+  def ohlcvSliding(events: DataFrame, windowDur: String, slideDur: String,
+                   tsCol: String = "ts", symbolCol: String = "event_type",
+                   priceCol: String = "value", tieCol: Option[String] = None): DataFrame = {
+    val ts = col(tsCol)
+    val ord = tieCol.map(t => struct(ts, col(t))).getOrElse(ts)
+    val price = col(priceCol)
+    events
+      .groupBy(window(ts, windowDur, slideDur).as("w"), col(symbolCol).as("symbol"))
+      .agg(
+        min_by(price, ord).as("open"), max(price).as("high"),
+        min(price).as("low"), max_by(price, ord).as("close"),
+        count(lit(1)).as("trade_count"), round(avg(price), 6).as("vwap"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("symbol"), col("open"), col("high"), col("low"), col("close"),
+        col("trade_count"), col("vwap"))
+  }
+
+  /** Session-window activity: events of one key separated by gaps
+    * shorter than `gapDur` merge into one session
+    * (`session_window` — state-merging in streaming, plain grouped agg
+    * in batch). Emits per-session start/end-of-activity, event count,
+    * and value sum.
+    */
+  def sessions(events: DataFrame, gapDur: String,
+               tsCol: String = "ts", keyCol: String = "user_id",
+               valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gapDur).as("w"), col(keyCol))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_last"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 6).as("sum_value"))
+      .select(col(keyCol), col("session_start"), col("session_last"),
+        col("n_events"), col("sum_value"))
+
   /** True volume-weighted average price: sum(price*vol)/sum(vol) —
     * closes the reference's declared-but-unimplemented VWAP gap
     * (`README.md:133` vs `gold_layer.py:67`). Volume is any numeric col.

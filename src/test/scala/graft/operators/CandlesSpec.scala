@@ -51,6 +51,41 @@ class CandlesSpec extends SparkSuite with Matchers {
     a shouldBe b
   }
 
+  test("sliding candles: each trade lands in windowDur/slideDur windows") {
+    val c = Candles.ohlcvSliding(trades, "2 minutes", "1 minute", tieCol = Some("event_id"))
+    c.agg(sum("trade_count")).as[Long].head() shouldBe trades.count() * 2
+    // the 10:00-10:02 window sees both the 10:00 and 10:01 BTC trades
+    val w = c.filter(col("window_start") === ts("2026-01-01 10:00:00") &&
+      col("symbol") === "BTC").head()
+    w.getAs[Long]("trade_count") shouldBe 5L
+    w.getAs[Double]("close") shouldBe 110.0
+  }
+
+  test("sessions merge events within the gap and split on it") {
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 7L, 1.0),
+      (2L, ts("2026-01-01 10:20:00"), 7L, 2.0), // 20min gap: same session
+      (3L, ts("2026-01-01 11:00:00"), 7L, 3.0), // 40min gap: new session
+      (4L, ts("2026-01-01 10:00:00"), 8L, 4.0)  // other user
+    ).toDF("event_id", "ts", "user_id", "value")
+    val s = Candles.sessions(ev, "30 minutes").orderBy("user_id", "session_start")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect()
+    s shouldBe Array((7L, 2L, 3.0), (7L, 1L, 3.0), (8L, 1L, 4.0))
+  }
+
+  test("typed VWAP Aggregator matches the built-in sum/sum formulation") {
+    val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("vol", get_json_object(col("props"), "$.k").cast("double"))
+      .filter(col("vol") > 0)
+    val vwap = udaf(VwapAggregator)
+    val typed = ev.groupBy("event_type")
+      .agg(round(vwap(col("value"), col("vol")), 6).as("v"))
+    val builtin = ev.groupBy("event_type")
+      .agg(round(sum(col("value") * col("vol")) / sum(col("vol")), 6).as("v"))
+    typed.orderBy("event_type").collect() shouldBe builtin.orderBy("event_type").collect()
+  }
+
   test("vwapTrue weights by volume") {
     val df = Seq(
       (ts("2026-01-01 10:00:05"), "BTC", 100.0, 1.0),
