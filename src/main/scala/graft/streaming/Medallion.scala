@@ -50,6 +50,37 @@ object Medallion {
     }
   }
 
+  /** Stream-stream spread join — the cross-feed arbitrage computation
+    * the reference's title promises but never builds (SURVEY.md §2.7):
+    * two live trade streams joined on an event-time band, emitting
+    * every A-trade paired with the B-trades of the preceding `band`.
+    * Both sides carry watermarks so the join state is bounded: rows
+    * older than watermark + band are evicted, the Spark stream-stream
+    * join contract.
+    */
+  def streamSpread(silverA: DataFrame, silverB: DataFrame,
+                   watermarkDelay: String = "10 minutes",
+                   bandSeconds: Int = 60): DataFrame = {
+    // equi-key on the base asset (the part before '-'): stream-stream
+    // joins require an equality predicate — which is also what keeps
+    // the join state partitionable at scale (state shards by base)
+    val a = silverA
+      .withWatermark("trade_timestamp", watermarkDelay)
+      .select(substring_index(col("symbol"), "-", 1).as("base"),
+        col("symbol").as("symbol_a"), col("trade_timestamp").as("ts_a"),
+        col("price").as("price_a"))
+    val b = silverB
+      .withWatermark("trade_timestamp", watermarkDelay)
+      .select(substring_index(col("symbol"), "-", 1).as("base_b"),
+        col("symbol").as("symbol_b"), col("trade_timestamp").as("ts_b"),
+        col("price").as("price_b"))
+    a.join(b, col("base") === col("base_b") && expr(
+      s"ts_b BETWEEN ts_a - INTERVAL $bandSeconds SECONDS AND ts_a"))
+      .select(col("base"), col("ts_a"), col("symbol_a"), col("price_a"),
+        col("ts_b"), col("symbol_b"), col("price_b"),
+        (col("price_a") - col("price_b")).as("spread"))
+  }
+
   /** silver → gold: watermarked 1-minute OHLC/VWAP candles
     * (`gold_layer.py:55-80`). Reference-shaped output — including the
     * `avg(price)` "vwap" whose decimal(18,8) input Catalyst widens to

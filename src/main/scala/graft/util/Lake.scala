@@ -1,0 +1,53 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for lakehouse tables at scale: date
+  * partitioning (partition pruning at scan time) and hash bucketing
+  * (co-located, shuffle-free joins and aggregations on the bucket
+  * key).
+  *
+  * At 100 TB these two layouts are what keep the medallion tables
+  * queryable: gold/silver partitioned by event date means a dashboard
+  * range query reads only its days (`PartitionFilters` in the scan,
+  * not a full-table scan); bucketing the fact tables by their join key
+  * means the recurring symbol/orderkey joins and aggregations skip the
+  * exchange entirely — the shuffle was paid once at write time.
+  */
+object Lake {
+
+  /** Write `df` partitioned by the DATE of `tsCol` (dynamic partition
+    * dirs `p_date=YYYY-MM-DD`). Readers filtering on `p_date` scan
+    * only matching partitions.
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("p_date")
+      .parquet(path)
+
+  /** Read a date-partitioned table restricted to `[fromDate, toDate]`
+    * (inclusive, ISO strings). The filter lands in the scan's
+    * `PartitionFilters` — directories outside the range are never
+    * listed into the plan.
+    */
+  def readDateRange(spark: SparkSession, path: String,
+                    fromDate: String, toDate: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("p_date") >= lit(fromDate) && col("p_date") <= lit(toDate))
+
+  /** Persist `df` hash-bucketed (and sorted) by `keyCols` into the
+    * session catalog as `tableName`. Joins and aggregations between
+    * tables bucketed the same way on the same keys run without an
+    * Exchange (verify: the join plan has no shuffle on the bucketed
+    * side).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, numBuckets: Int,
+                    keyCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+}

@@ -88,6 +88,31 @@ class StreamingSpec extends SparkSuite with Matchers {
     q.stop()
   }
 
+  test("stream-stream spread join pairs trades within the time band") {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[(Timestamp, String, Double)]
+    val inB = MemoryStream[(Timestamp, String, Double)]
+    def silverShaped(m: MemoryStream[(Timestamp, String, Double)]) =
+      m.toDF().toDF("trade_timestamp", "symbol", "price")
+    val joined = Medallion.streamSpread(
+      silverShaped(inA), silverShaped(inB), bandSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("spread_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    inA.addData((ts("2026-01-01 10:01:00"), "BTC-COINBASE", 100.0))
+    inB.addData(
+      (ts("2026-01-01 10:00:30"), "BTC-BINANCE", 98.0),  // within band
+      (ts("2026-01-01 10:01:00"), "BTC-BINANCE", 99.0),  // boundary inclusive
+      (ts("2026-01-01 09:59:00"), "BTC-BINANCE", 97.0),  // too old
+      (ts("2026-01-01 10:02:00"), "BTC-BINANCE", 96.0))  // after a
+    q.processAllAvailable()
+    val rows = spark.table("spread_test")
+      .select("price_b", "spread").as[(Double, Double)].collect().sorted
+    rows shouldBe Array((98.0, 2.0), (99.0, 1.0))
+    q.stop()
+  }
+
   test("medallion end-to-end: raw JSON files -> bronze -> silver -> gold parquet") {
     val root = tmp("graft-medallion-")
     val rawDir = tmp("graft-raw-")
