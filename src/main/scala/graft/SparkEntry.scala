@@ -109,6 +109,11 @@ object SparkEntry {
     "serve_spread_join" -> ((s, dir) =>
       Serving.spreadJoin(Candles.ohlcv(Tables.events(s, dir), "1 day",
         tieCol = Some("event_id")), "click", "purchase")),
+    // custom whole-operator: sort-free top-k per key (logical node +
+    // strategy + two bounded-heap physical phases)
+    "serve_topk_per_key" -> ((s, dir) =>
+      Serving.topKPerKey(Tables.events(s, dir), 3,
+        Seq("event_type"), Seq("ts", "event_id"))),
     // as-of + range joins: time-series operators Spark lacks natively,
     // composed shuffle-once (union+window / binned equi-join)
     "serve_asof_close" -> ((s, dir) => {
@@ -297,6 +302,11 @@ object SparkEntry {
     "serve_top20_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
          FROM events ORDER BY ts DESC, event_id DESC LIMIT 20""",
+    "serve_topk_per_key" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn <= 3""",
     "serve_asof_close" ->
       """WITH e AS (
            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,

@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: sort-free top-k per key planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     register(ext, "graft_dot",
       "graft_dot(a, b) - dot product of two float/double arrays (double)",
       { case Seq(a, b) => DotProduct(a, b) })

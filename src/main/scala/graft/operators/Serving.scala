@@ -71,6 +71,33 @@ object Serving {
         count(lit(1)).as("n_symbols"))
       .filter(col("n_symbols") > 1)
 
+  /** Top-k rows per key WITHOUT sorting — the custom-operator stack
+    * ([[graft.plans.TopKPerKeyPlan]] logical node + strategy + two
+    * bounded-heap physical phases). The `row_number() OVER (...)`
+    * formulation ([[latestPerKey]]) fully sorts each partition; this
+    * touches every row once, map-side-combines to ≤ k rows per key per
+    * partition, and shuffles only those. Order columns are DESCENDING
+    * (append further tiebreak columns for determinism). Output is the
+    * exact top-k row set per key (unsorted within the key).
+    */
+  def topKPerKey(df: DataFrame, k: Int, keyCols: Seq[String],
+                 orderDescCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Descending, NullsLast, SortOrder}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.plans.{TopKPerKeyPlan, TopKPerKeyStrategy}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val node = TopKPerKeyPlan(k,
+      keyCols.map(UnresolvedAttribute(_)),
+      orderDescCols.map(c => SortOrder(UnresolvedAttribute(c), Descending, NullsLast, Seq.empty)),
+      df.queryExecution.logical)
+    ColumnBridge.ofRows(spark, node)
+  }
+
   /** AS-OF join — an operator Spark has no native form of: for every
     * left row, attach the single most recent right row with the same
     * key and `rightTs <= leftTs`. The naive formulation is an
