@@ -77,6 +77,27 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Skew-salted equi-join: the fact side gets a deterministic salt in
+    * [0, saltFactor) derived from full row content, the (smaller) right
+    * side is replicated once per salt value, and the join runs on
+    * (key, salt) — a hot key's rows spread across `saltFactor`
+    * partitions instead of landing on one straggler task. This is the
+    * manual form of what AQE skew-join does adaptively; it exists for
+    * the cases AQE can't see (deliberate layout, non-AQE contexts) and
+    * to make the 100 TB skew story explicit and testable. Plain inner
+    * equi-join semantics, any right-side multiplicity.
+    */
+  def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1)
+    import org.apache.spark.sql.functions.{explode, sequence}
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Orders per market segment — broadcast dim join + two-level agg. */
   def ordersPerSegment(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
