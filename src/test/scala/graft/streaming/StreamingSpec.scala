@@ -88,6 +88,31 @@ class StreamingSpec extends SparkSuite with Matchers {
     q.stop()
   }
 
+  test("gold aggregation runs on the RocksDB state store provider") {
+    // the at-scale state backend (T4): state spills off-heap to local
+    // RocksDB instead of living in JVM maps - same query, same results
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Timestamp, String, java.math.BigDecimal)]
+      val silverShaped = in.toDF().toDF("trade_timestamp", "symbol", "price")
+        .withColumn("price", col("price").cast("decimal(18,8)"))
+      val q = Medallion.goldCandles(silverShaped).writeStream.format("memory")
+        .queryName("gold_rocksdb_test").outputMode("append").start()
+      def ts(s: String) = Timestamp.valueOf(s)
+      def dec(s: String) = new java.math.BigDecimal(s)
+      in.addData((ts("2026-01-01 10:00:10"), "BTC", dec("100")))
+      q.processAllAvailable()
+      in.addData((ts("2026-01-01 10:30:00"), "BTC", dec("110")))
+      q.processAllAvailable()
+      val rows = spark.table("gold_rocksdb_test")
+      rows.count() shouldBe 1
+      rows.head().getAs[java.math.BigDecimal]("open") shouldBe dec("100.00000000")
+      q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream spread join pairs trades within the time band") {
     implicit val sqlCtx = spark.sqlContext
     val inA = MemoryStream[(Timestamp, String, Double)]
