@@ -139,6 +139,10 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q_orders_per_segment" -> ((s, dir) => Relational.ordersPerSegment(s, dir)),
     "q_top_suppliers" -> ((s, dir) => Relational.topSuppliers(s, dir)),
+    "q4_order_priority" -> ((s, dir) => Relational.orderPriority(s, dir)),
+    "q13_cust_distribution" -> ((s, dir) => Relational.customerDistribution(s, dir)),
+    "q_customers_no_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
+    "q_above_segment_avg" -> ((s, dir) => Relational.aboveSegmentAverage(s, dir)),
     // ── training-data extensions: dedup
     "dedup_exact_groups" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
     "dedup_exact_rows" -> ((s, dir) => Dedup.exactRows(Tables.documents(s, dir))),
@@ -406,6 +410,36 @@ object SparkEntry {
          count(*) AS n_lines
          FROM lineitem, supplier WHERE l_suppkey = s_suppkey
          GROUP BY s_name ORDER BY total_qty DESC, s_name LIMIT 25""",
+    "q4_order_priority" ->
+      """SELECT o_orderstatus, count(*) AS n_orders
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1995-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderstatus""",
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT OUTER JOIN orders o
+             ON o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+           GROUP BY c.c_custkey)
+         GROUP BY c_count""",
+    "q_customers_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+         GROUP BY c_mktsegment""",
+    "q_above_segment_avg" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+         round(sum(o.o_totalprice), 2) AS total_price
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > (
+           SELECT 1.5 * avg(o2.o_totalprice)
+           FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+           WHERE c2.c_mktsegment = c.c_mktsegment)
+         GROUP BY c.c_mktsegment""",
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_dups FROM documents GROUP BY md5(text)""",

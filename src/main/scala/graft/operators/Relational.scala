@@ -77,6 +77,70 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q4-shaped order priority via an EXISTS **semi join**: orders
+    * from one quarter having at least one line shipped more than 90
+    * days after the order date. Left-semi join probes the (deduped)
+    * match set once — no row multiplication, the scalable EXISTS plan.
+    */
+  def orderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q13-shaped customer distribution via a **left outer join**:
+    * how many customers placed 0, 1, 2, … qualifying orders. The outer
+    * join keeps order-less customers (the 0 bucket) — the semantics an
+    * inner join silently loses.
+    */
+  def customerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 100000.0)
+    cust.join(ord, col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Customers with no large orders — an **anti join** (NOT EXISTS),
+    * counted per market segment. One shuffle, no row multiplication.
+    */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+    cust.join(ord, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Orders priced above 1.5× their market segment's average — a
+    * **correlated scalar subquery** through the SQL entry point,
+    * decorrelated by Catalyst into a per-segment aggregate + join
+    * (no per-row re-execution). Exercises the analyzer/optimizer path
+    * the DataFrame-built queries never touch.
+    */
+  def aboveSegmentAverage(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("g_orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+         round(sum(o.o_totalprice), 2) AS total_price
+         FROM g_orders o JOIN g_customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > (
+           SELECT 1.5 * avg(o2.o_totalprice)
+           FROM g_orders o2 JOIN g_customer c2 ON o2.o_custkey = c2.c_custkey
+           WHERE c2.c_mktsegment = c.c_mktsegment)
+         GROUP BY c.c_mktsegment""")
+  }
+
   /** Skew-salted equi-join: the fact side gets a deterministic salt in
     * [0, saltFactor) derived from full row content, the (smaller) right
     * side is replicated once per salt value, and the join runs on
