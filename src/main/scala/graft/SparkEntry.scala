@@ -143,6 +143,8 @@ object SparkEntry {
     "q13_cust_distribution" -> ((s, dir) => Relational.customerDistribution(s, dir)),
     "q_customers_no_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "q_above_segment_avg" -> ((s, dir) => Relational.aboveSegmentAverage(s, dir)),
+    "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
+    "q_value_percentiles" -> ((s, dir) => Relational.orderValuePercentiles(s, dir)),
     // ── training-data extensions: dedup
     "dedup_exact_groups" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
     "dedup_exact_rows" -> ((s, dir) => Dedup.exactRows(Tables.documents(s, dir))),
@@ -440,6 +442,18 @@ object SparkEntry {
            FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
            WHERE c2.c_mktsegment = c.c_mktsegment)
          GROUP BY c.c_mktsegment""",
+    "q_revenue_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_lines
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_value_percentiles" ->
+      """SELECT c_mktsegment,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+         round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_dups FROM documents GROUP BY md5(text)""",

@@ -141,6 +141,35 @@ object Relational {
          GROUP BY c.c_mktsegment""")
   }
 
+  /** Multi-level totals via ROLLUP (grouping sets): per
+    * (returnflag, linestatus), per returnflag, and grand total in one
+    * pass — Catalyst expands the grouping sets and the whole thing
+    * stays a single Expand + hash aggregate (one shuffle), not three
+    * queries.
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Exact interpolated percentiles of order value per segment —
+    * `percentile()` (SQL-standard continuous interpolation, matching
+    * DuckDB's `quantile_cont`). Exact percentiles sort within groups;
+    * the approximate path for 100 TB is `percentile_approx`, which is
+    * engine-specific and therefore spec- rather than oracle-checked.
+    */
+  def orderValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    Tables.orders(spark, sfDir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+  }
+
   /** Skew-salted equi-join: the fact side gets a deterministic salt in
     * [0, saltFactor) derived from full row content, the (smaller) right
     * side is replicated once per salt value, and the join runs on
