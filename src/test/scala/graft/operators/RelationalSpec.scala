@@ -28,6 +28,23 @@ class RelationalSpec extends SparkSuite with Matchers {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("approximate aggregates track exact within tolerance (the 100 TB path)") {
+    // percentile() sorts per group; approx_count_distinct/percentile_approx
+    // are the sketch-based forms that don't - engine-specific output, so
+    // they're tolerance-checked against exact here rather than
+    // hash-checked against the oracle
+    val ord = graft.util.Tables.orders(spark, "/root/testdata/sf0.01")
+    val r = ord.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+      expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx_p50"),
+      countDistinct(col("o_custkey")).as("exact_nd"),
+      approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_nd")).head()
+    val (ep, ap) = (r.getDouble(0), r.getDouble(1))
+    math.abs(ap - ep) / ep should be < 0.02
+    val (en, an) = (r.getLong(2), r.getLong(3))
+    math.abs(an - en).toDouble / en should be < 0.05
+  }
+
   test("saltedJoin preserves right-side multiplicity") {
     val fact = Seq((1L, "a"), (2L, "a")).toDF("id", "k")
     val dup = Seq(("a", "x"), ("a", "y")).toDF("k", "v")
