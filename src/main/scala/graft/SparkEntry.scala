@@ -447,13 +447,34 @@ object SparkEntry {
          round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_lines
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    // explicit continuous-interpolation arithmetic, written with the
+    // SAME IEEE operation order as the Spark query (Relational
+    // .orderValuePercentiles) — built-in quantile_cont/percentile can
+    // differ from each other in the last ulp, which flips round(…,2)
+    // on boundary values; identical expressions + integer cents don't
     "q_value_percentiles" ->
-      """SELECT c_mktsegment,
-         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-         round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-         round(quantile_cont(o_totalprice, 0.99), 2) AS p99
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment""",
+      """WITH j AS (SELECT c_mktsegment, o_totalprice
+                    FROM orders JOIN customer ON o_custkey = c_custkey),
+         r AS (SELECT c_mktsegment, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice) AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY c_mktsegment) AS n
+               FROM j),
+         a AS (SELECT c_mktsegment,
+                 max(CASE WHEN rn = floor(1.0 + (n - 1) * 0.5) THEN o_totalprice END) AS lo_p50,
+                 max(CASE WHEN rn = ceil(1.0 + (n - 1) * 0.5) THEN o_totalprice END) AS hi_p50,
+                 max(1.0 + (n - 1) * 0.5 - floor(1.0 + (n - 1) * 0.5)) AS f_p50,
+                 max(CASE WHEN rn = floor(1.0 + (n - 1) * 0.9) THEN o_totalprice END) AS lo_p90,
+                 max(CASE WHEN rn = ceil(1.0 + (n - 1) * 0.9) THEN o_totalprice END) AS hi_p90,
+                 max(1.0 + (n - 1) * 0.9 - floor(1.0 + (n - 1) * 0.9)) AS f_p90,
+                 max(CASE WHEN rn = floor(1.0 + (n - 1) * 0.99) THEN o_totalprice END) AS lo_p99,
+                 max(CASE WHEN rn = ceil(1.0 + (n - 1) * 0.99) THEN o_totalprice END) AS hi_p99,
+                 max(1.0 + (n - 1) * 0.99 - floor(1.0 + (n - 1) * 0.99)) AS f_p99
+               FROM r GROUP BY c_mktsegment)
+         SELECT c_mktsegment,
+           CAST(floor((lo_p50 + (hi_p50 - lo_p50) * f_p50) * 100.0 + 0.5) AS BIGINT) AS p50_cents,
+           CAST(floor((lo_p90 + (hi_p90 - lo_p90) * f_p90) * 100.0 + 0.5) AS BIGINT) AS p90_cents,
+           CAST(floor((lo_p99 + (hi_p99 - lo_p99) * f_p99) * 100.0 + 0.5) AS BIGINT) AS p99_cents
+         FROM a""",
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_dups FROM documents GROUP BY md5(text)""",

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables
 
@@ -121,13 +122,41 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
   }
 
-  /** Orders priced above 1.5× their market segment's average — a
-    * **correlated scalar subquery** through the SQL entry point,
-    * decorrelated by Catalyst into a per-segment aggregate + join
-    * (no per-row re-execution). Exercises the analyzer/optimizer path
-    * the DataFrame-built queries never touch.
+  /** Orders priced above 1.5× their market segment's average.
+    *
+    * The natural correlated-subquery formulation ([[aboveSegmentAverageSql]])
+    * decorrelates into a join on `c_mktsegment` — a column with ~5
+    * distinct values, so every fact row hashes into 5 partitions and
+    * the query becomes a straggler wall at scale. This plan instead
+    * computes the 5-row per-segment cutoff as its own aggregate and
+    * **broadcast**-joins it back: the fact table is never shuffled on
+    * the low-cardinality key, only on the (well-distributed) custkey
+    * dim join, and the filter runs map-side.
     */
   def aboveSegmentAverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    // ~#segments rows: always broadcastable, whatever the fact size
+    val cutoffs = joined.groupBy(col("c_mktsegment"))
+      .agg((lit(1.5) * avg(col("o_totalprice"))).as("cutoff"))
+    joined.join(broadcast(cutoffs), Seq("c_mktsegment"))
+      .filter(col("o_totalprice") > col("cutoff"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+  }
+
+  /** The same query as a **correlated scalar subquery** through the SQL
+    * entry point — kept to exercise Catalyst's decorrelation (analyzer/
+    * optimizer path the DataFrame-built queries never touch); the spec
+    * asserts it agrees with the broadcast plan. Not the gated/benched
+    * variant: decorrelation joins on the 5-value segment key (skew).
+    */
+  def aboveSegmentAverageSql(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir).createOrReplaceTempView("g_orders")
     Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
     spark.sql(
@@ -153,21 +182,52 @@ object Relational {
       .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
 
-  /** Exact interpolated percentiles of order value per segment —
-    * `percentile()` (SQL-standard continuous interpolation, matching
-    * DuckDB's `quantile_cont`). Exact percentiles sort within groups;
-    * the approximate path for 100 TB is `percentile_approx`, which is
-    * engine-specific and therefore spec- rather than oracle-checked.
+  /** Exact interpolated percentiles of order value per segment, with
+    * the continuous-interpolation arithmetic written out explicitly —
+    * `pos = 1 + (n-1)·p`, `v = v_lo + (v_hi − v_lo)·frac` — instead of
+    * calling the engine's `percentile`. Built-in implementations
+    * (Spark `percentile`, DuckDB `quantile_cont`) compute the same
+    * definition with differently-ordered IEEE operations, so the two
+    * engines can differ in the last ulp; when the interpolated value
+    * then lands exactly on a rounding boundary (seen: p50 =
+    * 252666.885 at sf0.01) `round(…, 2)` diverges and the oracle hash
+    * fails. Making both engines evaluate the identical expression
+    * makes the doubles bit-identical; emitting integer cents
+    * (`floor(v·100 + 0.5)`) removes the engine-specific decimal
+    * rounding entirely.
+    *
+    * (The built-in `percentile` / `percentile_approx` path is still
+    * covered by RelationalSpec, which asserts built-in ≈ explicit.)
+    *
+    * Plan shape: one broadcast dim join + one shuffle on the segment
+    * key with a per-group sort — the same cost as any exact-percentile
+    * computation. The 100 TB path is `percentile_approx` (one pass, no
+    * sort), which is engine-specific and therefore spec-checked.
     */
   def orderValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
-    Tables.orders(spark, sfDir)
+    val joined = Tables.orders(spark, sfDir)
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("o_totalprice"))
+    val ranked = joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+    def pos(p: Double): Column = lit(1.0) + (col("n") - lit(1)) * lit(p)
+    def lo(p: Double): Column = max(when(col("rn") === floor(pos(p)), col("o_totalprice")))
+    def hi(p: Double): Column = max(when(col("rn") === ceil(pos(p)), col("o_totalprice")))
+    def frac(p: Double): Column = max(pos(p) - floor(pos(p)))
+    def cents(lo: Column, hi: Column, frac: Column): Column =
+      floor((lo + (hi - lo) * frac) * lit(100.0) + lit(0.5)).cast("long")
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val aggs = ps.flatMap { case (p, nm) =>
+      Seq(lo(p).as(s"lo_$nm"), hi(p).as(s"hi_$nm"), frac(p).as(s"f_$nm"))
+    }
+    ranked.groupBy(col("c_mktsegment"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("c_mktsegment") +: ps.map { case (_, nm) =>
+        cents(col(s"lo_$nm"), col(s"hi_$nm"), col(s"f_$nm")).as(s"${nm}_cents")
+      }: _*)
   }
 
   /** Skew-salted equi-join: the fact side gets a deterministic salt in

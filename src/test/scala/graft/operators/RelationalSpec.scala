@@ -45,6 +45,44 @@ class RelationalSpec extends SparkSuite with Matchers {
     math.abs(an - en).toDouble / en should be < 0.05
   }
 
+  test("aboveSegmentAverage: broadcast plan == Catalyst-decorrelated SQL plan") {
+    val dir = "/root/testdata/sf0.01"
+    val fast = Relational.aboveSegmentAverage(spark, dir)
+      .orderBy("c_mktsegment").collect()
+    val sql = Relational.aboveSegmentAverageSql(spark, dir)
+      .orderBy("c_mktsegment").collect()
+    fast shouldBe sql
+    // the gated plan must broadcast the 5-row cutoff, not shuffle the
+    // fact table on the 5-value segment key
+    val df = Relational.aboveSegmentAverage(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
+  test("orderValuePercentiles explicit interpolation == built-in percentile") {
+    val dir = "/root/testdata/sf0.01"
+    val explicitCents = Relational.orderValuePercentiles(spark, dir)
+      .orderBy("c_mktsegment").collect()
+    val cust = graft.util.Tables.customer(spark, dir)
+    val builtin = graft.util.Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .orderBy("c_mktsegment").collect()
+    explicitCents.length shouldBe builtin.length
+    explicitCents.zip(builtin).foreach { case (e, b) =>
+      e.getString(0) shouldBe b.getString(0)
+      // explicit cents vs built-in double: equal to within rounding
+      // (the built-in may differ in the final ulp — exactly why the
+      // gated query spells the arithmetic out)
+      (1 to 3).foreach { i =>
+        math.abs(e.getLong(i) / 100.0 - b.getDouble(i)) should be < 0.011
+      }
+    }
+  }
+
   test("saltedJoin preserves right-side multiplicity") {
     val fact = Seq((1L, "a"), (2L, "a")).toDF("id", "k")
     val dup = Seq(("a", "x"), ("a", "y")).toDF("k", "v")
