@@ -21,8 +21,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // execute THIS plan object: df.count() / df.write both wrap the
+    // logical plan in a NEW QueryExecution, leaving this AQE root
+    // un-finalized — the printed tree would be the initial,
+    // pre-reoptimization plan with no reuse/codegen markers
+    val plan = df.queryExecution.executedPlan
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = plan.execute().count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"=== $name: $n rows in $sec%.2f s ===")
     println(df.queryExecution.executedPlan.toString)

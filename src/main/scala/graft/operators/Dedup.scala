@@ -57,17 +57,25 @@ object Dedup {
     * (distinct hashes ≡ distinct shingles up to a ~2⁻⁶⁴ collision).
     */
   private def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
-    // repartition on doc_id first: document corpora often arrive as few
-    // large files, and every downstream stage (shingle scan, index
-    // join, per-pair agg) inherits this partitioning — without it the
-    // whole pipeline can collapse into one task per input file. The
-    // partition count is EXPLICIT: a column-only repartition is an
-    // advisory-size exchange that AQE happily coalesces back to one
-    // partition when the *input* is small — even though the pipelined
-    // join fan-out downstream is thousands of rows per input row.
+    // repartition on doc_id: document corpora often arrive as few large
+    // files, and every downstream stage (shingle scan, index join,
+    // per-pair agg) inherits this partitioning — without it the whole
+    // pipeline can collapse into one task per input file. The partition
+    // count is EXPLICIT: a column-only repartition is an advisory-size
+    // exchange that AQE happily coalesces back to one partition when
+    // the *input* is small — even though the pipelined join fan-out
+    // downstream is thousands of rows per input row.
+    //
+    // The shingle kernel runs BELOW the exchange: callers that use the
+    // same `sets` plan several times (signature agg + prefix index +
+    // both verification fetches) then share ONE shuffle's output via
+    // exchange/stage reuse instead of re-running the kernel per use —
+    // the shuffle carries the hash arrays (8·|shingles| bytes/doc),
+    // the same order of size as the text itself.
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    docs.repartition(parts, col("doc_id")).select(col("doc_id"),
+    docs.select(col("doc_id"),
       graft.functions.VectorFunctions.shingleHashes(col("text"), n).as("hs"))
+      .repartition(parts, col("doc_id"))
   }
 
   /** Exact n-gram Jaccard similarity for every pair at or above the
@@ -107,12 +115,12 @@ object Dedup {
         prefix.withColumn("df", count(lit(1)).over(w))
           .filter(col("df") <= maxShingleDf).drop("df")
     }
-    // Broadcast the build side: near-dup-heavy corpora have few distinct
-    // shingles, so shuffling on `h` would concentrate heavy keys in one
-    // partition (skew); the streamed side keeps each doc's rows in one
-    // partition so the pair agg below combines map-side. When the
-    // prefix index outgrows a broadcast, the same join degrades
-    // gracefully to a shuffled join — or use [[minhashLsh]].
+    // Self-join on the 8-byte prefix hash. No broadcast hint: at 100 TB
+    // an O(corpus) broadcast would kill the driver, so the join is
+    // planned by size — AQE converts to broadcast when the index is
+    // genuinely small and splits skewed `h` partitions (hot shingles)
+    // when it isn't. Both sides are the same exchange subtree, so the
+    // self-join reads one shuffle's output twice.
     //
     // Positional filter (the PPJoin refinement): per candidate pair,
     // aggregate the prefix-match count and the max matched positions.
@@ -124,7 +132,7 @@ object Dedup {
     // and pairs whose bound can't reach the Jaccard-implied overlap
     // floor t·(szA+szB)/(1+t) are pruned before verification.
     val cand = index.as("a")
-      .join(broadcast(index.as("b")),
+      .join(index.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("cnt"),
@@ -139,12 +147,18 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
     * fetch both full sorted shingle sets, merge-count the overlap.
+    *
+    * No broadcast hints: the shingle-set table is O(corpus) — a
+    * hard-coded broadcast would OOM the driver at scale. The fetches
+    * are plain keyed joins; AQE converts them to broadcasts when the
+    * set table is actually small, and both reads share the
+    * [[hashedShingles]] exchange with the candidate-generation stage.
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame =
     cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.VectorFunctions.sortedIntersectSize(col("hs_a"), col("hs_b")).as("inter"),
         size(col("hs_a")).cast("long").as("sz_a"), size(col("hs_b")).cast("long").as("sz_b"))
@@ -160,8 +174,16 @@ object Dedup {
     * base shingle hash, not the string — string bytes are hashed exactly
     * once per shingle. Deterministic and partitioning-independent.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sh = hashedShingles(docs, n).select(col("doc_id"), explode(col("hs")).as("h"))
+  def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    signaturesFromSets(hashedShingles(docs, n), numHashes)
+
+  /** MinHash signatures from an existing [[hashedShingles]] frame —
+    * split out so [[minhashLsh]] computes the shingle sets ONCE and
+    * shares the exchange between signature generation and Jaccard
+    * verification.
+    */
+  private def signaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -180,7 +202,8 @@ object Dedup {
                  numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignatures(docs, n, numHashes)
+    val sets = hashedShingles(docs, n)
+    val sig = signaturesFromSets(sets, numHashes)
     val bandCols = (0 until bands).map { bId =>
       struct(lit(bId).as("band"),
         xxhash64((bId * r until (bId + 1) * r).map(i => col(s"mh_$i")): _*).as("bucket"))
@@ -194,8 +217,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard over the full sorted sets
-    // (one linear merge per pair — see verifyJaccard)
-    verifyJaccard(cand, hashedShingles(docs, n), threshold)
+    // (one linear merge per pair — see verifyJaccard); `sets` is the
+    // SAME plan used for the signatures, so the shingle kernel and its
+    // shuffle run once
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** 64-bit frequency-weighted SimHash over the token stream, one
@@ -207,8 +232,12 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    docs.repartition(parts, col("doc_id")).select(col("doc_id"),
+    // kernel below the exchange: the band self-join downstream reads
+    // the same subtree twice, and exchange reuse then runs the
+    // signature computation once
+    docs.select(col("doc_id"),
       graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+      .repartition(parts, col("doc_id"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
