@@ -3,7 +3,6 @@ package graft.streaming
 import java.io.File
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Run a watermarked streaming aggregation over a *batch* table by
@@ -37,21 +36,29 @@ object StreamedBatch {
     val streamIn = new File(work, "in"); streamIn.mkdirs()
     val schema = input.schema
 
-    // deterministic chronological chunking, written in ONE job via a
-    // dynamic partition column (one sort, one pass, one file per chunk)
-    val w = Window.orderBy(col(tsCol), col(tieCol))
+    // deterministic chronological chunking via a RANGE exchange: the
+    // input shuffles into `chunks` contiguous (ts, tie) ranges and each
+    // range writes its own file in parallel. (A global
+    // `ntile(chunks) OVER (ORDER BY ts)` window would funnel the whole
+    // input through ONE task — the "No Partition Defined for Window"
+    // scale trap.) Exact boundary placement is sampling-chosen, but the
+    // final emitted set is chunking-invariant: any chronological split
+    // finalizes the same watermark-bounded windows.
     val stage = new File(work, "stage")
-    input.withColumn("__chunk", ntile(chunks).over(w))
-      .repartition(col("__chunk"))
+    input.repartitionByRange(chunks, col(tsCol), col(tieCol))
+      .withColumn("__chunk", spark_partition_id())
       .write.partitionBy("__chunk").mode("overwrite").parquet(stage.getAbsolutePath)
-    (1 to chunks).foreach { i =>
-      val part = new File(stage, s"__chunk=$i").listFiles().find(f =>
+    val ranges = stage.listFiles()
+      .filter(_.getName.startsWith("__chunk="))
+      .sortBy(_.getName.stripPrefix("__chunk=").toInt)
+    ranges.zipWithIndex.foreach { case (dir, i) =>
+      val part = dir.listFiles().find(f =>
         f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dst = new File(streamIn, f"chunk-$i%03d.parquet")
+      val dst = new File(streamIn, f"chunk-${i + 1}%03d.parquet")
       Files.move(part.toPath, dst.toPath)
       // strictly increasing mtimes pin the replay order (the file
       // source processes oldest-first under maxFilesPerTrigger)
-      dst.setLastModified(1000000000000L + i * 60000L)
+      dst.setLastModified(1000000000000L + (i + 1) * 60000L)
     }
 
     val stream = spark.readStream.schema(schema)
