@@ -37,6 +37,28 @@ object Lake {
     spark.read.parquet(path)
       .filter(col("p_date") >= lit(fromDate) && col("p_date") <= lit(toDate))
 
+  /** Append a batch whose schema may have EVOLVED since the table was
+    * created — the reference enables exactly this for its silver MERGE
+    * writes (`spark.databricks.delta.schema.autoMerge.enabled=true`,
+    * `process_silver.py:67`). Parquet is schema-on-read: each file
+    * carries its own footer schema, so an append with extra columns
+    * needs no table-level DDL and rewrites nothing.
+    */
+  def appendEvolving(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Read a table whose files were written under different schema
+    * versions, merging every file footer into the union schema
+    * (`mergeSchema=true` — the read half of Delta's schema auto-merge).
+    * Columns missing from older files surface as NULL, exactly like
+    * Delta after an additive evolution. Footer merging lists every
+    * file's schema, so it is opt-in per read rather than session
+    * default — at 100 TB only the schema-inference step pays, the scan
+    * itself is unchanged.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Persist `df` hash-bucketed (and sorted) by `keyCols` into the
     * session catalog as `tableName`. Joins and aggregations between
     * tables bucketed the same way on the same keys run without an

@@ -27,6 +27,30 @@ class LakeSpec extends SparkSuite with Matchers {
     oneDay.count() shouldBe ev.filter(to_date(col("ts")) === "2024-01-02").count()
   }
 
+  test("schema evolution: appended columns merge on read, old rows read as NULL") {
+    val path = Files.createTempDirectory("lake-evolve-").toFile.getAbsolutePath
+    // v1 schema: (event_id, value)
+    Lake.appendEvolving(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "value"), path)
+    // v2 schema adds a column (the reference's autoMerge case) and
+    // reorders the survivors — column resolution must be by name
+    Lake.appendEvolving(
+      Seq((30.0, 3L, "eu"), (40.0, 4L, "us"))
+        .toDF("value", "event_id", "region"), path)
+
+    val merged = Lake.readMerged(spark, path)
+    merged.columns.toSet shouldBe Set("event_id", "value", "region")
+    merged.count() shouldBe 4L
+    // v1 rows surface the evolved column as NULL
+    merged.filter(col("region").isNull).select("event_id")
+      .as[Long].collect().sorted shouldBe Array(1L, 2L)
+    merged.filter(col("region") === "eu").select("event_id")
+      .as[Long].collect() shouldBe Array(3L)
+    // values landed in the right columns despite the v2 reorder
+    merged.filter(col("event_id") === 4L).select("value")
+      .as[Double].collect() shouldBe Array(40.0)
+  }
+
   test("bucketed tables join and aggregate without an exchange on the bucket key") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
