@@ -274,4 +274,32 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Driver-visible self-check for [[simhashPairs]]: compare the banded
+    * pair set against a brute-force Hamming scan over the full
+    * signatures and emit ONE row of invariants — all zero when the
+    * banding honors its pigeonhole guarantee. The signatures are
+    * hash-seeded, so no external engine can recompute the pair list
+    * itself; this folds the equivalence assertion into constant-valued
+    * columns an oracle CAN assert. The O(N²) brute scan is the check
+    * harness by design, not the production path ([[simhashPairs]] is).
+    */
+  def simhashSelfCheck(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = simhashPairs(docs, maxDist)
+    val sig = simhash(docs)
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+    val missed = brute.select("doc_a", "doc_b")
+      .join(banded.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("missed_vs_brute"))
+    val spurious = banded.select("doc_a", "doc_b")
+      .join(brute.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("spurious_vs_brute"))
+    val beyond = banded.filter(col("hamming") > maxDist)
+      .agg(count(lit(1)).as("beyond_maxdist"))
+    missed.crossJoin(spurious).crossJoin(beyond)
+  }
 }

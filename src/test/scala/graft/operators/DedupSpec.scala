@@ -88,6 +88,14 @@ class DedupSpec extends SparkSuite with Matchers {
     out.orderBy("doc_a", "doc_b").collect() shouldBe brute.orderBy("doc_a", "doc_b").collect()
   }
 
+  test("simhashSelfCheck emits the all-zero invariant row") {
+    val row = Dedup.simhashSelfCheck(docs, maxDist = 3).collect()
+    row.length shouldBe 1
+    row.head.getLong(0) shouldBe 0L // missed_vs_brute
+    row.head.getLong(1) shouldBe 0L // spurious_vs_brute
+    row.head.getLong(2) shouldBe 0L // beyond_maxdist
+  }
+
   test("simhashPairs rejects invalid maxDist") {
     an[IllegalArgumentException] should be thrownBy Dedup.simhashPairs(docs, maxDist = 64)
   }

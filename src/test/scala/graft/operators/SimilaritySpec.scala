@@ -44,6 +44,15 @@ class SimilaritySpec extends SparkSuite with Matchers {
     lsh.count().toDouble should be >= exact.count() * 0.5
   }
 
+  test("lshPairs high-recall configuration (24 x 4-bit bands) finds every exact pair") {
+    // the gate configuration: recall 1.0 on the test corpora backs the
+    // exact-pairs SQL serving as sim_lsh_pairs' oracle
+    val exact = Similarity.pairsAboveThreshold(emb, 0.4)
+    val lsh = Similarity.lshPairs(emb, 0.4, numPlanes = 96, bands = 24)
+    exact.exceptAll(lsh).count() shouldBe 0
+    lsh.exceptAll(exact).count() shouldBe 0
+  }
+
   test("ivfTopK: exact cosines, deterministic, recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
