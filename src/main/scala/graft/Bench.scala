@@ -18,6 +18,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       wanted.forall(_.exists(name.contains))
     }
+    // one untimed warm-up (scan + shuffle + agg + codegen) so the
+    // alphabetically-first timed query stops absorbing the ~4 s
+    // first-job JVM/session cost and per-query timings compare honestly
+    // across rounds
+    selected.headOption.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
