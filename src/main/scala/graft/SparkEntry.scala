@@ -152,11 +152,29 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), n = 2, threshold = 0.5)),
+    // transitive-closure dup groups over the exact-Jaccard pair graph
+    "dedup_components" -> ((s, dir) =>
+      Dedup.dupComponents(
+        Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5))),
     // gate = the banding-vs-brute-force self-check (signatures are
     // hash-seeded, so the pair list itself has no external oracle; the
     // invariant row below does). simhashPairs is the production op.
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashSelfCheck(Tables.documents(s, dir), maxDist = 3)),
+    // ── training-data extensions: curation
+    // benchmark = every 10th doc, corpus = the rest (synthetic split of
+    // the documents table so the overlap is real but disjoint)
+    "cur_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.contaminationReport(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0), n = 3)
+    }),
+    "cur_hash_split" -> ((s, dir) =>
+      Curation.hashSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("split"))),
+    "cur_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir), maxTokens = 512, nShards = 8)),
+    "cur_scrub_pii" -> ((s, dir) => Curation.scrubPii(Tables.documents(s, dir))),
     // ── training-data extensions: text analysis
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
@@ -522,6 +540,29 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                     JOIN sizes sb ON doc_b = sb.doc_id
          WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5""",
+    // transitive closure as a recursive CTE: reach(src, node) walks the
+    // undirected pair graph; component = min reachable node
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s)
+         SELECT src AS doc_id, min(node) AS component_id
+         FROM reach GROUP BY src""",
     // the gate query is the banding-vs-brute-force self-check; its
     // output row is all-zero invariants whenever the pigeonhole
     // banding is correct, which IS oracle-expressible
@@ -529,6 +570,51 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS missed_vs_brute,
          CAST(0 AS BIGINT) AS spurious_vs_brute,
          CAST(0 AS BIGINT) AS beyond_maxdist""",
+    "cur_contamination" ->
+      """WITH cor AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 10 != 0),
+         ben AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS t
+                 FROM documents WHERE doc_id % 10 = 0),
+         cs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM cor),
+         bs AS (SELECT bench_id, unnest(list_distinct(list_transform(
+                  range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM ben)
+         SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         FROM cs c JOIN bs b ON c.s = b.s GROUP BY 1, 2""",
+    "cur_hash_split" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         b AS (SELECT doc_id,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+               FROM h)
+         SELECT doc_id,
+           CASE WHEN bucket < 52428 THEN 'train'
+                WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split"
+         FROM b""",
+    "cur_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                      len(string_split(text, ' ')) AS n_tokens FROM documents),
+         o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                 AS start_offset FROM t)
+         SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(start_offset / 512.0) AS BIGINT) AS bin_id FROM o""",
+    "cur_scrub_pii" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_emails,
+         len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,
+         len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           AS n_ips
+         FROM documents""",
     "text_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,

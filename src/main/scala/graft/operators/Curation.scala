@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Corpus-curation operators for LLM training-data pipelines, beyond
+  * dedup/similarity: benchmark decontamination, deterministic
+  * train/val/test splitting, sequence packing, and PII scrubbing.
+  *
+  * Scale design (100 TB):
+  *  - Decontamination joins the corpus against the benchmark on 8-byte
+  *    shingle hashes with the benchmark side broadcast — eval sets are
+  *    bounded (MBs), so the corpus streams through map-side in one
+  *    pass, no corpus shuffle at all.
+  *  - Splits/sampling hash the ID column — content never moves; the
+  *    assignment is a map-only projection, reproducible across engines
+  *    and runs (md5, not JVM-seeded RNG).
+  *  - Packing computes running token offsets per shard with a window
+  *    partitioned BY shard — shards pack in parallel (the global-order
+  *    variant would be a single-partition window, the classic scale
+  *    trap).
+  *  - Scrubbing is a map-only regex pass (codegen'd `regexp_replace`).
+  */
+object Curation {
+
+  /** Contamination report: corpus docs sharing at least `minShared`
+    * word `n`-grams with a benchmark doc — the overlap check used to
+    * decontaminate pretraining data against eval sets. One row per
+    * contaminated (doc, bench) pair with the shared-shingle count.
+    *
+    * The join runs on 64-bit shingle hashes (distinct-per-doc), so the
+    * shared count equals the string-shingle overlap up to a ~2⁻⁶⁴
+    * collision. `broadcast` on the benchmark side is deliberate and
+    * safe: benchmarks are bounded small by nature (unlike the corpus
+    * tables that must never be hinted — see Dedup).
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          n: Int = 3, minShared: Int = 1): DataFrame = {
+    val c = corpus.select(col("doc_id"),
+      explode(VectorFunctions.shingleHashes(col("text"), n)).as("h"))
+    val b = benchmark.select(col("doc_id").as("bench_id"),
+      explode(VectorFunctions.shingleHashes(col("text"), n)).as("h"))
+    c.join(broadcast(b), "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Corpus rows with every contaminated doc removed — the apply side
+    * of [[contaminationReport]].
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int = 3, minShared: Int = 1): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, benchmark, n, minShared)
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Deterministic 16-bit hash bucket of an ID column: the first four
+    * hex chars of `md5(cast(id as string))` → [0, 65536). Pure
+    * function of the ID — stable across runs, partitionings, and
+    * engines (DuckDB's `md5(VARCHAR)` hashes the same UTF-8 bytes).
+    */
+  def hashBucket(idCol: String): org.apache.spark.sql.Column =
+    conv(substring(md5(encode(col(idCol).cast("string"), "UTF-8")), 1, 4),
+      16, 10).cast("int")
+
+  /** Deterministic train/val/test split on the hash bucket — the
+    * reproducible, content-independent split a training pipeline needs
+    * (RNG-free: re-running on regrown data keeps every surviving doc
+    * in its original split). Percent thresholds quantize to 1/65536
+    * granularity.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val trainMax = 65536L * trainPct / 100
+    val valMax = 65536L * (trainPct + valPct) / 100
+    val b = hashBucket(idCol)
+    df.withColumn("split",
+      when(b < trainMax, "train").when(b < valMax, "val").otherwise("test"))
+  }
+
+  /** Deterministic fraction sample by ID hash: keeps ids whose bucket
+    * falls below `fraction` of the 16-bit space. Unlike
+    * `DataFrame.sample` this is reproducible and stable under
+    * re-partitioning and incremental reruns.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(hashBucket(idCol) < (65536 * fraction).toLong)
+  }
+
+  /** Pack documents into fixed token-budget bins ("concat-and-chunk"
+    * sequence packing): shard the corpus by `doc_id % nShards`, order
+    * each shard by doc_id, and assign each doc to the bin its running
+    * token offset starts in. One window per SHARD — shards pack
+    * independently and in parallel, which is both the scalable plan
+    * and how real packing runs (per-worker streams), at the cost of
+    * bins never crossing shards.
+    *
+    * Output: (doc_id, shard, n_tokens, bin_id) — bin_id is local to
+    * the shard.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Int,
+                    nShards: Int = 8): DataFrame = {
+    require(maxTokens > 0 && nShards > 0)
+    val toks = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), pmod(col("doc_id"), lit(nShards)).as("shard"),
+        toks.as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id",
+        floor(col("start_offset") / lit(maxTokens.toDouble)).cast("long"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin_id"))
+  }
+
+  // PII patterns: kept to the common subset of Java regex and RE2 so
+  // external engines (and the DuckDB oracle) match byte-for-byte
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private[graft] val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact common PII shapes (emails, NANP-style phone numbers, IPv4
+    * addresses) and count what was removed. Map-only codegen'd regex
+    * pass; counts let a pipeline monitor redaction rates per source.
+    */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>").as("text"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+}

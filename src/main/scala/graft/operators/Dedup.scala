@@ -302,4 +302,52 @@ object Dedup {
       .agg(count(lit(1)).as("beyond_maxdist"))
     missed.crossJoin(spurious).crossJoin(beyond)
   }
+
+  /** Connected components over a near-dup pair graph: the transitive
+    * closure that turns pairwise matches into dup GROUPS (A~B, B~C ⇒
+    * {A,B,C} share one group even if A,C never matched directly) —
+    * the contract an actual dedup pass needs, since keeping one doc
+    * per *pair* over-deletes chains.
+    *
+    * Output: one row per doc that appears in a pair —
+    * `(doc_id, component_id)` with `component_id` = min doc_id in the
+    * component (deterministic canonical representative).
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round is one
+    * shuffle (join labels to edges + min-aggregate); rounds needed =
+    * graph diameter, and near-dup components are shallow star-like
+    * clusters in practice (a handful of rounds). The driver loop only
+    * checks a per-round convergence COUNT — no row data ever reaches
+    * the driver. Each round's labels are materialized (persist +
+    * count) so lineage stays O(1) instead of doubling per iteration.
+    */
+  def dupComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .persist()
+    // initial label: min(self, direct neighbors)
+    var labels = edges.groupBy(col("s").as("doc_id"))
+      .agg(least(first(col("s")), min(col("d"))).as("component_id"))
+      .persist()
+    var converged = false
+    while (!converged) {
+      // candidate label for d: the smallest label among its neighbors
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("s"), col("component_id").as("nl")), "s")
+        .groupBy(col("d").as("doc_id"))
+        .agg(min(col("nl")).as("neighbor_min"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component_id"), coalesce(col("neighbor_min"), col("component_id")))
+            .as("component_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
+        .filter(col("component_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+class CurationSpec extends SparkSuite with Matchers {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("contaminationReport finds planted n-gram overlap; decontaminate removes it") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with no overlap here at all"),
+      (3L, "another clean document about spark and scala engines")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "we ask whether the quick brown fox can jump")
+    ).toDF("doc_id", "text")
+
+    val report = Curation.contaminationReport(corpus, bench, n = 3, minShared = 1)
+      .collect()
+    report.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 100L))
+    // doc 1 shares exactly "the quick brown" and "quick brown fox"
+    report.head.getLong(2) shouldBe 2L
+
+    val clean = Curation.decontaminate(corpus, bench, n = 3)
+    clean.select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+  }
+
+  test("hashSplit: complete, disjoint, deterministic, roughly proportional") {
+    val split = Curation.hashSplit(docs, "doc_id")
+    split.count() shouldBe docs.count()
+    val byName = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    byName.keySet.subsetOf(Set("train", "val", "test")) shouldBe true
+    // 500 docs at 80/10/10: generous tolerance, just proportionality
+    byName("train").toDouble / docs.count() should be(0.8 +- 0.1)
+    // deterministic under repartitioning
+    val again = Curation.hashSplit(docs.repartition(7), "doc_id")
+    again.select("doc_id", "split").exceptAll(split.select("doc_id", "split"))
+      .count() shouldBe 0
+  }
+
+  test("sampleByHash is a stable subset matching the split machinery") {
+    val s = Curation.sampleByHash(docs, "doc_id", 0.25)
+    s.count().toDouble / docs.count() should be(0.25 +- 0.1)
+    // subset of the full table, stable across runs
+    s.exceptAll(Curation.sampleByHash(docs.repartition(5), "doc_id", 0.25))
+      .count() shouldBe 0
+  }
+
+  test("packSequences: offsets are contiguous per shard and bins respect the budget") {
+    val packed = Curation.packSequences(docs, maxTokens = 512, nShards = 4)
+    packed.count() shouldBe docs.count()
+    // recompute expected bins sequentially per shard
+    val rows = packed.orderBy("shard", "doc_id")
+      .select("doc_id", "shard", "n_tokens", "bin_id")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var offset = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, n, bin) =>
+        bin shouldBe offset / 512
+        offset += n
+      }
+    }
+  }
+
+  test("scrubPii redacts emails, phones, ips and counts them") {
+    val in = Seq(
+      (1L, "contact me at alice.smith+spam@example.co.uk or 555-867-5309 ok"),
+      (2L, "server at 10.0.255.1 responded"),
+      (3L, "nothing sensitive here 1234")
+    ).toDF("doc_id", "text")
+    val out = Curation.scrubPii(in).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    out(0)._2 shouldBe "contact me at <EMAIL> or <PHONE> ok"
+    out(0)._3 shouldBe 1L; out(0)._4 shouldBe 1L; out(0)._5 shouldBe 0L
+    out(1)._2 shouldBe "server at <IP> responded"
+    out(1)._5 shouldBe 1L
+    out(2)._2 shouldBe "nothing sensitive here 1234"
+    (out(2)._3, out(2)._4, out(2)._5) shouldBe ((0L, 0L, 0L))
+  }
+}

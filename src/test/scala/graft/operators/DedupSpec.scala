@@ -96,6 +96,32 @@ class DedupSpec extends SparkSuite with Matchers {
     row.head.getLong(2) shouldBe 0L // beyond_maxdist
   }
 
+  test("dupComponents: transitive closure over pair chains, min-id representative") {
+    import spark.implicits._
+    // chain 1-2-3-4 (1,4 never matched directly), isolated pair 10-11,
+    // and a triangle 20-21, 21-22, 20-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupComponents(pairs).as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  test("dupComponents on the corpus pair graph: labels are component-consistent") {
+    val pairs = Dedup.ngramJaccard(docs, n = 2, threshold = 0.3)
+    val comp = Dedup.dupComponents(pairs)
+    // every edge joins two docs with the SAME component label
+    val lab = comp.withColumnRenamed("doc_id", "k")
+    val viol = pairs
+      .join(lab.withColumnRenamed("component_id", "ca"), col("doc_a") === col("k")).drop("k")
+      .join(lab.withColumnRenamed("component_id", "cb"), col("doc_b") === col("k"))
+      .filter(col("ca") =!= col("cb")).count()
+    viol shouldBe 0
+    // each component's label is its min member
+    comp.groupBy("component_id").agg(min("doc_id").as("m"))
+      .filter(col("m") =!= col("component_id")).count() shouldBe 0
+  }
+
   test("simhashPairs rejects invalid maxDist") {
     an[IllegalArgumentException] should be thrownBy Dedup.simhashPairs(docs, maxDist = 64)
   }
