@@ -65,9 +65,21 @@ object StreamedBatch {
       .option("maxFilesPerTrigger", 1)
       .parquet(streamIn.getAbsolutePath)
     val outDir = new File(work, "out").getAbsolutePath
-    val q = StreamJobs.parquetAppend(agg(stream), outDir,
-      new File(work, "ckpt").getAbsolutePath)
-    q.awaitTermination()
+    // every micro-batch commits one state-store delta PER state
+    // partition, and the replay's batches are tiny — 32 partitions ×
+    // (chunks + finalize) batches is pure commit overhead. Size the
+    // replay's state partitioning to its work; a live deployment sizes
+    // it to the cluster (either way it's locked into the checkpoint at
+    // first start). Restored after the replay so batch queries keep
+    // the session's parallelism.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevParts.toInt))
+    try {
+      val q = StreamJobs.parquetAppend(agg(stream), outDir,
+        new File(work, "ckpt").getAbsolutePath)
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(outDir)
   }
 }
