@@ -145,6 +145,9 @@ object SparkEntry {
     "q_above_segment_avg" -> ((s, dir) => Relational.aboveSegmentAverage(s, dir)),
     "q_revenue_rollup" -> ((s, dir) => Relational.revenueRollup(s, dir)),
     "q_value_percentiles" -> ((s, dir) => Relational.orderValuePercentiles(s, dir)),
+    // sketch outputs are engine-specific; the gate asserts their
+    // accuracy contract vs exact, computed in-engine (invariant row)
+    "q_approx_aggs" -> ((s, dir) => Relational.approxAggChecks(s, dir)),
     // ── training-data extensions: dedup
     "dedup_exact_groups" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
     "dedup_exact_rows" -> ((s, dir) => Dedup.exactRows(Tables.documents(s, dir))),
@@ -172,6 +175,10 @@ object SparkEntry {
     "cur_hash_split" -> ((s, dir) =>
       Curation.hashSplit(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("split"))),
+    "cur_mixture_sample" -> ((s, dir) =>
+      Curation.mixtureSample(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
+        .select(col("doc_id"), col("lang"), col("source"))),
     "cur_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), maxTokens = 512, nShards = 8)),
     "cur_scrub_pii" -> ((s, dir) => Curation.scrubPii(Tables.documents(s, dir))),
@@ -504,6 +511,10 @@ object SparkEntry {
            CAST(floor((lo_p90 + (hi_p90 - lo_p90) * f_p90) * 100.0 + 0.5) AS BIGINT) AS p90_cents,
            CAST(floor((lo_p99 + (hi_p99 - lo_p99) * f_p99) * 100.0 + 0.5) AS BIGINT) AS p99_cents
          FROM a""",
+    // sketch accuracy contract: booleans are invariants when the
+    // sketches honor their error bounds (computed vs exact in-engine)
+    "q_approx_aggs" ->
+      """SELECT true AS p50_within_2pct, true AS nd_within_5pct""",
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_dups FROM documents GROUP BY md5(text)""",
@@ -595,6 +606,20 @@ object SparkEntry {
            CASE WHEN bucket < 52428 THEN 'train'
                 WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split"
          FROM b""",
+    "cur_mixture_sample" ->
+      """WITH h AS (SELECT doc_id, lang, source,
+                      md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         b AS (SELECT doc_id, lang, source,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+               FROM h)
+         SELECT doc_id, lang, source FROM b
+         WHERE bucket < CASE WHEN lang = 'en' THEN 65536
+                             WHEN lang IN ('de', 'fr') THEN 32768
+                             WHEN lang IN ('es', 'zh') THEN 16384
+                             ELSE 0 END""",
     "cur_pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
                       len(string_split(text, ' ')) AS n_tokens FROM documents),

@@ -93,6 +93,25 @@ object Curation {
     df.filter(hashBucket(idCol) < (65536 * fraction).toLong)
   }
 
+  /** Weighted mixture sampling: keep a per-stratum deterministic hash
+    * fraction of rows ("all English, half German, a quarter Chinese")
+    * — how a training mix is drawn from a curated pool. Strata absent
+    * from `fractions` are dropped, making the mix an explicit
+    * contract. Map-only: the mix rides along as a literal map and the
+    * filter reuses [[hashBucket]], so a doc sampled at fraction f stays
+    * sampled at every fraction ≥ f (nested samples, stable reruns).
+    * Fractions quantize to 1/65536.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val thresholds =
+      typedLit(fractions.map { case (k, v) => k -> (65536 * v).toLong })
+    df.filter(hashBucket(idCol) <
+      coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
+  }
+
   /** Pack documents into fixed token-budget bins ("concat-and-chunk"
     * sequence packing): shard the corpus by `doc_id % nShards`, order
     * each shard by doc_id, and assign each doc to the bin its running

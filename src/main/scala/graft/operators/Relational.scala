@@ -230,6 +230,28 @@ object Relational {
       }: _*)
   }
 
+  /** Driver-visible self-check for the sketch-based approximate
+    * aggregates — the actual 100 TB path for percentiles and distinct
+    * counts (one pass, bounded memory, no per-group sort). Their raw
+    * outputs are engine-specific (GK sketch / HLL++), so no external
+    * engine can reproduce them; what IS checkable anywhere is the
+    * accuracy contract. Emits one row of booleans asserting
+    * `percentile_approx` tracks the exact percentile within 2% and
+    * `approx_count_distinct` tracks the exact distinct count within
+    * 5% (2.5× its configured 2% rsd) — both computed in-engine
+    * against their exact counterparts.
+    */
+  def approxAggChecks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).agg(
+      expr("percentile(o_totalprice, 0.5)").as("ep"),
+      expr("percentile_approx(o_totalprice, 0.5, 1000)").as("ap"),
+      countDistinct(col("o_custkey")).as("en"),
+      approx_count_distinct(col("o_custkey"), rsd = 0.02).as("an"))
+    .select(
+      (abs(col("ap") - col("ep")) / col("ep") <= 0.02).as("p50_within_2pct"),
+      (abs(col("an") - col("en")).cast("double") / col("en") <= 0.05)
+        .as("nd_within_5pct"))
+
   /** Skew-salted equi-join: the fact side gets a deterministic salt in
     * [0, saltFactor) derived from full row content, the (smaller) right
     * side is replicated once per salt value, and the join runs on

@@ -51,6 +51,20 @@ class CurationSpec extends SparkSuite with Matchers {
       .count() shouldBe 0
   }
 
+  test("mixtureSample: per-stratum fractions, nested and deterministic") {
+    val mix = Curation.mixtureSample(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.25))
+    val kept = mix.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    kept("en") shouldBe full("en") // fraction 1.0 keeps everything
+    kept.getOrElse("zh", 0L) shouldBe 0L // absent stratum dropped
+    kept("de").toDouble / full("de") should be(0.25 +- 0.15)
+    // nested: the 0.25 sample is a subset of the 0.5 sample
+    val half = Curation.mixtureSample(docs, "lang", "doc_id", Map("de" -> 0.5))
+    mix.filter(col("lang") === "de").select("doc_id")
+      .exceptAll(half.select("doc_id")).count() shouldBe 0
+  }
+
   test("packSequences: offsets are contiguous per shard and bins respect the budget") {
     val packed = Curation.packSequences(docs, maxTokens = 512, nShards = 4)
     packed.count() shouldBe docs.count()
