@@ -322,9 +322,13 @@ object Dedup {
     * count) so lineage stays O(1) instead of doubling per iteration.
     */
   def dupComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
-      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
-      .persist()
+    // cache the PAIRS, not the doubled edge list: the union below reads
+    // its input twice, so persisting downstream of it would run the
+    // (possibly expensive) pair-generation plan twice before the cache
+    // ever materializes
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val edges = p.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(p.select(col("doc_b").as("s"), col("doc_a").as("d")))
     // initial label: min(self, direct neighbors)
     var labels = edges.groupBy(col("s").as("doc_id"))
       .agg(least(first(col("s")), min(col("d"))).as("component_id"))
@@ -347,7 +351,7 @@ object Dedup {
       labels = next
       converged = changed == 0
     }
-    edges.unpersist()
+    p.unpersist()
     labels
   }
 }
