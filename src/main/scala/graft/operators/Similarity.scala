@@ -170,18 +170,27 @@ object Similarity {
       struct(lit(bId).as("band"),
         shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1)).as("bucket"))
     }
-    val buckets = sig.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    buckets.as("a")
+    // lean bucket rows: the 24x explode and the self-join exchange
+    // carry (vec_id, band, bucket) only — never the vectors
+    val buckets = sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // dedup candidates on the 16-byte id pair BEFORE touching vectors:
+    // a pair colliding in k bands would otherwise flow k copies of both
+    // embeddings through the exchange and hash full arrays in the
+    // distinct. The verification joins then fetch each side's vector
+    // once per surviving pair (both reads reuse the `sig` exchange).
+    val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"),
-        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    val vecs = sig.select(col("vec_id"), col("embedding"), col("nrm"))
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "id_b")
       .withColumn("cos", round(
         VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
