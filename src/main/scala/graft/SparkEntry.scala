@@ -182,6 +182,21 @@ object SparkEntry {
     "cur_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), maxTokens = 512, nShards = 8)),
     "cur_scrub_pii" -> ((s, dir) => Curation.scrubPii(Tables.documents(s, dir))),
+    // the end-to-end curation chain as ONE declarative plan: scrub →
+    // exact dedup (min-id survivor) → token-length quality floor →
+    // deterministic split → per-(split, lang) corpus summary. Shows
+    // the operators compose inside a single Catalyst optimization
+    // scope (scan pruning, pushdown, and partial aggs span stages).
+    "cur_pipeline" -> ((s, dir) => {
+      val scrubbed = Curation.scrubPii(Tables.documents(s, dir))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val kept = Dedup.exactRows(scrubbed)
+        .filter(size(split(col("text"), " ")) >= 30)
+      Curation.hashSplit(kept, "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    }),
     // ── training-data extensions: text analysis
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
@@ -620,6 +635,32 @@ object SparkEntry {
                              WHEN lang IN ('de', 'fr') THEN 32768
                              WHEN lang IN ('es', 'zh') THEN 16384
                              ELSE 0 END""",
+    "cur_pipeline" ->
+      """WITH scrubbed AS (
+           SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text
+           FROM documents),
+         deduped AS (
+           SELECT doc_id, lang, text FROM
+             (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+              FROM scrubbed)
+           WHERE doc_id = keep),
+         kept AS (SELECT * FROM deduped
+                  WHERE len(string_split(text, ' ')) >= 30),
+         b AS (SELECT doc_id, lang, text,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+               FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM kept))
+         SELECT CASE WHEN bucket < 52428 THEN 'train'
+                     WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split",
+           lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1, 2""",
     "cur_pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
                       len(string_split(text, ' ')) AS n_tokens FROM documents),
@@ -634,6 +675,7 @@ object SparkEntry {
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text,
+         lang, source, n_chars,
          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
            AS n_emails,
          len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,

@@ -146,15 +146,21 @@ object Curation {
   /** Redact common PII shapes (emails, NANP-style phone numbers, IPv4
     * addresses) and count what was removed. Map-only codegen'd regex
     * pass; counts let a pipeline monitor redaction rates per source.
+    * All other columns pass through, so the op drops into a pipeline
+    * between any two stages; `text` is replaced in place.
     */
   def scrubPii(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      regexp_replace(
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("text",
         regexp_replace(
-          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        Ipv4Re, "<IP>").as("text"),
-      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
 }
