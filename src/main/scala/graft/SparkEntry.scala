@@ -203,6 +203,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "text_token_bpe" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
+    "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
     // ── training-data extensions: multimodal binary columns
     "mm_binary_stats" -> ((s, dir) =>
       Multimodal.binaryStats(Multimodal.asMediaTable(Tables.documents(s, dir)))),
@@ -596,6 +597,16 @@ object SparkEntry {
       """SELECT CAST(0 AS BIGINT) AS missed_vs_brute,
          CAST(0 AS BIGINT) AS spurious_vs_brute,
          CAST(0 AS BIGINT) AS beyond_maxdist""",
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS gram FROM toks),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(max(cnt) AS BIGINT) AS top_gram_count,
+           round(max(cnt) * 1.0 / sum(cnt), 6) AS top_fraction,
+           round(count(*) * 1.0 / sum(cnt), 6) AS distinct_fraction
+         FROM c GROUP BY doc_id""",
     "cur_contamination" ->
       """WITH cor AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 10 != 0),

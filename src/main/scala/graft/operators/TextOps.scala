@@ -119,4 +119,33 @@ object TextOps {
     docs.select(
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fingerprint"))
+
+  /** Within-document repetition signals (the Gopher-family quality
+    * rule): per doc, the total word `n`-gram count, the most frequent
+    * n-gram's count, its share of the total, and the distinct-gram
+    * share. High `top_fraction` / low `distinct_fraction` marks
+    * boilerplate and looping generations.
+    *
+    * Shape: tokens are projected to their OWN column first so the
+    * n-gram lambda references an attribute (one split per row — an
+    * inlined `split` would re-run per lambda element); grams explode
+    * into a two-level aggregation whose first level combines map-side.
+    * Docs shorter than `n` tokens have no grams and emit no row.
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = toked
+      .withColumn("grams", when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n), i =>
+          concat_ws(" ", (0 until n).map(j =>
+            element_at(col("toks"), (i + j + 1).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_gram_count"),
+        round(max(col("cnt")) * lit(1.0) / sum(col("cnt")), 6).as("top_fraction"),
+        round(count(lit(1)) * lit(1.0) / sum(col("cnt")), 6).as("distinct_fraction"))
+  }
 }

@@ -75,4 +75,18 @@ class TextOpsSpec extends SparkSuite with Matchers {
     fp(0) shouldBe fp(1)
     fp(0) should not be fp(2)
   }
+
+  test("repetition flags looping bigrams; short docs emit no row") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam"), // 4 bigrams, all "spam spam"
+      (2L, "all words here are fully distinct tokens"),
+      (3L, "one")                       // < 2 tokens → no grams
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetition(d, n = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    r.map(_._1) shouldBe Array(1L, 2L)
+    r(0) shouldBe ((1L, 4L, 4L, 1.0, 0.25))
+    // 6 bigrams, each unique
+    r(1) shouldBe ((2L, 6L, 1L, 0.166667, 1.0))
+  }
 }
