@@ -230,12 +230,12 @@ object SparkEntry {
     }),
     "sim_pairs_threshold" -> ((s, dir) =>
       Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.4)),
-    // 24 bands × 4-bit buckets is the high-recall configuration: it
+    // 16 bands × 2-bit buckets is the high-recall configuration: it
     // finds every ≥0.4 pair on this corpus (recall 1.0, spec-measured),
     // so the exact-pairs SQL is a valid oracle; verification already
     // makes precision exact at any setting.
     "sim_lsh_pairs" -> ((s, dir) =>
-      Similarity.lshPairs(Tables.embeddings(s, dir), 0.4, numPlanes = 96, bands = 24)),
+      Similarity.lshPairs(Tables.embeddings(s, dir), 0.4, numPlanes = 32, bands = 16)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -92,9 +92,14 @@ object Similarity {
     }
 
   /** Sign-bit signature of `numPlanes` deterministic hyperplanes; one
-    * codegen'd dot per plane against a literal weight array.
+    * codegen'd dot per plane against a literal weight array. Capped at
+    * 64 planes: the bits pack into one long, and Java's shift
+    * semantics wrap the shift distance mod 64 — a plane index ≥ 64
+    * would silently OR onto bit `p-64` instead of failing.
     */
   def lshSignature(emb: Column, numPlanes: Int, dim: Int): Column = {
+    require(numPlanes >= 1 && numPlanes <= 64,
+      "numPlanes must be in [1, 64] (bits pack into one long)")
     val bits = (0 until numPlanes).map { p =>
       when(VectorFunctions.dot(emb, lit(planeRow(p, dim))) >= 0,
         shiftleft(lit(1L), p)).otherwise(lit(0L))

@@ -44,13 +44,18 @@ class SimilaritySpec extends SparkSuite with Matchers {
     lsh.count().toDouble should be >= exact.count() * 0.5
   }
 
-  test("lshPairs high-recall configuration (24 x 4-bit bands) finds every exact pair") {
+  test("lshPairs high-recall configuration (16 x 2-bit bands) finds every exact pair") {
     // the gate configuration: recall 1.0 on the test corpora backs the
     // exact-pairs SQL serving as sim_lsh_pairs' oracle
     val exact = Similarity.pairsAboveThreshold(emb, 0.4)
-    val lsh = Similarity.lshPairs(emb, 0.4, numPlanes = 96, bands = 24)
+    val lsh = Similarity.lshPairs(emb, 0.4, numPlanes = 32, bands = 16)
     exact.exceptAll(lsh).count() shouldBe 0
     lsh.exceptAll(exact).count() shouldBe 0
+  }
+
+  test("lshSignature rejects more than 64 planes (bits pack into one long)") {
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshPairs(emb, 0.4, numPlanes = 96, bands = 24)
   }
 
   test("ivfTopK: exact cosines, deterministic, recall vs brute force") {
