@@ -204,6 +204,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "text_token_bpe" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
+    "text_quality_flags" -> ((s, dir) => TextOps.qualityFlags(Tables.documents(s, dir))),
     // ── training-data extensions: multimodal binary columns
     "mm_binary_stats" -> ((s, dir) =>
       Multimodal.binaryStats(Multimodal.asMediaTable(Tables.documents(s, dir)))),
@@ -607,6 +608,30 @@ object SparkEntry {
            round(max(cnt) * 1.0 / sum(cnt), 6) AS top_fraction,
            round(count(*) * 1.0 / sum(cnt), 6) AS distinct_fraction
          FROM c GROUP BY doc_id""",
+    "text_quality_flags" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         base AS (SELECT doc_id,
+             len(t) AS n_tokens,
+             list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_tok,
+             len(list_filter(t, x -> list_contains(
+               ['the', 'a', 'of', 'and', 'to', 'in'], x))) > 0 AS has_stopword,
+             len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) * 1.0 / length(text)
+               AS symbol_ratio
+           FROM toks),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS gram FROM toks),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         rep AS (SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 6) AS top_fraction
+                 FROM c GROUP BY doc_id),
+         f AS (SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+             b.n_tokens >= 30 AND b.n_tokens <= 100000 AS flag_length,
+             b.avg_tok >= 2.0 AND b.avg_tok <= 12.0 AS flag_word_len,
+             b.symbol_ratio <= 0.25 AS flag_symbols,
+             b.has_stopword AS flag_stopword,
+             coalesce(r.top_fraction, 1.0) <= 0.20 AS flag_repetition
+           FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id)
+         SELECT *, flag_length AND flag_word_len AND flag_symbols
+           AND flag_stopword AND flag_repetition AS keep FROM f""",
     "cur_contamination" ->
       """WITH cor AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 10 != 0),

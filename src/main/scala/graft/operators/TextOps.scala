@@ -132,6 +132,46 @@ object TextOps {
     * into a two-level aggregation whose first level combines map-side.
     * Docs shorter than `n` tokens have no grams and emit no row.
     */
+  /** Gopher-family quality RULE bundle: hard per-doc pass/fail flags —
+    * token-count band, mean-token-length band, symbol-character ratio,
+    * stopword presence, top-bigram share — and the conjunctive `keep`
+    * bit. This is the filter stage a pretraining pipeline runs after
+    * scoring: rules, not scores, decide survival. Map-only except the
+    * repetition signal, which joins in from [[repetition]] (one
+    * shuffle + one broadcast-able join on doc_id). Thresholds follow
+    * the published rule family, scaled to this corpus's token world.
+    */
+  def qualityFlags(docs: DataFrame,
+                   minTokens: Int = 30, maxTokens: Int = 100000,
+                   maxTopBigramShare: Double = 0.20): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = docs
+      .withColumn("ts", graft.functions.TextFunctions.tokenStats(col("text")))
+      .select(
+        col("doc_id"),
+        col("ts.n_tokens").as("n_tokens"),
+        (col("ts.sum_token_len").cast("double") / col("ts.n_tokens")).as("avg_tok"),
+        (size(filter(tokens(col("text")), t => array_contains(stopArr, t))) > 0)
+          .as("has_stopword"),
+        (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+          .cast("double") / length(col("text"))).as("symbol_ratio"))
+    val rep = repetition(docs, 2).select(col("doc_id"), col("top_fraction"))
+    val flags = base.join(rep, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("flag_length"),
+        (col("avg_tok") >= 2.0 && col("avg_tok") <= 12.0).as("flag_word_len"),
+        (col("symbol_ratio") <= 0.25).as("flag_symbols"),
+        col("has_stopword").as("flag_stopword"),
+        // docs too short for bigrams count as maximally repetitive
+        (coalesce(col("top_fraction"), lit(1.0)) <= maxTopBigramShare)
+          .as("flag_repetition"))
+    flags.withColumn("keep",
+      col("flag_length") && col("flag_word_len") && col("flag_symbols") &&
+        col("flag_stopword") && col("flag_repetition"))
+  }
+
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
     val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val grams = toked

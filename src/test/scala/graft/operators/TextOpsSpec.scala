@@ -76,6 +76,25 @@ class TextOpsSpec extends SparkSuite with Matchers {
     fp(0) should not be fp(2)
   }
 
+  test("qualityFlags: each rule trips on its planted violation") {
+    val good = (1 to 40).map(i => s"w$i the").mkString(" ") // 80 tokens, stopwords, distinct bigrams
+    val loops = Array.fill(40)("spam").mkString(" ")        // repetition + no stopword
+    val symbols = (1 to 40).map(_ => "@@ the").mkString(" ")
+    val d = Seq((1L, good), (2L, loops), (3L, symbols), (4L, "too short the"))
+      .toDF("doc_id", "text")
+    val r = TextOps.qualityFlags(d)
+      .orderBy("doc_id")
+      .select("flag_length", "flag_word_len", "flag_symbols", "flag_stopword",
+        "flag_repetition", "keep")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    r(0) shouldBe ((true, true, true, true, true, true))    // survives
+    r(1)._5 shouldBe false                                   // loops: repetition trips
+    r(1)._6 shouldBe false
+    r(2)._3 shouldBe false                                   // symbol ratio trips
+    r(3)._1 shouldBe false                                   // too short
+    r(3)._6 shouldBe false
+  }
+
   test("repetition flags looping bigrams; short docs emit no row") {
     val d = Seq(
       (1L, "spam spam spam spam spam"), // 4 bigrams, all "spam spam"
