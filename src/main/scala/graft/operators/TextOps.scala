@@ -180,7 +180,18 @@ object TextOps {
           concat_ws(" ", (0 until n).map(j =>
             element_at(col("toks"), (i + j + 1).cast("int"))): _*)))
         .otherwise(array().cast("array<string>")))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      // count distinct grams BY 64-bit HASH: the per-gram shuffle then
+      // carries 8-byte keys instead of gram strings (counts are
+      // identical up to a ~2⁻⁶⁴ collision, same trade as Dedup).
+      // explode_OUTER on purpose: plain explode makes the optimizer
+      // infer a `size(grams) > 0` pre-filter and push it below the
+      // token projection, where it re-evaluates the whole n-gram
+      // transform with `split(text)` inlined PER ELEMENT — O(tokens²)
+      // per doc, twice. Outer explode infers nothing; the null rows
+      // from gram-less docs drop in a post-Generate filter instead.
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
     grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
         sum(col("cnt")).as("n_grams"),
