@@ -38,10 +38,15 @@ object Curation {
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           n: Int = 3, minShared: Int = 1): DataFrame = {
+    // explode_outer: plain explode would make the optimizer infer a
+    // size(...) > 0 pre-filter that re-evaluates the shingle kernel
+    // per row below this projection (see TextOps.repetition)
     val c = corpus.select(col("doc_id"),
-      explode(VectorFunctions.shingleHashes(col("text"), n)).as("h"))
+        explode_outer(VectorFunctions.shingleHashes(col("text"), n)).as("h"))
+      .filter(col("h").isNotNull)
     val b = benchmark.select(col("doc_id").as("bench_id"),
-      explode(VectorFunctions.shingleHashes(col("text"), n)).as("h"))
+        explode_outer(VectorFunctions.shingleHashes(col("text"), n)).as("h"))
+      .filter(col("h").isNotNull)
     c.join(broadcast(b), "h")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))

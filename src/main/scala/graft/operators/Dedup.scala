@@ -106,8 +106,15 @@ object Dedup {
     val sets = hashedShingles(docs, n)
     // prefix length |d| - ceil(t*|d|) + 1 (exact-recall bound)
     val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1).cast("int")
+    // posexplode_OUTER: a plain generator makes the optimizer infer a
+    // size(...) > 0 pre-filter that pushes below the exchange and
+    // re-evaluates the shingle kernel per row at the scan (see
+    // TextOps.repetition); outer + isNotNull keeps the kernel at one
+    // evaluation
     val prefix = sets.select(col("doc_id"), size(col("hs")).as("sz"),
-      posexplode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0)))).as(Seq("pos", "h")))
+        posexplode_outer(slice(col("hs"), lit(1), greatest(prefixLen, lit(0))))
+          .as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
     val index =
       if (maxShingleDf <= 0) prefix
       else {
@@ -183,7 +190,11 @@ object Dedup {
     * verification.
     */
   private def signaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
-    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    // explode_outer + isNotNull: avoid the inferred size(hs) > 0
+    // pre-filter that would re-run the shingle kernel below the
+    // exchange (see TextOps.repetition)
+    val sh = sets.select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }

@@ -145,9 +145,14 @@ object Similarity {
     val probeCells = slice(array_sort(array(
       cents.map(c => struct(negScore(col("embedding"), c).as("s"), lit(c._1).as("cid"))): _*)),
       1, nprobe)
+    // explode_outer: a plain explode would infer a size(...) > 0
+    // pre-filter re-evaluating the nlist-dot probe-cell ranking per
+    // query row (see TextOps.repetition); nprobe >= 1 makes the null
+    // row impossible, the filter just blocks the inference
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       VectorFunctions.norm(col("embedding")).as("q_nrm"),
-      explode(probeCells.getField("cid")).as("probe_cell"))
+      explode_outer(probeCells.getField("cid")).as("probe_cell"))
+      .filter(col("probe_cell").isNotNull)
     val scored = assigned.join(broadcast(q),
       col("cell") === col("probe_cell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(
