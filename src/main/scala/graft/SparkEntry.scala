@@ -148,6 +148,7 @@ object SparkEntry {
     // sketch outputs are engine-specific; the gate asserts their
     // accuracy contract vs exact, computed in-engine (invariant row)
     "q_approx_aggs" -> ((s, dir) => Relational.approxAggChecks(s, dir)),
+    "q_pivot_segment_year" -> ((s, dir) => Relational.segmentYearPivot(s, dir)),
     // ── training-data extensions: dedup
     "dedup_exact_groups" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
     "dedup_exact_rows" -> ((s, dir) => Dedup.exactRows(Tables.documents(s, dir))),
@@ -532,6 +533,17 @@ object SparkEntry {
     // sketches honor their error bounds (computed vs exact in-engine)
     "q_approx_aggs" ->
       """SELECT true AS p50_within_2pct, true AS nd_within_5pct""",
+    "q_pivot_segment_year" ->
+      """SELECT c_mktsegment,
+         count(CASE WHEN year(o_orderdate) = 1995 THEN 1 END) AS y1995,
+         count(CASE WHEN year(o_orderdate) = 1996 THEN 1 END) AS y1996,
+         count(CASE WHEN year(o_orderdate) = 1997 THEN 1 END) AS y1997,
+         count(CASE WHEN year(o_orderdate) = 1998 THEN 1 END) AS y1998,
+         count(CASE WHEN year(o_orderdate) = 1999 THEN 1 END) AS y1999,
+         count(CASE WHEN year(o_orderdate) = 2000 THEN 1 END) AS y2000,
+         count(CASE WHEN year(o_orderdate) = 2001 THEN 1 END) AS y2001
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_dups FROM documents GROUP BY md5(text)""",

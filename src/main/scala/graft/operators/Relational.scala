@@ -230,6 +230,28 @@ object Relational {
       }: _*)
   }
 
+  /** Order counts per segment pivoted wide by order year —
+    * `RelationalGroupedDataset.pivot` with EXPLICIT pivot values.
+    * Listing the values matters at scale: without them Spark runs an
+    * extra distinct-collect job over the fact table just to discover
+    * the columns, and the pivot becomes data-dependent (schema drift
+    * on regrowth). With values fixed, this is one shuffle on the
+    * group key; each pivot cell is a map-side-combined conditional
+    * aggregate.
+    */
+  def segmentYearPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val years = 1995 to 2001
+    Tables.orders(spark, sfDir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("yr", years.map(Integer.valueOf))
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment") +:
+        years.map(y => coalesce(col(y.toString), lit(0L)).as(s"y$y")): _*)
+  }
+
   /** Driver-visible self-check for the sketch-based approximate
     * aggregates — the actual 100 TB path for percentiles and distinct
     * counts (one pass, bounded memory, no per-group sort). Their raw
