@@ -324,13 +324,15 @@ object Dedup {
     * `(doc_id, component_id)` with `component_id` = min doc_id in the
     * component (deterministic canonical representative).
     *
-    * Algorithm: min-label propagation to fixpoint. Each round is one
-    * shuffle (join labels to edges + min-aggregate); rounds needed =
-    * graph diameter, and near-dup components are shallow star-like
-    * clusters in practice (a handful of rounds). The driver loop only
-    * checks a per-round convergence COUNT — no row data ever reaches
-    * the driver. Each round's labels are materialized (persist +
-    * count) so lineage stays O(1) instead of doubling per iteration.
+    * Algorithm: min-label propagation with pointer-jumping. Each round
+    * propagates the smallest neighbor label (one shuffle) and then
+    * shortcuts every label to its label's label (one more join) — the
+    * doubling step that turns O(diameter) rounds into O(log diameter),
+    * which is what survives adversarially long dup CHAINS (templated
+    * crawl pages) at corpus scale. The driver loop only checks a
+    * per-round convergence COUNT — no row data ever reaches the
+    * driver. Each round's labels are materialized (persist + count) so
+    * lineage stays O(1) instead of doubling per iteration.
     */
   def dupComponents(pairs: DataFrame): DataFrame = {
     // cache the PAIRS, not the doubled edge list: the union below reads
@@ -351,10 +353,18 @@ object Dedup {
         .join(labels.select(col("doc_id").as("s"), col("component_id").as("nl")), "s")
         .groupBy(col("d").as("doc_id"))
         .agg(min(col("nl")).as("neighbor_min"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component_id"), coalesce(col("neighbor_min"), col("component_id")))
             .as("component_id"))
+      // shortcut: label ← label(label). Every label IS a node of the
+      // graph (it starts as a min over doc ids), so the self-join
+      // resolves unless the label is already a root.
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("component_id"),
+          col("component_id").as("parent")), Seq("component_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("parent"), col("component_id")).as("component_id"))
         .persist()
       val changed = next.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
         .filter(col("component_id") =!= col("prev")).count()

@@ -107,6 +107,15 @@ class DedupSpec extends SparkSuite with Matchers {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
   }
 
+  test("dupComponents converges on a deep chain (pointer-jumping path)") {
+    import spark.implicits._
+    // a 20-node path: naive propagation needs ~20 rounds, doubling ~5
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupComponents(pairs).as[(Long, Long)].collect()
+    got.length shouldBe 20
+    all(got.map(_._2)) shouldBe 0L
+  }
+
   test("dupComponents on the corpus pair graph: labels are component-consistent") {
     val pairs = Dedup.ngramJaccard(docs, n = 2, threshold = 0.3)
     val comp = Dedup.dupComponents(pairs)
