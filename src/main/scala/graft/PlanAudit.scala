@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-hygiene sweep: build (don't execute) every gate query's plan
+  * and flag operators that are scale smells — cartesian products,
+  * nested-loop joins, and single-partition global windows/sorts.
+  * Queries whose DESIGN is an exact all-pairs baseline are
+  * allowlisted explicitly, so any new flag is a regression signal.
+  *
+  * Streaming-replay queries execute on construction, so they are
+  * skipped here (their plans are spec-audited).
+  */
+object PlanAudit {
+  // sim_pairs_threshold: declared exact all-pairs baseline.
+  // dedup_simhash_pairs: the self-check's brute-force Hamming scan.
+  // sim_topk_bruteforce: broadcast queries × one candidate scan under a
+  // non-equi predicate IS the O(Q×N) operator, not an accident.
+  private val allPairsByDesign =
+    Set("sim_pairs_threshold", "dedup_simhash_pairs", "sim_topk_bruteforce")
+  private val streaming = Set("stream_gold_candles_1m", "stream_silver_typed")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val smells = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => streaming(n) }
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val hits = smells.filter(plan.contains)
+        if (hits.nonEmpty && !allPairsByDesign(name)) {
+          flagged += 1
+          println(s"[audit] FLAG $name: ${hits.mkString(", ")}")
+        } else if (hits.nonEmpty) {
+          println(s"[audit] ok (by design) $name: ${hits.mkString(", ")}")
+        }
+      }
+    println(s"[audit] done, $flagged unexpected flags")
+    spark.stop()
+  }
+}
