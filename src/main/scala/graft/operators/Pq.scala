@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Product-quantization (PQ) compressed similarity search — the
+  * memory/bandwidth scale path for ANN: vectors quantize to `m`
+  * one-byte codes (64×float32 → 8 bytes at the defaults, 32×
+  * compression), and query scoring reads codes, not floats, via
+  * asymmetric distance computation (ADC).
+  *
+  * Spark-first shape:
+  *  - Codebooks are deterministic (the first `k` vectors' subvectors
+  *    per subspace — a fixed sample, no RNG, no iterative k-means whose
+  *    float averaging would be partitioning-dependent), collected once
+  *    on the driver (m × k × dim/m floats — bytes) and shipped as
+  *    literals inside codegen'd expressions.
+  *  - Encoding is map-only: per subspace, argmin over k codegen'd dot
+  *    products on the L2-normalized subvector.
+  *  - Search broadcasts the queries WITH their per-subspace distance
+  *    tables precomputed in the broadcast-side projection; each
+  *    (query, candidate) pair then costs m array lookups + m adds —
+  *    never a float-vector read. Top `oversample × k` ADC candidates
+  *    per query are reranked with exact cosine, so emitted cosines are
+  *    exact and only recall is approximate (spec- and gate-measured).
+  *
+  * Vectors are L2-normalized before quantization: squared L2 on unit
+  * vectors is 2 − 2·cos, so ADC ranking is monotone in cosine and the
+  * PQ candidates chase the same objective the exact operators use.
+  */
+object Pq {
+
+  /** Deterministic codebooks: subspace s gets the s-th subvectors of
+    * the `k` lowest-vec_id embeddings, L2-normalized. Returns
+    * [subspace][centroid][component].
+    */
+  def codebooks(embeddings: DataFrame, m: Int, k: Int, dim: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val sample = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    Array.tabulate(m)(s => sample.map(_.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** Project `(vec_id, nrm, sub_0 … sub_{m-1})`: the norm and each
+    * subvector become ATTRIBUTES, so downstream per-centroid
+    * expressions reference them instead of recomputing norm/slice per
+    * centroid (the lambda/CSE pitfall — an inlined norm inside a
+    * per-element or per-centroid expression re-runs O(dim) each time).
+    * Normalization itself stays implicit: `dot(sub_raw, c) / nrm` ==
+    * `dot(sub_normalized, c)` by linearity, so no normalized array is
+    * ever materialized.
+    */
+  private def withSubvectors(embeddings: DataFrame, m: Int, sub: Int): DataFrame =
+    embeddings.select(
+      col("vec_id") +: col("embedding") +:
+        VectorFunctions.norm(col("embedding")).as("nrm") +:
+        (0 until m).map(s =>
+          slice(col("embedding"), s * sub + 1, sub).as(s"sub_$s")): _*)
+
+  /** Map-only PQ encoding: `(vec_id, codes array<int>)`. Code s is the
+    * argmin-L2 centroid of the normalized s-th subvector, computed as
+    * argmin of `|c|²/2 − dot(sub, c)/|e|` (monotone equivalent) with
+    * one codegen'd dot per centroid; ties break to the lowest code id.
+    */
+  def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val codeCols: Seq[Column] = (0 until m).map { s =>
+      val scored = books(s).zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum / 2.0
+        struct((lit(c2) - VectorFunctions.dot(col(s"sub_$s"), lit(c)) / col("nrm")).as("d"),
+          lit(i).as("code"))
+      }
+      least(scored: _*).getField("code")
+    }
+    withSubvectors(embeddings, m, sub)
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ-ADC approximate top-k with exact-cosine rerank. Candidates
+    * come from the code table only (the float vectors are touched for
+    * the `oversample × k` survivors per query); emitted cosines and
+    * their ordering are exact.
+    */
+  def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
+           m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
+           oversample: Int = 12): DataFrame = {
+    val books = codebooks(embeddings, m, numCentroids, dim)
+    val sub = dim / m
+    val codes = encode(embeddings, books)
+
+    // broadcast side: per query, one ADC distance table per subspace —
+    // distances from the normalized query subvector to every centroid.
+    // |q_s − c|² = |q_s|²/|q|² − 2 q_s·c/|q| + |c|²; norm and
+    // subvectors are attributes (see withSubvectors), dots are
+    // codegen'd.
+    val tableCols = (0 until m).map { s =>
+      val qs = col(s"sub_$s")
+      array(books(s).map { c =>
+        val c2 = c.map(x => x * x).sum
+        lit(c2) - lit(2.0) * VectorFunctions.dot(qs, lit(c)) / col("nrm") +
+          VectorFunctions.dot(qs, qs) / (col("nrm") * col("nrm"))
+      }: _*).as(s"t$s")
+    }
+    val q = withSubvectors(queries, m, sub).select(
+      col("vec_id").as("query_id") +: col("embedding").as("q_emb") +:
+        col("nrm").as("q_nrm") +: tableCols: _*)
+
+    // ADC scan: m lookups + adds per (query, candidate) pair
+    val adc = (0 until m).map(s =>
+      element_at(col(s"t$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), adc.as("adc"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val cand = scored.withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * oversample)
+      .drop("r", "adc")
+
+    // exact rerank of the survivors
+    val vecs = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), VectorFunctions.norm(col("embedding")).as("c_nrm"))
+    val exact = cand.join(vecs, "neighbor_id")
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Driver-visible self-check: recall@k of [[topK]] against the exact
+    * brute force, plus the invariant that every emitted cosine equals
+    * the exact cosine (true by rerank construction). One row:
+    * `(recall_at_least_80pct, cosines_exact)` — both true on this
+    * corpus; recall itself is spec-measured.
+    */
+  def selfCheck(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pq = Pq.topK(embeddings, queries, k)
+    val brute = Similarity.bruteForceTopK(embeddings, queries, k)
+    val hits = pq.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val total = brute.agg(count(lit(1)).as("n_total"))
+    val mismatch = pq.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(brute.select(col("query_id"), col("neighbor_id"), col("cos").as("cos_bf")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("cos_bf"))
+      .agg(count(lit(1)).as("n_mismatch"))
+    hits.crossJoin(total).crossJoin(mismatch)
+      .select(
+        (col("n_hit").cast("double") / col("n_total") >= 0.8).as("recall_at_least_80pct"),
+        (col("n_mismatch") === 0).as("cosines_exact"))
+  }
+}
