@@ -36,4 +36,14 @@ object VectorFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ codes of an embedding column (one-pass codebook sweep; see
+    * [[PqEncodeCodes]]).
+    */
+  def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncodeCodes(ColumnBridge.expression(emb), books))
+
+  /** Per-query ADC distance tables (see [[PqDistTables]]). */
+  def pqDistTables(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqDistTables(ColumnBridge.expression(emb), books))
 }

@@ -48,41 +48,19 @@ object Pq {
     Array.tabulate(m)(s => sample.map(_.slice(s * sub, (s + 1) * sub)))
   }
 
-  /** Project `(vec_id, nrm, sub_0 … sub_{m-1})`: the norm and each
-    * subvector become ATTRIBUTES, so downstream per-centroid
-    * expressions reference them instead of recomputing norm/slice per
-    * centroid (the lambda/CSE pitfall — an inlined norm inside a
-    * per-element or per-centroid expression re-runs O(dim) each time).
-    * Normalization itself stays implicit: `dot(sub_raw, c) / nrm` ==
-    * `dot(sub_normalized, c)` by linearity, so no normalized array is
-    * ever materialized.
-    */
-  private def withSubvectors(embeddings: DataFrame, m: Int, sub: Int): DataFrame =
-    embeddings.select(
-      col("vec_id") +: col("embedding") +:
-        VectorFunctions.norm(col("embedding")).as("nrm") +:
-        (0 until m).map(s =>
-          slice(col("embedding"), s * sub + 1, sub).as(s"sub_$s")): _*)
+  private def toSeq3(books: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
+    books.map(_.map(_.toSeq).toSeq).toSeq
 
   /** Map-only PQ encoding: `(vec_id, codes array<int>)`. Code s is the
-    * argmin-L2 centroid of the normalized s-th subvector, computed as
-    * argmin of `|c|²/2 − dot(sub, c)/|e|` (monotone equivalent) with
-    * one codegen'd dot per centroid; ties break to the lowest code id.
+    * argmin-L2 centroid of the normalized s-th subvector. One
+    * [[graft.functions.PqEncodeCodes]] kernel call sweeps all m × k
+    * centroids per row — the expression-tree formulation (least() over
+    * m·k structs) spent seconds in codegen compilation and shipped the
+    * codebook literals in every task binary.
     */
-  def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
-    val m = books.length
-    val sub = books(0)(0).length
-    val codeCols: Seq[Column] = (0 until m).map { s =>
-      val scored = books(s).zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum / 2.0
-        struct((lit(c2) - VectorFunctions.dot(col(s"sub_$s"), lit(c)) / col("nrm")).as("d"),
-          lit(i).as("code"))
-      }
-      least(scored: _*).getField("code")
-    }
-    withSubvectors(embeddings, m, sub)
-      .select(col("vec_id"), array(codeCols: _*).as("codes"))
-  }
+  def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
+    embeddings.select(col("vec_id"),
+      VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
 
   /** PQ-ADC approximate top-k with exact-cosine rerank. Candidates
     * come from the code table only (the float vectors are touched for
@@ -96,26 +74,18 @@ object Pq {
     val sub = dim / m
     val codes = encode(embeddings, books)
 
-    // broadcast side: per query, one ADC distance table per subspace —
-    // distances from the normalized query subvector to every centroid.
-    // |q_s − c|² = |q_s|²/|q|² − 2 q_s·c/|q| + |c|²; norm and
-    // subvectors are attributes (see withSubvectors), dots are
-    // codegen'd.
-    val tableCols = (0 until m).map { s =>
-      val qs = col(s"sub_$s")
-      array(books(s).map { c =>
-        val c2 = c.map(x => x * x).sum
-        lit(c2) - lit(2.0) * VectorFunctions.dot(qs, lit(c)) / col("nrm") +
-          VectorFunctions.dot(qs, qs) / (col("nrm") * col("nrm"))
-      }: _*).as(s"t$s")
-    }
-    val q = withSubvectors(queries, m, sub).select(
-      col("vec_id").as("query_id") +: col("embedding").as("q_emb") +:
-        col("nrm").as("q_nrm") +: tableCols: _*)
+    // broadcast side: per query, the full ADC distance-table matrix
+    // (m × k squared L2 distances from the normalized query subvectors
+    // to every centroid) — one kernel call per query row
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFunctions.norm(col("embedding")).as("q_nrm"),
+      VectorFunctions.pqDistTables(col("embedding"), toSeq3(books)).as("tables"))
 
     // ADC scan: m lookups + adds per (query, candidate) pair
     val adc = (0 until m).map(s =>
-      element_at(col(s"t$s"), element_at(col("codes"), s + 1) + 1))
+      element_at(element_at(col("tables"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
     val scored = codes.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
