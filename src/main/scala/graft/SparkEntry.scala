@@ -160,6 +160,13 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.dupComponents(
         Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5))),
+    // the apply side: corpus minus non-representative group members
+    "dedup_transitive_rows" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.dropTransitiveDups(d,
+        Dedup.ngramJaccard(d, n = 2, threshold = 0.5))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // gate = the banding-vs-brute-force self-check (signatures are
     // hash-seeded, so the pair list itself has no external oracle; the
     // invariant row below does). simhashPairs is the production op.
@@ -610,6 +617,30 @@ object SparkEntry {
            SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s)
          SELECT src AS doc_id, min(node) AS component_id
          FROM reach GROUP BY src""",
+    "dedup_transitive_rows" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+         comp AS (SELECT src AS doc_id, min(node) AS component_id
+                  FROM reach GROUP BY src)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN
+           (SELECT doc_id FROM comp WHERE doc_id != component_id)""",
     // the gate query is the banding-vs-brute-force self-check; its
     // output row is all-zero invariants whenever the pigeonhole
     // banding is correct, which IS oracle-expressible

@@ -375,4 +375,17 @@ object Dedup {
     p.unpersist()
     labels
   }
+
+  /** The apply side of [[dupComponents]]: drop every doc whose
+    * component representative is some OTHER doc (keep = the min-id
+    * member of each near-dup group, plus all docs that matched no
+    * pair). One anti join against the non-survivor set — docs outside
+    * the pair graph never shuffle.
+    */
+  def dropTransitiveDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = dupComponents(pairs)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

@@ -116,6 +116,16 @@ class DedupSpec extends SparkSuite with Matchers {
     all(got.map(_._2)) shouldBe 0L
   }
 
+  test("dropTransitiveDups keeps one representative per group plus unmatched docs") {
+    import spark.implicits._
+    val d = Seq((1L, "x"), (2L, "x2"), (3L, "x3"), (4L, "y"), (10L, "z"))
+      .toDF("doc_id", "text")
+    // chain 1-2-3 is one group; 4 and 10 match nothing
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    Dedup.dropTransitiveDups(d, pairs).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(1L, 4L, 10L)
+  }
+
   test("dupComponents on the corpus pair graph: labels are component-consistent") {
     val pairs = Dedup.ngramJaccard(docs, n = 2, threshold = 0.3)
     val comp = Dedup.dupComponents(pairs)
