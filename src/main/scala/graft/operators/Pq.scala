@@ -51,6 +51,43 @@ object Pq {
   private def toSeq3(books: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
     books.map(_.map(_.toSeq).toSeq).toSeq
 
+  /** Lloyd (k-means) refinement of PQ codebooks: `iters` rounds of
+    * assign (one [[graft.functions.PqEncodeCodes]] pass — all m
+    * subspaces at once) → update (one grouped mean over exploded
+    * normalized components, m·k·dim/m rows collected — bytes).
+    * Centroid components round to 6 decimals so the update is immune
+    * to float-sum association order (partitioning-independent in
+    * practice); empty cells keep their previous centroid. Improves
+    * quantization error over the fixed-sample books at the cost of
+    * `iters` extra jobs at build time.
+    */
+  def refineBooks(embeddings: DataFrame, books: Array[Array[Array[Double]]],
+                  iters: Int): Array[Array[Array[Double]]] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    var b = books
+    for (_ <- 1 to iters) {
+      val coded = embeddings.select(col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"),
+        VectorFunctions.pqEncode(col("embedding"), toSeq3(b)).as("codes"))
+      val s = (col("pos") / sub).cast("int")
+      val means = coded
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")),
+          col("nrm"), col("codes"))
+        .select(s.as("s"), pmod(col("pos"), lit(sub)).as("i"),
+          (col("v") / col("nrm")).as("nv"),
+          element_at(col("codes"), s + 1).as("c"))
+        .groupBy("s", "c", "i").agg(round(avg(col("nv")), 6).as("mean"))
+        .collect()
+      val next = b.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      b = next
+    }
+    b
+  }
+
   /** Map-only PQ encoding: `(vec_id, codes array<int>)`. Code s is the
     * argmin-L2 centroid of the normalized s-th subvector. One
     * [[graft.functions.PqEncodeCodes]] kernel call sweeps all m × k
@@ -69,8 +106,11 @@ object Pq {
     */
   def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
            m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
-           oversample: Int = 12): DataFrame = {
-    val books = codebooks(embeddings, m, numCentroids, dim)
+           oversample: Int = 12, kmeansIters: Int = 0): DataFrame = {
+    val sampled = codebooks(embeddings, m, numCentroids, dim)
+    val books =
+      if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
+      else sampled
     val sub = dim / m
     val codes = encode(embeddings, books)
 
@@ -115,8 +155,9 @@ object Pq {
     * `(recall_at_least_80pct, cosines_exact)` — both true on this
     * corpus; recall itself is spec-measured.
     */
-  def selfCheck(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val pq = Pq.topK(embeddings, queries, k)
+  def selfCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
+                kmeansIters: Int = 2): DataFrame = {
+    val pq = Pq.topK(embeddings, queries, k, kmeansIters = kmeansIters)
     val brute = Similarity.bruteForceTopK(embeddings, queries, k)
     val hits = pq.select("query_id", "neighbor_id")
       .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")

@@ -37,6 +37,17 @@ class PqSpec extends SparkSuite with Matchers {
       pq.orderBy("query_id", "rank").collect()
   }
 
+  test("k-means codebook refinement does not lose recall vs the fixed sample") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    def hits(iters: Int): Long =
+      Pq.topK(emb, queries, k = 10, kmeansIters = iters)
+        .select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+    hits(2) should be >= hits(0)
+  }
+
   test("selfCheck: recall >= 0.8 and exact cosines on this corpus") {
     val queries = emb.filter(col("vec_id") < 5)
     val row = Pq.selfCheck(emb, queries, k = 10).collect()
