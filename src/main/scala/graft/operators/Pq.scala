@@ -12,11 +12,12 @@ import graft.functions.VectorFunctions
   * asymmetric distance computation (ADC).
   *
   * Spark-first shape:
-  *  - Codebooks are deterministic (the first `k` vectors' subvectors
-  *    per subspace — a fixed sample, no RNG, no iterative k-means whose
-  *    float averaging would be partitioning-dependent), collected once
-  *    on the driver (m × k × dim/m floats — bytes) and shipped as
-  *    literals inside codegen'd expressions.
+  *  - Codebooks are deterministic: a fixed sample (first `k` vectors'
+  *    subvectors per subspace, no RNG), optionally polished by
+  *    [[refineBooks]] Lloyd rounds whose means are rounded to 6
+  *    decimals — immune to float-sum association order, so results
+  *    stay partitioning-independent. Collected once on the driver
+  *    (m × k × dim/m doubles — bytes), carried inside the kernels.
   *  - Encoding is map-only: per subspace, argmin over k codegen'd dot
   *    products on the L2-normalized subvector.
   *  - Search broadcasts the queries WITH their per-subspace distance

@@ -59,6 +59,39 @@ object Lake {
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Compact a parquet table directory to approximately
+    * `targetFileMB`-sized files — the small-files maintenance pass a
+    * streaming lakehouse needs: micro-batch append sinks accrete one
+    * file per (trigger × partition), and at 100 TB a scan over
+    * millions of KB-sized files dies on open/seek overhead and
+    * driver-side listing long before it reads any data. Delta's
+    * OPTIMIZE is this operation; on plain parquet it is a
+    * read → repartition → atomic-swap rewrite.
+    *
+    * The rewrite lands in a temp sibling dir first and swaps in via
+    * rename, so readers never observe a half-written table. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): (Int, Int) = {
+    import java.io.File
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def parquetFiles(d: File): Array[File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    val dir = new File(path)
+    val before = parquetFiles(dir)
+    val totalMB = math.max(before.map(_.length()).sum / (1024.0 * 1024.0), 0.001)
+    val nFiles = math.max(1, math.ceil(totalMB / targetFileMB).toInt)
+    val tmp = new File(dir.getParentFile, dir.getName + ".compact-tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    val bak = new File(dir.getParentFile, dir.getName + ".compact-old")
+    Files.move(Paths.get(path), bak.toPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp.toPath, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    bak.listFiles().foreach(_.delete()); bak.delete()
+    (before.length, parquetFiles(new File(path)).length)
+  }
+
   /** Persist `df` hash-bucketed (and sorted) by `keyCols` into the
     * session catalog as `tableName`. Joins and aggregations between
     * tables bucketed the same way on the same keys run without an

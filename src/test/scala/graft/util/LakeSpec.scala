@@ -51,6 +51,23 @@ class LakeSpec extends SparkSuite with Matchers {
       .as[Double].collect() shouldBe Array(40.0)
   }
 
+  test("compact merges a many-small-files table, preserving rows and schema") {
+    val path = Files.createTempDirectory("lake-compact-").toFile.getAbsolutePath + "/t"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // simulate the streaming-append small-files problem
+    ev.repartition(37).write.parquet(path)
+    val rowsBefore = spark.read.parquet(path).count()
+
+    val (before, after) = Lake.compact(spark, path, targetFileMB = 128)
+    before shouldBe 37
+    after should be < 5
+    val compacted = spark.read.parquet(path)
+    compacted.count() shouldBe rowsBefore
+    compacted.columns.sorted shouldBe ev.columns.sorted
+    // content identical, not just counts
+    compacted.exceptAll(ev).count() shouldBe 0
+  }
+
   test("bucketed tables join and aggregate without an exchange on the bucket key") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
