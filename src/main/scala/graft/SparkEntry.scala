@@ -239,6 +239,12 @@ object SparkEntry {
     }),
     "sim_pairs_threshold" -> ((s, dir) =>
       Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.4)),
+    // contract gate at the production probe budget (nprobe=4) —
+    // corpus-robust, complements the equality gate above
+    "sim_topk_ivf_check" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfSelfCheck(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
     // PQ codes are data-derived (no external oracle for the code
     // table); the gate asserts the search contract in-engine: recall
     // vs brute force ≥ 0.8 and exact rerank cosines
@@ -884,6 +890,10 @@ object SparkEntry {
            (SELECT *, row_number() OVER
               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          WHERE rank <= 10""",
+    // IVF contract at nprobe=4: invariants computed vs brute force
+    // in-engine (cell scoring is exact cosine by construction)
+    "sim_topk_ivf_check" ->
+      """SELECT true AS recall_ok, true AS cosines_exact""",
     // PQ search contract: invariants when ADC+rerank honors its
     // recall bound and the rerank is exact (computed vs brute force
     // in-engine)

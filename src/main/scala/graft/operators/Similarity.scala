@@ -164,6 +164,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Driver-visible contract check for [[ivfTopK]] at a genuinely
+    * approximate probe budget: recall@k vs brute force at least
+    * `minRecall`, and every emitted cosine equal to the exact value
+    * (true by construction — cells score with exact cosine). Robust
+    * across corpora, unlike the empirically-exhaustive-nprobe equality
+    * gate, which is exact only at the scale it was calibrated on.
+    */
+  def ivfSelfCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   nlist: Int = 16, nprobe: Int = 4,
+                   minRecall: Double = 0.5): DataFrame = {
+    val ivf = ivfTopK(embeddings, queries, k, nlist, nprobe)
+    val brute = bruteForceTopK(embeddings, queries, k)
+    val hits = ivf.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val total = brute.agg(count(lit(1)).as("n_total"))
+    val mismatch = ivf.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(brute.select(col("query_id"), col("neighbor_id"), col("cos").as("cos_bf")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("cos_bf"))
+      .agg(count(lit(1)).as("n_mismatch"))
+    hits.crossJoin(total).crossJoin(mismatch)
+      .select(
+        (col("n_hit").cast("double") / col("n_total") >= minRecall).as("recall_ok"),
+        (col("n_mismatch") === 0).as("cosines_exact"))
+  }
+
   /** LSH-bucketed near-neighbor pairs: bucket on band prefixes of the
     * hyperplane signature, candidate-join within buckets, verify with
     * exact cosine. Recall is tunable via bands (any pair agreeing on
