@@ -16,11 +16,12 @@ object PlanAudit {
   // dedup_simhash_pairs: the self-check's brute-force Hamming scan.
   // sim_topk_bruteforce: broadcast queries × one candidate scan under a
   // non-equi predicate IS the O(Q×N) operator, not an accident.
-  // sim_topk_pq: the ADC scan is the same broadcast-queries shape over
-  // 8-byte codes, and its self-check also embeds the brute baseline.
+  // sim_topk_pq / sim_topk_ivf_check: self-check gates that embed the
+  // brute-force baseline they compare against (and PQ's ADC scan is
+  // the same broadcast-queries shape over 8-byte codes).
   private val allPairsByDesign =
     Set("sim_pairs_threshold", "dedup_simhash_pairs", "sim_topk_bruteforce",
-      "sim_topk_pq")
+      "sim_topk_pq", "sim_topk_ivf_check")
   private val streaming = Set("stream_gold_candles_1m", "stream_silver_typed")
 
   def main(args: Array[String]): Unit = {
