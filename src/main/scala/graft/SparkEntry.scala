@@ -899,9 +899,10 @@ object SparkEntry {
     // in-engine)
     "sim_topk_pq" ->
       """SELECT true AS recall_at_least_80pct, true AS cosines_exact""",
-    // the 24×4-bit-band configuration reaches recall 1.0 at ≥0.4 on
-    // this corpus (spec-measured) and verification makes precision
-    // exact, so the exact-pairs SQL is a valid oracle
+    // the 16-band × 2-bit-bucket configuration (32 planes) reaches
+    // recall 1.0 at ≥0.4 on this corpus (spec-measured) and
+    // verification makes precision exact, so the exact-pairs SQL is a
+    // valid oracle
     "sim_lsh_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          pairs AS (

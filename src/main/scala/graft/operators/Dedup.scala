@@ -287,17 +287,30 @@ object Dedup {
   }
 
   /** Driver-visible self-check for [[simhashPairs]]: compare the banded
-    * pair set against a brute-force Hamming scan over the full
-    * signatures and emit ONE row of invariants — all zero when the
-    * banding honors its pigeonhole guarantee. The signatures are
-    * hash-seeded, so no external engine can recompute the pair list
-    * itself; this folds the equivalence assertion into constant-valued
-    * columns an oracle CAN assert. The O(N²) brute scan is the check
-    * harness by design, not the production path ([[simhashPairs]] is).
+    * pair set against a brute-force Hamming scan and emit ONE row of
+    * invariants — all zero when the banding honors its pigeonhole
+    * guarantee. The signatures are hash-seeded, so no external engine
+    * can recompute the pair list itself; this folds the equivalence
+    * assertion into constant-valued columns an oracle CAN assert.
+    *
+    * The brute scan is quadratic, so the check runs on a deterministic
+    * hash-sample of at most `maxBruteDocs` documents (the pigeonhole
+    * proof holds on any doc subset — banding and brute see the SAME
+    * sample, so the equivalence is exact on it). The gate's cost is
+    * thereby capped at ~maxBruteDocs² whatever the corpus size, while
+    * [[simhashPairs]] itself — the production path — stays banded and
+    * near-linear.
     */
-  def simhashSelfCheck(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val banded = simhashPairs(docs, maxDist)
-    val sig = simhash(docs)
+  def simhashSelfCheck(docs: DataFrame, maxDist: Int = 3,
+                       maxBruteDocs: Int = 2000): DataFrame = {
+    // one count() job to size the sample fraction — acceptable in a
+    // check harness (never on the production path)
+    val n = docs.count()
+    val sampled =
+      if (n <= maxBruteDocs) docs
+      else Curation.sampleByHash(docs, "doc_id", maxBruteDocs.toDouble / n)
+    val banded = simhashPairs(sampled, maxDist)
+    val sig = simhash(sampled)
     val brute = sig.as("a").crossJoin(sig.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -353,10 +366,15 @@ object Dedup {
         .join(labels.select(col("doc_id").as("s"), col("component_id").as("nl")), "s")
         .groupBy(col("d").as("doc_id"))
         .agg(min(col("nl")).as("neighbor_min"))
+      // persisted: the pointer-jump shortcut reads `propagated` on BOTH
+      // sides of its self-join — unpersisted, each round would execute
+      // the neighbor-min aggregation twice (and a third time for the
+      // convergence count through `next`'s lineage)
       val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component_id"), coalesce(col("neighbor_min"), col("component_id")))
             .as("component_id"))
+        .persist()
       // shortcut: label ← label(label). Every label IS a node of the
       // graph (it starts as a min over doc ids), so the self-join
       // resolves unless the label is already a root.
@@ -368,11 +386,18 @@ object Dedup {
         .persist()
       val changed = next.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
         .filter(col("component_id") =!= col("prev")).count()
+      propagated.unpersist() // `next` is materialized by the count above
       labels.unpersist()
       labels = next
       converged = changed == 0
     }
     p.unpersist()
+    // the returned frame IS the last round's cache, already materialized
+    // by the convergence count — reads are cache hits, never a replay of
+    // the iterative lineage. Callers that are done with the result may
+    // unpersist() it; until then it holds one (doc_id, component_id) row
+    // per paired doc in storage (the leak a long-lived session should
+    // reclaim).
     labels
   }
 

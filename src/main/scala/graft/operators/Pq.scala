@@ -43,8 +43,12 @@ object Pq {
     val sample = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       .map { v =>
+        // zero-norm fallback mirrors PqKernel.rowNorm: a zero vector in
+        // the sample must not seed NaN centroids (they'd silently poison
+        // every ADC distance against that centroid)
         val n = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / n)
+        val nn = if (n == 0.0) 1.0 else n
+        v.map(_ / nn)
       }
     Array.tabulate(m)(s => sample.map(_.slice(s * sub, (s + 1) * sub)))
   }
@@ -68,8 +72,10 @@ object Pq {
     val sub = books(0)(0).length
     var b = books
     for (_ <- 1 to iters) {
+      // same zero-norm fallback as the kernels: v/0 would NaN the means
       val coded = embeddings.select(col("embedding"),
-        VectorFunctions.norm(col("embedding")).as("nrm"),
+        when(VectorFunctions.norm(col("embedding")) === 0.0, lit(1.0))
+          .otherwise(VectorFunctions.norm(col("embedding"))).as("nrm"),
         VectorFunctions.pqEncode(col("embedding"), toSeq3(b)).as("codes"))
       val s = (col("pos") / sub).cast("int")
       val means = coded

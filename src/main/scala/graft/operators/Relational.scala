@@ -12,9 +12,15 @@ import graft.util.Tables
   * layer at scale.
   *
   * Scale notes (100 TB design intent):
-  *  - Dimension tables (region/nation/supplier/customer at this ratio)
-  *    are broadcast explicitly — no shuffle of the fact table for
-  *    dim joins.
+  *  - region/nation are broadcast explicitly: genuinely bounded (25/5
+  *    rows at every scale factor), so the hint is always safe and
+  *    saves AQE the discovery.
+  *  - customer/supplier get NO hard broadcast hint: in TPC-H they grow
+  *    linearly with scale factor, so a hard hint that is convenient at
+  *    sf0.1 becomes a driver OOM at 100×. The joins are planned by
+  *    size — AQE turns them into BroadcastHashJoin while the dims are
+  *    genuinely small and degrades gracefully to shuffle joins when
+  *    they aren't (same policy as Dedup.verifyJaccard).
   *  - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once;
   *    aggregations are partial-agg'd map-side by Catalyst.
   *  - All money aggregates round to a fixed scale so results are
@@ -39,15 +45,16 @@ object Relational {
   }
 
   /** TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem,
-    * revenue per order, top 10. customer is broadcast; orders⋈lineitem
-    * shuffles once on orderkey.
+    * revenue per order, top 10. customer joins by size (AQE broadcast
+    * while small — see header); orders⋈lineitem shuffles once on
+    * orderkey.
     */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -55,8 +62,8 @@ object Relational {
   }
 
   /** TPC-H Q5-style local-supplier volume: 6-way join through the star
-    * schema with all dimensions broadcast; single shuffle for the final
-    * group-by on nation.
+    * schema — nation/region broadcast (bounded), customer/supplier
+    * size-planned; single shuffle for the final group-by on nation.
     */
   def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -68,8 +75,8 @@ object Relational {
     val nat = Tables.nation(spark, sfDir)
     val reg = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -87,7 +94,11 @@ object Relational {
     val ord = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
-    val li = Tables.lineitem(spark, sfDir)
+    // explicit 2-column projection: the semi-join probe only needs the
+    // key and the date conjunct, so the shuffle carries 16 bytes/row
+    // instead of whole lineitem rows (don't rely on pruning through the
+    // non-equi condition)
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
     ord.join(li,
         col("l_orderkey") === col("o_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
@@ -138,7 +149,7 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_totalprice"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_totalprice"))
     // ~#segments rows: always broadcastable, whatever the fact size
     val cutoffs = joined.groupBy(col("c_mktsegment"))
@@ -207,7 +218,7 @@ object Relational {
   def orderValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val joined = Tables.orders(spark, sfDir)
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_totalprice"))
     val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("o_totalprice"))
     val ranked = joined
@@ -243,7 +254,7 @@ object Relational {
     val cust = Tables.customer(spark, sfDir)
     val years = 1995 to 2001
     Tables.orders(spark, sfDir)
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
       .groupBy(col("c_mktsegment"))
       .pivot("yr", years.map(Integer.valueOf))
@@ -295,19 +306,20 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Orders per market segment — broadcast dim join + two-level agg. */
+  /** Orders per market segment — size-planned dim join + two-level agg. */
   def ordersPerSegment(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_price"),
         countDistinct(col("o_custkey")).as("n_customers"))
   }
 
-  /** Top suppliers by shipped quantity — fact⋈dim with broadcast,
-    * grouped agg, deterministic top-k.
+  /** Top suppliers by shipped quantity — agg-then-join (the join input
+    * is one row per supplier, not per lineitem), size-planned dim join,
+    * deterministic top-k.
     */
   def topSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -315,7 +327,7 @@ object Relational {
     li.groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
         count(lit(1)).as("n_lines"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("total_qty"), col("n_lines"))
       .orderBy(col("total_qty").desc, col("s_name"))
       .limit(25)

@@ -120,18 +120,6 @@ object TextOps {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("fingerprint"))
 
-  /** Within-document repetition signals (the Gopher-family quality
-    * rule): per doc, the total word `n`-gram count, the most frequent
-    * n-gram's count, its share of the total, and the distinct-gram
-    * share. High `top_fraction` / low `distinct_fraction` marks
-    * boilerplate and looping generations.
-    *
-    * Shape: tokens are projected to their OWN column first so the
-    * n-gram lambda references an attribute (one split per row — an
-    * inlined `split` would re-run per lambda element); grams explode
-    * into a two-level aggregation whose first level combines map-side.
-    * Docs shorter than `n` tokens have no grams and emit no row.
-    */
   /** Gopher-family quality RULE bundle: hard per-doc pass/fail flags —
     * token-count band, mean-token-length band, symbol-character ratio,
     * stopword presence, top-bigram share — and the conjunctive `keep`
@@ -172,6 +160,18 @@ object TextOps {
         col("flag_stopword") && col("flag_repetition"))
   }
 
+  /** Within-document repetition signals (the Gopher-family quality
+    * rule): per doc, the total word `n`-gram count, the most frequent
+    * n-gram's count, its share of the total, and the distinct-gram
+    * share. High `top_fraction` / low `distinct_fraction` marks
+    * boilerplate and looping generations.
+    *
+    * Shape: tokens are projected to their OWN column first so the
+    * n-gram lambda references an attribute (one split per row — an
+    * inlined `split` would re-run per lambda element); grams explode
+    * into a two-level aggregation whose first level combines map-side.
+    * Docs shorter than `n` tokens have no grams and emit no row.
+    */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
     val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val grams = toked
