@@ -392,13 +392,43 @@ object Dedup {
       converged = changed == 0
     }
     p.unpersist()
-    // the returned frame IS the last round's cache, already materialized
-    // by the convergence count — reads are cache hits, never a replay of
-    // the iterative lineage. Callers that are done with the result may
-    // unpersist() it; until then it holds one (doc_id, component_id) row
-    // per paired doc in storage (the leak a long-lived session should
-    // reclaim).
-    labels
+    // Return an UNPERSISTED materialization: the final labels write
+    // through to parquet (one job over the already-cached last round)
+    // and the caller gets a plain scan of that snapshot. The alternative
+    // — returning the live cache — leaked one persisted RDD per call
+    // into a long-lived session (no caller can reasonably know it owns
+    // the unpersist), and localCheckpoint would too (checkpoint blocks
+    // ARE cached blocks). After this returns, the operator holds zero
+    // storage: every per-round persist above is already released.
+    val out = writeThrough(labels)
+    labels.unpersist(blocking = true)
+    out
+  }
+
+  /** Snapshot `df` to parquet and return a scan of the snapshot —
+    * a materialization whose lifecycle is the filesystem's, not the
+    * block manager's. Lands in the SparkContext checkpoint dir when one
+    * is set (the cluster-correct location: executors must reach it); a
+    * driver-local temp dir, cleaned on JVM exit, otherwise (local-mode
+    * sessions — this repo's test/verify harness).
+    */
+  private lazy val localSnapDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-materialize")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(d.toFile)
+    }
+    d.toString
+  }
+
+  private def writeThrough(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val base = spark.sparkContext.getCheckpointDir.getOrElse(localSnapDir)
+    val path = s"$base/snap-${java.util.UUID.randomUUID()}"
+    df.write.parquet(path)
+    spark.read.parquet(path)
   }
 
   /** The apply side of [[dupComponents]]: drop every doc whose

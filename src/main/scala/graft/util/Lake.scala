@@ -61,34 +61,88 @@ object Lake {
 
   /** Compact a parquet table directory to approximately
     * `targetFileMB`-sized files — the small-files maintenance pass a
-    * streaming lakehouse needs: micro-batch append sinks accrete one
-    * file per (trigger × partition), and at 100 TB a scan over
-    * millions of KB-sized files dies on open/seek overhead and
-    * driver-side listing long before it reads any data. Delta's
-    * OPTIMIZE is this operation; on plain parquet it is a
-    * read → repartition → atomic-swap rewrite.
+    * batch lakehouse needs: repeated appends accrete one file per
+    * (job × partition), and at 100 TB a scan over millions of KB-sized
+    * files dies on open/seek overhead and driver-side listing long
+    * before it reads any data. Delta's OPTIMIZE is this operation; on
+    * plain parquet it is a read → repartition → swap rewrite.
     *
-    * The rewrite lands in a temp sibling dir first and swaps in via
-    * rename, so readers never observe a half-written table. Returns
-    * (filesBefore, filesAfter).
+    * Supported layouts:
+    *  - flat batch dirs (parquet files at the top level);
+    *  - Hive-partitioned dirs (`k=v` subdirectories, nested OK) — the
+    *    rewrite preserves the partition columns and directory layout,
+    *    so partition pruning keeps working, with rows hash-clustered by
+    *    partition key so each partition value lands in ~one file. A
+    *    partition value larger than `targetFileMB` stays a single file
+    *    (the MB target is honored at whole-table granularity).
+    *
+    * REFUSED (throws `IllegalArgumentException`, table untouched):
+    * dirs containing a `_spark_metadata` streaming-sink manifest.
+    * Rewriting such a dir is silent data loss waiting to happen — the
+    * rewrite would drop the sink manifest, and a stream resuming on its
+    * old checkpoint recreates `_spark_metadata` listing only post-resume
+    * files, at which point every compacted row becomes invisible to
+    * `spark.read.parquet` (manifest-listed dirs ignore foreign files).
+    * To compact a retired streaming sink, read it and write a NEW table
+    * (`spark.read.parquet(sink).repartition(n).write.parquet(other)`),
+    * leaving the sink dir and its manifest intact.
+    *
+    * Concurrency contract: callers must ensure no writer is active and
+    * no reader starts a scan during the swap — the rewrite lands in a
+    * temp sibling dir first, but the swap is two renames, and between
+    * them the table path briefly does not exist (a concurrent reader
+    * would throw PATH_NOT_FOUND; none can ever see a half-written
+    * table). Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): (Int, Int) = {
     import java.io.File
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    def parquetFiles(d: File): Array[File] =
+    // visible children only: dot/underscore names (_SUCCESS, .crc) are
+    // metadata to Spark's file index and to us
+    def visible(d: File): Array[File] =
       Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    def parquetFiles(d: File): Array[File] = {
+      val kids = visible(d)
+      kids.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    def deleteRecursively(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      f.delete()
+    }
     val dir = new File(path)
+    require(dir.isDirectory, s"compact: not a table directory: $path")
+    require(!new File(dir, "_spark_metadata").exists(),
+      s"compact: $path is a streaming file-sink table (_spark_metadata " +
+        "present); compacting it would drop the sink manifest and a " +
+        "resumed stream would make every compacted row invisible to " +
+        "readers. Stop the stream for good and rewrite to a NEW path " +
+        "instead.")
+    // partition columns: walk the first chain of k=v subdirectories
+    // (Hive layout nests one level per partition column)
+    val partCols = Iterator.iterate(Option(dir)) {
+      _.flatMap(d => visible(d).find(f => f.isDirectory && f.getName.contains("=")))
+    }.drop(1).takeWhile(_.isDefined).flatten
+      .map(_.getName.split("=", 2)(0)).toSeq
     val before = parquetFiles(dir)
     val totalMB = math.max(before.map(_.length()).sum / (1024.0 * 1024.0), 0.001)
     val nFiles = math.max(1, math.ceil(totalMB / targetFileMB).toInt)
     val tmp = new File(dir.getParentFile, dir.getName + ".compact-tmp")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    val df = spark.read.parquet(path)
+    val rewrite =
+      if (partCols.isEmpty) df.repartition(nFiles)
+      // hash-cluster by partition key: every row of one partition value
+      // lands in one task, so the dynamic write emits ~one file per
+      // partition dir instead of (tasks × partitions)
+      else df.repartition(nFiles, partCols.map(col): _*)
+    val w = rewrite.write.mode(SaveMode.Overwrite)
+    (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+      .parquet(tmp.getAbsolutePath)
     val bak = new File(dir.getParentFile, dir.getName + ".compact-old")
     Files.move(Paths.get(path), bak.toPath, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp.toPath, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    bak.listFiles().foreach(_.delete()); bak.delete()
+    deleteRecursively(bak)
     (before.length, parquetFiles(new File(path)).length)
   }
 

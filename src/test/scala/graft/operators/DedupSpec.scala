@@ -116,6 +116,21 @@ class DedupSpec extends SparkSuite with Matchers {
     all(got.map(_._2)) shouldBe 0L
   }
 
+  test("dupComponents leaves no cached RDDs behind, result stays readable") {
+    import spark.implicits._
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.dupComponents(pairs)
+    // the operator owns its per-round caches and releases every one —
+    // a long-lived session must not accrete storage per call
+    spark.sparkContext.getPersistentRDDs.keySet shouldBe cachedBefore
+    // and the returned frame is a real materialization, not a lineage
+    // replay: repeated reads agree without any cache backing them
+    comp.as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    comp.count() shouldBe 5
+  }
+
   test("dropTransitiveDups keeps one representative per group plus unmatched docs") {
     import spark.implicits._
     val d = Seq((1L, "x"), (2L, "x2"), (3L, "x3"), (4L, "y"), (10L, "z"))

@@ -68,6 +68,60 @@ class LakeSpec extends SparkSuite with Matchers {
     compacted.exceptAll(ev).count() shouldBe 0
   }
 
+  test("compact refuses a streaming-sink dir and leaves every row readable") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamJobs
+    val root = Files.createTempDirectory("lake-sink-").toFile.getAbsolutePath
+    val inDir = Files.createTempDirectory("lake-sink-in-").toFile.getAbsolutePath
+    // many tiny appends -> a real file-sink dir with _spark_metadata
+    (1 to 3).foreach { i =>
+      Seq(s"a$i", s"b$i").toDF("v").coalesce(1).write.mode("append").json(inDir)
+      val q = StreamJobs.parquetAppend(
+        StreamJobs.jsonLinesStream(spark, inDir,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.StringType)))),
+        s"$root/out", s"$root/ckpt", Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$root/out").count() shouldBe 6
+    // compacting would drop the sink manifest -> silent data loss on
+    // stream resume; the call must refuse and touch nothing
+    val ex = intercept[IllegalArgumentException] {
+      Lake.compact(spark, s"$root/out")
+    }
+    ex.getMessage should include("_spark_metadata")
+    new java.io.File(s"$root/out/_spark_metadata").exists() shouldBe true
+    spark.read.parquet(s"$root/out").count() shouldBe 6
+    // no half-finished rewrite artifacts either
+    new java.io.File(s"$root/out.compact-tmp").exists() shouldBe false
+    new java.io.File(s"$root/out.compact-old").exists() shouldBe false
+  }
+
+  test("compact preserves a date-partitioned layout: dirs, pruning, content") {
+    val path = Files.createTempDirectory("lake-compact-part-").toFile.getAbsolutePath + "/t"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // partitioned AND fragmented: many files per partition dir
+    ev.withColumn("p_date", to_date(col("ts"))).repartition(11)
+      .write.partitionBy("p_date").parquet(path)
+    val expected = spark.read.parquet(path)
+      .select("event_id", "p_date").collect().toSet
+
+    val (before, after) = Lake.compact(spark, path, targetFileMB = 128)
+    after should be < before
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("p_date="))
+    dirs.length should be > 2 // partition layout survived
+    // pruning still works: a one-day read lists only that day's files
+    val oneDay = spark.read.parquet(path).filter(col("p_date") === "2024-01-02")
+    oneDay.queryExecution.executedPlan.toString should include("PartitionFilters")
+    // content identical, including the partition column's values
+    spark.read.parquet(path).select("event_id", "p_date")
+      .collect().toSet shouldBe expected
+    // backup fully removed even though it contained nested partition dirs
+    new java.io.File(path + ".compact-old").exists() shouldBe false
+  }
+
   test("bucketed tables join and aggregate without an exchange on the bucket key") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
