@@ -106,44 +106,28 @@ object Pq {
     embeddings.select(col("vec_id"),
       VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
 
-  /** PQ-ADC approximate top-k with exact-cosine rerank. Candidates
-    * come from the code table only (the float vectors are touched for
-    * the `oversample × k` survivors per query); emitted cosines and
-    * their ordering are exact.
+  /** ADC distance of the broadcast-side `tables` matrix against a code
+    * row: m array lookups + m adds per (query, candidate) pair.
     */
-  def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
-           m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
-           oversample: Int = 12, kmeansIters: Int = 0): DataFrame = {
-    val sampled = codebooks(embeddings, m, numCentroids, dim)
-    val books =
-      if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
-      else sampled
-    val sub = dim / m
-    val codes = encode(embeddings, books)
-
-    // broadcast side: per query, the full ADC distance-table matrix
-    // (m × k squared L2 distances from the normalized query subvectors
-    // to every centroid) — one kernel call per query row
-    val q = queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      VectorFunctions.norm(col("embedding")).as("q_nrm"),
-      VectorFunctions.pqDistTables(col("embedding"), toSeq3(books)).as("tables"))
-
-    // ADC scan: m lookups + adds per (query, candidate) pair
-    val adc = (0 until m).map(s =>
+  private def adcDistance(m: Int): Column =
+    (0 until m).map(s =>
       element_at(element_at(col("tables"), s + 1),
         element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    val scored = codes.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("q_emb"), col("q_nrm"),
-        col("vec_id").as("neighbor_id"), adc.as("adc"))
+
+  /** Keep the `limit` best ADC candidates per query, then rerank them
+    * with exact cosine against the float vectors and emit the final
+    * top-k `(query_id, neighbor_id, cos, rank)`. Shared by the flat
+    * [[topK]] and the IVF-sharded [[ivfPqTopK]] — the float table is
+    * only ever touched for the ADC survivors.
+    */
+  private def rerankTopK(scored: DataFrame, embeddings: DataFrame,
+                         k: Int, limit: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
     val cand = scored.withColumn("r", row_number().over(wAdc))
-      .filter(col("r") <= k * oversample)
+      .filter(col("r") <= limit)
       .drop("r", "adc")
-
-    // exact rerank of the survivors
     val vecs = embeddings.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), VectorFunctions.norm(col("embedding")).as("c_nrm"))
     val exact = cand.join(vecs, "neighbor_id")
@@ -154,6 +138,131 @@ object Pq {
     exact.withColumn("rank", row_number().over(wCos).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** PQ-ADC approximate top-k with exact-cosine rerank. Candidates
+    * come from the code table only (the float vectors are touched for
+    * the `oversample × k` survivors per query); emitted cosines and
+    * their ordering are exact.
+    *
+    * This is the FLAT layout — every query ADC-scans all N codes. It is
+    * the right tool up to the scale where even 8-byte-per-vector scans
+    * hurt; past that, [[ivfPqTopK]] bounds each query to its probed
+    * cells.
+    */
+  def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
+           m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
+           oversample: Int = 12, kmeansIters: Int = 0): DataFrame = {
+    val sampled = codebooks(embeddings, m, numCentroids, dim)
+    val books =
+      if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
+      else sampled
+    val codes = encode(embeddings, books)
+
+    // broadcast side: per query, the full ADC distance-table matrix
+    // (m × k squared L2 distances from the normalized query subvectors
+    // to every centroid) — one kernel call per query row
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFunctions.norm(col("embedding")).as("q_nrm"),
+      VectorFunctions.pqDistTables(col("embedding"), toSeq3(books)).as("tables"))
+
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), adcDistance(m).as("adc"))
+    rerankTopK(scored, embeddings, k, k * oversample)
+  }
+
+  /** IVF-PQ: the production ANN index shape — IVF coarse cells bound
+    * WHICH codes each query reads, PQ codes bound what reading one
+    * costs. Every vector is assigned to its nearest coarse cell
+    * ([[Similarity.cellOf]]) and PQ-encoded; a query ADC-scans only its
+    * `nprobe` closest cells' codes (candidate pairs are generated by a
+    * cell EQUI-join, never a full scan) and the survivors rerank with
+    * exact cosine, so emitted cosines are exact and only recall is
+    * approximate — the nprobe/nlist × oversample trade-off.
+    *
+    * At 100 TB: the code table is the stored index — one map-only
+    * assignment+encode pass, laid out partitioned by cell (8–16 bytes
+    * per vector instead of 256+ for floats), and per-query work is
+    * O(N · nprobe/nlist) ADC lookups + O(oversample · k) float reads.
+    *
+    * Codes quantize the full normalized vector, not the cell residual
+    * (Faiss `by_residual=false`): the ADC distance tables then depend
+    * only on the query — computed once and reused across its probed
+    * cells — and codebooks stay whole-corpus deterministic. Residual
+    * coding would buy finer quantization per cell at the cost of
+    * per-(query, cell) tables; recall lost to that choice is recovered
+    * by the exact rerank at the same oversample.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
+                oversample: Int = 12, kmeansIters: Int = 0): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val cents = Similarity.coarseCentroids(embeddings, nlist)
+    val sampled = codebooks(embeddings, m, numCentroids, dim)
+    val books =
+      if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
+      else sampled
+    // the stored index: (cell, vec_id, codes), partitioned by cell —
+    // explicit count, AQE would coalesce a column-only repartition of a
+    // small build side even though the probe join fans out
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val codes = embeddings.select(col("vec_id"),
+        Similarity.cellOf(col("embedding"), cents).as("cell"),
+        VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
+      .repartition(parts, col("cell"))
+    // per-query ADC tables computed ONCE (before the probe explode),
+    // then carried on each of the query's nprobe probe rows
+    val q = Similarity.withProbeCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("q_nrm"),
+        VectorFunctions.pqDistTables(col("embedding"), toSeq3(books)).as("tables")),
+      cents, nprobe)
+      .withColumnRenamed("embedding", "q_emb")
+    // the probe: a cell equi-join — a candidate pair materializes only
+    // when the query actually probes the candidate's cell
+    val scored = codes.join(broadcast(q),
+        col("cell") === col("probe_cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), adcDistance(m).as("adc"))
+    rerankTopK(scored, embeddings, k, k * oversample)
+  }
+
+  /** Driver-visible contract check for [[ivfPqTopK]] at a genuinely
+    * approximate probe budget: recall@k at least `minRecall` against
+    * the exact top-k, and every emitted cosine equal to the exact value
+    * (true by rerank construction). One row:
+    * `(recall_ok, cosines_exact)`.
+    *
+    * The exact reference is [[Similarity.ivfTopK]] probing ALL `nlist`
+    * cells — provably brute force (every candidate scored with exact
+    * cosine, same rounding and tiebreaks), but routed through the cell
+    * equi-join, so the whole check builds without a single nested-loop
+    * join (spec-verified equal to [[Similarity.bruteForceTopK]]).
+    */
+  def ivfPqSelfCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
+                     nlist: Int = 16, nprobe: Int = 4,
+                     kmeansIters: Int = 2,
+                     minRecall: Double = 0.5): DataFrame = {
+    val approx = ivfPqTopK(embeddings, queries, k, nlist, nprobe,
+      kmeansIters = kmeansIters)
+    val exact = Similarity.ivfTopK(embeddings, queries, k, nlist, nprobe = nlist)
+    // one LEFT join from the exact side, one global aggregation: hit =
+    // pair present on both sides, mismatch = present with a different
+    // cosine, total = exact rows. The sibling self-checks combine three
+    // 1-row aggregates with crossJoins; here that would plan the gate's
+    // only nested-loop join, so the invariants fold into a single pass
+    // (approx-only pairs contribute to no invariant in either shape).
+    exact.select(col("query_id"), col("neighbor_id"), col("cos").as("cos_bf"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), col("cos")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        (count(col("cos")).cast("double") / count(lit(1)) >= minRecall)
+          .as("recall_ok"),
+        (count(when(col("cos") =!= col("cos_bf"), 1)) === 0)
+          .as("cosines_exact"))
   }
 
   /** Driver-visible self-check: recall@k of [[topK]] against the exact

@@ -122,26 +122,44 @@ object Similarity {
     * vec_ids (a fixed sample — no RNG, no iterative k-means), collected
     * once on the driver (nlist × dim floats) and shipped as literals.
     */
-  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist)
-    val cents: Array[(Int, Array[Float], Double)] =
-      embeddings.orderBy("vec_id").limit(nlist).select("embedding").collect()
-        .map(_.getSeq[Float](0).toArray).zipWithIndex
-        .map { case (v, i) =>
-          (i, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
-        }
-    // score against centroid c: dot(e, c)/|c| — |e| is constant across
-    // centroids so it can't change the argmax; negate for min-ordering
-    def negScore(emb: Column, c: (Int, Array[Float], Double)): Column =
-      -VectorFunctions.dot(emb, lit(c._2)) / lit(c._3)
-    def cellOf(emb: Column): Column =
-      least(cents.map(c => struct(negScore(emb, c).as("s"), lit(c._1).as("cid"))): _*)
-        .getField("cid")
-    val assigned = spread(embeddings).select(col("vec_id").as("neighbor_id"),
-      col("embedding"), VectorFunctions.norm(col("embedding")).as("c_nrm"),
-      cellOf(col("embedding")).as("cell"))
-    // per query: the nprobe best cells, exploded into probe rows
+  /** Deterministic coarse centroids for the IVF cell layout: the
+    * embeddings of the `nlist` lowest vec_ids (a fixed sample — no RNG,
+    * no iterative k-means), collected once on the driver (nlist × dim
+    * floats) and shipped as literals. Shared by [[ivfTopK]] and the
+    * IVF-PQ composition ([[Pq.ivfPqTopK]]).
+    */
+  private[operators] def coarseCentroids(
+      embeddings: DataFrame, nlist: Int): Array[(Int, Array[Float], Double)] =
+    embeddings.orderBy("vec_id").limit(nlist).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex
+      .map { case (v, i) =>
+        (i, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+      }
+
+  /** Score of `emb` against centroid c: dot(e, c)/|c| — |e| is constant
+    * across centroids so it can't change the argmax; negated for
+    * min-ordering.
+    */
+  private def negScore(emb: Column, c: (Int, Array[Float], Double)): Column =
+    -VectorFunctions.dot(emb, lit(c._2)) / lit(c._3)
+
+  /** Nearest-cell id for a vector — the IVF assignment (one pass,
+    * `nlist` codegen'd dots per row).
+    */
+  private[operators] def cellOf(
+      emb: Column, cents: Array[(Int, Array[Float], Double)]): Column =
+    least(cents.map(c => struct(negScore(emb, c).as("s"), lit(c._1).as("cid"))): _*)
+      .getField("cid")
+
+  /** Explode each query row into its `nprobe` best cells: every column
+    * of `queries` is preserved and a `probe_cell` int column is added
+    * (one output row per probed cell). Requires the query vector in a
+    * column named `embedding`; project/alias other columns BEFORE the
+    * call so per-query derivations (norms, PQ distance tables) are
+    * computed once, not once per probe row.
+    */
+  private[operators] def withProbeCells(queries: DataFrame,
+      cents: Array[(Int, Array[Float], Double)], nprobe: Int): DataFrame = {
     val probeCells = slice(array_sort(array(
       cents.map(c => struct(negScore(col("embedding"), c).as("s"), lit(c._1).as("cid"))): _*)),
       1, nprobe)
@@ -149,10 +167,23 @@ object Similarity {
     // pre-filter re-evaluating the nlist-dot probe-cell ranking per
     // query row (see TextOps.repetition); nprobe >= 1 makes the null
     // row impossible, the filter just blocks the inference
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      VectorFunctions.norm(col("embedding")).as("q_nrm"),
-      explode_outer(probeCells.getField("cid")).as("probe_cell"))
+    queries.withColumn("probe_cell", explode_outer(probeCells.getField("cid")))
       .filter(col("probe_cell").isNotNull)
+  }
+
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val cents = coarseCentroids(embeddings, nlist)
+    val assigned = spread(embeddings).select(col("vec_id").as("neighbor_id"),
+      col("embedding"), VectorFunctions.norm(col("embedding")).as("c_nrm"),
+      cellOf(col("embedding"), cents).as("cell"))
+    // per query: the nprobe best cells, exploded into probe rows
+    val q = withProbeCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("q_nrm")),
+      cents, nprobe)
+      .withColumnRenamed("embedding", "q_emb")
     val scored = assigned.join(broadcast(q),
       col("cell") === col("probe_cell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(
