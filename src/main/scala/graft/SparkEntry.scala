@@ -172,6 +172,31 @@ object SparkEntry {
     // invariant row below does). simhashPairs is the production op.
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashSelfCheck(Tables.documents(s, dir), maxDist = 3)),
+    // the daily-increment path: index the kept 2/3 of the corpus once,
+    // check the remaining shard against the STORED index (old text is
+    // never re-shingled), emit stored ∪ incremental pairs. Per-doc
+    // artifacts are deterministic, so this equals from-scratch
+    // minhashLsh over the whole corpus at the same high-recall config —
+    // making the exact-Jaccard SQL over ALL documents the oracle, same
+    // as dedup_minhash_lsh. (Index build executes at plan time — eager
+    // like dedup_components; see PlanAudit's scaladoc.)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-dedup-index")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(idx.toFile)
+      }
+      val oldPairs = Dedup.buildNearDupIndex(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), idx.toString,
+        n = 2, threshold = 0.5)
+      val newPairs = Dedup.incrementalPairs(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), idx.toString,
+        n = 2, threshold = 0.5)
+      oldPairs.union(newPairs)
+    }),
     // ── training-data extensions: curation
     // benchmark = every 10th doc, corpus = the rest (synthetic split of
     // the documents table so the overlap is real but disjoint)

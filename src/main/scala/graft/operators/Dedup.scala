@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,16 +211,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
                  numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sets = hashedShingles(docs, n)
-    val sig = signaturesFromSets(sets, numHashes)
-    val bandCols = (0 until bands).map { bId =>
-      struct(lit(bId).as("band"),
-        xxhash64((bId * r until (bId + 1) * r).map(i => col(s"mh_$i")): _*).as("bucket"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = bandBuckets(signaturesFromSets(sets, numHashes), numHashes, bands)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -232,6 +224,24 @@ object Dedup {
     // SAME plan used for the signatures, so the shingle kernel and its
     // shuffle run once
     verifyJaccard(cand, sets, threshold)
+  }
+
+  /** LSH band buckets from a MinHash signature frame: band `bId` hashes
+    * signature rows `[bId·r, (bId+1)·r)` into one 64-bit bucket id
+    * (r = numHashes/bands). One output row per (doc, band). Per-doc and
+    * deterministic — a doc's buckets are identical whether computed in
+    * a from-scratch pass or an incremental one, which is what makes the
+    * persisted-index path below exactly equivalent to recomputation.
+    */
+  private def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { bId =>
+      struct(lit(bId).as("band"),
+        xxhash64((bId * r until (bId + 1) * r).map(i => col(s"mh_$i")): _*).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** 64-bit frequency-weighted SimHash over the token stream, one
@@ -443,4 +453,127 @@ object Dedup {
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  // ── incremental dedup against a persisted corpus index ────────────
+  //
+  // The operation a production pipeline runs DAILY: check a new shard
+  // against the already-kept corpus without recomputing the old side.
+  // The expensive work over old text — shingling, MinHash, banding —
+  // is paid once at index-build time and persisted; each increment
+  // computes those only for the new shard and joins against the stored
+  // index. Because every per-doc artifact (shingle set, signature,
+  // band bucket) depends only on that doc's text, the incremental pair
+  // set is EXACTLY what a from-scratch [[minhashLsh]] over old ∪ new
+  // would emit (spec- and gate-verified), not an approximation of it.
+
+  /** On-disk layout of a near-dup index under `path`:
+    *   sets/    (doc_id, hs)               sorted shingle hashes — exact verification
+    *   buckets/ (doc_id, band, bucket)     LSH band buckets — candidate generation
+    *   pairs/   (doc_a, doc_b, jaccard)    verified within-corpus near-dup pairs
+    */
+  private def setsPath(path: String) = s"$path/sets"
+  private def bucketsPath(path: String) = s"$path/buckets"
+  private def pairsPath(path: String) = s"$path/pairs"
+
+  /** Build the persisted near-dup index of a kept corpus at `path` and
+    * return the verified within-corpus pair frame (also stored, as
+    * `pairs/`). One shingle pass over the corpus — the same plan as
+    * [[minhashLsh]] — plus three parquet writes.
+    *
+    * At 100 TB the index is the durable artifact: sets/ is the same
+    * order of size as the text (8 bytes per distinct shingle), buckets/
+    * is `bands` rows of 20 bytes per doc, and neither is ever
+    * recomputed again. Increment-side joins read them with the NEW
+    * shard as the small broadcast side, so the index tables never
+    * reshuffle (see [[incrementalPairs]]).
+    */
+  def buildNearDupIndex(docs: DataFrame, path: String, n: Int = 2,
+                        threshold: Double = 0.5, numHashes: Int = 32,
+                        bands: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val sets = hashedShingles(docs, n)
+    sets.write.mode(SaveMode.Overwrite).parquet(setsPath(path))
+    // banding reads the PERSISTED sets (one parquet scan) rather than
+    // re-running the shingle kernel a second time
+    val storedSets = spark.read.parquet(setsPath(path))
+    bandBuckets(signaturesFromSets(storedSets, numHashes), numHashes, bands)
+      .write.mode(SaveMode.Overwrite).parquet(bucketsPath(path))
+    val buckets = spark.read.parquet(bucketsPath(path))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, storedSets, threshold)
+      .write.mode(SaveMode.Overwrite).parquet(pairsPath(path))
+    spark.read.parquet(pairsPath(path))
+  }
+
+  /** Every near-dup pair INVOLVING a new-shard doc — new-vs-index plus
+    * new-vs-new — verified with exact Jaccard, without touching old
+    * text. Together with the index's stored `pairs/`, this is the
+    * complete pair set of old ∪ new: per-doc artifacts are
+    * deterministic, so (old,old) pairs live in the index, and every
+    * other pair has a new-side doc and is generated here.
+    *
+    * Scale shape: the new shard is the small side everywhere — its
+    * buckets broadcast against the index bucket scan and the candidate
+    * list broadcasts against the index set scan (AQE size-gates both),
+    * so a daily increment is two map-side joins over the index plus
+    * one shingle pass over the shard. Requires doc_ids disjoint from
+    * the indexed corpus (enforce upstream; ids are assumed globally
+    * unique).
+    *
+    * Output orientation matches [[minhashLsh]]: doc_a < doc_b by id,
+    * whichever side is new.
+    */
+  def incrementalPairs(newDocs: DataFrame, path: String, n: Int = 2,
+                       threshold: Double = 0.5, numHashes: Int = 32,
+                       bands: Int = 16): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSets = hashedShingles(newDocs, n)
+    val newBuckets = bandBuckets(signaturesFromSets(newSets, numHashes), numHashes, bands)
+    val oldBuckets = spark.read.parquet(bucketsPath(path))
+    // new-vs-old: equi-join on (band, bucket); orientation by id after
+    // the match so output is uniform with the from-scratch pair frame
+    val crossCand = newBuckets.as("n")
+      .join(oldBuckets.as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    // new-vs-new: the shard may carry internal near-dups too
+    val selfCand = newBuckets.as("a")
+      .join(newBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = crossCand.union(selfCand).distinct()
+    val sets = spark.read.parquet(setsPath(path)).union(newSets)
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Fold a checked new shard into the index — the tail of the daily
+    * loop. Appends the shard's sets, buckets, and `newPairs` (the
+    * [[incrementalPairs]] output, or a filtered subset if the caller
+    * dropped losers) to the stored tables; after this, the index covers
+    * old ∪ new and the next shard increments against it. Parquet
+    * appends only — nothing existing is rewritten.
+    */
+  def extendIndex(newDocs: DataFrame, newPairs: DataFrame, path: String,
+                  n: Int = 2, numHashes: Int = 32, bands: Int = 16): Unit = {
+    val newSets = hashedShingles(newDocs, n)
+    newSets.write.mode(SaveMode.Append).parquet(setsPath(path))
+    bandBuckets(signaturesFromSets(newSets, numHashes), numHashes, bands)
+      .write.mode(SaveMode.Append).parquet(bucketsPath(path))
+    newPairs.write.mode(SaveMode.Append).parquet(pairsPath(path))
+  }
+
+  /** All verified near-dup pairs the index knows (`pairs/`): after
+    * build + k extends, exactly the from-scratch [[minhashLsh]] pair
+    * frame over everything indexed.
+    */
+  def indexedPairs(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(pairsPath(path))
 }

@@ -159,4 +159,35 @@ class DedupSpec extends SparkSuite with Matchers {
   test("simhashPairs rejects invalid maxDist") {
     an[IllegalArgumentException] should be thrownBy Dedup.simhashPairs(docs, maxDist = 64)
   }
+
+  test("incremental index: build + incrementalPairs == from-scratch minhashLsh") {
+    val path = java.nio.file.Files.createTempDirectory("dedup-idx").toString
+    val old = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val oldPairs = Dedup.buildNearDupIndex(old, path, n = 2, threshold = 0.5)
+    val newPairs = Dedup.incrementalPairs(fresh, path, n = 2, threshold = 0.5)
+    // stored pairs are old-vs-old only; incremental pairs all involve a
+    // fresh doc — disjoint, and their union is the from-scratch result
+    oldPairs.join(newPairs, Seq("doc_a", "doc_b")).count() shouldBe 0
+    val scratch = Dedup.minhashLsh(docs, n = 2, threshold = 0.5)
+    oldPairs.union(newPairs).orderBy("doc_a", "doc_b").collect() shouldBe
+      scratch.orderBy("doc_a", "doc_b").collect()
+    newPairs.count() should be > 0L // split must actually exercise the cross path
+  }
+
+  test("extendIndex folds a shard in; second increment still equals from-scratch") {
+    val path = java.nio.file.Files.createTempDirectory("dedup-idx2").toString
+    // three daily shards by doc_id mod 3
+    val s0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val s1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val s2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    Dedup.buildNearDupIndex(s0, path, n = 2, threshold = 0.5)
+    val p1 = Dedup.incrementalPairs(s1, path, n = 2, threshold = 0.5)
+    Dedup.extendIndex(s1, p1, path)
+    val p2 = Dedup.incrementalPairs(s2, path, n = 2, threshold = 0.5)
+    Dedup.extendIndex(s2, p2, path)
+    // after two extends the stored pairs/ covers the whole corpus
+    Dedup.indexedPairs(spark, path).orderBy("doc_a", "doc_b").collect() shouldBe
+      Dedup.minhashLsh(docs, n = 2, threshold = 0.5).orderBy("doc_a", "doc_b").collect()
+  }
 }
