@@ -175,6 +175,18 @@ class DedupSpec extends SparkSuite with Matchers {
     newPairs.count() should be > 0L // split must actually exercise the cross path
   }
 
+  test("dedup_incremental gate (build→increment→extend→increment) == from-scratch") {
+    // the registered gate memoizes build+extend per sfDir and times only
+    // the tranche-3 increment; its output must still equal minhashLsh
+    // over the WHOLE corpus (= the DuckDB exact-Jaccard oracle)
+    val gate = graft.SparkEntry.queries("dedup_incremental")(spark, "/root/testdata/sf0.001")
+    gate.orderBy("doc_a", "doc_b").collect() shouldBe
+      Dedup.minhashLsh(docs, n = 2, threshold = 0.5).orderBy("doc_a", "doc_b").collect()
+    // second call hits the memo: same result, no rebuild
+    graft.SparkEntry.queries("dedup_incremental")(spark, "/root/testdata/sf0.001")
+      .count() shouldBe gate.count()
+  }
+
   test("extendIndex folds a shard in; second increment still equals from-scratch") {
     val path = java.nio.file.Files.createTempDirectory("dedup-idx2").toString
     // three daily shards by doc_id mod 3
