@@ -37,6 +37,12 @@ object VectorFunctions {
     ColumnBridge.column(
       SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Min + second-min MinHash values per seeded hash function over a
+    * shingle-hash array (one-pass kernel; see [[MinHashMins]]).
+    */
+  def minhashMins(hs: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashMins(ColumnBridge.expression(hs), numHashes))
+
   /** PQ codes of an embedding column (one-pass codebook sweep; see
     * [[PqEncodeCodes]]).
     */

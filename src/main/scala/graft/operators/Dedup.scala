@@ -226,6 +226,71 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** Query-directed multi-probe MinHash LSH — the recall/cost knob a
+    * 100 TB dedup actually wants to turn. Single-probe banding buys
+    * recall only by adding bands, and every band is another full-corpus
+    * bucket exchange. Multi-probe instead ALSO probes, per band, the r
+    * buckets obtained by substituting one signature coordinate with the
+    * doc's second-smallest MinHash value ([[graft.functions.MinHashMins]]):
+    * when two near-dups disagree on exactly one coordinate, the
+    * disagreeing doc's min comes from a private shingle and its second
+    * minimum is (w.p. ≈ their Jaccard) the other doc's minimum — so the
+    * substituted bucket is precisely the most likely near-miss. Recall
+    * at b bands approaches single-probe recall at ~2b bands for ~the
+    * same exchange volume: probe rows are (r+1)× of one band's rows,
+    * but carried as lean (doc_id, band, bucket) triples and joined
+    * against BASE rows only, never probe×probe.
+    *
+    * Candidates are a strict superset of [[minhashLsh]] at the same
+    * (numHashes, bands) — base buckets are bit-identical (spec-proven)
+    * and base×base pairs are included — and exact-Jaccard verification
+    * keeps precision 1.0 regardless of probing. Empty docs produce
+    * sentinel signatures that can only pair with other empty docs, and
+    * verification drops those (null Jaccard); filter empties upstream
+    * if they are a corpus-scale population.
+    */
+  def minhashLshMultiProbe(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
+                           numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sets = hashedShingles(docs, n)
+    // one-pass kernel: (m1, m2) per hash function; m1 bit-equal to the
+    // classic min(xxhash64(lit(i), h)) signature row. The mm alias is
+    // non-cheap and multi-referenced, so CollapseProject keeps the
+    // projection boundary — the kernel runs once per doc, not per band.
+    val sig = sets.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashMins(col("hs"), numHashes).as("mm"))
+    def m1(i: Int) = col("mm").getItem(i).getField("m1")
+    def m2(i: Int) = col("mm").getItem(i).getField("m2")
+    val rows = (0 until bands).flatMap { bId =>
+      val idxs = bId * r until (bId + 1) * r
+      val base = struct(lit(bId).as("band"),
+        xxhash64(idxs.map(m1): _*).as("bucket"), lit(true).as("is_base"))
+      val probes = idxs.map { j =>
+        struct(lit(bId).as("band"),
+          xxhash64(idxs.map(i => if (i == j) m2(j) else m1(i)): _*).as("bucket"),
+          lit(false).as("is_base"))
+      }
+      base +: probes
+    }
+    val ext = sig.select(col("doc_id"), explode(array(rows: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"), col("bb.is_base").as("is_base"))
+    val base = ext.filter(col("is_base")).drop("is_base")
+    // ext×base, never probe×probe: distance-1 disagreements are caught
+    // from EITHER side (the disagreeing doc's probe hits the other's
+    // base), so joining both extended sides would only add distance-2
+    // noise candidates
+    val cand = ext.as("a")
+      .join(base.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
+  }
+
   /** LSH band buckets from a MinHash signature frame: band `bId` hashes
     * signature rows `[bId·r, (bId+1)·r)` into one 64-bit bucket id
     * (r = numHashes/bands). One output row per (doc, band). Per-doc and

@@ -254,15 +254,71 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val vecs = sig.select(col("vec_id"), col("embedding"), col("nrm"))
+    verifyCosine(cand, sig, threshold)
+  }
+
+  /** Exact-cosine verification of candidate (id_a, id_b) pairs against
+    * the (vec_id, embedding, nrm) columns of `vecs` — shared tail of
+    * the bucketed pair generators. Each side's vector is fetched once
+    * per surviving pair; precision is exact at any probing setting.
+    */
+  private def verifyCosine(cand: DataFrame, vecs: DataFrame,
+                           threshold: Double): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"), col("nrm"))
     cand
-      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      .join(v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
         col("nrm").as("nrm_a")), "id_a")
-      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      .join(v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
         col("nrm").as("nrm_b")), "id_b")
       .withColumn("cos", round(
         VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Multi-probe hyperplane LSH pairs: in addition to each band's own
+    * bucket, probe the r buckets at Hamming distance 1 (one sign bit
+    * flipped). A near-dup pair missed by single-probe banding is most
+    * often one hyperplane's sign disagreeing in every band — exactly
+    * the distance-1 neighborhood — so probing it buys the recall of
+    * roughly twice the bands without another full signature exchange:
+    * probe rows are (r+1)× lean (vec_id, band, bucket) triples joined
+    * against BASE rows only (probe×probe would add distance-2 noise).
+    *
+    * Candidates are a strict superset of [[lshPairs]] at the same
+    * (numPlanes, bands); exact-cosine verification keeps precision 1.0.
+    */
+  def lshPairsMultiProbe(embeddings: DataFrame, threshold: Double,
+                         numPlanes: Int = 16, bands: Int = 4,
+                         dim: Int = 64): DataFrame = {
+    require(numPlanes % bands == 0)
+    val r = numPlanes / bands
+    val sig = spread(embeddings).select(col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"),
+      lshSignature(col("embedding"), numPlanes, dim).as("sig"))
+    def bandBucket(bId: Int) =
+      shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1))
+    val rows = (0 until bands).flatMap { bId =>
+      val base = struct(lit(bId).as("band"), bandBucket(bId).as("bucket"),
+        lit(true).as("is_base"))
+      val probes = (0 until r).map { j =>
+        struct(lit(bId).as("band"),
+          bandBucket(bId).bitwiseXOR(lit(1L << j)).as("bucket"),
+          lit(false).as("is_base"))
+      }
+      base +: probes
+    }
+    val ext = sig.select(col("vec_id"), explode(array(rows: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"), col("bb.is_base").as("is_base"))
+    val baseRows = ext.filter(col("is_base")).drop("is_base")
+    val cand = ext.as("a")
+      .join(baseRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"))
+      .distinct()
+    verifyCosine(cand, sig, threshold)
   }
 }

@@ -175,6 +175,57 @@ class DedupSpec extends SparkSuite with Matchers {
     newPairs.count() should be > 0L // split must actually exercise the cross path
   }
 
+  test("MinHashMins kernel: m1/m2 bit-equal to explode-computed min and second-min") {
+    val numHashes = 8
+    val sets = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.shingleHashes(col("text"), 2).as("hs"))
+    val kernel = sets.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashMins(col("hs"), numHashes).as("mm"))
+    // classic two-pass reference: explode, min per (doc, i); then min of
+    // the remainder for the second minimum
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val hashed = sh.select(
+      (col("doc_id") +: (0 until numHashes).map(i =>
+        xxhash64(lit(i), col("h")).as(s"h_$i"))): _*)
+    val ref = hashed
+      .groupBy("doc_id")
+      .agg(min(col("h_0")).as("r1_0"), (1 until numHashes).map(i =>
+        min(col(s"h_$i")).as(s"r1_$i")): _*)
+    val ref2 = hashed
+      .join(ref, "doc_id")
+      .groupBy("doc_id")
+      .agg(min(when(col("h_0") > col("r1_0"), col("h_0"))).as("r2_0"),
+        (1 until numHashes).map(i =>
+          min(when(col(s"h_$i") > col(s"r1_$i"), col(s"h_$i"))).as(s"r2_$i")): _*)
+    val bad = kernel.join(ref, "doc_id").join(ref2, "doc_id").filter(
+      (0 until numHashes).map(i =>
+        col("mm").getItem(i).getField("m1") =!= col(s"r1_$i") ||
+          col("mm").getItem(i).getField("m2") =!=
+            coalesce(col(s"r2_$i"), lit(Long.MaxValue))).reduce(_ || _))
+    bad.count() shouldBe 0
+  }
+
+  test("minhashLshMultiProbe: superset of single-probe, exact precision") {
+    for ((nh, b) <- Seq((32, 16), (8, 4))) {
+      val single = Dedup.minhashLsh(docs, 2, 0.5, nh, b)
+      val multi = Dedup.minhashLshMultiProbe(docs, 2, 0.5, nh, b)
+      // base buckets are bit-identical to the classic banding path, so
+      // every single-probe pair survives multi-probing
+      single.exceptAll(multi).count() shouldBe 0
+      // verification keeps precision exact at any probing setting
+      multi.exceptAll(naiveJaccard(docs, 2, 0.5)).count() shouldBe 0
+    }
+  }
+
+  test("minhashLshMultiProbe gate config (8 hashes x 4 bands) == exact pairs") {
+    // dedup_lsh_multiprobe's oracle claim: recall 1.0 with a QUARTER of
+    // the main gate's hash budget (32x16) — at 100 TB the signature
+    // pass is 4x cheaper for the same answer on this corpus
+    val multi = Dedup.minhashLshMultiProbe(docs, 2, 0.5, numHashes = 8, bands = 4)
+    multi.orderBy("doc_a", "doc_b").collect() shouldBe
+      naiveJaccard(docs, 2, 0.5).orderBy("doc_a", "doc_b").collect()
+  }
+
   test("dedup_incremental gate (build→increment→extend→increment) == from-scratch") {
     // the registered gate memoizes build+extend per sfDir and times only
     // the tranche-3 increment; its output must still equal minhashLsh

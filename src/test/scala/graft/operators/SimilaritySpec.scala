@@ -53,6 +53,43 @@ class SimilaritySpec extends SparkSuite with Matchers {
     lsh.exceptAll(exact).count() shouldBe 0
   }
 
+  test("lshPairsMultiProbe is a superset of lshPairs at the same config") {
+    // distance-1 probes always include the exact bucket, so every
+    // single-probe candidate survives; precision stays exact
+    for ((np, b) <- Seq((16, 4), (32, 8))) {
+      val single = Similarity.lshPairs(emb, 0.4, np, b)
+      val multi = Similarity.lshPairsMultiProbe(emb, 0.4, np, b)
+      single.exceptAll(multi).count() shouldBe 0
+    }
+  }
+
+  test("lshPairsMultiProbe lifts recall where single-probe misses (strained configs)") {
+    val exact = Similarity.pairsAboveThreshold(emb, 0.4).count()
+    // measured on the test corpora: e.g. np=16 b=4 at sf0.001 single
+    // finds 35/66, multi 62/66 — the one-flipped-bit neighborhood is
+    // where most banding misses live
+    val gained = Seq((32, 8), (16, 4)).map { case (np, b) =>
+      val s = Similarity.lshPairs(emb, 0.4, np, b).count()
+      val m = Similarity.lshPairsMultiProbe(emb, 0.4, np, b).count()
+      m should be >= s
+      m.toDouble should be >= exact * 0.6
+      m > s
+    }
+    // at least one strained config shows a strict gain on this corpus
+    gained.exists(identity) shouldBe true
+  }
+
+  test("lshPairsMultiProbe gate config (16 planes x 8 bands) finds every exact pair") {
+    // sim_lsh_multiprobe's oracle claim: recall 1.0 with HALF the
+    // hyperplanes of the single-probe gate (32x16) — the signature
+    // pass, the scale cost at 100 TB, is half as expensive; precision
+    // is exact by verification
+    val exact = Similarity.pairsAboveThreshold(emb, 0.4)
+    val multi = Similarity.lshPairsMultiProbe(emb, 0.4, numPlanes = 16, bands = 8)
+    exact.exceptAll(multi).count() shouldBe 0
+    multi.exceptAll(exact).count() shouldBe 0
+  }
+
   test("lshSignature rejects more than 64 planes (bits pack into one long)") {
     an[IllegalArgumentException] should be thrownBy
       Similarity.lshPairs(emb, 0.4, numPlanes = 96, bands = 24)
