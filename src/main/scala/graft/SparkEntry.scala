@@ -36,21 +36,41 @@ object SparkEntry {
   private val dedupIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dedupGateIndex(s: SparkSession, dir: String): String =
     dedupIndexMemo.computeIfAbsent(dir, _ => {
-      val idx = java.nio.file.Files.createTempDirectory("graft-dedup-index")
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-        }
-        rm(idx.toFile)
-      }
+      val idx = tempIndexDir("graft-dedup-index")
       val docs = Tables.documents(s, dir)
       val t1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
       val t2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
-      Dedup.buildNearDupIndex(t1, idx.toString, n = 2, threshold = 0.5)
-      val p2 = Dedup.incrementalPairs(t2, idx.toString, n = 2, threshold = 0.5)
-      Dedup.extendIndex(t2, p2, idx.toString, n = 2)
-      idx.toString
+      Dedup.buildNearDupIndex(t1, idx, n = 2, threshold = 0.5)
+      val p2 = Dedup.incrementalPairs(t2, idx, n = 2, threshold = 0.5)
+      Dedup.extendIndex(t2, p2, idx, n = 2)
+      idx
     })
+
+  /** Per-(JVM, sfDir) memo of the `sim_topk_ann_index` gate's persisted
+    * IVF-PQ index, built at the production config (nlist=16, 2 Lloyd
+    * rounds — the same parameters `sim_topk_ivfpq` gates). Memoized for
+    * the same reason as [[dedupGateIndex]]: Bench and Verify time the
+    * stored-index QUERY path, which is the operation a serving loop
+    * amortizes the build against.
+    */
+  private val annIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annGateIndex(s: SparkSession, dir: String): String =
+    annIndexMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-ann-index")
+      Pq.buildAnnIndex(Tables.embeddings(s, dir), idx, kmeansIters = 2)
+      idx
+    })
+
+  private def tempIndexDir(prefix: String): String = {
+    val idx = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(idx.toFile)
+    }
+    idx.toString
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -317,6 +337,15 @@ object SparkEntry {
     "sim_topk_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Pq.ivfPqSelfCheck(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+    // the serving-loop path: search the PERSISTED index (built once per
+    // sfDir via the memo above) and assert it returns exactly what
+    // ivfPqTopK recomputes — centroids, codebooks, and codes round-trip
+    // bit-exactly, and the code scan is pruned to probed cells
+    "sim_topk_ann_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.annIndexSelfCheck(emb, emb.filter(col("vec_id") < 5),
+        annGateIndex(s, dir), k = 10)
     }),
     // 16 bands × 2-bit buckets is the high-recall configuration: it
     // finds every ≥0.4 pair on this corpus (recall 1.0, spec-measured),
@@ -1016,6 +1045,10 @@ object SparkEntry {
     // all-cells exact reference in-engine)
     "sim_topk_ivfpq" ->
       """SELECT true AS recall_ok, true AS cosines_exact""",
+    // persisted-index contract: stored-index search == recomputation
+    // (deterministic build, bit-exact parquet round-trip)
+    "sim_topk_ann_index" ->
+      """SELECT true AS stored_equals_recompute""",
     // the 16-band × 2-bit-bucket configuration (32 planes) reaches
     // recall 1.0 at ≥0.4 on this corpus (spec-measured) and
     // verification makes precision exact, so the exact-pairs SQL is a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -263,6 +263,144 @@ object Pq {
           .as("recall_ok"),
         (count(when(col("cos") =!= col("cos_bf"), 1)) === 0)
           .as("cosines_exact"))
+  }
+
+  // ── persisted ANN index ───────────────────────────────────────────
+  //
+  // [[ivfPqTopK]] recomputes centroids, codebooks, and the code table
+  // on every call — right for a one-shot query, wrong for a serving
+  // loop. At 100 TB the code table IS the index: build it once, lay it
+  // out partitioned by cell, and let every query read only its probed
+  // cells' files. Mirrors the dedup side's build-once/query-many shape
+  // ([[Dedup.buildNearDupIndex]] / [[Dedup.incrementalPairs]]).
+
+  /** On-disk layout of an ANN index under `path`:
+    *   params/ one row (nlist, m, num_centroids, dim, kmeans_iters) —
+    *           the index is self-describing; queries read no config
+    *   cents/  (cid, vec)      coarse IVF centroids
+    *   books/  (s, c, vec)     PQ codebook centroid per (subspace, code)
+    *   codes/  (vec_id, codes) parquet PARTITIONED BY cell — the bulk
+    *           artifact, 8–16 bytes/vector, pruned to probed cells
+    */
+  private def paramsPath(p: String) = s"$p/params"
+  private def centsPath(p: String) = s"$p/cents"
+  private def booksPath(p: String) = s"$p/books"
+  private def codesPath(p: String) = s"$p/codes"
+
+  /** Build the persisted IVF-PQ index of a corpus at `path`: one
+    * assignment+encode pass over the embeddings (the identical plan to
+    * [[ivfPqTopK]]'s in-flight index), written cell-partitioned so a
+    * query's file listing is bounded by its probe budget. Centroids and
+    * codebooks round-trip bit-exactly (double/float parquet), so
+    * stored-index search equals recomputation (gate-verified).
+    */
+  def buildAnnIndex(embeddings: DataFrame, path: String, nlist: Int = 16,
+                    m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
+                    kmeansIters: Int = 0): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = Similarity.coarseCentroids(embeddings, nlist)
+    val sampled = codebooks(embeddings, m, numCentroids, dim)
+    val books =
+      if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
+      else sampled
+    Seq((nlist, m, numCentroids, dim, kmeansIters))
+      .toDF("nlist", "m", "num_centroids", "dim", "kmeans_iters")
+      .write.mode(SaveMode.Overwrite).parquet(paramsPath(path))
+    cents.toSeq.map { case (cid, v, _) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .write.mode(SaveMode.Overwrite).parquet(centsPath(path))
+    books.zipWithIndex.flatMap { case (bs, s) =>
+      bs.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+    }.toSeq.toDF("s", "c", "vec")
+      .write.mode(SaveMode.Overwrite).parquet(booksPath(path))
+    embeddings.select(col("vec_id"),
+        Similarity.cellOf(col("embedding"), cents).as("cell"),
+        VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
+      .write.partitionBy("cell").mode(SaveMode.Overwrite)
+      .parquet(codesPath(path))
+  }
+
+  /** Read the stored centroid triples back in [[Similarity.coarseCentroids]]
+    * form — float components round-trip exactly and the norm is
+    * recomputed with the identical expression, so cell assignment and
+    * probe ranking are bit-equal to build time.
+    */
+  private def loadCents(spark: SparkSession, path: String): Array[(Int, Array[Float], Double)] =
+    spark.read.parquet(centsPath(path)).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+      .map { case (cid, v) =>
+        (cid, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+      }
+
+  private def loadBooks(spark: SparkSession, path: String,
+                        m: Int, numCentroids: Int): Array[Array[Array[Double]]] = {
+    val books = Array.ofDim[Array[Double]](m, numCentroids)
+    spark.read.parquet(booksPath(path)).collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    books
+  }
+
+  /** Search the stored index: the serving-loop path. Driver-side work
+    * is three tiny reads (params, nlist centroids, m·k codebook rows)
+    * plus one job over the SMALL query side to collect the distinct
+    * probed cells; the code scan is then pruned to those partitions
+    * with an explicit `cell IN (...)` — file-level pruning guaranteed
+    * by layout, not left to dynamic-partition-pruning heuristics. No
+    * centroid, codebook, or code is ever recomputed.
+    *
+    * `embeddings` is touched only to rerank the ADC survivors with
+    * exact cosine (O(oversample·k) keyed float reads per query) — the
+    * float corpus stays in the lake; the index carries codes.
+    */
+  def annTopK(embeddings: DataFrame, queries: DataFrame, path: String, k: Int,
+              nprobe: Int = 4, oversample: Int = 12): DataFrame = {
+    val spark = embeddings.sparkSession
+    val p = spark.read.parquet(paramsPath(path)).collect().head
+    val (nlist, m) = (p.getInt(0), p.getInt(1))
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, $nlist], got $nprobe")
+    val cents = loadCents(spark, path)
+    val books = loadBooks(spark, path, m, p.getInt(2))
+    val q = Similarity.withProbeCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("q_nrm"),
+        VectorFunctions.pqDistTables(col("embedding"), toSeq3(books)).as("tables")),
+      cents, nprobe)
+      .withColumnRenamed("embedding", "q_emb")
+    val probed = q.select("probe_cell").distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(codesPath(path))
+      .filter(col("cell").isin(probed.toSeq: _*))
+    val scored = codes.join(broadcast(q),
+        col("cell") === col("probe_cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), adcDistance(m).as("adc"))
+    rerankTopK(scored, embeddings, k, k * oversample)
+  }
+
+  /** Driver-visible contract for the persisted index: stored-index
+    * search returns EXACTLY what [[ivfPqTopK]] recomputes with the
+    * build parameters (read back from `params/` — the check is
+    * self-describing). One row `(stored_equals_recompute)`; the
+    * comparison is a full-outer join on the complete result tuple, so
+    * the gate plans no nested-loop join.
+    */
+  def annIndexSelfCheck(embeddings: DataFrame, queries: DataFrame,
+                        path: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val p = spark.read.parquet(paramsPath(path)).collect().head
+    val stored = annTopK(embeddings, queries, path, k, nprobe)
+    val fresh = ivfPqTopK(embeddings, queries, k,
+      nlist = p.getInt(0), nprobe = nprobe, m = p.getInt(1),
+      numCentroids = p.getInt(2), dim = p.getInt(3),
+      kmeansIters = p.getInt(4))
+    val cmp = Seq("query_id", "neighbor_id", "cos", "rank")
+    stored.withColumn("in_a", lit(1))
+      .join(fresh.withColumn("in_b", lit(1)), cmp, "full_outer")
+      .agg((count(when(col("in_a").isNull || col("in_b").isNull, 1)) === 0)
+        .as("stored_equals_recompute"))
   }
 
   /** Driver-visible self-check: recall@k of [[topK]] against the exact

@@ -103,4 +103,39 @@ class PqSpec extends SparkSuite with Matchers {
     row.head.getBoolean(0) shouldBe true
     row.head.getBoolean(1) shouldBe true
   }
+
+  test("persisted ANN index: stored search == recompute, scan pruned to probed cells") {
+    val path = java.nio.file.Files.createTempDirectory("ann-idx").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    Pq.buildAnnIndex(emb, path, kmeansIters = 2)
+    val stored = Pq.annTopK(emb, queries, path, k = 10, nprobe = 4)
+    val fresh = Pq.ivfPqTopK(emb, queries, k = 10, nlist = 16, nprobe = 4,
+      kmeansIters = 2)
+    stored.orderBy("query_id", "rank").collect() shouldBe
+      fresh.orderBy("query_id", "rank").collect()
+    // the code scan must carry a partition filter on cell — file-level
+    // pruning to the probed cells, the point of the cell-partitioned
+    // layout. (String-audit the executed plan: AQE wraps stages, so
+    // node-collect doesn't descend; after execution the plan string
+    // shows the final scans.)
+    val codeScans = stored.queryExecution.executedPlan.toString.split('\n')
+      .filter(l => l.contains("FileScan") && l.contains("codes"))
+    codeScans should not be empty
+    codeScans.foreach(_ should include("PartitionFilters: [cell"))
+    // the self-check row folds the equality into one gate-visible bool
+    val row = Pq.annIndexSelfCheck(emb, queries, path, k = 10).collect()
+    row.length shouldBe 1
+    row.head.getBoolean(0) shouldBe true
+  }
+
+  test("annTopK at a different probe budget still matches recompute") {
+    val path = java.nio.file.Files.createTempDirectory("ann-idx2").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    // un-refined books exercise the kmeansIters=0 round-trip
+    Pq.buildAnnIndex(emb, path)
+    val stored = Pq.annTopK(emb, queries, path, k = 5, nprobe = 2)
+    val fresh = Pq.ivfPqTopK(emb, queries, k = 5, nlist = 16, nprobe = 2)
+    stored.orderBy("query_id", "rank").collect() shouldBe
+      fresh.orderBy("query_id", "rank").collect()
+  }
 }
