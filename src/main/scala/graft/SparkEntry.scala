@@ -61,6 +61,25 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the `sim_topk_ann_extend` gate's index:
+    * built on the first 2/3 of vec_ids, then the remaining shard folded
+    * in via [[Pq.extendAnnIndex]]. Unrefined books (kmeansIters=0) by
+    * design — the frozen-quantizer append is bit-identical to a
+    * from-scratch unrefined build over the whole corpus (the
+    * deterministic lowest-vec_id samples lie in tranche 1), which is
+    * exactly what [[Pq.annIndexSelfCheck]] then asserts.
+    */
+  private val annExtendMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annExtendGateIndex(s: SparkSession, dir: String): String =
+    annExtendMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-ann-extend")
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(max("vec_id")).head.getLong(0) * 2 / 3
+      Pq.buildAnnIndex(emb.filter(col("vec_id") <= cut), idx)
+      Pq.extendAnnIndex(emb.filter(col("vec_id") > cut), idx)
+      idx
+    })
+
   private def tempIndexDir(prefix: String): String = {
     val idx = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
@@ -346,6 +365,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Pq.annIndexSelfCheck(emb, emb.filter(col("vec_id") < 5),
         annGateIndex(s, dir), k = 10)
+    }),
+    // the append lifecycle: index built on 2/3 of the corpus, the rest
+    // folded in with the frozen quantizers — searching the extended
+    // index must equal recomputation over the WHOLE corpus (holds
+    // bit-exactly for unrefined books; see annExtendGateIndex)
+    "sim_topk_ann_extend" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.annIndexSelfCheck(emb, emb.filter(col("vec_id") < 5),
+        annExtendGateIndex(s, dir), k = 10)
     }),
     // 16 bands × 2-bit buckets is the high-recall configuration: it
     // finds every ≥0.4 pair on this corpus (recall 1.0, spec-measured),
@@ -1048,6 +1076,10 @@ object SparkEntry {
     // persisted-index contract: stored-index search == recomputation
     // (deterministic build, bit-exact parquet round-trip)
     "sim_topk_ann_index" ->
+      """SELECT true AS stored_equals_recompute""",
+    // append-lifecycle contract: build 2/3 + extend 1/3 == from-scratch
+    // recompute over the whole corpus (frozen quantizers)
+    "sim_topk_ann_extend" ->
       """SELECT true AS stored_equals_recompute""",
     // the 16-band × 2-bit-bucket configuration (32 planes) reaches
     // recall 1.0 at ≥0.4 on this corpus (spec-measured) and

@@ -343,6 +343,37 @@ object Pq {
     books
   }
 
+  /** Fold a new vector shard into a stored ANN index — the daily
+    * append of a serving pipeline, mirroring [[Dedup.extendIndex]].
+    * Centroids and codebooks stay FIXED (standard IVF append
+    * semantics), so an append is one map-only assign+encode pass over
+    * the shard with the STORED cents/books; nothing existing is
+    * rewritten and cell partitioning is preserved (parquet appends
+    * land in the shard's cells' directories).
+    *
+    * Because the quantizers are frozen, the extended index is
+    * bit-identical to a from-scratch build over old ∪ new whose
+    * deterministic sample (lowest vec_ids) lies within the original
+    * corpus and whose books are unrefined — gate-verified via
+    * [[annIndexSelfCheck]] on exactly that split. With Lloyd-refined
+    * books the equivalence intentionally does not hold (refinement is
+    * a function of the whole build corpus); recall drifts as appended
+    * data shifts the distribution, and the remedy is a rebuild, not a
+    * smarter append. Requires shard vec_ids disjoint from the indexed
+    * corpus (enforce upstream).
+    */
+  def extendAnnIndex(newEmbeddings: DataFrame, path: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val p = spark.read.parquet(paramsPath(path)).collect().head
+    val cents = loadCents(spark, path)
+    val books = loadBooks(spark, path, p.getInt(1), p.getInt(2))
+    newEmbeddings.select(col("vec_id"),
+        Similarity.cellOf(col("embedding"), cents).as("cell"),
+        VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
+      .write.partitionBy("cell").mode(SaveMode.Append)
+      .parquet(codesPath(path))
+  }
+
   /** Search the stored index: the serving-loop path. Driver-side work
     * is three tiny reads (params, nlist centroids, m·k codebook rows)
     * plus one job over the SMALL query side to collect the distinct

@@ -128,6 +128,26 @@ class PqSpec extends SparkSuite with Matchers {
     row.head.getBoolean(0) shouldBe true
   }
 
+  test("extendAnnIndex: build 2/3 + append 1/3 == from-scratch build over all") {
+    val partial = java.nio.file.Files.createTempDirectory("ann-ext").toString
+    val full = java.nio.file.Files.createTempDirectory("ann-full").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    val cut = emb.agg(max("vec_id")).head.getLong(0) * 2 / 3
+    // frozen quantizers: the deterministic lowest-vec_id samples lie in
+    // tranche 1, so the appended index is bit-identical to a full build
+    Pq.buildAnnIndex(emb.filter(col("vec_id") <= cut), partial)
+    Pq.extendAnnIndex(emb.filter(col("vec_id") > cut), partial)
+    Pq.buildAnnIndex(emb, full)
+    val extended = Pq.annTopK(emb, queries, partial, k = 10, nprobe = 4)
+    val scratch = Pq.annTopK(emb, queries, full, k = 10, nprobe = 4)
+    extended.orderBy("query_id", "rank").collect() shouldBe
+      scratch.orderBy("query_id", "rank").collect()
+    // and therefore equal to direct recomputation too (the gate's check)
+    val row = Pq.annIndexSelfCheck(emb, queries, partial, k = 10).collect()
+    row.length shouldBe 1
+    row.head.getBoolean(0) shouldBe true
+  }
+
   test("annTopK at a different probe budget still matches recompute") {
     val path = java.nio.file.Files.createTempDirectory("ann-idx2").toString
     val queries = emb.filter(col("vec_id") < 5)
