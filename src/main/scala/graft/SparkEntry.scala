@@ -157,6 +157,26 @@ object SparkEntry {
             col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
             col("ts").as("trade_timestamp"),
             col("user_id").as("trade_id")))),
+    // the reference's TITLE feature as a real stream-STREAM join: two
+    // independent file-stream sources over the same replay (A = even,
+    // B = odd event_ids), watermarked band join via Medallion
+    // .streamSpread. Inner-join emission is not watermark-gated and the
+    // chronological replay makes no row late, so the emitted set equals
+    // the batch band join — the DuckDB inequality-join SQL is the
+    // oracle.
+    "stream_spread_join" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayJoin(s, Tables.events(s, dir),
+        "ts", "event_id",
+        (ra, rb) => {
+          def typed(df: DataFrame, parity: Int) = df
+            .filter(col("event_type").isin("click", "purchase", "view") &&
+              pmod(col("event_id"), lit(2)) === parity)
+            .select(col("event_type").as("symbol"),
+              col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
+              col("ts").as("trade_timestamp"))
+          graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1))
+            .withColumn("spread", round(col("spread"), 6))
+        })),
     // ── serving layer (SURVEY §2.3 P9, §2.5, §2.6)
     "serve_latest_per_symbol" -> ((s, dir) =>
       Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts", "event_id")),
@@ -446,6 +466,20 @@ object SparkEntry {
          CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
          CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
          FROM events WHERE event_type IN ('click','purchase','view')""",
+    // the stream-stream band join's emitted set == the batch band join
+    // (inner emission is not watermark-gated; chronological replay
+    // means nothing is late)
+    "stream_spread_join" ->
+      """WITH t AS (SELECT event_id, event_type AS symbol,
+             CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
+             CAST(ts AS TIMESTAMP) AS tts
+           FROM events WHERE event_type IN ('click','purchase','view'))
+         SELECT a.symbol AS base, a.tts AS ts_a, a.symbol AS symbol_a,
+           a.price AS price_a, b.tts AS ts_b, b.symbol AS symbol_b,
+           b.price AS price_b, round(a.price - b.price, 6) AS spread
+         FROM t a JOIN t b ON a.symbol = b.symbol
+           AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+           AND b.tts BETWEEN a.tts - INTERVAL 60 SECOND AND a.tts""",
     "gold_candles_sliding" ->
       """WITH x AS (
            SELECT unnest([date_trunc('minute', CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE,

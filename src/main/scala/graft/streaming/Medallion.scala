@@ -81,6 +81,49 @@ object Medallion {
         (col("price_a") - col("price_b")).as("spread"))
   }
 
+  /** Scale-shaped [[streamSpread]]: identical emitted set, but the
+    * stream-stream equi-key is (base, time bucket) instead of base
+    * alone. With a bare base key, Spark's symmetric-hash join scans a
+    * key's ENTIRE state for every arriving row — O(N²/bases) compares
+    * when bases are few (measured: 33 s vs 3 s at sf0.1 on 3 bases).
+    * Bucketing by `floor(epoch / band)` and exploding the B side into
+    * its own and the NEXT bucket makes each lookup touch only ~2 band
+    * windows of state, and shards the join state across (base, bucket)
+    * instead of piling it onto a handful of hot base keys.
+    *
+    * Exactly-once pairing: a qualifying pair has
+    * `floor(u_a/band) ∈ {floor(u_b/band), floor(u_b/band)+1}` (u =
+    * truncated epoch seconds; ts_a ∈ [ts_b, ts_b+band] bounds the
+    * bucket delta to ≤ 1), and B contributes each bucket once, so every
+    * pair matches on exactly A's bucket — no dedup needed. The exact
+    * band predicate still applies after the bucket equi-match, and
+    * both watermarks still bound state eviction.
+    */
+  def streamSpreadBucketed(silverA: DataFrame, silverB: DataFrame,
+                           watermarkDelay: String = "10 minutes",
+                           bandSeconds: Int = 60): DataFrame = {
+    val a = silverA
+      .withWatermark("trade_timestamp", watermarkDelay)
+      .select(substring_index(col("symbol"), "-", 1).as("base"),
+        col("symbol").as("symbol_a"), col("trade_timestamp").as("ts_a"),
+        col("price").as("price_a"),
+        floor(col("trade_timestamp").cast("long") / bandSeconds).as("bucket"))
+    val b = silverB
+      .withWatermark("trade_timestamp", watermarkDelay)
+      .select(substring_index(col("symbol"), "-", 1).as("base_b"),
+        col("symbol").as("symbol_b"), col("trade_timestamp").as("ts_b"),
+        col("price").as("price_b"))
+      .withColumn("bucket_b", explode(array(
+        floor(col("ts_b").cast("long") / bandSeconds),
+        floor(col("ts_b").cast("long") / bandSeconds) + 1)))
+    a.join(b, col("base") === col("base_b") &&
+        col("bucket") === col("bucket_b") && expr(
+      s"ts_b BETWEEN ts_a - INTERVAL $bandSeconds SECONDS AND ts_a"))
+      .select(col("base"), col("ts_a"), col("symbol_a"), col("price_a"),
+        col("ts_b"), col("symbol_b"), col("price_b"),
+        (col("price_a") - col("price_b")).as("spread"))
+  }
+
   /** silver → gold: watermarked 1-minute OHLC/VWAP candles
     * (`gold_layer.py:55-80`). Reference-shaped output — including the
     * `avg(price)` "vwap" whose decimal(18,8) input Catalyst widens to

@@ -24,26 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamedBatch {
 
-  /** Replay `input` (sorted by `tsCol`, `tieCol`) as a `chunks`-file
-    * stream; apply `agg` to the watermarked stream; return the
-    * append-mode output as a batch DataFrame.
+  /** Stage `input` as `chunks` event-time-ordered parquet files with
+    * strictly increasing mtimes under `<work>/in` — the file-stream
+    * replay's source directory. Returns the work dir.
+    *
+    * Deterministic chronological chunking via a RANGE exchange: the
+    * input shuffles into `chunks` contiguous (ts, tie) ranges and each
+    * range writes its own file in parallel. (A global
+    * `ntile(chunks) OVER (ORDER BY ts)` window would funnel the whole
+    * input through ONE task — the "No Partition Defined for Window"
+    * scale trap.) Exact boundary placement is sampling-chosen, but the
+    * final emitted set is chunking-invariant: any chronological split
+    * finalizes the same watermark-bounded windows.
     */
-  def replayAggregate(spark: SparkSession, input: DataFrame,
-                      tsCol: String, tieCol: String,
-                      agg: DataFrame => DataFrame,
-                      chunks: Int = 3): DataFrame = {
+  private def stageChunks(input: DataFrame, tsCol: String, tieCol: String,
+                          chunks: Int): File = {
     val work = Files.createTempDirectory("graft-stream-").toFile
     val streamIn = new File(work, "in"); streamIn.mkdirs()
-    val schema = input.schema
-
-    // deterministic chronological chunking via a RANGE exchange: the
-    // input shuffles into `chunks` contiguous (ts, tie) ranges and each
-    // range writes its own file in parallel. (A global
-    // `ntile(chunks) OVER (ORDER BY ts)` window would funnel the whole
-    // input through ONE task — the "No Partition Defined for Window"
-    // scale trap.) Exact boundary placement is sampling-chosen, but the
-    // final emitted set is chunking-invariant: any chronological split
-    // finalizes the same watermark-bounded windows.
     val stage = new File(work, "stage")
     input.repartitionByRange(chunks, col(tsCol), col(tieCol))
       .withColumn("__chunk", spark_partition_id())
@@ -60,10 +57,22 @@ object StreamedBatch {
       // source processes oldest-first under maxFilesPerTrigger)
       dst.setLastModified(1000000000000L + (i + 1) * 60000L)
     }
+    work
+  }
 
+  /** Replay `input` (sorted by `tsCol`, `tieCol`) as a `chunks`-file
+    * stream; apply `agg` to the watermarked stream; return the
+    * append-mode output as a batch DataFrame.
+    */
+  def replayAggregate(spark: SparkSession, input: DataFrame,
+                      tsCol: String, tieCol: String,
+                      agg: DataFrame => DataFrame,
+                      chunks: Int = 3): DataFrame = {
+    val work = stageChunks(input, tsCol, tieCol, chunks)
+    val schema = input.schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamIn.getAbsolutePath)
+      .parquet(new File(work, "in").getAbsolutePath)
     val outDir = new File(work, "out").getAbsolutePath
     // every micro-batch commits one state-store delta PER state
     // partition, and the replay's batches are tiny — 32 partitions ×
@@ -82,6 +91,45 @@ object StreamedBatch {
       math.min(8, prevParts.toInt))
     try {
       val q = StreamJobs.parquetAppend(agg(stream), outDir,
+        new File(work, "ckpt").getAbsolutePath)
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(outDir)
+  }
+
+  /** Replay `input` as TWO independent file streams over the same
+    * chronological chunks and run a stream-STREAM query built by
+    * `join` (each side gets its own source, watermark, and state) —
+    * the harness that lets the DuckDB oracle check a real
+    * stream-stream join (SURVEY §2.7 / the reference's arbitrage
+    * spread).
+    *
+    * Why the emitted set is deterministic for an INNER join: matches
+    * emit when the later row arrives (no watermark gating on inner
+    * emission), the query watermark is the MIN across both sources so
+    * neither side's state evicts rows the lagging side still needs,
+    * and the chronological replay means no row is ever late. The
+    * append-mode output is therefore exactly the batch join of the
+    * two sides — which is what the oracle SQL asserts.
+    */
+  def replayJoin(spark: SparkSession, input: DataFrame,
+                 tsCol: String, tieCol: String,
+                 join: (DataFrame, DataFrame) => DataFrame,
+                 chunks: Int = 3): DataFrame = {
+    val work = stageChunks(input, tsCol, tieCol, chunks)
+    val schema = input.schema
+    def source() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(new File(work, "in").getAbsolutePath)
+    val outDir = new File(work, "out").getAbsolutePath
+    // same state-partition sizing rationale as replayAggregate: join
+    // state shards by the equi-key across shuffle partitions, and each
+    // tiny micro-batch commits one delta per shard
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevParts.toInt))
+    try {
+      val q = StreamJobs.parquetAppend(join(source(), source()), outDir,
         new File(work, "ckpt").getAbsolutePath)
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -138,6 +138,73 @@ class StreamingSpec extends SparkSuite with Matchers {
     q.stop()
   }
 
+  test("streamSpreadBucketed emits the same pairs as streamSpread") {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[(Timestamp, String, Double)]
+    val inB = MemoryStream[(Timestamp, String, Double)]
+    def silverShaped(m: MemoryStream[(Timestamp, String, Double)]) =
+      m.toDF().toDF("trade_timestamp", "symbol", "price")
+    val joined = Medallion.streamSpreadBucketed(
+      silverShaped(inA), silverShaped(inB), bandSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("spread_bucketed_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    inA.addData(
+      (ts("2026-01-01 10:01:00"), "BTC-COINBASE", 100.0),
+      // same-bucket and cross-bucket matches both land (B explodes into
+      // its own and the next bucket)
+      (ts("2026-01-01 10:00:59"), "BTC-COINBASE", 101.0))
+    inB.addData(
+      (ts("2026-01-01 10:00:30"), "BTC-BINANCE", 98.0),  // within band
+      (ts("2026-01-01 10:01:00"), "BTC-BINANCE", 99.0),  // boundary inclusive
+      (ts("2026-01-01 09:59:00"), "BTC-BINANCE", 97.0),  // too old
+      (ts("2026-01-01 10:02:00"), "BTC-BINANCE", 96.0))  // after both a
+    q.processAllAvailable()
+    val rows = spark.table("spread_bucketed_test")
+      .orderBy("ts_a", "price_b")
+      .select("ts_a", "price_b", "spread").as[(Timestamp, Double, Double)]
+      .collect()
+    rows shouldBe Array(
+      (ts("2026-01-01 10:00:59"), 98.0, 3.0),
+      (ts("2026-01-01 10:01:00"), 98.0, 2.0),
+      (ts("2026-01-01 10:01:00"), 99.0, 1.0))
+    q.stop()
+  }
+
+  test("replayJoin: streamed band-join emitted set == batch band join") {
+    // the stream_spread_join gate's claim: inner stream-stream join
+    // emission is not watermark-gated and the chronological replay
+    // makes nothing late, so the append output equals the batch join
+    val events = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    def typed(df: org.apache.spark.sql.DataFrame, parity: Int) = df
+      .filter(col("event_type").isin("click", "purchase", "view") &&
+        pmod(col("event_id"), lit(2)) === parity)
+      .select(col("event_type").as("symbol"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 8))
+          .cast("double").as("price"),
+        col("ts").as("trade_timestamp"))
+    // 600s band: sf0.001's events are too sparse for the gate's 60s
+    // band to pair anything (0 matches); the harness-equivalence claim
+    // is band-independent
+    val streamed = StreamedBatch.replayJoin(spark, events, "ts", "event_id",
+      (ra, rb) => Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1),
+        bandSeconds = 600))
+    val a = typed(events, 0).select(col("symbol").as("base"),
+      col("trade_timestamp").as("ts_a"), col("symbol").as("symbol_a"),
+      col("price").as("price_a"))
+    val b = typed(events, 1).select(col("symbol").as("base_b"),
+      col("trade_timestamp").as("ts_b"), col("symbol").as("symbol_b"),
+      col("price").as("price_b"))
+    val batch = a.join(b, col("base") === col("base_b") &&
+        col("ts_b").between(col("ts_a") - expr("INTERVAL 600 SECONDS"), col("ts_a")))
+      .select(col("base"), col("ts_a"), col("symbol_a"), col("price_a"),
+        col("ts_b"), col("symbol_b"), col("price_b"),
+        (col("price_a") - col("price_b")).as("spread"))
+    streamed.count() should be > 0L
+    streamed.exceptAll(batch).count() shouldBe 0
+    batch.exceptAll(streamed).count() shouldBe 0
+  }
+
   test("medallion end-to-end: raw JSON files -> bronze -> silver -> gold parquet") {
     val root = tmp("graft-medallion-")
     val rawDir = tmp("graft-raw-")
