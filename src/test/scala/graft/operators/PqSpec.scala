@@ -148,6 +148,32 @@ class PqSpec extends SparkSuite with Matchers {
     row.head.getBoolean(0) shouldBe true
   }
 
+  test("ANN index maintenance: Lake.compact on appended codes/ preserves results") {
+    // three shard appends fragment every cell dir; the maintenance pass
+    // is the generic partitioned-layout compact, and search must be
+    // bit-identical across it (cells are a partition column, codes are
+    // data — the rewrite preserves both)
+    val path = java.nio.file.Files.createTempDirectory("ann-cmp").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    val mx = emb.agg(max("vec_id")).head.getLong(0)
+    Pq.buildAnnIndex(emb.filter(col("vec_id") <= mx / 2), path)
+    Pq.extendAnnIndex(emb.filter(col("vec_id") > mx / 2 && col("vec_id") <= mx * 3 / 4), path)
+    Pq.extendAnnIndex(emb.filter(col("vec_id") > mx * 3 / 4), path)
+    val before = Pq.annTopK(emb, queries, path, k = 10, nprobe = 4)
+      .orderBy("query_id", "rank").collect()
+    val (nBefore, nAfter) =
+      graft.util.Lake.compact(spark, s"$path/codes", targetFileMB = 128)
+    nAfter should be < nBefore
+    val after = Pq.annTopK(emb, queries, path, k = 10, nprobe = 4)
+    after.orderBy("query_id", "rank").collect() shouldBe before
+    // pruning survives the rewrite (partition layout preserved)
+    after.count()
+    val codeScans = after.queryExecution.executedPlan.toString.split('\n')
+      .filter(l => l.contains("FileScan") && l.contains("codes"))
+    codeScans should not be empty
+    codeScans.foreach(_ should include("PartitionFilters: [cell"))
+  }
+
   test("annTopK at a different probe budget still matches recompute") {
     val path = java.nio.file.Files.createTempDirectory("ann-idx2").toString
     val queries = emb.filter(col("vec_id") < 5)
