@@ -251,31 +251,8 @@ object Dedup {
     */
   def minhashLshMultiProbe(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
                            numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sets = hashedShingles(docs, n)
-    // one-pass kernel: (m1, m2) per hash function; m1 bit-equal to the
-    // classic min(xxhash64(lit(i), h)) signature row. The mm alias is
-    // non-cheap and multi-referenced, so CollapseProject keeps the
-    // projection boundary — the kernel runs once per doc, not per band.
-    val sig = sets.select(col("doc_id"),
-      graft.functions.VectorFunctions.minhashMins(col("hs"), numHashes).as("mm"))
-    def m1(i: Int) = col("mm").getItem(i).getField("m1")
-    def m2(i: Int) = col("mm").getItem(i).getField("m2")
-    val rows = (0 until bands).flatMap { bId =>
-      val idxs = bId * r until (bId + 1) * r
-      val base = struct(lit(bId).as("band"),
-        xxhash64(idxs.map(m1): _*).as("bucket"), lit(true).as("is_base"))
-      val probes = idxs.map { j =>
-        struct(lit(bId).as("band"),
-          xxhash64(idxs.map(i => if (i == j) m2(j) else m1(i)): _*).as("bucket"),
-          lit(false).as("is_base"))
-      }
-      base +: probes
-    }
-    val ext = sig.select(col("doc_id"), explode(array(rows: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"), col("bb.is_base").as("is_base"))
+    val ext = kernelBuckets(sets, numHashes, bands, probes = true)
     val base = ext.filter(col("is_base")).drop("is_base")
     // ext×base, never probe×probe: distance-1 disagreements are caught
     // from EITHER side (the disagreeing doc's probe hits the other's
@@ -289,6 +266,47 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     verifyJaccard(cand, sets, threshold)
+  }
+
+  /** (doc_id, band, bucket, is_base) LSH bucket rows straight from a
+    * [[hashedShingles]] frame via the one-pass [[graft.functions.MinHashMins]]
+    * kernel — NO signature shuffle (the classic explode→groupBy path in
+    * [[minhashSignatures]] pays one exchange to do the same). Base
+    * bucket hashes are bit-identical to [[bandBuckets]] over the
+    * classic signatures (spec-proven: m1 == min(xxhash64(lit(i), h))
+    * and the same built-in xxhash64 chain folds the band). With
+    * `probes = true`, each band also emits its r second-minimum
+    * substitution probe buckets (`is_base = false`).
+    *
+    * The mm alias is non-cheap and multi-referenced, so CollapseProject
+    * keeps the projection boundary — the kernel runs once per doc, not
+    * per band. Empty docs get all-sentinel signatures; their buckets
+    * can only pair them with other empty docs, and exact-Jaccard
+    * verification drops those pairs (null Jaccard) — filter empties
+    * upstream if they are a corpus-scale population.
+    */
+  private def kernelBuckets(sets: DataFrame, numHashes: Int, bands: Int,
+                            probes: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = sets.select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashMins(col("hs"), numHashes).as("mm"))
+    def m1(i: Int) = col("mm").getItem(i).getField("m1")
+    def m2(i: Int) = col("mm").getItem(i).getField("m2")
+    val rows = (0 until bands).flatMap { bId =>
+      val idxs = bId * r until (bId + 1) * r
+      val base = struct(lit(bId).as("band"),
+        xxhash64(idxs.map(m1): _*).as("bucket"), lit(true).as("is_base"))
+      if (!probes) Seq(base)
+      else base +: idxs.map { j =>
+        struct(lit(bId).as("band"),
+          xxhash64(idxs.map(i => if (i == j) m2(j) else m1(i)): _*).as("bucket"),
+          lit(false).as("is_base"))
+      }
+    }
+    sig.select(col("doc_id"), explode(array(rows: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"), col("bb.is_base").as("is_base"))
   }
 
   /** LSH band buckets from a MinHash signature frame: band `bId` hashes
@@ -542,33 +560,42 @@ object Dedup {
 
   /** Build the persisted near-dup index of a kept corpus at `path` and
     * return the verified within-corpus pair frame (also stored, as
-    * `pairs/`). One shingle pass over the corpus — the same plan as
-    * [[minhashLsh]] — plus three parquet writes.
+    * `pairs/`). One shingle pass over the corpus plus three parquet
+    * writes; banding runs map-only through [[kernelBuckets]] (no
+    * signature exchange).
+    *
+    * `multiProbe = true` stores the second-minimum substitution probe
+    * buckets alongside the base rows (`is_base` flags them) and
+    * generates candidates ext×base — the whole index then runs at
+    * [[minhashLshMultiProbe]]'s recall/cost point (e.g. a quarter of
+    * the hash budget), and every increment must pass the same flag.
     *
     * At 100 TB the index is the durable artifact: sets/ is the same
     * order of size as the text (8 bytes per distinct shingle), buckets/
-    * is `bands` rows of 20 bytes per doc, and neither is ever
-    * recomputed again. Increment-side joins read them with the NEW
-    * shard as the small broadcast side, so the index tables never
-    * reshuffle (see [[incrementalPairs]]).
+    * is `bands` (×(r+1) when multi-probing) rows of ~21 bytes per doc,
+    * and neither is ever recomputed again. Increment-side joins read
+    * them with the NEW shard as the small broadcast side, so the index
+    * tables never reshuffle (see [[incrementalPairs]]).
     */
   def buildNearDupIndex(docs: DataFrame, path: String, n: Int = 2,
                         threshold: Double = 0.5, numHashes: Int = 32,
-                        bands: Int = 16): DataFrame = {
+                        bands: Int = 16, multiProbe: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val sets = hashedShingles(docs, n)
     sets.write.mode(SaveMode.Overwrite).parquet(setsPath(path))
     // banding reads the PERSISTED sets (one parquet scan) rather than
     // re-running the shingle kernel a second time
     val storedSets = spark.read.parquet(setsPath(path))
-    bandBuckets(signaturesFromSets(storedSets, numHashes), numHashes, bands)
+    kernelBuckets(storedSets, numHashes, bands, probes = multiProbe)
       .write.mode(SaveMode.Overwrite).parquet(bucketsPath(path))
-    val buckets = spark.read.parquet(bucketsPath(path))
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
+    val ext = spark.read.parquet(bucketsPath(path))
+    val base = ext.filter(col("is_base"))
+    val cand = ext.as("a")
+      .join(base.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     verifyJaccard(cand, storedSets, threshold)
       .write.mode(SaveMode.Overwrite).parquet(pairsPath(path))
@@ -592,29 +619,38 @@ object Dedup {
     *
     * Output orientation matches [[minhashLsh]]: doc_a < doc_b by id,
     * whichever side is new.
+    *
+    * `multiProbe` must match the flag the index was built with (the
+    * stored bucket rows carry the probe rows or not); a consistent
+    * lifecycle is exactly equivalent to from-scratch
+    * [[minhashLshMultiProbe]] over old ∪ new (spec-proven).
     */
   def incrementalPairs(newDocs: DataFrame, path: String, n: Int = 2,
                        threshold: Double = 0.5, numHashes: Int = 32,
-                       bands: Int = 16): DataFrame = {
+                       bands: Int = 16, multiProbe: Boolean = false): DataFrame = {
     val spark = newDocs.sparkSession
     val newSets = hashedShingles(newDocs, n)
-    val newBuckets = bandBuckets(signaturesFromSets(newSets, numHashes), numHashes, bands)
-    val oldBuckets = spark.read.parquet(bucketsPath(path))
-    // new-vs-old: equi-join on (band, bucket); orientation by id after
-    // the match so output is uniform with the from-scratch pair frame
-    val crossCand = newBuckets.as("n")
-      .join(oldBuckets.as("o"),
-        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
-          col("n.doc_id") =!= col("o.doc_id"))
-      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-    // new-vs-new: the shard may carry internal near-dups too
-    val selfCand = newBuckets.as("a")
-      .join(newBuckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cand = crossCand.union(selfCand).distinct()
+    val newExt = kernelBuckets(newSets, numHashes, bands, probes = multiProbe)
+    val oldExt = spark.read.parquet(bucketsPath(path))
+    val newBase = newExt.filter(col("is_base"))
+    val oldBase = oldExt.filter(col("is_base"))
+    // new-vs-old, BOTH probe directions (the disagreeing doc may sit on
+    // either side, and only its probes reach the other's base bucket):
+    // newExt×oldBase ∪ oldExt×newBase. Orientation by id after the
+    // match so output is uniform with the from-scratch pair frame.
+    // Single-probe degenerates to the plain bucket equi-join (ext ==
+    // base, both directions identical, distinct() merges them).
+    def bucketJoin(a: DataFrame, b: DataFrame) = a.as("x")
+      .join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val cand = bucketJoin(newExt, oldBase)
+      .union(bucketJoin(oldExt, newBase))
+      // new-vs-new: the shard may carry internal near-dups too
+      .union(bucketJoin(newExt, newBase))
+      .distinct()
     val sets = spark.read.parquet(setsPath(path)).union(newSets)
     verifyJaccard(cand, sets, threshold)
   }
@@ -627,10 +663,11 @@ object Dedup {
     * appends only — nothing existing is rewritten.
     */
   def extendIndex(newDocs: DataFrame, newPairs: DataFrame, path: String,
-                  n: Int = 2, numHashes: Int = 32, bands: Int = 16): Unit = {
+                  n: Int = 2, numHashes: Int = 32, bands: Int = 16,
+                  multiProbe: Boolean = false): Unit = {
     val newSets = hashedShingles(newDocs, n)
     newSets.write.mode(SaveMode.Append).parquet(setsPath(path))
-    bandBuckets(signaturesFromSets(newSets, numHashes), numHashes, bands)
+    kernelBuckets(newSets, numHashes, bands, probes = multiProbe)
       .write.mode(SaveMode.Append).parquet(bucketsPath(path))
     newPairs.write.mode(SaveMode.Append).parquet(pairsPath(path))
   }

@@ -238,6 +238,26 @@ class DedupSpec extends SparkSuite with Matchers {
       .count() shouldBe gate.count()
   }
 
+  test("multi-probe index lifecycle == from-scratch minhashLshMultiProbe") {
+    // the whole build→increment→extend loop at the multi-probe
+    // recall/cost point (quarter hash budget): stored ∪ incremental
+    // pairs must equal the from-scratch multi-probe operator
+    val path = java.nio.file.Files.createTempDirectory("dedup-idx-mp").toString
+    val s0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val s1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val s2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    Dedup.buildNearDupIndex(s0, path, n = 2, threshold = 0.5,
+      numHashes = 8, bands = 4, multiProbe = true)
+    val p1 = Dedup.incrementalPairs(s1, path, n = 2, threshold = 0.5,
+      numHashes = 8, bands = 4, multiProbe = true)
+    Dedup.extendIndex(s1, p1, path, numHashes = 8, bands = 4, multiProbe = true)
+    val p2 = Dedup.incrementalPairs(s2, path, n = 2, threshold = 0.5,
+      numHashes = 8, bands = 4, multiProbe = true)
+    Dedup.indexedPairs(spark, path).union(p2).orderBy("doc_a", "doc_b").collect() shouldBe
+      Dedup.minhashLshMultiProbe(docs, 2, 0.5, numHashes = 8, bands = 4)
+        .orderBy("doc_a", "doc_b").collect()
+  }
+
   test("extendIndex folds a shard in; second increment still equals from-scratch") {
     val path = java.nio.file.Files.createTempDirectory("dedup-idx2").toString
     // three daily shards by doc_id mod 3
