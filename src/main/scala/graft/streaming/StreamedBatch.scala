@@ -122,12 +122,14 @@ object StreamedBatch {
       .option("maxFilesPerTrigger", 1)
       .parquet(new File(work, "in").getAbsolutePath)
     val outDir = new File(work, "out").getAbsolutePath
-    // same state-partition sizing rationale as replayAggregate: join
-    // state shards by the equi-key across shuffle partitions, and each
-    // tiny micro-batch commits one delta per shard
+    // same state-partition sizing rationale as replayAggregate, but
+    // HALVED: a stream-stream join commits FOUR state stores per
+    // partition per micro-batch (left/right × keyToNumValues/
+    // keyWithIndexToValue), so at equal partition counts the join
+    // replay pays 4× the aggregate replay's commit floor
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, prevParts.toInt))
+      math.min(4, prevParts.toInt))
     try {
       val q = StreamJobs.parquetAppend(join(source(), source()), outDir,
         new File(work, "ckpt").getAbsolutePath)
