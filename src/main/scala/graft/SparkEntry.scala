@@ -414,6 +414,42 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Exact n-gram-Jaccard pair SQL over ALL documents — the shared
+    * oracle of every dedup gate whose recall-1.0 configuration makes
+    * the exact pair set its answer (dedup_minhash_lsh,
+    * dedup_lsh_multiprobe, dedup_incremental). One definition so a fix
+    * to the shingle/rounding logic cannot silently diverge between
+    * gates.
+    */
+  private val exactJaccardPairsSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+       FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5"""
+
+  /** Exact cosine pair SQL over the embeddings — the shared oracle of
+    * the hyperplane-LSH gates at their recall-1.0 configurations
+    * (sim_lsh_pairs, sim_lsh_multiprobe).
+    */
+  private val exactCosinePairsSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
+             6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4"""
+
   def oracleSql: Map[String, String] = Map(
     "bronze_envelope" ->
       """SELECT CAST(event_id AS VARCHAR) AS key, props AS json_payload,
@@ -752,57 +788,21 @@ object SparkEntry {
     // minhashLsh verifies candidates with exact Jaccard and reaches
     // recall 1.0 on this corpus (spec-asserted), so the exact n-gram
     // Jaccard SQL is its oracle too
-    "dedup_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(
-                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
-                FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                    JOIN sizes sb ON doc_b = sb.doc_id
-         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5""",
+    "dedup_minhash_lsh" -> exactJaccardPairsSql,
     // multi-probe reaches recall 1.0 at 8 hashes × 4 bands on this
     // corpus (spec-measured; probing the second-minimum substitution
     // buckets recovers what the lean signature would miss), and
     // verification makes precision exact — same oracle, 4× cheaper
     // signatures
-    "dedup_lsh_multiprobe" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(
-                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
-                FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                    JOIN sizes sb ON doc_b = sb.doc_id
-         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5""",
+    "dedup_lsh_multiprobe" -> exactJaccardPairsSql,
     // dedup_incremental emits stored ∪ increment pairs over the SAME
     // corpus at the same high-recall config, and per-doc artifacts
     // (shingles, signatures, band buckets) are pure functions of each
     // doc's text — so the union is exactly from-scratch minhashLsh over
     // all documents (spec-proven: DedupSpec "incremental index" /
-    // "extendIndex folds a shard in"), and the exact-Jaccard SQL above
-    // is its oracle verbatim
-    "dedup_incremental" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(
-                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
-                FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                    JOIN sizes sb ON doc_b = sb.doc_id
-         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5""",
+    // "extendIndex folds a shard in"), and the exact-Jaccard SQL is its
+    // oracle verbatim
+    "dedup_incremental" -> exactJaccardPairsSql,
     // transitive closure as a recursive CTE: reach(src, node) walks the
     // undirected pair graph; component = min reachable node
     "dedup_components" ->
@@ -1119,29 +1119,11 @@ object SparkEntry {
     // recall 1.0 at ≥0.4 on this corpus (spec-measured) and
     // verification makes precision exact, so the exact-pairs SQL is a
     // valid oracle
-    "sim_lsh_pairs" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pairs AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))
-                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
-               6) AS cos
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""",
+    "sim_lsh_pairs" -> exactCosinePairsSql,
     // multi-probe at 16 planes × 8 bands reaches recall 1.0 on this
     // corpus (spec-measured; single-probe at the same width misses
     // pairs) and verification keeps precision exact — the same
     // exact-pairs SQL is the oracle with half the hyperplane budget
-    "sim_lsh_multiprobe" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pairs AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))
-                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
-               6) AS cos
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""",
+    "sim_lsh_multiprobe" -> exactCosinePairsSql,
   )
 }

@@ -253,20 +253,26 @@ object Dedup {
                            numHashes: Int = 32, bands: Int = 16): DataFrame = {
     val sets = hashedShingles(docs, n)
     val ext = kernelBuckets(sets, numHashes, bands, probes = true)
-    val base = ext.filter(col("is_base")).drop("is_base")
-    // ext×base, never probe×probe: distance-1 disagreements are caught
-    // from EITHER side (the disagreeing doc's probe hits the other's
-    // base), so joining both extended sides would only add distance-2
-    // noise candidates
-    val cand = ext.as("a")
-      .join(base.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cand = bucketCandidates(ext, ext.filter(col("is_base"))).distinct()
     verifyJaccard(cand, sets, threshold)
   }
+
+  /** The candidate-generation contract shared by every bucketed pair
+    * generator: equi-join two bucket frames on (band, bucket), exclude
+    * self-pairs, orient by id. ext×base — never probe×probe: a
+    * distance-1 disagreement is caught from EITHER side (the
+    * disagreeing doc's probe hits the other's base bucket), so joining
+    * both extended sides would only add distance-2 noise candidates.
+    * Callers own the final `distinct()` (increments union three of
+    * these before deduping once).
+    */
+  private def bucketCandidates(ext: DataFrame, base: DataFrame): DataFrame =
+    ext.as("x")
+      .join(base.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
 
   /** (doc_id, band, bucket, is_base) LSH bucket rows straight from a
     * [[hashedShingles]] frame via the one-pass [[graft.functions.MinHashMins]]
@@ -589,17 +595,20 @@ object Dedup {
     kernelBuckets(storedSets, numHashes, bands, probes = multiProbe)
       .write.mode(SaveMode.Overwrite).parquet(bucketsPath(path))
     val ext = spark.read.parquet(bucketsPath(path))
-    val base = ext.filter(col("is_base"))
-    val cand = ext.as("a")
-      .join(base.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cand = bucketCandidates(ext, ext.filter(col("is_base"))).distinct()
     verifyJaccard(cand, storedSets, threshold)
       .write.mode(SaveMode.Overwrite).parquet(pairsPath(path))
     spark.read.parquet(pairsPath(path))
+  }
+
+  /** Read a stored buckets table, tolerating the pre-probe schema
+    * (doc_id, band, bucket only): a missing `is_base` column means the
+    * index was built single-probe, where every row is a base row.
+    */
+  private def storedBuckets(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    val b = spark.read.parquet(bucketsPath(path))
+    if (b.columns.contains("is_base")) b else b.withColumn("is_base", lit(true))
   }
 
   /** Every near-dup pair INVOLVING a new-shard doc — new-vs-index plus
@@ -631,26 +640,22 @@ object Dedup {
     val spark = newDocs.sparkSession
     val newSets = hashedShingles(newDocs, n)
     val newExt = kernelBuckets(newSets, numHashes, bands, probes = multiProbe)
-    val oldExt = spark.read.parquet(bucketsPath(path))
+    val oldExt = storedBuckets(spark, path)
     val newBase = newExt.filter(col("is_base"))
     val oldBase = oldExt.filter(col("is_base"))
-    // new-vs-old, BOTH probe directions (the disagreeing doc may sit on
-    // either side, and only its probes reach the other's base bucket):
-    // newExt×oldBase ∪ oldExt×newBase. Orientation by id after the
-    // match so output is uniform with the from-scratch pair frame.
-    // Single-probe degenerates to the plain bucket equi-join (ext ==
-    // base, both directions identical, distinct() merges them).
-    def bucketJoin(a: DataFrame, b: DataFrame) = a.as("x")
-      .join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-    val cand = bucketJoin(newExt, oldBase)
-      .union(bucketJoin(oldExt, newBase))
-      // new-vs-new: the shard may carry internal near-dups too
-      .union(bucketJoin(newExt, newBase))
-      .distinct()
+    // new-vs-old via newExt×oldBase; when multi-probing, ALSO the other
+    // probe direction (the disagreeing doc may sit on either side, and
+    // only its probes reach the other's base bucket): oldExt×newBase.
+    // Single-probe needs only the one join — ext == base, so the second
+    // direction would recompute the identical pair set and re-scan the
+    // stored buckets table for nothing. Orientation by id inside
+    // bucketCandidates keeps output uniform with the from-scratch frame.
+    val crossCand =
+      if (multiProbe)
+        bucketCandidates(newExt, oldBase).union(bucketCandidates(oldExt, newBase))
+      else bucketCandidates(newExt, oldBase)
+    // new-vs-new: the shard may carry internal near-dups too
+    val cand = crossCand.union(bucketCandidates(newExt, newBase)).distinct()
     val sets = spark.read.parquet(setsPath(path)).union(newSets)
     verifyJaccard(cand, sets, threshold)
   }

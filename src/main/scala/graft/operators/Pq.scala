@@ -314,12 +314,26 @@ object Pq {
       bs.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
     }.toSeq.toDF("s", "c", "vec")
       .write.mode(SaveMode.Overwrite).parquet(booksPath(path))
+    writeCodes(embeddings, cents, books, path, SaveMode.Overwrite)
+  }
+
+  /** Assign + encode + write the cell-partitioned code table. The
+    * explicit repartition by cell clusters each cell's rows into one
+    * task before the dynamic write — without it every input task emits
+    * one file per cell it touches (tasks × nlist small files in the
+    * bulk artifact, exactly the fragmentation [[graft.util.Lake.compact]]
+    * exists to undo); with it a build lands ~one file per cell.
+    */
+  private def writeCodes(embeddings: DataFrame,
+                         cents: Array[(Int, Array[Float], Double)],
+                         books: Array[Array[Array[Double]]],
+                         path: String, mode: SaveMode): Unit =
     embeddings.select(col("vec_id"),
         Similarity.cellOf(col("embedding"), cents).as("cell"),
         VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
-      .write.partitionBy("cell").mode(SaveMode.Overwrite)
+      .repartition(cents.length, col("cell"))
+      .write.partitionBy("cell").mode(mode)
       .parquet(codesPath(path))
-  }
 
   /** Read the stored centroid triples back in [[Similarity.coarseCentroids]]
     * form — float components round-trip exactly and the norm is
@@ -367,11 +381,7 @@ object Pq {
     val p = spark.read.parquet(paramsPath(path)).collect().head
     val cents = loadCents(spark, path)
     val books = loadBooks(spark, path, p.getInt(1), p.getInt(2))
-    newEmbeddings.select(col("vec_id"),
-        Similarity.cellOf(col("embedding"), cents).as("cell"),
-        VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
-      .write.partitionBy("cell").mode(SaveMode.Append)
-      .parquet(codesPath(path))
+    writeCodes(newEmbeddings, cents, books, path, SaveMode.Append)
   }
 
   /** Search the stored index: the serving-loop path. Driver-side work
