@@ -212,7 +212,11 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
                  numHashes: Int = 32, bands: Int = 16): DataFrame = {
     val sets = hashedShingles(docs, n)
-    val buckets = bandBuckets(signaturesFromSets(sets, numHashes), numHashes, bands)
+    // map-only banding through the MinHashMins kernel (bit-identical
+    // buckets to the classic bandBuckets∘signaturesFromSets path,
+    // spec-proven, without its signature exchange)
+    val buckets = kernelBuckets(sets, numHashes, bands, probes = false)
+      .drop("is_base")
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -220,9 +224,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard over the full sorted sets
-    // (one linear merge per pair — see verifyJaccard); `sets` is the
-    // SAME plan used for the signatures, so the shingle kernel and its
-    // shuffle run once
+    // (one linear merge per pair — see verifyJaccard)
     verifyJaccard(cand, sets, threshold)
   }
 
@@ -277,10 +279,11 @@ object Dedup {
   /** (doc_id, band, bucket, is_base) LSH bucket rows straight from a
     * [[hashedShingles]] frame via the one-pass [[graft.functions.MinHashMins]]
     * kernel — NO signature shuffle (the classic explode→groupBy path in
-    * [[minhashSignatures]] pays one exchange to do the same). Base
-    * bucket hashes are bit-identical to [[bandBuckets]] over the
-    * classic signatures (spec-proven: m1 == min(xxhash64(lit(i), h))
-    * and the same built-in xxhash64 chain folds the band). With
+    * [[minhashSignatures]] pays one exchange to do the same). Band
+    * `bId` folds signature rows `[bId·r, (bId+1)·r)` through the
+    * built-in xxhash64 chain into one 64-bit bucket — bit-identical to
+    * banding the classic signature frame (spec-proven:
+    * m1 == min(xxhash64(lit(i), h)) and the same chain hashes). With
     * `probes = true`, each band also emits its r second-minimum
     * substitution probe buckets (`is_base = false`).
     *
@@ -313,24 +316,6 @@ object Dedup {
     sig.select(col("doc_id"), explode(array(rows: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"), col("bb.is_base").as("is_base"))
-  }
-
-  /** LSH band buckets from a MinHash signature frame: band `bId` hashes
-    * signature rows `[bId·r, (bId+1)·r)` into one 64-bit bucket id
-    * (r = numHashes/bands). One output row per (doc, band). Per-doc and
-    * deterministic — a doc's buckets are identical whether computed in
-    * a from-scratch pass or an incremental one, which is what makes the
-    * persisted-index path below exactly equivalent to recomputation.
-    */
-  private def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val bandCols = (0 until bands).map { bId =>
-      struct(lit(bId).as("band"),
-        xxhash64((bId * r until (bId + 1) * r).map(i => col(s"mh_$i")): _*).as("bucket"))
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** 64-bit frequency-weighted SimHash over the token stream, one
