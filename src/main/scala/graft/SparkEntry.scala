@@ -263,6 +263,22 @@ object SparkEntry {
         Dedup.ngramJaccard(d, n = 2, threshold = 0.5))
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    // embedding-cosine near-dup dedup of DOCUMENTS — the cross-family
+    // composition a curation pipeline runs (vec_id keys doc_id 1:1 in
+    // these tables): multi-probe hyperplane LSH mines cosine pairs at
+    // its recall-1.0 config, transitive closure groups them, the min-id
+    // member of each group survives. Threshold 0.45 keeps the pair
+    // graph a near-DUP graph (recall 1.0 follows a fortiori from the
+    // spec-measured 0.4 runs); at 0.4 this corpus's cosine graph grows
+    // long chains that cost the closure extra doubling rounds for no
+    // added gate signal.
+    "dedup_embedding_rows" -> ((s, dir) => {
+      val pairs = Similarity.lshPairsMultiProbe(Tables.embeddings(s, dir), 0.45,
+          numPlanes = 16, bands = 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.dropTransitiveDups(Tables.documents(s, dir), pairs)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // gate = the banding-vs-brute-force self-check (signatures are
     // hash-seeded, so the pair list itself has no external oracle; the
     // invariant row below does). simhashPairs is the production op.
@@ -845,6 +861,30 @@ object SparkEntry {
            SELECT DISTINCT s, s FROM edges
            UNION
            SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+         comp AS (SELECT src AS doc_id, min(node) AS component_id
+                  FROM reach GROUP BY src)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN
+           (SELECT doc_id FROM comp WHERE doc_id != component_id)""",
+    // embedding-cosine transitive dedup: the LSH pair miner runs at its
+    // recall-1.0 configuration (sim_lsh_multiprobe's oracle claim), so
+    // the exact-cosine pair graph drives the same recursive closure and
+    // min-id survivor rule
+    "dedup_embedding_rows" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cpairs AS (
+           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
+               6) >= 0.45),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM cpairs
+                   UNION ALL SELECT doc_b, doc_a FROM cpairs),
+         reach(src, node) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT r.src, e2.d FROM reach r JOIN edges e2 ON r.node = e2.s),
          comp AS (SELECT src AS doc_id, min(node) AS component_id
                   FROM reach GROUP BY src)
          SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d

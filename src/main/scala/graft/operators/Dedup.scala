@@ -428,21 +428,39 @@ object Dedup {
     * which is what survives adversarially long dup CHAINS (templated
     * crawl pages) at corpus scale. The driver loop only checks a
     * per-round convergence COUNT — no row data ever reaches the
-    * driver. Each round's labels are materialized (persist + count) so
-    * lineage stays O(1) instead of doubling per iteration.
+    * driver. Each round's labels are snapshotted to parquet so both
+    * the data lineage AND the logical plan stay O(1) per round (see
+    * the in-body comment — persist() alone lets the plan tree grow
+    * 4× per round).
     */
   def dupComponents(pairs: DataFrame): DataFrame = {
-    // cache the PAIRS, not the doubled edge list: the union below reads
-    // its input twice, so persisting downstream of it would run the
-    // (possibly expensive) pair-generation plan twice before the cache
-    // ever materializes
-    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    // snapshot the PAIRS to parquet, not persist(): the union below
+    // reads its input twice (so materializing downstream of it would
+    // run the possibly-expensive pair-generation plan twice), and —
+    // crucially — persist() caches DATA but leaves the full
+    // pair-generation lineage in every round's LOGICAL plan. With a
+    // large input plan (e.g. multi-probe LSH verification feeding this
+    // closure) the per-round plan trees then grow past what Spark can
+    // even stringify. The write-through gives every round a
+    // constant-size parquet-scan base instead.
+    val p = writeThrough(pairs.select(col("doc_a"), col("doc_b")))
     val edges = p.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(p.select(col("doc_b").as("s"), col("doc_a").as("d")))
-    // initial label: min(self, direct neighbors)
-    var labels = edges.groupBy(col("s").as("doc_id"))
-      .agg(least(first(col("s")), min(col("d"))).as("component_id"))
-      .persist()
+    // Every round's labels are snapshotted to parquet (writeThrough),
+    // NOT persist()ed: persist materializes data but leaves the full
+    // lineage in the LOGICAL plan, and this loop's plan tree would
+    // otherwise QUADRUPLE per round (`next` self-joins `propagated`,
+    // which embeds `labels` twice) — after enough rounds Spark OOMs
+    // just stringifying the plan for the execution listener. The
+    // snapshot gives round k+1 a constant-size parquet-scan base, so
+    // plan size is flat no matter how many rounds convergence takes.
+    // Within a round the tiny label/edge joins recompute at worst a
+    // couple of times across the write + convergence count — noise
+    // next to a stable driver at adversarial chain depths. The
+    // returned frame is the last snapshot's scan: the operator holds
+    // zero block-manager storage after returning (spec-asserted).
+    var labels = writeThrough(edges.groupBy(col("s").as("doc_id"))
+      .agg(least(first(col("s")), min(col("d"))).as("component_id")))
     var converged = false
     while (!converged) {
       // candidate label for d: the smallest label among its neighbors
@@ -450,15 +468,10 @@ object Dedup {
         .join(labels.select(col("doc_id").as("s"), col("component_id").as("nl")), "s")
         .groupBy(col("d").as("doc_id"))
         .agg(min(col("nl")).as("neighbor_min"))
-      // persisted: the pointer-jump shortcut reads `propagated` on BOTH
-      // sides of its self-join — unpersisted, each round would execute
-      // the neighbor-min aggregation twice (and a third time for the
-      // convergence count through `next`'s lineage)
       val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component_id"), coalesce(col("neighbor_min"), col("component_id")))
             .as("component_id"))
-        .persist()
       // shortcut: label ← label(label). Every label IS a node of the
       // graph (it starts as a min over doc ids), so the self-join
       // resolves unless the label is already a root.
@@ -467,26 +480,13 @@ object Dedup {
           col("component_id").as("parent")), Seq("component_id"), "left")
         .select(col("doc_id"),
           coalesce(col("parent"), col("component_id")).as("component_id"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
+      val snapped = writeThrough(next)
+      val changed = snapped.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
         .filter(col("component_id") =!= col("prev")).count()
-      propagated.unpersist() // `next` is materialized by the count above
-      labels.unpersist()
-      labels = next
+      labels = snapped
       converged = changed == 0
     }
-    p.unpersist()
-    // Return an UNPERSISTED materialization: the final labels write
-    // through to parquet (one job over the already-cached last round)
-    // and the caller gets a plain scan of that snapshot. The alternative
-    // — returning the live cache — leaked one persisted RDD per call
-    // into a long-lived session (no caller can reasonably know it owns
-    // the unpersist), and localCheckpoint would too (checkpoint blocks
-    // ARE cached blocks). After this returns, the operator holds zero
-    // storage: every per-round persist above is already released.
-    val out = writeThrough(labels)
-    labels.unpersist(blocking = true)
-    out
+    labels
   }
 
   /** Snapshot `df` to parquet and return a scan of the snapshot —
