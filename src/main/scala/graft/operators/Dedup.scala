@@ -443,7 +443,7 @@ object Dedup {
     // closure) the per-round plan trees then grow past what Spark can
     // even stringify. The write-through gives every round a
     // constant-size parquet-scan base instead.
-    val p = writeThrough(pairs.select(col("doc_a"), col("doc_b")))
+    val (p, pPath) = writeThroughAt(pairs.select(col("doc_a"), col("doc_b")))
     val edges = p.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(p.select(col("doc_b").as("s"), col("doc_a").as("d")))
     // Every round's labels are snapshotted to parquet (writeThrough),
@@ -459,7 +459,7 @@ object Dedup {
     // next to a stable driver at adversarial chain depths. The
     // returned frame is the last snapshot's scan: the operator holds
     // zero block-manager storage after returning (spec-asserted).
-    var labels = writeThrough(edges.groupBy(col("s").as("doc_id"))
+    var (labels, labelsPath) = writeThroughAt(edges.groupBy(col("s").as("doc_id"))
       .agg(least(first(col("s")), min(col("d"))).as("component_id")))
     var converged = false
     while (!converged) {
@@ -480,12 +480,17 @@ object Dedup {
           col("component_id").as("parent")), Seq("component_id"), "left")
         .select(col("doc_id"),
           coalesce(col("parent"), col("component_id")).as("component_id"))
-      val snapped = writeThrough(next)
+      val (snapped, snappedPath) = writeThroughAt(next)
       val changed = snapped.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
         .filter(col("component_id") =!= col("prev")).count()
+      // the convergence count was the last reader of the previous
+      // round's snapshot — retire it now rather than at JVM exit
+      dropSnapshot(labelsPath)
       labels = snapped
+      labelsPath = snappedPath
       converged = changed == 0
     }
+    dropSnapshot(pPath)
     labels
   }
 
@@ -507,12 +512,33 @@ object Dedup {
     d.toString
   }
 
-  private def writeThrough(df: DataFrame): DataFrame = {
+  private def writeThrough(df: DataFrame): DataFrame =
+    writeThroughAt(df)._1
+
+  /** [[writeThrough]] plus the snapshot's path, for callers that
+    * retire superseded snapshots eagerly (the closure loop) instead of
+    * leaving them to the JVM-exit hook.
+    */
+  private def writeThroughAt(df: DataFrame): (DataFrame, String) = {
     val spark = df.sparkSession
     val base = spark.sparkContext.getCheckpointDir.getOrElse(localSnapDir)
     val path = s"$base/snap-${java.util.UUID.randomUUID()}"
     df.write.parquet(path)
-    spark.read.parquet(path)
+    (spark.read.parquet(path), path)
+  }
+
+  /** Best-effort delete of a retired snapshot dir (driver-local or the
+    * checkpoint FS via java.io only when local — non-local checkpoint
+    * dirs are left to their own retention).
+    */
+  private def dropSnapshot(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      def rm(g: java.io.File): Unit = {
+        Option(g.listFiles()).getOrElse(Array.empty).foreach(rm); g.delete()
+      }
+      rm(f)
+    }
   }
 
   /** The apply side of [[dupComponents]]: drop every doc whose
