@@ -427,9 +427,6 @@ object SparkEntry {
         numPlanes = 16, bands = 8)),
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
   /** Exact n-gram-Jaccard pair SQL over ALL documents — the shared
     * oracle of every dedup gate whose recall-1.0 configuration makes
     * the exact pair set its answer (dedup_minhash_lsh,
@@ -466,6 +463,9 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id)
        SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4"""
 
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
   def oracleSql: Map[String, String] = Map(
     "bronze_envelope" ->
       """SELECT CAST(event_id AS VARCHAR) AS key, props AS json_payload,

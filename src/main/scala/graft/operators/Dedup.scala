@@ -434,6 +434,7 @@ object Dedup {
     * 4× per round).
     */
   def dupComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     // snapshot the PAIRS to parquet, not persist(): the union below
     // reads its input twice (so materializing downstream of it would
     // run the possibly-expensive pair-generation plan twice), and —
@@ -485,12 +486,12 @@ object Dedup {
         .filter(col("component_id") =!= col("prev")).count()
       // the convergence count was the last reader of the previous
       // round's snapshot — retire it now rather than at JVM exit
-      dropSnapshot(labelsPath)
+      dropSnapshot(spark, labelsPath)
       labels = snapped
       labelsPath = snappedPath
       converged = changed == 0
     }
-    dropSnapshot(pPath)
+    dropSnapshot(spark, pPath)
     labels
   }
 
@@ -512,12 +513,12 @@ object Dedup {
     d.toString
   }
 
-  private def writeThrough(df: DataFrame): DataFrame =
-    writeThroughAt(df)._1
-
-  /** [[writeThrough]] plus the snapshot's path, for callers that
-    * retire superseded snapshots eagerly (the closure loop) instead of
-    * leaving them to the JVM-exit hook.
+  /** Snapshot `df` to parquet and return (scan of the snapshot, its
+    * path) — a materialization whose lifecycle is the filesystem's,
+    * not the block manager's. Callers that produce superseded
+    * snapshots (the closure loop) retire them eagerly via
+    * [[dropSnapshot]]; anything left in the driver-local dir goes with
+    * the JVM-exit hook.
     */
   private def writeThroughAt(df: DataFrame): (DataFrame, String) = {
     val spark = df.sparkSession
@@ -527,18 +528,15 @@ object Dedup {
     (spark.read.parquet(path), path)
   }
 
-  /** Best-effort delete of a retired snapshot dir (driver-local or the
-    * checkpoint FS via java.io only when local — non-local checkpoint
-    * dirs are left to their own retention).
+  /** Delete a retired snapshot dir through the Hadoop FileSystem API —
+    * checkpoint dirs come back scheme-qualified (`file:/...`,
+    * `hdfs://...`), which java.io.File would silently fail to resolve
+    * (a permanent per-round leak on long-lived sessions).
     */
-  private def dropSnapshot(path: String): Unit = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) {
-      def rm(g: java.io.File): Unit = {
-        Option(g.listFiles()).getOrElse(Array.empty).foreach(rm); g.delete()
-      }
-      rm(f)
-    }
+  private def dropSnapshot(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
   /** The apply side of [[dupComponents]]: drop every doc whose
@@ -652,6 +650,17 @@ object Dedup {
     val newSets = hashedShingles(newDocs, n)
     val newExt = kernelBuckets(newSets, numHashes, bands, probes = multiProbe)
     val oldExt = storedBuckets(spark, path)
+    // refuse a probe-mode mismatch instead of silently losing recall:
+    // an index built multiProbe=true stores probe rows whose matches a
+    // single-probe increment would skip, and a multi-probe increment
+    // against a probe-less index has no old probes to meet its new
+    // bases — either way the from-scratch-equality contract breaks.
+    // One LIMIT-1 scan of the stored buckets.
+    val indexHasProbes = oldExt.filter(!col("is_base")).limit(1).count() > 0
+    require(indexHasProbes == multiProbe,
+      s"incrementalPairs(multiProbe=$multiProbe) against an index built " +
+        s"with multiProbe=$indexHasProbes — pass the flag the index was " +
+        "built with (the stored bucket rows carry the probes or not)")
     val newBase = newExt.filter(col("is_base"))
     val oldBase = oldExt.filter(col("is_base"))
     // new-vs-old via newExt×oldBase; when multi-probing, ALSO the other
