@@ -74,7 +74,7 @@ object SparkEntry {
     annExtendMemo.computeIfAbsent(dir, _ => {
       val idx = tempIndexDir("graft-ann-extend")
       val emb = Tables.embeddings(s, dir)
-      val cut = emb.agg(max("vec_id")).head.getLong(0) * 2 / 3
+      val cut = emb.agg(max("vec_id")).head().getLong(0) * 2 / 3
       Pq.buildAnnIndex(emb.filter(col("vec_id") <= cut), idx)
       Pq.extendAnnIndex(emb.filter(col("vec_id") > cut), idx)
       idx

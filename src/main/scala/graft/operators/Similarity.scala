@@ -148,7 +148,7 @@ object Similarity {
     */
   private[operators] def cellOf(
       emb: Column, cents: Array[(Int, Array[Float], Double)]): Column =
-    least(cents.map(c => struct(negScore(emb, c).as("s"), lit(c._1).as("cid"))): _*)
+    least(cents.toIndexedSeq.map(c => struct(negScore(emb, c).as("s"), lit(c._1).as("cid"))): _*)
       .getField("cid")
 
   /** Explode each query row into its `nprobe` best cells: every column
@@ -161,7 +161,7 @@ object Similarity {
   private[operators] def withProbeCells(queries: DataFrame,
       cents: Array[(Int, Array[Float], Double)], nprobe: Int): DataFrame = {
     val probeCells = slice(array_sort(array(
-      cents.map(c => struct(negScore(col("embedding"), c).as("s"), lit(c._1).as("cid"))): _*)),
+      cents.toIndexedSeq.map(c => struct(negScore(col("embedding"), c).as("s"), lit(c._1).as("cid"))): _*)),
       1, nprobe)
     // explode_outer: a plain explode would infer a size(...) > 0
     // pre-filter re-evaluating the nlist-dot probe-cell ranking per
