@@ -336,6 +336,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
     }),
+    // the NEAR-dup curation chain: MinHash-LSH transitive dedup (not
+    // just exact-hash) → benchmark decontamination → deterministic
+    // split → per-(split, lang) summary. The heavy stages are the ones
+    // a 100 TB pipeline actually runs in this order — near-dup removal
+    // first so decontamination shingles a smaller corpus.
+    "cur_pipeline2" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val deduped = Dedup.dropTransitiveDups(corpus,
+        Dedup.minhashLsh(corpus, n = 2, threshold = 0.5))
+      val clean = Curation.decontaminate(deduped, bench, n = 3)
+      Curation.hashSplit(clean, "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    }),
     // ── training-data extensions: text analysis
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
@@ -991,6 +1008,59 @@ object SparkEntry {
                  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
                  (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
                FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM kept))
+         SELECT CASE WHEN bucket < 52428 THEN 'train'
+                     WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split",
+           lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1, 2""",
+    // near-dup pipeline: dedup (recall-1.0 banding == exact pairs) →
+    // drop any doc sharing a trigram with the benchmark → split →
+    // summarize. Mirrors the Spark chain CTE for CTE.
+    "cur_pipeline2" ->
+      """WITH RECURSIVE
+         cor AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 != 0),
+         ben AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS t
+                 FROM documents WHERE doc_id % 10 = 0),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM cor),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+         comp AS (SELECT src AS doc_id, min(node) AS component_id
+                  FROM reach GROUP BY src),
+         surv AS (SELECT * FROM cor WHERE doc_id NOT IN
+                    (SELECT doc_id FROM comp WHERE doc_id != component_id)),
+         cs AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2]))) AS s
+                FROM surv),
+         bs AS (SELECT bench_id, unnest(list_distinct(
+                  list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM ben),
+         dirty AS (SELECT DISTINCT c.doc_id FROM cs c JOIN bs b ON c.s = b.s),
+         clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         b AS (SELECT doc_id, lang, text,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+               FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM clean))
          SELECT CASE WHEN bucket < 52428 THEN 'train'
                      WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split",
            lang, count(*) AS n_docs,
