@@ -29,7 +29,8 @@ object PlanAudit {
     Set("sim_pairs_threshold", "dedup_simhash_pairs", "sim_topk_bruteforce",
       "sim_topk_pq", "sim_topk_ivf_check")
   private val streaming =
-    Set("stream_gold_candles_1m", "stream_silver_typed", "stream_spread_join")
+    Set("stream_gold_candles_1m", "stream_silver_typed", "stream_spread_join",
+      "stream_threshold_alerts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

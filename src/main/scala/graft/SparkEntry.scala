@@ -157,6 +157,19 @@ object SparkEntry {
             col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
             col("ts").as("trade_timestamp"),
             col("user_id").as("trade_id")))),
+    // the same alert recurrence as a REAL flatMapGroupsWithState
+    // streaming query (custom per-key state across micro-batches): the
+    // chronological replay preserves per-key order across batches, so
+    // the emitted alert set equals the batch recurrence — one oracle
+    // serves both executions.
+    "stream_threshold_alerts" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
+        "ts", "event_id",
+        st => Alerts.thresholdAlertsStream(
+            Alerts.trades(st, "event_type", "ts", "event_id", "value"),
+            minMove = 150.0)
+          .toDF()
+          .withColumn("move", round(col("move"), 6)))),
     // the reference's TITLE feature as a real stream-STREAM join: two
     // independent file-stream sources over the same replay (A = even,
     // B = odd event_ids), watermarked band join via Medallion
@@ -189,6 +202,15 @@ object SparkEntry {
         "ts", 20, "event_id")),
     "serve_distinct_symbols" -> ((s, dir) =>
       Serving.distinctKeys(Tables.events(s, dir), "event_type")),
+    // stateful reference-reset alerting: a sequential per-key
+    // recurrence no window function expresses (Alerts scaladoc). Batch
+    // shape = secondary sort + streaming scan; the oracle re-derives
+    // the recurrence with a recursive CTE. move rounds at the edge
+    // (the recurrence itself compares raw doubles on both engines).
+    "serve_threshold_alerts" -> ((s, dir) =>
+      Alerts.thresholdAlerts(Tables.events(s, dir),
+          "event_type", "ts", "event_id", "value", minMove = 150.0)
+        .withColumn("move", round(col("move"), 6))),
     // spread queries use daily candles: at sf0.001 the event stream is
     // too sparse for two symbols to share a 1-min window
     "serve_spread_by_window" -> ((s, dir) =>
@@ -321,6 +343,16 @@ object SparkEntry {
     "cur_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), maxTokens = 512, nShards = 8)),
     "cur_scrub_pii" -> ((s, dir) => Curation.scrubPii(Tables.documents(s, dir))),
+    // relative quality gate: drop each language's worst 40% by the
+    // deterministic quality score. Cutoffs = one percentile agg row
+    // per stratum, broadcast back (never a per-stratum window sort).
+    "cur_quality_cutoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextOps.qualityScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"), col("doc_id"), col("quality_score"))
+      Curation.percentileCutoff(scored, "lang", "quality_score", pct = 0.4)
+    }),
     // the end-to-end curation chain as ONE declarative plan: scrub →
     // exact dedup (min-id survivor) → token-length quality floor →
     // deterministic split → per-(split, lang) corpus summary. Shows
@@ -464,6 +496,37 @@ object SparkEntry {
        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                   JOIN sizes sb ON doc_b = sb.doc_id
        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5"""
+
+  /** Reference-reset alert recurrence re-derived as a recursive CTE —
+    * the shared oracle of both executions of the alert operator
+    * (serve_threshold_alerts batch, stream_threshold_alerts
+    * flatMapGroupsWithState): walk each symbol's (ts, event_id)-ordered
+    * rows, carrying the reference price; a row at |move| ≥ 150 flags an
+    * alert and resets the reference. The recursion advances all symbols
+    * in lockstep (one row per symbol per step), so its depth is the
+    * largest per-symbol row count, not the table size.
+    */
+  private val thresholdAlertsSql =
+    """WITH RECURSIVE ev AS (
+         SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts,
+                event_id, value AS price,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+       walk(symbol, rn, ref, ts, event_id, price, ref_price, is_alert) AS (
+         SELECT symbol, rn, price, ts, event_id, price,
+                CAST(NULL AS DOUBLE), FALSE
+         FROM ev WHERE rn = 1
+         UNION ALL
+         SELECT e.symbol, e.rn,
+                CASE WHEN abs(e.price - w.ref) >= 150.0
+                     THEN e.price ELSE w.ref END,
+                e.ts, e.event_id, e.price, w.ref,
+                abs(e.price - w.ref) >= 150.0
+         FROM walk w JOIN ev e ON e.symbol = w.symbol AND e.rn = w.rn + 1)
+       SELECT symbol, ts AS trade_timestamp, event_id AS trade_id,
+              price, ref_price, round(price - ref_price, 6) AS move
+       FROM walk WHERE is_alert"""
 
   /** Exact cosine pair SQL over the embeddings — the shared oracle of
     * the hyperplane-LSH gates at their recall-1.0 configurations
@@ -644,6 +707,8 @@ object SparkEntry {
            AND CAST(ev.ts AS TIMESTAMP) < c.ws + INTERVAL 90 MINUTE""",
     "serve_distinct_symbols" ->
       "SELECT DISTINCT event_type FROM events",
+    "serve_threshold_alerts" -> thresholdAlertsSql,
+    "stream_threshold_alerts" -> thresholdAlertsSql,
     "serve_spread_by_window" ->
       """WITH e AS (
            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,
@@ -1087,6 +1152,24 @@ object SparkEntry {
          len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
            AS n_ips
          FROM documents""",
+    // quality_score inputs are 6dp-rounded on both engines, the filter
+    // compares the RAW interpolated quantile (display-only rounding on
+    // `cutoff`) — see Curation.percentileCutoff's portability note
+    "cur_quality_cutoff" ->
+      """WITH q AS (SELECT doc_id, lang,
+           round(len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','of','and','to','in'], t))) * 1.0
+                 / len(string_split(text, ' ')) * 0.3
+               + len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) * 0.5
+               + CAST(n_chars BETWEEN 50 AND 5000 AS INT) * 0.2, 6)
+             AS quality_score
+         FROM documents),
+         cut AS (SELECT lang, quantile_cont(quality_score, 0.4) AS c
+                 FROM q GROUP BY 1)
+         SELECT q.lang, q.doc_id, q.quality_score, round(cut.c, 6) AS cutoff
+         FROM q JOIN cut ON q.lang = cut.lang
+         WHERE q.quality_score >= cut.c""",
     "text_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,

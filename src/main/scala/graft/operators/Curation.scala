@@ -117,6 +117,39 @@ object Curation {
       coalesce(element_at(thresholds, col(stratumCol)), lit(0L)))
   }
 
+  /** Per-stratum percentile quality gate: keep rows whose `scoreCol`
+    * sits at or above the stratum's `pct` interpolated quantile —
+    * "drop the worst 40% of each language", the relative-threshold
+    * form quality filtering takes when score distributions differ by
+    * stratum (an absolute cutoff tuned on English would gut a
+    * lower-scoring language entirely).
+    *
+    * Scale shape: the cutoffs are ONE aggregation row per stratum —
+    * computed with a single `percentile` shuffle and broadcast back,
+    * so the corpus is touched exactly twice (agg scan + filter scan)
+    * and never window-sorted. The tempting `percent_rank() OVER
+    * (PARTITION BY stratum)` formulation globally sorts each stratum
+    * inside one task — with a handful of strata over 100 TB that is
+    * five serial sorts; the agg+broadcast plan is why this exists as
+    * an operator.
+    *
+    * The filter compares against the RAW cutoff (the emitted `cutoff`
+    * column is rounded for display only): an interpolated quantile
+    * strictly between two distinct scores equals no row in any
+    * engine, and one landing ON a tied score is exact in every
+    * engine, so `>=` membership is engine-portable.
+    */
+  def percentileCutoff(df: DataFrame, stratumCol: String, scoreCol: String,
+                       pct: Double): DataFrame = {
+    require(pct >= 0 && pct <= 1, "pct must be in [0, 1]")
+    val cuts = df.groupBy(col(stratumCol))
+      .agg(percentile(col(scoreCol), lit(pct)).as("__cutoff"))
+    df.join(broadcast(cuts), Seq(stratumCol))
+      .filter(col(scoreCol) >= col("__cutoff"))
+      .withColumn("cutoff", round(col("__cutoff"), 6))
+      .drop("__cutoff")
+  }
+
   /** Pack documents into fixed token-budget bins ("concat-and-chunk"
     * sequence packing): shard the corpus by `doc_id % nShards`, order
     * each shard by doc_id, and assign each doc to the bin its running

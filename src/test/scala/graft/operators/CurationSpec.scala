@@ -96,4 +96,31 @@ class CurationSpec extends SparkSuite with Matchers {
     out(2)._2 shouldBe "nothing sensitive here 1234"
     (out(2)._3, out(2)._4, out(2)._5) shouldBe ((0L, 0L, 0L))
   }
+
+  test("percentileCutoff keeps the per-stratum top fraction with an interpolated threshold") {
+    // stratum A: scores 1..5 — p40 quantile = 1 + 0.4*4 = 2.6 → keep 3,4,5
+    // stratum B: scores 10,20 — p40 = 14 → keep 20 only
+    val in = Seq(
+      ("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0), ("A", 4L, 4.0), ("A", 5L, 5.0),
+      ("B", 6L, 10.0), ("B", 7L, 20.0)
+    ).toDF("lang", "doc_id", "score")
+    val out = Curation.percentileCutoff(in, "lang", "score", 0.4)
+      .orderBy("doc_id")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    out.map(_._2) shouldBe Seq(3L, 4L, 5L, 7L)
+    out.filter(_._1 == "B").map(_._2) shouldBe Seq(7L)
+    out.find(_._2 == 3L).get._4 shouldBe 2.6 +- 1e-9
+    out.find(_._2 == 7L).get._4 shouldBe 14.0 +- 1e-9
+  }
+
+  test("percentileCutoff at pct=0 keeps everything; tied boundary scores are kept") {
+    val in = Seq(
+      ("A", 1L, 5.0), ("A", 2L, 5.0), ("A", 3L, 5.0), ("A", 4L, 9.0)
+    ).toDF("lang", "doc_id", "score")
+    Curation.percentileCutoff(in, "lang", "score", 0.0).count() shouldBe 4L
+    // p50 of (5,5,5,9) = 5.0 exactly → all ties at 5 survive the >= filter
+    val kept = Curation.percentileCutoff(in, "lang", "score", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 2L, 3L, 4L)
+  }
 }
