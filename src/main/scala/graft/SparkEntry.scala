@@ -80,6 +80,25 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the `gold_candles_incremental` gate's
+    * candle store: partial-aggregate build on tranche 1 (event_id%3==1)
+    * then [[Candles.updateCandleStore]] with tranche 2 — the in-place
+    * dynamic-partition-overwrite update path — leaving a store covering
+    * tranches 1∪2. The gate query then serves candles over store ∪
+    * tranche 3 through the read-only merge view, so the full
+    * build→update→query lifecycle sits under the gold_candles_1m
+    * oracle.
+    */
+  private val candleStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def candleGateStore(s: SparkSession, dir: String): String =
+    candleStoreMemo.computeIfAbsent(dir, _ => {
+      val store = tempIndexDir("graft-candle-store")
+      val ev = Tables.events(s, dir)
+      Candles.buildCandleStore(ev.filter(pmod(col("event_id"), lit(3)) === 1), store)
+      Candles.updateCandleStore(ev.filter(pmod(col("event_id"), lit(3)) === 2), store)
+      store
+    })
+
   private def tempIndexDir(prefix: String): String = {
     val idx = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
@@ -121,6 +140,13 @@ object SparkEntry {
         tieCol = Some("event_id"))),
     "gold_sessions" -> ((s, dir) =>
       Candles.sessions(Tables.events(s, dir), "30 minutes")),
+    // incremental view maintenance of the gold table: candles served
+    // from the partial-aggregate store (built on tranche 1, updated
+    // in place with tranche 2) merged read-only with the unapplied
+    // tranche-3 shard — must equal ohlcv over ALL events
+    "gold_candles_incremental" -> ((s, dir) =>
+      Candles.candlesWithShard(s, candleGateStore(s, dir),
+        Tables.events(s, dir).filter(pmod(col("event_id"), lit(3)) === 0))),
     "gold_vwap_typed" -> ((s, dir) => {
       val vwap = udaf(VwapAggregator)
       val ev = Tables.events(s, dir)
@@ -149,6 +175,17 @@ object SparkEntry {
         "ts", "event_id",
         st => Candles.ohlcv(st.withWatermark("ts", "10 minutes"),
           tieCol = Some("event_id")))),
+    // session windows as a REAL streaming aggregation (state-MERGING
+    // windows, unlike the fixed tumbling grid): append mode emits a
+    // session once the watermark passes its end (last event + gap).
+    // The chronological replay means later chunks only carry later
+    // timestamps, so an emitted session can never reopen — the emitted
+    // set is exactly the batch sessions whose (session_last + gap) the
+    // final watermark (max ts − 10 min) passed.
+    "stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
+        "ts", "event_id",
+        st => Candles.sessions(st.withWatermark("ts", "10 minutes"), "30 minutes"))),
     "stream_silver_typed" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
@@ -543,6 +580,41 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id)
        SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4"""
 
+  /** The 1-minute OHLC/VWAP answer — shared by the one-shot
+    * aggregation gate and the incremental-store gate (maintenance
+    * strategy must not change the answer).
+    */
+  private val goldCandlesSql =
+    """WITH r AS (
+         SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,
+                event_type, value,
+                row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
+                                   ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn_z
+         FROM events)
+       SELECT ws AS window_start, ws + INTERVAL 1 MINUTE AS window_end,
+       event_type AS symbol,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_z = 1 THEN value END) AS close,
+       count(*) AS trade_count, round(avg(value), 6) AS vwap
+       FROM r GROUP BY 1, 2, 3"""
+
+  /** Gap-based session aggregation — shared by the batch gate and (with
+    * the watermark-finalization filter) the streaming gate.
+    */
+  private val goldSessionsSql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value FROM events),
+       m AS (SELECT *, CASE WHEN lag(cts) OVER (PARTITION BY user_id ORDER BY cts) IS NULL
+                     OR cts - lag(cts) OVER (PARTITION BY user_id ORDER BY cts) >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk FROM e),
+       s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY cts
+                      ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+       SELECT user_id, min(cts) AS session_start, max(cts) AS session_last,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+       FROM s GROUP BY user_id, sid"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -558,22 +630,11 @@ object SparkEntry {
          CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
          CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
          FROM events WHERE event_type IN ('click','purchase','view')""",
-    "gold_candles_1m" ->
-      """WITH r AS (
-           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,
-                  event_type, value,
-                  row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
-                                     ORDER BY ts, event_id) AS rn_a,
-                  row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
-                                     ORDER BY ts DESC, event_id DESC) AS rn_z
-           FROM events)
-         SELECT ws AS window_start, ws + INTERVAL 1 MINUTE AS window_end,
-         event_type AS symbol,
-         max(CASE WHEN rn_a = 1 THEN value END) AS open,
-         max(value) AS high, min(value) AS low,
-         max(CASE WHEN rn_z = 1 THEN value END) AS close,
-         count(*) AS trade_count, round(avg(value), 6) AS vwap
-         FROM r GROUP BY 1, 2, 3""",
+    "gold_candles_1m" -> goldCandlesSql,
+    // incremental maintenance must be invisible in the answer: the
+    // store lifecycle's candles face the SAME oracle as the one-shot
+    // aggregation
+    "gold_candles_incremental" -> goldCandlesSql,
     "stream_gold_candles_1m" ->
       """WITH r AS (
            SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,
@@ -630,16 +691,14 @@ object SparkEntry {
          max(CASE WHEN rn_z = 1 THEN value END) AS close,
          count(*) AS trade_count, round(avg(value), 6) AS vwap
          FROM r GROUP BY 1, 2, 3""",
-    "gold_sessions" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value FROM events),
-         m AS (SELECT *, CASE WHEN lag(cts) OVER (PARTITION BY user_id ORDER BY cts) IS NULL
-                       OR cts - lag(cts) OVER (PARTITION BY user_id ORDER BY cts) >= INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS brk FROM e),
-         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY cts
-                        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-         SELECT user_id, min(cts) AS session_start, max(cts) AS session_last,
-           count(*) AS n_events, round(sum(value), 6) AS sum_value
-         FROM s GROUP BY user_id, sid""",
+    "gold_sessions" -> goldSessionsSql,
+    // the streaming emission rule applied to the same session set: a
+    // session is final once the watermark (max ts − 10 min) passes its
+    // end (last event + 30 min gap)
+    "stream_sessions" ->
+      s"""SELECT * FROM ($goldSessionsSql)
+          WHERE session_last + INTERVAL 30 MINUTE <=
+            (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE FROM events)""",
     "gold_vwap_typed" ->
       """WITH ev AS (
            SELECT *, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol

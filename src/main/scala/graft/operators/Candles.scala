@@ -110,6 +110,135 @@ object Candles {
       .select(col(keyCol), col("session_start"), col("session_last"),
         col("n_events"), col("sum_value"))
 
+  // ── Incremental candle maintenance ────────────────────────────────
+  //
+  // The gold table's daily reality at 100 TB: yesterday's candles are
+  // already computed and most of today's shard touches only the most
+  // recent windows. Recomputing the whole table per shard is O(history);
+  // the standard fix is incremental view maintenance over MERGEABLE
+  // partial aggregates. Every [[ohlcv]] measure decomposes:
+  // high/low/count/sum are semigroup merges, and open/close become
+  // merges once the winning (ts, tie, price) key is carried — argmin
+  // over partials is `min(struct(ts, tie, price))` (lexicographic;
+  // (ts, tie) is unique so price never arbitrates). vwap is derived at
+  // finalize time as sum/count, so it needs no merge rule of its own.
+  //
+  // Lifecycle (mirrors Dedup's near-dup index): [[buildCandleStore]]
+  // writes partials parquet partitioned by `p_date(window_start)`;
+  // [[updateCandleStore]] folds a new event shard in by rewriting ONLY
+  // the date partitions the shard touches (dynamic partition
+  // overwrite); [[candlesFromStore]] / [[candlesWithShard]] finalize to
+  // the exact [[ohlcv]] frame — untouched partitions flow map-only
+  // (union side of the plan, no shuffle), only touched partials and the
+  // shard pay the merge aggregation.
+
+  /** Mergeable per-(window, symbol) candle partials of `events`.
+    * Columns: window bounds, symbol, `open_k`/`close_k` (winning
+    * (t, i, p) structs), high, low, trade_count, sum_value.
+    */
+  def candlePartials(events: DataFrame, windowDur: String = "1 minute",
+                     tsCol: String = "ts", symbolCol: String = "event_type",
+                     priceCol: String = "value", tieCol: String = "event_id"): DataFrame = {
+    val ts = col(tsCol); val price = col(priceCol)
+    val key = struct(ts.as("t"), col(tieCol).as("i"), price.as("p"))
+    events
+      .groupBy(window(ts, windowDur).as("w"), col(symbolCol).as("symbol"))
+      .agg(
+        min(key).as("open_k"), max(price).as("high"), min(price).as("low"),
+        max(key).as("close_k"), count(lit(1)).as("trade_count"),
+        sum(price).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("symbol"), col("open_k"), col("high"), col("low"), col("close_k"),
+        col("trade_count"), col("sum_value"))
+  }
+
+  /** Merge two partial frames — associative + commutative, so any
+    * shard/union order yields the same candles after [[finalizeCandles]].
+    */
+  def mergeCandlePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("window_start", "window_end", "symbol")
+      .agg(
+        min(col("open_k")).as("open_k"), max(col("high")).as("high"),
+        min(col("low")).as("low"), max(col("close_k")).as("close_k"),
+        sum(col("trade_count")).as("trade_count"),
+        sum(col("sum_value")).as("sum_value"))
+
+  /** Partials → the exact [[ohlcv]] output frame (map-only). */
+  def finalizeCandles(partials: DataFrame): DataFrame =
+    partials.select(col("window_start"), col("window_end"), col("symbol"),
+      col("open_k.p").as("open"), col("high"), col("low"),
+      col("close_k.p").as("close"), col("trade_count"),
+      round(col("sum_value") / col("trade_count"), 6).as("vwap"))
+
+  private def withPDate(partials: DataFrame): DataFrame =
+    partials.withColumn("p_date", to_date(col("window_start")))
+
+  /** Initialize the candle store: partials of `events` partitioned by
+    * window date (readers and the updater prune to the dates they
+    * touch).
+    */
+  def buildCandleStore(events: DataFrame, path: String,
+                       windowDur: String = "1 minute"): Unit =
+    withPDate(candlePartials(events, windowDur))
+      .write.partitionBy("p_date")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Fold a new event shard into the store, rewriting ONLY the date
+    * partitions the shard's windows land in: merged partials for the
+    * touched dates are staged to a sibling dir (Spark refuses an
+    * overwrite whose input is the output path), then dynamic partition
+    * overwrite swaps exactly those `p_date=` dirs in. Cost is
+    * O(shard + touched partitions) — history outside the shard's date
+    * range is never read or written. Same single-writer contract as
+    * [[graft.util.Lake.compact]].
+    */
+  def updateCandleStore(newEvents: DataFrame, path: String,
+                        windowDur: String = "1 minute"): Unit = {
+    val spark = newEvents.sparkSession
+    val delta = withPDate(candlePartials(newEvents, windowDur))
+    val dates = delta.select("p_date").distinct()
+    val touched = spark.read.parquet(path)
+      .join(broadcast(dates), Seq("p_date"), "left_semi")
+    val merged = withPDate(
+      mergeCandlePartials(touched.drop("p_date"), delta.drop("p_date")))
+    val stage = path + ".update-stage"
+    merged.write.partitionBy("p_date")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    spark.read.parquet(stage)
+      .write.partitionBy("p_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** The store's current candles — exactly [[ohlcv]] over everything
+    * built + updated in.
+    */
+  def candlesFromStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    finalizeCandles(spark.read.parquet(path).drop("p_date"))
+
+  /** Read-only merge view: candles over store ∪ an unapplied shard —
+    * what a serving query returns between shard arrivals and store
+    * updates. Untouched dates stream map-only through finalize (union
+    * branch, no shuffle); only the shard's dates pay the merge agg.
+    */
+  def candlesWithShard(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newEvents: DataFrame,
+                       windowDur: String = "1 minute"): DataFrame = {
+    val delta = withPDate(candlePartials(newEvents, windowDur))
+    val dates = delta.select("p_date").distinct()
+    val stored = spark.read.parquet(path)
+    val touched = stored.join(broadcast(dates), Seq("p_date"), "left_semi")
+    val untouched = stored.join(broadcast(dates), Seq("p_date"), "left_anti")
+    finalizeCandles(
+      mergeCandlePartials(touched.drop("p_date"), delta.drop("p_date"))
+        .unionByName(untouched.drop("p_date")))
+  }
+
   /** True volume-weighted average price: sum(price*vol)/sum(vol) —
     * closes the reference's declared-but-unimplemented VWAP gap
     * (`README.md:133` vs `gold_layer.py:67`). Volume is any numeric col.

@@ -86,6 +86,63 @@ class CandlesSpec extends SparkSuite with Matchers {
     typed.orderBy("event_type").collect() shouldBe builtin.orderBy("event_type").collect()
   }
 
+  // ── incremental candle store ──────────────────────────────────────
+
+  private def sortedCandles(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("vwap", round(col("vwap"), 6))
+      .orderBy("symbol", "window_start").collect()
+
+  test("partials merged over any split finalize to the full recompute") {
+    val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val full = Candles.ohlcv(ev, tieCol = Some("event_id"))
+    for (m <- Seq(2, 3)) {
+      val parts = (0 until m).map(i =>
+        Candles.candlePartials(ev.filter(pmod(col("event_id"), lit(m)) === i)))
+      val merged = parts.reduce(Candles.mergeCandlePartials)
+      sortedCandles(Candles.finalizeCandles(merged)) shouldBe sortedCandles(full)
+    }
+  }
+
+  test("store lifecycle: build + in-place update equals full recompute") {
+    val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("candle-store").toString
+    Candles.buildCandleStore(ev.filter(pmod(col("event_id"), lit(3)) === 1), store)
+    Candles.updateCandleStore(ev.filter(pmod(col("event_id"), lit(3)) === 2), store)
+    val t12 = ev.filter(pmod(col("event_id"), lit(3)) =!= 0)
+    sortedCandles(Candles.candlesFromStore(spark, store)) shouldBe
+      sortedCandles(Candles.ohlcv(t12, tieCol = Some("event_id")))
+    // the read-only merge view folds the last tranche in without a write
+    sortedCandles(Candles.candlesWithShard(spark, store,
+      ev.filter(pmod(col("event_id"), lit(3)) === 0))) shouldBe
+      sortedCandles(Candles.ohlcv(ev, tieCol = Some("event_id")))
+  }
+
+  test("updateCandleStore rewrites only the shard's date partitions") {
+    val day1 = Seq(
+      (1L, ts("2026-01-01 10:00:05"), "BTC", 100.0),
+      (2L, ts("2026-01-01 10:00:20"), "BTC", 105.0))
+    val day2 = Seq(
+      (3L, ts("2026-01-02 09:00:00"), "BTC", 99.0),
+      (4L, ts("2026-01-02 09:00:30"), "ETH", 10.0))
+    val store = java.nio.file.Files.createTempDirectory("candle-part").toString
+    Candles.buildCandleStore((day1 ++ day2)
+      .toDF("event_id", "ts", "event_type", "value"), store)
+    def files(date: String): Set[String] =
+      Option(new java.io.File(s"$store/p_date=$date").listFiles())
+        .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val day1Before = files("2026-01-01")
+    day1Before should not be empty
+    // shard touches only day 2
+    Candles.updateCandleStore(Seq((5L, ts("2026-01-02 09:00:45"), "BTC", 101.0))
+      .toDF("event_id", "ts", "event_type", "value"), store)
+    files("2026-01-01") shouldBe day1Before // untouched partition intact
+    val d2 = Candles.candlesFromStore(spark, store)
+      .filter(col("symbol") === "BTC" && col("window_start") === ts("2026-01-02 09:00:00"))
+      .select("open", "close", "trade_count")
+      .as[(Double, Double, Long)].head()
+    d2 shouldBe ((99.0, 101.0, 2L))
+  }
+
   test("vwapTrue weights by volume") {
     val df = Seq(
       (ts("2026-01-01 10:00:05"), "BTC", 100.0, 1.0),
