@@ -99,6 +99,25 @@ object SparkEntry {
       store
     })
 
+  /** Per-(JVM, sfDir) memo of the `lake_zorder_roundtrip` gate's table:
+    * a 3-column slice of events rewritten by
+    * [[graft.util.Lake.compactClustered]] along the (user_id, value)
+    * Z-curve. The gate reads it back — hash equality against the plain
+    * SELECT proves the layout rewrite is lossless; the clustering
+    * QUALITY claims (narrow per-file min/max boxes, file skipping)
+    * are spec-asserted in LakeSpec where file-level stats are visible.
+    */
+  private val zorderMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderGateTable(s: SparkSession, dir: String): String =
+    zorderMemo.computeIfAbsent(dir, _ => {
+      val t = tempIndexDir("graft-zorder")
+      Tables.events(s, dir).select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(t)
+      graft.util.Lake.compactClustered(s, t, Seq("user_id", "value"),
+        targetFileMB = 1)
+      t
+    })
+
   private def tempIndexDir(prefix: String): String = {
     val idx = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
@@ -227,6 +246,11 @@ object SparkEntry {
           graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1))
             .withColumn("spread", round(col("spread"), 6))
         })),
+    // ── lakehouse physical layout (SURVEY §2.9 / Lake): Z-order
+    // clustered rewrite must be invisible in the answer — the table
+    // reads back exactly as the unclustered original
+    "lake_zorder_roundtrip" -> ((s, dir) =>
+      s.read.parquet(zorderGateTable(s, dir))),
     // ── serving layer (SURVEY §2.3 P9, §2.5, §2.6)
     "serve_latest_per_symbol" -> ((s, dir) =>
       Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts", "event_id")),
@@ -716,6 +740,8 @@ object SparkEntry {
          round(sum(value * vol) / sum(vol), 6) AS vwap,
          round(sum(vol), 6) AS volume, count(*) AS trade_count
          FROM ev WHERE vol > 0 GROUP BY 1, 2""",
+    "lake_zorder_roundtrip" ->
+      "SELECT event_id, user_id, value FROM events",
     "serve_latest_per_symbol" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
          FROM (SELECT *, row_number() OVER

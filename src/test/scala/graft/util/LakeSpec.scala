@@ -122,6 +122,64 @@ class LakeSpec extends SparkSuite with Matchers {
     new java.io.File(path + ".compact-old").exists() shouldBe false
   }
 
+  test("compactClustered narrows per-file min/max spans on every cluster column") {
+    // 400k rows, two independent uniform dims: an unclustered write
+    // leaves every file spanning ~the full domain of both columns
+    val n = 400000L
+    val df = spark.range(n).select(
+      col("id"),
+      pmod(hash(col("id")), lit(100000)).cast("long").as("a"),
+      pmod(hash(col("id") + 7), lit(100000)).cast("long").as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("lake-zorder").toString
+    df.repartition(6).write.mode("overwrite").parquet(dir)
+
+    def avgWidth(c: String): Double = {
+      import spark.implicits._
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+        .agg(avg("w")).as[Double].head()
+    }
+    val (wa0, wb0) = (avgWidth("a"), avgWidth("b"))
+
+    val (_, after) = Lake.compactClustered(spark, dir, Seq("a", "b"), targetFileMB = 1)
+    after should be > 1 // multiple files, else "narrow" is vacuous
+    // rows survive the rewrite byte-for-byte
+    spark.read.parquet(dir).agg(count(lit(1)), sum("a"), sum("b"))
+      .collect() shouldBe df.agg(count(lit(1)), sum("a"), sum("b")).collect()
+    // each file now covers a small rectangle of (a, b) space: both
+    // widths shrink together — the property one-column sorting can't give
+    avgWidth("a") should be < wa0 * 0.7
+    avgWidth("b") should be < wb0 * 0.7
+  }
+
+  test("compactClustered skips most files for a point-range predicate") {
+    val n = 600000L
+    val df = spark.range(n).select(
+      pmod(hash(col("id")), lit(10000)).cast("long").as("a"),
+      pmod(hash(col("id") + 3), lit(10000)).cast("long").as("b"),
+      hash(col("id") + 11).cast("long").as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("lake-zskip").toString
+    df.write.mode("overwrite").parquet(dir)
+    Lake.compactClustered(spark, dir, Seq("a", "b"), targetFileMB = 1)
+    // footer-stats pruning: only files whose [min,max] box straddles
+    // the predicate rectangle can contain matches — count candidate
+    // files by the same min/max rule parquet row-group skipping
+    // applies. The 2-D rectangle (a AND b bounded) is the query shape
+    // z-ordering exists for: a sort on `a` alone would leave every
+    // file's b-range full-width and prune nothing on b.
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a_lo"), max("a").as("a_hi"),
+        min("b").as("b_lo"), max("b").as("b_hi"))
+    val nFiles = stats.count()
+    nFiles should be > 1L
+    val candidates = stats.filter(
+      col("a_lo") <= 100 && col("a_hi") >= 0 &&
+        col("b_lo") <= 100 && col("b_hi") >= 0).count()
+    candidates.toDouble / nFiles should be < 0.5
+  }
+
   test("bucketed tables join and aggregate without an exchange on the bucket key") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
