@@ -251,9 +251,31 @@ object SparkEntry {
     // reads back exactly as the unclustered original
     "lake_zorder_roundtrip" -> ((s, dir) =>
       s.read.parquet(zorderGateTable(s, dir))),
+    // the README-declared silver dedup (§7 gap-closure) as a REAL
+    // streaming query: every event arrives TWICE (input ∪ input) and
+    // dropDuplicatesWithinWatermark must collapse each pair — the
+    // duplicated rows are bit-identical, so survivor choice cannot
+    // leak nondeterminism into the oracle compare. Without the dedup
+    // the output would be exactly 2× the oracle's rows.
+    "stream_silver_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.StreamedBatch.replayAggregate(s, ev.union(ev),
+        "ts", "event_id",
+        st => st.filter(col("event_type").isin("click", "purchase", "view"))
+          .select(col("event_type").as("symbol"),
+            col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
+            col("ts").as("trade_timestamp"),
+            col("user_id").as("trade_id"),
+            col("event_id"))
+          .withWatermark("trade_timestamp", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .drop("event_id"))
+    }),
     // ── serving layer (SURVEY §2.3 P9, §2.5, §2.6)
     "serve_latest_per_symbol" -> ((s, dir) =>
       Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts", "event_id")),
+    "serve_rolling_stats" -> ((s, dir) =>
+      Serving.rollingStats(Tables.events(s, dir))),
     "serve_prev_close_delta" -> ((s, dir) =>
       Serving.prevCloseDelta(Candles.ohlcv(Tables.events(s, dir),
         tieCol = Some("event_id")))),
@@ -683,6 +705,13 @@ object SparkEntry {
          CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
          CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
          FROM events WHERE event_type IN ('click','purchase','view')""",
+    // the doubled input collapses back to exactly the silver rows —
+    // the dedup is the whole difference between passing and 2× rows
+    "stream_silver_dedup" ->
+      """SELECT event_type AS symbol,
+         CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
+         CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
+         FROM events WHERE event_type IN ('click','purchase','view')""",
     // the stream-stream band join's emitted set == the batch band join
     // (inner emission is not watermark-gated; chronological replay
     // means nothing is late)
@@ -747,6 +776,17 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
+    // both engines select RANGE-frame peers by integer milliseconds
+    // (unix_millis / epoch_ms), so burst ties resolve identically
+    "serve_rolling_stats" ->
+      """SELECT event_id, event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts, value,
+         count(*) OVER w AS roll_cnt,
+         round(avg(value) OVER w, 6) AS roll_avg,
+         max(value) OVER w AS roll_max
+         FROM events
+         WINDOW w AS (PARTITION BY event_type
+                      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+                      RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)""",
     "serve_prev_close_delta" ->
       """WITH r AS (
            SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,

@@ -55,6 +55,36 @@ object Serving {
   def distinctKeys(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol)).distinct()
 
+  /** Per-event trailing-window statistics: for every trade, the count /
+    * mean / max of prices over the PRECEDING `windowMs` of event time
+    * within its symbol — the dashboard's "last 5 minutes" tiles
+    * computed event-aligned instead of grid-aligned (a tumbling candle
+    * can't answer "as of THIS trade").
+    *
+    * A time-RANGE window frame, not ROWS: peers are selected by
+    * event-time distance (`unix_millis` — exact integer milliseconds,
+    * no float epoch drift), so ties and bursts are handled identically
+    * under any partitioning. Scale shape: one shuffle on the symbol
+    * key; the frame walk is the sliding-window merge within each
+    * sorted partition. Symbol-skewed streams should pre-bucket time
+    * (as [[graft.streaming.Medallion.streamSpreadBucketed]] does) —
+    * here we keep the canonical serving shape, matching
+    * [[latestPerKey]] / [[prevCloseDelta]].
+    */
+  def rollingStats(events: DataFrame, windowMs: Long = 300000L,
+                   tsCol: String = "ts", symbolCol: String = "event_type",
+                   priceCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(symbolCol))
+      .orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(-windowMs, Window.currentRow)
+    events.select(
+      col(idCol).as("event_id"), col(symbolCol).as("symbol"),
+      col(tsCol).as("ts"), col(priceCol).as("value"),
+      count(lit(1)).over(w).as("roll_cnt"),
+      round(avg(col(priceCol)).over(w), 6).as("roll_avg"),
+      max(col(priceCol)).over(w).as("roll_max"))
+  }
+
   /** Cross-symbol spread per window: the arbitrage query the reference
     * promises but never built (SURVEY.md §2.7 / README title). For each
     * time window, the widest close-price gap across symbols, with the

@@ -21,6 +21,22 @@ class ServingSpec extends SparkSuite with Matchers {
     out shouldBe Array(2L, 3L)
   }
 
+  test("rollingStats: trailing time-range frame, boundary inclusive") {
+    val df = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "BTC", 100.0),
+      (2L, ts("2026-01-01 10:01:40"), "BTC", 110.0),
+      (3L, ts("2026-01-01 10:06:40"), "BTC", 120.0), // exactly 300s after #2
+      (4L, ts("2026-01-01 10:00:00"), "ETH", 5.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = Serving.rollingStats(df).orderBy("event_id")
+      .select("roll_cnt", "roll_avg", "roll_max")
+      .as[(Long, Double, Double)].collect()
+    out(0) shouldBe ((1L, 100.0, 100.0))
+    out(1) shouldBe ((2L, 105.0, 110.0))
+    out(2) shouldBe ((2L, 115.0, 120.0)) // #1 aged out, #2 on the 300s edge stays
+    out(3) shouldBe ((1L, 5.0, 5.0))     // other symbol isolated
+  }
+
   test("topKRecent returns k rows, newest first, id tiebreak") {
     val df = Seq(
       (1L, ts("2026-01-01 10:00:00")),
