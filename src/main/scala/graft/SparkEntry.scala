@@ -194,6 +194,14 @@ object SparkEntry {
         "ts", "event_id",
         st => Candles.ohlcv(st.withWatermark("ts", "10 minutes"),
           tieCol = Some("event_id")))),
+    // sliding (overlapping) candles through the same replay: each event
+    // feeds windowDur/slideDur concurrent window states; append mode
+    // emits each overlapping window once its END passes the watermark
+    "stream_candles_sliding" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
+        "ts", "event_id",
+        st => Candles.ohlcvSliding(st.withWatermark("ts", "10 minutes"),
+          "2 minutes", "1 minute", tieCol = Some("event_id")))),
     // session windows as a REAL streaming aggregation (state-MERGING
     // windows, unlike the fixed tumbling grid): append mode emits a
     // session once the watermark passes its end (last event + gap).
@@ -341,6 +349,17 @@ object SparkEntry {
     // sketch outputs are engine-specific; the gate asserts their
     // accuracy contract vs exact, computed in-engine (invariant row)
     "q_approx_aggs" -> ((s, dir) => Relational.approxAggChecks(s, dir)),
+    // heavy hitters via the bounded-memory Misra-Gries sketch: k=64
+    // counters exceed the column's true cardinality, so no decrement
+    // fires and the sketch counts are EXACT — hash-equal to the
+    // GROUP BY oracle. (The under-cardinality compaction path and its
+    // error bound are property-specced in FreqSketchSpec.)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val mg = udaf(new FreqSketch.MisraGries(64))
+      Tables.events(s, dir)
+        .agg(mg(col("event_type")).as("m"))
+        .select(explode(col("m")).as(Seq("symbol", "cnt")))
+    }),
     "q_pivot_segment_year" -> ((s, dir) => Relational.segmentYearPivot(s, dir)),
     // ── training-data extensions: dedup
     "dedup_exact_groups" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
@@ -647,6 +666,29 @@ object SparkEntry {
        count(*) AS trade_count, round(avg(value), 6) AS vwap
        FROM r GROUP BY 1, 2, 3"""
 
+  /** Overlapping 2-minute/1-minute-slide candles — shared by the batch
+    * gate and (with the watermark-finalization filter) the streaming
+    * gate.
+    */
+  private val goldSlidingSql =
+    """WITH x AS (
+         SELECT unnest([date_trunc('minute', CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE,
+                        date_trunc('minute', CAST(ts AS TIMESTAMP))]) AS ws,
+                CAST(ts AS TIMESTAMP) AS cts, event_id, event_type, value
+         FROM events),
+       r AS (
+         SELECT ws, event_type, value,
+                row_number() OVER (PARTITION BY ws, event_type ORDER BY cts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY ws, event_type ORDER BY cts DESC, event_id DESC) AS rn_z
+         FROM x)
+       SELECT ws AS window_start, ws + INTERVAL 2 MINUTE AS window_end,
+       event_type AS symbol,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_z = 1 THEN value END) AS close,
+       count(*) AS trade_count, round(avg(value), 6) AS vwap
+       FROM r GROUP BY 1, 2, 3"""
+
   /** Gap-based session aggregation — shared by the batch gate and (with
     * the watermark-finalization filter) the streaming gate.
     */
@@ -726,24 +768,12 @@ object SparkEntry {
          FROM t a JOIN t b ON a.symbol = b.symbol
            AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
            AND b.tts BETWEEN a.tts - INTERVAL 60 SECOND AND a.tts""",
-    "gold_candles_sliding" ->
-      """WITH x AS (
-           SELECT unnest([date_trunc('minute', CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE,
-                          date_trunc('minute', CAST(ts AS TIMESTAMP))]) AS ws,
-                  CAST(ts AS TIMESTAMP) AS cts, event_id, event_type, value
-           FROM events),
-         r AS (
-           SELECT ws, event_type, value,
-                  row_number() OVER (PARTITION BY ws, event_type ORDER BY cts, event_id) AS rn_a,
-                  row_number() OVER (PARTITION BY ws, event_type ORDER BY cts DESC, event_id DESC) AS rn_z
-           FROM x)
-         SELECT ws AS window_start, ws + INTERVAL 2 MINUTE AS window_end,
-         event_type AS symbol,
-         max(CASE WHEN rn_a = 1 THEN value END) AS open,
-         max(value) AS high, min(value) AS low,
-         max(CASE WHEN rn_z = 1 THEN value END) AS close,
-         count(*) AS trade_count, round(avg(value), 6) AS vwap
-         FROM r GROUP BY 1, 2, 3""",
+    "gold_candles_sliding" -> goldSlidingSql,
+    // streaming emission rule on the same overlapping-window set
+    "stream_candles_sliding" ->
+      s"""SELECT * FROM ($goldSlidingSql)
+          WHERE window_end <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE
+                               FROM events)""",
     "gold_sessions" -> goldSessionsSql,
     // the streaming emission rule applied to the same session set: a
     // session is final once the watermark (max ts − 10 min) passes its
@@ -977,6 +1007,8 @@ object SparkEntry {
     // sketches honor their error bounds (computed vs exact in-engine)
     "q_approx_aggs" ->
       """SELECT true AS p50_within_2pct, true AS nd_within_5pct""",
+    "q_heavy_hitters" ->
+      "SELECT event_type AS symbol, count(*) AS cnt FROM events GROUP BY 1",
     "q_pivot_segment_year" ->
       """SELECT c_mktsegment,
          count(CASE WHEN year(o_orderdate) = 1995 THEN 1 END) AS y1995,
