@@ -349,6 +349,17 @@ object SparkEntry {
     // sketch outputs are engine-specific; the gate asserts their
     // accuracy contract vs exact, computed in-engine (invariant row)
     "q_approx_aggs" -> ((s, dir) => Relational.approxAggChecks(s, dir)),
+    // semi-join reduction: fact rows pre-dropped by a Bloom filter of
+    // the dim keys (false positives only), then the exact join — the
+    // result must be bit-identical to the unfiltered join
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      Relational.bloomPrefilterJoin(Tables.orders(s, dir), dim,
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+    }),
     // heavy hitters via the bounded-memory Misra-Gries sketch: k=64
     // counters exceed the column's true cardinality, so no decrement
     // fires and the sketch counts are EXACT — hash-equal to the
@@ -1007,6 +1018,10 @@ object SparkEntry {
     // sketches honor their error bounds (computed vs exact in-engine)
     "q_approx_aggs" ->
       """SELECT true AS p50_within_2pct, true AS nd_within_5pct""",
+    "q_bloom_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'""",
     "q_heavy_hitters" ->
       "SELECT event_type AS symbol, count(*) AS cnt FROM events GROUP BY 1",
     "q_pivot_segment_year" ->

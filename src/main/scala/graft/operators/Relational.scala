@@ -306,6 +306,39 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Semi-join reduction: drop fact rows whose key CANNOT be in `dim`
+    * BEFORE the join shuffle, by testing each key against a Bloom
+    * filter of the dim keys. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling only the ~matching
+    * fraction: the filter is ~1.2 MB per million dim keys at 3% fpp —
+    * task-closure freight, not an exchange. Spark's AQE injects this
+    * automatically in narrow cases
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`); this is the
+    * explicit, always-available form, with the membership test compiled
+    * into the scan's WholeStageCodegen span
+    * ([[graft.functions.BloomMightContainLong]]).
+    *
+    * Exactness: the filter's errors are one-sided (false POSITIVES
+    * only), and the exact equi-join downstream removes them — the
+    * result is bit-identical to the unfiltered join for any fpp. The
+    * dim side pays one distinct-count + one filter-build aggregation
+    * (both dim-sized, the side that fits by assumption).
+    */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame,
+                         factKey: String, dimKey: String,
+                         fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nKeys = math.max(dim.select(dimKey).distinct().count(), 1L)
+    val bloom = dim.stat.bloomFilter(dimKey, nKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val holder = new graft.functions.BloomHolder(bos.toByteArray)
+    val pre = fact.filter(ColumnBridge.column(
+      graft.functions.BloomMightContainLong(
+        ColumnBridge.expression(col(factKey)), holder)))
+    pre.join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Orders per market segment — size-planned dim join + two-level agg. */
   def ordersPerSegment(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
