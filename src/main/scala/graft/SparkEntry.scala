@@ -441,6 +441,10 @@ object SparkEntry {
     // ── training-data extensions: curation
     // benchmark = every 10th doc, corpus = the rest (synthetic split of
     // the documents table so the overlap is real but disjoint)
+    // span-level dedup: first global occurrence of each 16-token
+    // window survives, docs reassemble from surviving spans
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.dedupSpans(Tables.documents(s, dir))),
     "cur_contamination" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       Curation.contaminationReport(
@@ -1058,6 +1062,24 @@ object SparkEntry {
     // minhashLsh verifies candidates with exact Jaccard and reaches
     // recall 1.0 on this corpus (spec-asserted), so the exact n-gram
     // Jaccard SQL is its oracle too
+    // both engines elect first occurrence per md5(span) and rebuild by
+    // in-doc position — identical grouping, ordering, and clipping of
+    // the final short span
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s0 AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS pos
+                FROM t),
+         s AS (SELECT doc_id, pos,
+                 array_to_string(toks[CAST(pos*16+1 AS BIGINT):CAST(pos*16+16 AS BIGINT)], ' ') AS span
+               FROM s0),
+         k AS (SELECT doc_id, pos, span,
+                 row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+               FROM s),
+         g AS (SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup
+               FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(g.text_dedup, '') AS text_dedup
+         FROM documents d LEFT JOIN g USING (doc_id)""",
     "dedup_minhash_lsh" -> exactJaccardPairsSql,
     // multi-probe reaches recall 1.0 at 8 hashes × 4 bands on this
     // corpus (spec-measured; probing the second-minimum substitution

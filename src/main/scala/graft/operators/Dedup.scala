@@ -37,6 +37,41 @@ object Dedup {
       .drop("keep_id")
   }
 
+  /** Global span-level dedup — the C4/RefinedWeb "drop any span seen
+    * before" rule at fixed token granularity. Each doc splits into
+    * consecutive `spanTokens`-token windows; the FIRST occurrence of
+    * each distinct span across the corpus (ordered by doc_id, then
+    * in-doc position) survives; every doc reassembles from its
+    * surviving spans in order (possibly to an empty string). Unlike
+    * whole-doc dedup this removes boilerplate REGIONS shared across
+    * otherwise-distinct documents — the dominant duplication mode in
+    * web corpora.
+    *
+    * Scale shape: two shuffles — first-occurrence election exchanges
+    * md5(span) (a fixed 32-char key, not the span text, as the window
+    * partition key), reassembly exchanges doc_id. Both are
+    * hash-partitioned; nothing is global. The window inside one span
+    * hash is at most the span's duplicate count.
+    */
+  def dedupSpans(docs: DataFrame, spanTokens: Int = 16): DataFrame = {
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val nSpans = ceil(size(col("toks")) / lit(spanTokens.toDouble)).cast("int")
+    val spans = toked.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => concat_ws(" ", slice(col("toks"), i * spanTokens + 1, lit(spanTokens)))))
+        .as(Seq("pos", "span")))
+    val w = Window.partitionBy(md5(col("span"))).orderBy(col("doc_id"), col("pos"))
+    val kept = spans.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("span")))),
+        s => s.getField("span"))).as("text_dedup"))
+    // left join back: a doc whose every span was seen before still
+    // emits a row (empty text), so row count is stable for pipelines
+    docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .na.fill("", Seq("text_dedup"))
+  }
+
   /** Word n-gram shingles of the canonical token stream, distinct. */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)

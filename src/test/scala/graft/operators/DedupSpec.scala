@@ -258,6 +258,24 @@ class DedupSpec extends SparkSuite with Matchers {
         .orderBy("doc_a", "doc_b").collect()
   }
 
+  test("dedupSpans: first global occurrence survives, later spans drop, docs can empty") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val a = words("a", 32)            // doc 1: spans A0 A1
+    val b = words("b", 16)            // doc 2: span B0 then a COPY of A1
+    val doc2 = b + " " + words("a", 32).split(" ").drop(16).mkString(" ")
+    val doc3 = a                      // doc 3: pure copy of doc 1 → empties
+    val d = Seq((1L, a), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(d, spanTokens = 16)
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    out(1L) shouldBe a                // first occurrence keeps everything
+    out(2L) shouldBe b                // its copied A1 span dropped
+    out(3L) shouldBe ""               // fully-seen doc empties but keeps its row
+    // short final spans clip consistently: a 20-token doc has spans of 16 + 4
+    val short = Seq((9L, words("z", 20))).toDF("doc_id", "text")
+    Dedup.dedupSpans(short).as[(Long, String)].collect().head._2 shouldBe words("z", 20)
+  }
+
   test("extendIndex folds a shard in; second increment still equals from-scratch") {
     val path = java.nio.file.Files.createTempDirectory("dedup-idx2").toString
     // three daily shards by doc_id mod 3
