@@ -445,6 +445,11 @@ object SparkEntry {
     // window survives, docs reassemble from surviving spans
     "dedup_spans" -> ((s, dir) =>
       Dedup.dedupSpans(Tables.documents(s, dir))),
+    // deterministic corpus shuffle: global training-order positions
+    // along the seeded-hash permutation, produced by range exchange +
+    // two-phase enumeration (NOT a single-task global window)
+    "cur_shuffle" -> ((s, dir) =>
+      Curation.shufflePositions(Tables.documents(s, dir), seed = "epoch0")),
     "cur_contamination" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       Curation.contaminationReport(
@@ -1207,6 +1212,13 @@ object SparkEntry {
            FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id)
          SELECT *, flag_length AND flag_word_len AND flag_symbols
            AND flag_stopword AND flag_repetition AS keep FROM f""",
+    // both engines enumerate the identical md5-keyed total order
+    // (ties impossible: doc_id is part of the sort key)
+    "cur_shuffle" ->
+      """SELECT doc_id,
+         row_number() OVER (ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS shuffle_pos
+         FROM documents""",
     "cur_contamination" ->
       """WITH cor AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 10 != 0),

@@ -175,6 +175,47 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin_id"))
   }
 
+  /** Deterministic global training order: every row gets a consecutive
+    * position 1..N along the seeded-hash permutation of its id — "the
+    * corpus shuffle" a training run fixes once so every re-run, resume,
+    * and data-parallel reader sees the same order.
+    *
+    * The tempting formulation is `row_number() OVER (ORDER BY
+    * md5(seed || id))` — an empty-partition global window that funnels
+    * 100 TB through ONE task. This operator produces the identical
+    * column with a RANGE exchange instead: rows range-partition and
+    * sort on the hash key (a total order, ties broken by id), a
+    * per-partition count pass collects `numPartitions` longs to the
+    * driver, and each partition stamps consecutive positions from its
+    * prefix offset. Two jobs, no global sort on one executor — the
+    * standard distributed enumeration pattern (zipWithIndex done on a
+    * DataFrame with a chosen order).
+    */
+  def shufflePositions(docs: DataFrame, seed: String, idCol: String = "doc_id",
+                       partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val n = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val key = md5(concat(lit(seed), col(idCol).cast("string")))
+    val sorted = docs.select(col(idCol), key.as("__k"))
+      .repartitionByRange(n, col("__k"), col(idCol))
+      .sortWithinPartitions(col("__k"), col(idCol))
+    val rdd = sorted.rdd
+    // bounded driver data: one long per partition
+    val counts = rdd.mapPartitionsWithIndex((i, it) =>
+      Iterator((i, it.size.toLong))).collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var pos = offsets(i)
+      it.map { r => pos += 1; org.apache.spark.sql.Row(r.getLong(0), pos) }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("shuffle_pos",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   // PII patterns: kept to the common subset of Java regex and RE2 so
   // external engines (and the DuckDB oracle) match byte-for-byte
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -113,6 +113,25 @@ class CurationSpec extends SparkSuite with Matchers {
     out.find(_._2 == 7L).get._4 shouldBe 14.0 +- 1e-9
   }
 
+  test("shufflePositions: consecutive 1..N, equals the window formulation, partition-invariant") {
+    val docs = spark.range(1, 501).select(col("id").as("doc_id"))
+    val expected = docs
+      .withColumn("shuffle_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          md5(concat(lit("s1"), col("doc_id").cast("string"))), col("doc_id"))))
+      .select("doc_id", "shuffle_pos")
+      .as[(Long, Int)].collect().map { case (d, p) => (d, p.toLong) }.sorted
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Curation.shufflePositions(docs.repartition(5), "s1", partitions = parts)
+        .as[(Long, Long)].collect().sorted
+      got shouldBe expected
+    }
+    // positions are a permutation of 1..N
+    val ps = Curation.shufflePositions(docs, "s1")
+      .select("shuffle_pos").as[Long].collect().sorted
+    ps shouldBe (1L to 500L).toArray
+  }
+
   test("percentileCutoff at pct=0 keeps everything; tied boundary scores are kept") {
     val in = Seq(
       ("A", 1L, 5.0), ("A", 2L, 5.0), ("A", 3L, 5.0), ("A", 4L, 9.0)

@@ -180,6 +180,21 @@ class LakeSpec extends SparkSuite with Matchers {
     candidates.toDouble / nFiles should be < 0.5
   }
 
+  test("compactClustered tolerates null and constant cluster columns") {
+    val df = spark.range(10000).select(
+      col("id"),
+      when(pmod(col("id"), lit(3)) === 0, lit(null).cast("long"))
+        .otherwise(pmod(hash(col("id")), lit(1000)).cast("long")).as("a"),
+      lit(7L).as("b")) // constant: quantile boundaries collapse to one value
+    val dir = java.nio.file.Files.createTempDirectory("lake-zedge").toString
+    df.write.mode("overwrite").parquet(dir)
+    Lake.compactClustered(spark, dir, Seq("a", "b"), targetFileMB = 1)
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 10000L
+    back.filter(col("a").isNull).count() shouldBe df.filter(col("a").isNull).count()
+    back.agg(sum("a"), sum("b")).collect() shouldBe df.agg(sum("a"), sum("b")).collect()
+  }
+
   test("bucketed tables join and aggregate without an exchange on the bucket key") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
