@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Contract guards on the driver surface itself. `queries` and
+  * `oracleSql` are Scala Maps — a DUPLICATE key would silently shadow
+  * an earlier gate (the map compiles, the count just drops by one),
+  * and an oracle entry without a query would make the driver's compare
+  * report a phantom crash. These are build-time mistakes a type
+  * checker can't catch; pin them here.
+  */
+class SparkEntrySpec extends AnyFunSuite with Matchers {
+
+  test("every oracle has a query; no orphan oracle keys") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    orphans shouldBe empty
+  }
+
+  test("registered gate count matches the declared coverage") {
+    // bump alongside SURVEY.md §8 when adding gates — a mismatch means
+    // either a silently-shadowed duplicate key or a stale coverage map
+    SparkEntry.queries.size shouldBe 84
+    SparkEntry.oracleSql.size shouldBe 84
+  }
+
+  test("oracle SQL mentions only tables the testdata provides") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val froms = "(?i)\\bFROM\\s+([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val cteNames = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = froms -- tables -- cteNames
+      withClue(s"$name references unknown tables: ") { unknown shouldBe empty }
+    }
+  }
+}
