@@ -213,6 +213,16 @@ object SparkEntry {
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
         st => Candles.sessions(st.withWatermark("ts", "10 minutes"), "30 minutes"))),
+    // the gold candles in UPDATE mode through a MERGE-style upsert
+    // sink: live (still-open) windows included, so the resolved view
+    // equals the batch aggregation over ALL events — same oracle as
+    // gold_candles_1m, no finalization filter
+    "stream_candles_update" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayUpdate(s, Tables.events(s, dir),
+        "ts", "event_id",
+        st => Candles.ohlcv(st.withWatermark("ts", "10 minutes"),
+          tieCol = Some("event_id")),
+        keyCols = Seq("window_start", "symbol"))),
     "stream_silver_typed" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
@@ -743,6 +753,9 @@ object SparkEntry {
     // store lifecycle's candles face the SAME oracle as the one-shot
     // aggregation
     "gold_candles_incremental" -> goldCandlesSql,
+    // and so must the update-mode upsert lifecycle — live windows
+    // included, hence no watermark-finalization filter
+    "stream_candles_update" -> goldCandlesSql,
     "stream_gold_candles_1m" ->
       """WITH r AS (
            SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,

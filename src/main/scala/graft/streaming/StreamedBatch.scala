@@ -97,6 +97,60 @@ object StreamedBatch {
     spark.read.parquet(outDir)
   }
 
+  /** Replay `input` through `agg` in UPDATE output mode with a
+    * MERGE-style upsert sink — the Delta `MERGE` stand-in for serving
+    * LIVE aggregates (the still-open candle included), where append
+    * mode by design withholds unfinalized windows.
+    *
+    * Sink mechanics (distributed, no driver-side state): every
+    * micro-batch's updated groups append to a parquet change log
+    * stamped with the batch id (`foreachBatch`); reading the log back,
+    * the latest stamp per `keyCols` wins — exactly how a CDC/upsert
+    * table resolves, and at 100 TB the log compacts with
+    * [[graft.util.Lake.compact]] on the same contract.
+    *
+    * Determinism: a group updates at most once per micro-batch, so
+    * (key → max batch id) picks exactly one row; the final resolved
+    * view is the aggregation state after the last batch — which, with
+    * a chronological replay (nothing late, nothing evicted before its
+    * last update), equals the BATCH aggregation over the whole input.
+    * The oracle therefore needs NO watermark-finalization filter,
+    * complementing [[replayAggregate]]'s append-mode gates.
+    */
+  def replayUpdate(spark: SparkSession, input: DataFrame,
+                   tsCol: String, tieCol: String,
+                   agg: DataFrame => DataFrame, keyCols: Seq[String],
+                   chunks: Int = 3): DataFrame = {
+    val work = stageChunks(input, tsCol, tieCol, chunks)
+    val schema = input.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(new File(work, "in").getAbsolutePath)
+    val logDir = new File(work, "uplog").getAbsolutePath
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevParts.toInt))
+    try {
+      val q = agg(stream).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("__batch", lit(id))
+            .write.mode("append").parquet(logDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // upsert resolution: latest change-log row per key
+    val log = spark.read.parquet(logDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__batch").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__batch")
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —
