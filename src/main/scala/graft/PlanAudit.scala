@@ -43,12 +43,25 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val smells = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+    // the other classic 100 TB trap: a window function with an EMPTY
+    // partition spec funnels the whole input through ONE task ("No
+    // Partition Defined for Window" — every row is one partition).
+    // Checked on the plan TREE, not the string: a global single-row
+    // aggregate also plans Exchange SinglePartition and is fine.
+    def globalWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.exists {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty
+        case _ => false
+      }
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => streaming(n) }
       .foreach { case (name, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val hits = smells.filter(plan.contains)
+        val exec = fn(spark, sfDir).queryExecution.executedPlan
+        val plan = exec.toString
+        val hits = smells.filter(plan.contains) ++
+          (if (globalWindow(exec)) Seq("GlobalWindow(one-task)") else Nil)
         if (hits.nonEmpty && !allPairsByDesign(name)) {
           flagged += 1
           println(s"[audit] FLAG $name: ${hits.mkString(", ")}")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.matchers.should.Matchers
 import graft.SparkSuite
+import graft.operators.Candles
 
 /** Streaming-semantics tests (SURVEY.md §5.2): controlled event-time
   * advancement through MemoryStream — no wall-clock dependence.
@@ -203,6 +204,21 @@ class StreamingSpec extends SparkSuite with Matchers {
     streamed.count() should be > 0L
     streamed.exceptAll(batch).count() shouldBe 0
     batch.exceptAll(streamed).count() shouldBe 0
+  }
+
+  test("replayUpdate: upsert resolution returns the last update per key == batch agg") {
+    // groups whose events span several chunks update in several
+    // micro-batches; the change-log resolution must keep only the
+    // LAST version of each, which equals the batch aggregation
+    val events = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val resolved = StreamedBatch.replayUpdate(spark, events, "ts", "event_id",
+      st => Candles.ohlcv(st.withWatermark("ts", "10 minutes"),
+        tieCol = Some("event_id")),
+      keyCols = Seq("window_start", "symbol"), chunks = 4)
+    val batch = Candles.ohlcv(events, tieCol = Some("event_id"))
+    resolved.count() shouldBe batch.count() // live windows included
+    resolved.exceptAll(batch).count() shouldBe 0
+    batch.exceptAll(resolved).count() shouldBe 0
   }
 
   test("medallion end-to-end: raw JSON files -> bronze -> silver -> gold parquet") {
