@@ -359,6 +359,19 @@ object SparkEntry {
     // sketch outputs are engine-specific; the gate asserts their
     // accuracy contract vs exact, computed in-engine (invariant row)
     "q_approx_aggs" -> ((s, dir) => Relational.approxAggChecks(s, dir)),
+    // skew-salted join under the oracle: event_type is a 5-value key
+    // (every value hot); the (key, salt) spreading must be invisible
+    // in the answer — identical rows to the plain equi-join
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 6).as("type_avg"))
+      Relational.saltedJoin(
+          ev.select(col("event_id"), col("event_type"), col("value")),
+          dim, "event_type", saltFactor = 8)
+        .select(col("event_id"), col("event_type").as("symbol"),
+          col("value"), col("type_avg"))
+    }),
     // semi-join reduction: fact rows pre-dropped by a Bloom filter of
     // the dim keys (false positives only), then the exact join — the
     // result must be bit-identical to the unfiltered join
@@ -1044,6 +1057,11 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'""",
+    "q_salted_join" ->
+      """WITH d AS (SELECT event_type, round(avg(value), 6) AS type_avg
+                    FROM events GROUP BY 1)
+         SELECT event_id, e.event_type AS symbol, value, type_avg
+         FROM events e JOIN d USING (event_type)""",
     "q_heavy_hitters" ->
       "SELECT event_type AS symbol, count(*) AS cnt FROM events GROUP BY 1",
     "q_pivot_segment_year" ->
