@@ -31,7 +31,7 @@ object PlanAudit {
   private val streaming =
     Set("stream_gold_candles_1m", "stream_silver_typed", "stream_spread_join",
       "stream_threshold_alerts", "stream_sessions", "stream_silver_dedup",
-      "stream_candles_sliding", "stream_candles_update")
+      "stream_candles_sliding", "stream_candles_update", "stream_spread_left")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

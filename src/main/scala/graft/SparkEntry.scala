@@ -264,6 +264,40 @@ object SparkEntry {
           graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1))
             .withColumn("spread", round(col("spread"), 6))
         })),
+    // the LEFT OUTER stream-stream band join: unmatched A-trades emit
+    // null-extended only once the watermark proves no future B can
+    // band-match them. Spark delays outer-null emission by the
+    // watermark delay past eviction eligibility (measured: boundary ≈
+    // watermark − delay) — an engine-internal cadence the oracle
+    // should not encode. Two far-future sentinel rows (one per parity,
+    // NON-matching symbols so they can't pair with anything or each
+    // other) push the final watermark past all real data, so every
+    // real unmatched A-row emits and the sentinels themselves are
+    // withheld — the oracle is then the plain batch LEFT JOIN, no
+    // finalization clause.
+    "stream_spread_left" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val sentinelTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      val sentinels = {
+        import s.implicits._
+        Seq((-2L, sentinelTs, "click", 0.0), (-1L, sentinelTs, "view", 0.0))
+          .toDF("event_id", "ts", "event_type", "value")
+      }
+      graft.streaming.StreamedBatch.replayJoin(s, ev.unionByName(sentinels),
+        "ts", "event_id",
+        (ra, rb) => {
+          def typed(df: DataFrame, parity: Int) = df
+            .filter(col("event_type").isin("click", "purchase", "view") &&
+              pmod(col("event_id"), lit(2)) === parity)
+            .select(col("event_type").as("symbol"),
+              col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
+              col("ts").as("trade_timestamp"))
+          graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1),
+              joinType = "left_outer")
+            .withColumn("spread", round(col("spread"), 6))
+        })
+    }),
     // ── lakehouse physical layout (SURVEY §2.9 / Lake): Z-order
     // clustered rewrite must be invisible in the answer — the table
     // reads back exactly as the unclustered original
@@ -800,6 +834,22 @@ object SparkEntry {
          CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
          CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
          FROM events WHERE event_type IN ('click','purchase','view')""",
+    // the sentinel rows push the streaming watermark past all real
+    // data, so the emitted set is simply the batch LEFT JOIN — no
+    // finalization clause (the sentinels themselves stay in state and
+    // never emit)
+    "stream_spread_left" ->
+      """WITH t AS (SELECT event_id, event_type AS symbol,
+             CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
+             CAST(ts AS TIMESTAMP) AS tts
+           FROM events WHERE event_type IN ('click','purchase','view'))
+         SELECT a.symbol AS base, a.tts AS ts_a, a.symbol AS symbol_a,
+           a.price AS price_a, b.tts AS ts_b, b.symbol AS symbol_b,
+           b.price AS price_b, round(a.price - b.price, 6) AS spread
+         FROM (SELECT * FROM t WHERE event_id % 2 = 0) a
+         LEFT JOIN (SELECT * FROM t WHERE event_id % 2 = 1) b
+           ON a.symbol = b.symbol
+           AND b.tts BETWEEN a.tts - INTERVAL 60 SECOND AND a.tts""",
     // the stream-stream band join's emitted set == the batch band join
     // (inner emission is not watermark-gated; chronological replay
     // means nothing is late)

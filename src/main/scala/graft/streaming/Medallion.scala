@@ -98,10 +98,21 @@ object Medallion {
     * pair matches on exactly A's bucket — no dedup needed. The exact
     * band predicate still applies after the bucket equi-match, and
     * both watermarks still bound state eviction.
+    *
+    * `joinType` extends the same plan to `left_outer`: an unmatched
+    * A-trade emits null-extended exactly when the watermark proves no
+    * future B can band-match it (`watermark >= ts_a`, since a match
+    * needs `ts_b ∈ [ts_a − band, ts_a]` and future rows have
+    * `ts_b > watermark`) — the alerting shape "this trade saw NO
+    * counterpart feed inside the band". Bucketing does not disturb
+    * outer semantics: B contributes each bucket once, so a truly
+    * unmatched A row is unmatched in its own bucket and emits exactly
+    * once.
     */
   def streamSpreadBucketed(silverA: DataFrame, silverB: DataFrame,
                            watermarkDelay: String = "10 minutes",
-                           bandSeconds: Int = 60): DataFrame = {
+                           bandSeconds: Int = 60,
+                           joinType: String = "inner"): DataFrame = {
     val a = silverA
       .withWatermark("trade_timestamp", watermarkDelay)
       .select(substring_index(col("symbol"), "-", 1).as("base"),
@@ -118,7 +129,7 @@ object Medallion {
         floor(col("ts_b").cast("long") / bandSeconds) + 1)))
     a.join(b, col("base") === col("base_b") &&
         col("bucket") === col("bucket_b") && expr(
-      s"ts_b BETWEEN ts_a - INTERVAL $bandSeconds SECONDS AND ts_a"))
+      s"ts_b BETWEEN ts_a - INTERVAL $bandSeconds SECONDS AND ts_a"), joinType)
       .select(col("base"), col("ts_a"), col("symbol_a"), col("price_a"),
         col("ts_b"), col("symbol_b"), col("price_b"),
         (col("price_a") - col("price_b")).as("spread"))
