@@ -185,7 +185,11 @@ object Candles {
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
   /** Fold a new event shard into the store, rewriting ONLY the date
-    * partitions the shard's windows land in: merged partials for the
+    * partitions the shard's windows land in. Counts and sums are
+    * additive, so applying the same shard twice double-counts —
+    * delivery must be exactly-once (the streaming file sinks'
+    * `_spark_metadata` manifest provides precisely this upstream).
+    * Mechanics: merged partials for the
     * touched dates are staged to a sibling dir (Spark refuses an
     * overwrite whose input is the output path), then dynamic partition
     * overwrite swaps exactly those `p_date=` dirs in. Cost is
