@@ -568,6 +568,8 @@ object SparkEntry {
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogprob(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "text_token_bpe" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
@@ -1497,6 +1499,16 @@ object SparkEntry {
       """SELECT doc_id, md5(array_to_string(
            list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
          FROM documents""",
+    // ln() is IEEE-754 in both engines; the 6-dp round on a mean of
+    // thousands of terms absorbs summation-order noise
+    "text_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+         tot AS (SELECT sum(c) AS t FROM vocab)
+         SELECT doc_id, round(avg(-ln(c / (SELECT t FROM tot))), 6) AS avg_neg_logprob,
+           count(*) AS n_tokens
+         FROM tok JOIN vocab USING (w) GROUP BY doc_id""",
     "text_token_bpe" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,

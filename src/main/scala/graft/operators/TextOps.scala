@@ -20,6 +20,32 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Corpus-unigram log-probability score — the statistical stand-in
+    * for the LM-perplexity quality filter every production corpus
+    * pipeline runs (docs whose tokens are improbable under the
+    * corpus's own unigram distribution are boilerplate, encoding
+    * noise, or wrong-language): per doc, the mean negative log
+    * probability of its tokens under corpus token frequencies, plus
+    * the token count.
+    *
+    * Scale shape: one exploded-token aggregation builds the unigram
+    * table (vocabulary-sized, shuffled on token — Zipf makes the head
+    * heavy but partial aggregation absorbs it map-side); the corpus
+    * total is ONE driver-side long (a count, not a 1-row cross join —
+    * which would plan the nested-loop shape PlanAudit exists to
+    * catch); scoring is the exploded tokens equi-joined to the vocab
+    * then re-aggregated per doc. Two shuffles on narrow keys; no UDF.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c"))
+    val t = tok.count().toDouble
+    tok.join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(col("c") / lit(t))), 6).as("avg_neg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Per-document token statistics: counts, distinct counts, average
     * token length, chars. One projection, no shuffle; the three token
     * statistics come from the one-pass
