@@ -570,6 +570,8 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogprob(Tables.documents(s, dir))),
+    "text_tfidf_topterms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "text_token_bpe" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
@@ -1499,6 +1501,20 @@ object SparkEntry {
       """SELECT doc_id, md5(array_to_string(
            list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
          FROM documents""",
+    // scores round BEFORE ranking so ties break identically by term
+    "text_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+         idf AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         s AS (SELECT doc_id, w AS term,
+                 round(tf * ln((SELECT n FROM n) / df), 6) AS tfidf
+               FROM tf JOIN idf USING (w))
+         SELECT doc_id, term, tfidf FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rn FROM s)
+         WHERE rn <= 5""",
     // ln() is IEEE-754 in both engines; the 6-dp round on a mean of
     // thousands of terms absorbs summation-order noise
     "text_unigram_logprob" ->

@@ -46,6 +46,35 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Top-k TF-IDF terms per document — the classic statistical
+    * featurization (retrieval keys, topic signatures, nearest-neighbor
+    * blocking keys). tf is the in-doc term count, idf is
+    * `ln(N / doc-frequency)`; scores round to 6 dp BEFORE ranking so
+    * ties (and therefore the term-ascending tiebreak) resolve
+    * identically in any engine.
+    *
+    * Scale shape: two grouped aggregations (doc-term counts, term doc
+    * frequencies) and one equi-join on the term, all narrow keys with
+    * map-side partials; the corpus size is one driver-side long; the
+    * final rank is a window PARTITIONED BY doc_id — millions of
+    * independent k-row heaps, not a global sort.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tok.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val n = docs.count().toDouble
+    val scored = tf.join(df, "w")
+      .select(col("doc_id"), col("w").as("term"),
+        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Per-document token statistics: counts, distinct counts, average
     * token length, chars. One projection, no shuffle; the three token
     * statistics come from the one-pass
