@@ -649,6 +649,11 @@ object SparkEntry {
     // makes precision exact at any setting.
     "sim_lsh_pairs" -> ((s, dir) =>
       Similarity.lshPairs(Tables.embeddings(s, dir), 0.4, numPlanes = 32, bands = 16)),
+    // kNN JOIN (every vector's top-3 near-dup neighbors) at the same
+    // recall-1.0 LSH config the pairs gate proves exact on this corpus
+    "sim_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(Tables.embeddings(s, dir), 0.4, k = 3,
+        numPlanes = 32, bands = 16)),
     // multi-probe at HALF the single-probe gate's hyperplanes (16×8 vs
     // 32×16): flipping one sign bit per band recovers the pairs the
     // leaner signature misses — recall 1.0 on this corpus
@@ -725,6 +730,20 @@ object SparkEntry {
              6) AS cos
          FROM e a JOIN e b ON a.vec_id < b.vec_id)
        SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4"""
+
+  /** kNN-join oracle: the exact cosine pairs expanded symmetrically,
+    * ranked per vector (ties by neighbor id) — same rounded-cosine
+    * ranking as the Spark side.
+    */
+  private val knnJoinSql =
+    s"""WITH p AS ($exactCosinePairsSql),
+       sym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos FROM p
+               UNION ALL
+               SELECT id_b AS vec_id, id_a AS neighbor_id, cos FROM p)
+       SELECT vec_id, neighbor_id, cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cos DESC, neighbor_id) AS rn FROM sym)
+       WHERE rn <= 3"""
 
   /** The 1-minute OHLC/VWAP answer — shared by the one-shot
     * aggregation gate and the incremental-store gate (maintenance
@@ -1628,6 +1647,7 @@ object SparkEntry {
     // verification makes precision exact, so the exact-pairs SQL is a
     // valid oracle
     "sim_lsh_pairs" -> exactCosinePairsSql,
+    "sim_knn_join" -> knnJoinSql,
     // multi-probe at 16 planes × 8 bands reaches recall 1.0 on this
     // corpus (spec-measured; single-probe at the same width misses
     // pairs) and verification keeps precision exact — the same

@@ -257,6 +257,33 @@ object Similarity {
     verifyCosine(cand, sig, threshold)
   }
 
+  /** k-NN JOIN over the near-dup band: for EVERY vector, its k most
+    * similar neighbors among pairs with cosine ≥ `threshold` — the
+    * batch shape embedding-dedup and clustering pipelines run
+    * (contrast [[bruteForceTopK]]/[[ivfTopK]], which answer a QUERY
+    * SET against a corpus). The threshold is part of the semantics:
+    * "nearest near-duplicates", not unconditional kNN — a vector with
+    * no neighbor above the band emits nothing, and LSH candidate
+    * generation stays sound because only above-band pairs are owed.
+    *
+    * Scale shape: [[lshPairs]] bounds candidates (bucketed, never
+    * all-pairs); the symmetric expansion doubles the verified pair
+    * rows, and ranking is a per-vector window — independent k-row
+    * heaps. Ties (equal rounded cosine) break by neighbor id.
+    */
+  def knnJoin(embeddings: DataFrame, threshold: Double, k: Int,
+              numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+    val pairs = lshPairs(embeddings, threshold, numPlanes, bands, dim)
+    val sym = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("vec_id"), col("id_a").as("neighbor_id"), col("cos")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Exact-cosine verification of candidate (id_a, id_b) pairs against
     * the (vec_id, embedding, nrm) columns of `vecs` — shared tail of
     * the bucketed pair generators. Each side's vector is fetched once
