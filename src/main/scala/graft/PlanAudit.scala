@@ -33,6 +33,27 @@ object PlanAudit {
       "stream_threshold_alerts", "stream_sessions", "stream_silver_dedup",
       "stream_candles_sliding", "stream_candles_update", "stream_spread_left")
 
+  /** The other classic 100 TB trap: a window function with an EMPTY
+    * partition spec funnels the whole input through ONE task ("No
+    * Partition Defined for Window" — every row is one partition).
+    * Checked on the plan TREE, not the string: a global single-row
+    * aggregate also plans Exchange SinglePartition and is fine.
+    *
+    * Recurses through `AdaptiveSparkPlanExec` explicitly: under AQE
+    * (default-on) the executed plan root is a LEAF node whose real
+    * plan hangs off `inputPlan`, so a plain `TreeNode.exists` never
+    * descends and would make this check silently vacuous
+    * (spec-pinned in PlanAuditSpec).
+    */
+  private[graft] def hasGlobalWindow(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      hasGlobalWindow(a.inputPlan)
+    case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => true
+    case other => other.children.exists(hasGlobalWindow)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -43,17 +64,6 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val smells = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-    // the other classic 100 TB trap: a window function with an EMPTY
-    // partition spec funnels the whole input through ONE task ("No
-    // Partition Defined for Window" — every row is one partition).
-    // Checked on the plan TREE, not the string: a global single-row
-    // aggregate also plans Exchange SinglePartition and is fine.
-    def globalWindow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      p.exists {
-        case w: org.apache.spark.sql.execution.window.WindowExec =>
-          w.partitionSpec.isEmpty
-        case _ => false
-      }
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => streaming(n) }
@@ -61,7 +71,7 @@ object PlanAudit {
         val exec = fn(spark, sfDir).queryExecution.executedPlan
         val plan = exec.toString
         val hits = smells.filter(plan.contains) ++
-          (if (globalWindow(exec)) Seq("GlobalWindow(one-task)") else Nil)
+          (if (hasGlobalWindow(exec)) Seq("GlobalWindow(one-task)") else Nil)
         if (hits.nonEmpty && !allPairsByDesign(name)) {
           flagged += 1
           println(s"[audit] FLAG $name: ${hits.mkString(", ")}")

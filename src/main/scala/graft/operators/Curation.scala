@@ -207,11 +207,12 @@ object Curation {
     val offsets = counts.scanLeft(0L)(_ + _)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var pos = offsets(i)
-      it.map { r => pos += 1; org.apache.spark.sql.Row(r.getLong(0), pos) }
+      it.map { r => pos += 1; org.apache.spark.sql.Row(r.get(0), pos) }
     }
+    // the id column keeps its own name and type — positions attach to
+    // whatever identifier the caller enumerated by
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
+      docs.schema(idCol).copy(name = idCol),
       org.apache.spark.sql.types.StructField("shuffle_pos",
         org.apache.spark.sql.types.LongType, nullable = false))))
   }

@@ -60,6 +60,33 @@ object StreamedBatch {
     work
   }
 
+  /** Run `start`'s streaming query to completion with the session's
+    * shuffle partitions clamped to `parts` for the duration — every
+    * micro-batch commits one state-store delta PER state partition,
+    * and replay batches are tiny, so 32 partitions × (chunks +
+    * finalize) batches is pure commit overhead. Size the replay's
+    * state partitioning to its work; a live deployment sizes it to
+    * the cluster (either way it's locked into the checkpoint at first
+    * start). Restored afterwards so batch queries keep the session's
+    * parallelism. (RocksDB was measured for this floor and REJECTED:
+    * at sf0.1 the aggregate replay runs 3.3 s on the HDFS-backed
+    * provider vs 4.4 s on RocksDB — per-batch instance open/commit
+    * dominates at replay-sized state. A long-lived deployment with
+    * state larger than executor heap should still prefer RocksDB; the
+    * provider spec in StreamingSpec proves it drops in cleanly.)
+    *
+    * One shared skeleton for all three replay shapes — a fix to the
+    * clamp/restore contract lands in every replay at once.
+    */
+  private def runClamped(spark: SparkSession, parts: Int)
+                        (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(parts, prevParts.toInt))
+    try start.awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Replay `input` (sorted by `tsCol`, `tieCol`) as a `chunks`-file
     * stream; apply `agg` to the watermarked stream; return the
     * append-mode output as a batch DataFrame.
@@ -69,31 +96,14 @@ object StreamedBatch {
                       agg: DataFrame => DataFrame,
                       chunks: Int = 3): DataFrame = {
     val work = stageChunks(input, tsCol, tieCol, chunks)
-    val schema = input.schema
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(new File(work, "in").getAbsolutePath)
     val outDir = new File(work, "out").getAbsolutePath
-    // every micro-batch commits one state-store delta PER state
-    // partition, and the replay's batches are tiny — 32 partitions ×
-    // (chunks + finalize) batches is pure commit overhead. Size the
-    // replay's state partitioning to its work; a live deployment sizes
-    // it to the cluster (either way it's locked into the checkpoint at
-    // first start). Restored after the replay so batch queries keep
-    // the session's parallelism. (RocksDB was measured for this floor
-    // and REJECTED: at sf0.1 the replay runs 3.3 s on the HDFS-backed
-    // provider vs 4.4 s on RocksDB — per-batch instance open/commit
-    // dominates at replay-sized state. A long-lived deployment with
-    // state larger than executor heap should still prefer RocksDB;
-    // the provider spec in StreamingSpec proves it drops in cleanly.)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, prevParts.toInt))
-    try {
-      val q = StreamJobs.parquetAppend(agg(stream), outDir,
+    runClamped(spark, parts = 8) {
+      StreamJobs.parquetAppend(agg(stream), outDir,
         new File(work, "ckpt").getAbsolutePath)
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(outDir)
   }
 
@@ -127,11 +137,8 @@ object StreamedBatch {
       .option("maxFilesPerTrigger", 1)
       .parquet(new File(work, "in").getAbsolutePath)
     val logDir = new File(work, "uplog").getAbsolutePath
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, prevParts.toInt))
-    try {
-      val q = agg(stream).writeStream
+    runClamped(spark, parts = 8) {
+      agg(stream).writeStream
         .outputMode("update")
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -140,8 +147,7 @@ object StreamedBatch {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     // upsert resolution: latest change-log row per key
     val log = spark.read.parquet(logDir)
     val w = org.apache.spark.sql.expressions.Window
@@ -176,19 +182,15 @@ object StreamedBatch {
       .option("maxFilesPerTrigger", 1)
       .parquet(new File(work, "in").getAbsolutePath)
     val outDir = new File(work, "out").getAbsolutePath
-    // same state-partition sizing rationale as replayAggregate, but
-    // HALVED: a stream-stream join commits FOUR state stores per
+    // same state-partition sizing rationale as runClamped documents,
+    // but HALVED: a stream-stream join commits FOUR state stores per
     // partition per micro-batch (left/right × keyToNumValues/
     // keyWithIndexToValue), so at equal partition counts the join
     // replay pays 4× the aggregate replay's commit floor
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(4, prevParts.toInt))
-    try {
-      val q = StreamJobs.parquetAppend(join(source(), source()), outDir,
+    runClamped(spark, parts = 4) {
+      StreamJobs.parquetAppend(join(source(), source()), outDir,
         new File(work, "ckpt").getAbsolutePath)
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(outDir)
   }
 }

@@ -145,19 +145,26 @@ object Lake {
     * as in an ORDER BY).
     */
   private def zValue(df: DataFrame, clusterCols: Seq[String], zBits: Int): Column = {
-    val nBuckets = 1 << zBits
-    val buckets = clusterCols.map { c =>
-      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-      val bounds = df.stat.approxQuantile(c, probs, 0.001).distinct.sorted
-      val arr = array(bounds.map(lit): _*)
-      when(col(c).isNull, 0)
-        .otherwise(size(filter(arr, b => b <= col(c).cast("double"))))
-    }
     val n = clusterCols.length
+    // interleaved key width must fit a signed long (shift past bit 62
+    // would alias mod-64 and silently scramble the curve)
+    require(zBits * n <= 62,
+      s"compactClustered: zBits=$zBits × ${n} columns needs ${zBits * n} " +
+        "interleaved bits; reduce zBits to fit 62")
+    val nBuckets = 1 << zBits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // ONE sketch pass for all cluster columns (the per-column overload
+    // would rescan the table per column)
+    val allBounds = df.stat.approxQuantile(clusterCols.toArray, probs, 0.001)
+    val buckets = clusterCols.zip(allBounds).map { case (c, bs) =>
+      val arr = array(bs.distinct.sorted.map(lit): _*)
+      when(col(c).isNull, lit(0L))
+        .otherwise(size(filter(arr, b => b <= col(c).cast("double"))).cast("long"))
+    }
     val terms = for {
       i <- 0 until zBits
       (b, j) <- buckets.zipWithIndex
-    } yield shiftleft(shiftright(b, i).bitwiseAND(1), i * n + j)
+    } yield shiftleft(shiftright(b, i).bitwiseAND(1L), i * n + j)
     terms.reduce(_.bitwiseOR(_)).as("__zorder")
   }
 

@@ -123,9 +123,12 @@ class LakeSpec extends SparkSuite with Matchers {
   }
 
   test("compactClustered narrows per-file min/max spans on every cluster column") {
-    // 400k rows, two independent uniform dims: an unclustered write
-    // leaves every file spanning ~the full domain of both columns
-    val n = 400000L
+    // 1.2M rows, two independent uniform dims: an unclustered write
+    // leaves every file spanning ~the full domain of both columns.
+    // Enough rows for ~10 output files at the 1 MB target — with only
+    // 4-5 files the per-file z-curve coverage is lumpy and the width
+    // assertion gets sensitive to RangePartitioner's sampled boundaries
+    val n = 1200000L
     val df = spark.range(n).select(
       col("id"),
       pmod(hash(col("id")), lit(100000)).cast("long").as("a"),
