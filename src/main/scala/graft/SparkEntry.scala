@@ -118,6 +118,26 @@ object SparkEntry {
       t
     })
 
+  /** Per-(JVM, sfDir) memo of the `dedup_spans_incremental` gate's
+    * seen-span index: built on the lowest doc_id tercile, extended with
+    * the middle one. Tranche boundaries are doc_id RANGES (not mod
+    * classes) so arrival order coincides with doc_id order — the
+    * condition under which the incremental lifecycle must reproduce
+    * the from-scratch [[Dedup.dedupSpans]] election exactly.
+    */
+  private val spanIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def spanGateIndex(s: SparkSession, dir: String): String =
+    spanIndexMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-span-index")
+      val docs = Tables.documents(s, dir)
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val (cut1, cut2) = (mx / 3, mx * 2 / 3)
+      Dedup.buildSpanIndex(docs.filter(col("doc_id") <= cut1), idx)
+      Dedup.extendSpanIndex(
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), idx)
+      idx
+    })
+
   private def tempIndexDir(prefix: String): String = {
     val idx = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
@@ -502,6 +522,16 @@ object SparkEntry {
     // window survives, docs reassemble from surviving spans
     "dedup_spans" -> ((s, dir) =>
       Dedup.dedupSpans(Tables.documents(s, dir))),
+    // the DAILY form: the last doc_id tercile deduped read-only
+    // against the stored seen-span set (built on tercile 1, extended
+    // with tercile 2) — must equal the from-scratch election over the
+    // whole corpus restricted to tercile-3 docs
+    "dedup_spans_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      Dedup.dedupSpansIncremental(
+        docs.filter(col("doc_id") > mx * 2 / 3), spanGateIndex(s, dir))
+    }),
     // deterministic corpus shuffle: global training-order positions
     // along the seeded-hash permutation, produced by range exchange +
     // two-phase enumeration (NOT a single-task global window)
@@ -1189,6 +1219,25 @@ object SparkEntry {
                FROM k WHERE rn = 1 GROUP BY doc_id)
          SELECT d.doc_id, coalesce(g.text_dedup, '') AS text_dedup
          FROM documents d LEFT JOIN g USING (doc_id)""",
+    // incremental lifecycle vs the same full-corpus election, output
+    // restricted to the gate's tercile (integer // division matches
+    // the Scala memo's Long arithmetic)
+    "dedup_spans_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s0 AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS pos
+                FROM t),
+         s AS (SELECT doc_id, pos,
+                 array_to_string(toks[CAST(pos*16+1 AS BIGINT):CAST(pos*16+16 AS BIGINT)], ' ') AS span
+               FROM s0),
+         k AS (SELECT doc_id, pos, span,
+                 row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+               FROM s),
+         g AS (SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup
+               FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(g.text_dedup, '') AS text_dedup
+         FROM documents d LEFT JOIN g USING (doc_id)
+         WHERE d.doc_id > (SELECT max(doc_id) * 2 // 3 FROM documents)""",
     "dedup_minhash_lsh" -> exactJaccardPairsSql,
     // multi-probe reaches recall 1.0 at 8 hashes × 4 bands on this
     // corpus (spec-measured; probing the second-minimum substitution

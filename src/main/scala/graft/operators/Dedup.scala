@@ -53,23 +53,99 @@ object Dedup {
     * hash-partitioned; nothing is global. The window inside one span
     * hash is at most the span's duplicate count.
     */
-  def dedupSpans(docs: DataFrame, spanTokens: Int = 16): DataFrame = {
+  def dedupSpans(docs: DataFrame, spanTokens: Int = 16): DataFrame =
+    // left join inside reassembleSpans keeps a row for a doc whose
+    // every span was seen before (empty text) — row count is stable
+    // for pipelines
+    reassembleSpans(docs, electFirst(spanRows(docs, spanTokens)))
+
+  /** The (doc_id, pos, span) rows [[dedupSpans]] elects over — shared
+    * by the one-shot and incremental span-dedup paths.
+    */
+  private def spanRows(docs: DataFrame, spanTokens: Int): DataFrame = {
     val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val nSpans = ceil(size(col("toks")) / lit(spanTokens.toDouble)).cast("int")
-    val spans = toked.select(col("doc_id"),
+    toked.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), nSpans - 1),
         i => concat_ws(" ", slice(col("toks"), i * spanTokens + 1, lit(spanTokens)))))
         .as(Seq("pos", "span")))
-    val w = Window.partitionBy(md5(col("span"))).orderBy(col("doc_id"), col("pos"))
-    val kept = spans.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  /** Reassemble docs from their surviving spans (empty string when
+    * every span was seen), keeping one row per input doc.
+    */
+  private def reassembleSpans(docs: DataFrame, kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy("doc_id")
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("span")))),
         s => s.getField("span"))).as("text_dedup"))
-    // left join back: a doc whose every span was seen before still
-    // emits a row (empty text), so row count is stable for pipelines
     docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
       .na.fill("", Seq("text_dedup"))
+  }
+
+  // ── incremental span dedup ────────────────────────────────────────
+  //
+  // The daily form of [[dedupSpans]]: the "seen spans" set IS the
+  // state a production span-dedup maintains — each arriving shard
+  // drops spans the corpus has already seen (one anti join against
+  // the stored hash set, old text never re-read), elects first
+  // occurrences among what remains, and appends only ITS new span
+  // hashes. Same lifecycle shape as the near-dup MinHash index
+  // ([[buildNearDupIndex]]/[[incrementalPairs]]/[[extendIndex]]).
+  // Equivalence contract (gate + spec): with shard doc_id ranges
+  // increasing in arrival order, build→increment→extend over the
+  // shards reproduces exactly the from-scratch [[dedupSpans]] election
+  // over their union.
+
+  private def spansPath(path: String) = s"$path/spans"
+
+  /** Initialize the seen-span index on the first tranche and return
+    * that tranche deduped (its own internal duplicates elected away).
+    */
+  def buildSpanIndex(docs: DataFrame, path: String, spanTokens: Int = 16): DataFrame = {
+    val kept = electFirst(spanRows(docs, spanTokens))
+    kept.select(md5(col("span")).as("h")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(spansPath(path))
+    reassembleSpans(docs, kept)
+  }
+
+  /** Dedup a new shard against the stored seen-span set WITHOUT
+    * mutating it: one anti join on the span hash (the stored side is
+    * a hash set scan, never text), then first-occurrence election
+    * within the shard's remaining spans.
+    */
+  def dedupSpansIncremental(newDocs: DataFrame, path: String,
+                            spanTokens: Int = 16): DataFrame = {
+    val spark = newDocs.sparkSession
+    val seen = spark.read.parquet(spansPath(path))
+    val fresh = spanRows(newDocs, spanTokens)
+      .withColumn("h", md5(col("span")))
+      .join(seen, Seq("h"), "left_anti")
+    reassembleSpans(newDocs, electFirst(fresh.drop("h")))
+  }
+
+  /** Fold a checked shard's new spans into the index (append-only —
+    * a shard's kept spans are by construction disjoint from the
+    * stored set).
+    */
+  def extendSpanIndex(newDocs: DataFrame, path: String,
+                      spanTokens: Int = 16): Unit = {
+    val spark = newDocs.sparkSession
+    val seen = spark.read.parquet(spansPath(path))
+    spanRows(newDocs, spanTokens)
+      .select(md5(col("span")).as("h")).distinct()
+      .join(seen, Seq("h"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(spansPath(path))
+  }
+
+  /** First-occurrence election: keep each distinct span's earliest
+    * (doc_id, pos) row; the window partitions on the span HASH so the
+    * exchange carries a fixed-width key, not span text.
+    */
+  private def electFirst(spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("span"))).orderBy(col("doc_id"), col("pos"))
+    spans.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
   }
 
   /** Word n-gram shingles of the canonical token stream, distinct. */

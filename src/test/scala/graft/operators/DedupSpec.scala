@@ -276,6 +276,28 @@ class DedupSpec extends SparkSuite with Matchers {
     Dedup.dedupSpans(short).as[(Long, String)].collect().head._2 shouldBe words("z", 20)
   }
 
+  test("span-index lifecycle: build/increment/extend equals from-scratch per tranche") {
+    val path = java.nio.file.Files.createTempDirectory("span-idx").toString
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val t1 = docs.filter(col("doc_id") <= mx / 3)
+    val t2 = docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= mx * 2 / 3)
+    val t3 = docs.filter(col("doc_id") > mx * 2 / 3)
+    val full = Dedup.dedupSpans(docs).withColumnRenamed("text_dedup", "exp")
+    def restricted(tr: org.apache.spark.sql.DataFrame,
+                   got: org.apache.spark.sql.DataFrame): Unit = {
+      val joined = got.join(full, "doc_id")
+      joined.count() shouldBe tr.count()
+      joined.filter(col("text_dedup") =!= col("exp")).count() shouldBe 0
+    }
+    restricted(t1, Dedup.buildSpanIndex(t1, path))
+    // increment is read-only: running it twice gives the same answer
+    val inc2 = Dedup.dedupSpansIncremental(t2, path)
+    restricted(t2, inc2)
+    restricted(t2, Dedup.dedupSpansIncremental(t2, path))
+    Dedup.extendSpanIndex(t2, path)
+    restricted(t3, Dedup.dedupSpansIncremental(t3, path))
+  }
+
   test("extendIndex folds a shard in; second increment still equals from-scratch") {
     val path = java.nio.file.Files.createTempDirectory("dedup-idx2").toString
     // three daily shards by doc_id mod 3
