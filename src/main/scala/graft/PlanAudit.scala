@@ -51,7 +51,10 @@ object PlanAudit {
       hasGlobalWindow(a.inputPlan)
     case w: org.apache.spark.sql.execution.window.WindowExec
         if w.partitionSpec.isEmpty => true
-    case other => other.children.exists(hasGlobalWindow)
+    // subquery plans hang off expressions, not `children` — without
+    // this leg a global window inside a scalar/IN subquery would slip
+    // through exactly like the AQE leaf did
+    case other => (other.children ++ other.subqueries).exists(hasGlobalWindow)
   }
 
   def main(args: Array[String]): Unit = {

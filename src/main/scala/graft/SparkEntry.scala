@@ -125,8 +125,9 @@ object SparkEntry {
     * condition under which the incremental lifecycle must reproduce
     * the from-scratch [[Dedup.dedupSpans]] election exactly.
     */
-  private val spanIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def spanGateIndex(s: SparkSession, dir: String): String =
+  private val spanIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def spanGateIndex(s: SparkSession, dir: String): (String, Long) =
     spanIndexMemo.computeIfAbsent(dir, _ => {
       val idx = tempIndexDir("graft-span-index")
       val docs = Tables.documents(s, dir)
@@ -135,7 +136,9 @@ object SparkEntry {
       Dedup.buildSpanIndex(docs.filter(col("doc_id") <= cut1), idx)
       Dedup.extendSpanIndex(
         docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), idx)
-      idx
+      // the tercile cut is part of the memo: repeat gate invocations
+      // (Verify, PlanAudit, Bench x2) must not re-aggregate max(doc_id)
+      (idx, cut2)
     })
 
   private def tempIndexDir(prefix: String): String = {
@@ -527,10 +530,9 @@ object SparkEntry {
     // with tercile 2) — must equal the from-scratch election over the
     // whole corpus restricted to tercile-3 docs
     "dedup_spans_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val (idx, cut2) = spanGateIndex(s, dir)
       Dedup.dedupSpansIncremental(
-        docs.filter(col("doc_id") > mx * 2 / 3), spanGateIndex(s, dir))
+        Tables.documents(s, dir).filter(col("doc_id") > cut2), idx)
     }),
     // deterministic corpus shuffle: global training-order positions
     // along the seeded-hash permutation, produced by range exchange +
@@ -774,6 +776,26 @@ object SparkEntry {
          SELECT *, row_number() OVER (PARTITION BY vec_id
                      ORDER BY cos DESC, neighbor_id) AS rn FROM sym)
        WHERE rn <= 3"""
+
+  /** The span-election answer (first global occurrence of each
+    * 16-token window, positional rebuild) — shared by the one-shot
+    * gate and (tercile-restricted) the incremental-lifecycle gate.
+    */
+  private val spanElectionSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s0 AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS pos
+                FROM t),
+         s AS (SELECT doc_id, pos,
+                 array_to_string(toks[CAST(pos*16+1 AS BIGINT):CAST(pos*16+16 AS BIGINT)], ' ') AS span
+               FROM s0),
+         k AS (SELECT doc_id, pos, span,
+                 row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
+               FROM s),
+         g AS (SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup
+               FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(g.text_dedup, '') AS text_dedup
+         FROM documents d LEFT JOIN g USING (doc_id)"""
 
   /** The 1-minute OHLC/VWAP answer — shared by the one-shot
     * aggregation gate and the incremental-store gate (maintenance
@@ -1204,39 +1226,12 @@ object SparkEntry {
     // both engines elect first occurrence per md5(span) and rebuild by
     // in-doc position — identical grouping, ordering, and clipping of
     // the final short span
-    "dedup_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         s0 AS (SELECT doc_id, toks,
-                  unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS pos
-                FROM t),
-         s AS (SELECT doc_id, pos,
-                 array_to_string(toks[CAST(pos*16+1 AS BIGINT):CAST(pos*16+16 AS BIGINT)], ' ') AS span
-               FROM s0),
-         k AS (SELECT doc_id, pos, span,
-                 row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
-               FROM s),
-         g AS (SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup
-               FROM k WHERE rn = 1 GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(g.text_dedup, '') AS text_dedup
-         FROM documents d LEFT JOIN g USING (doc_id)""",
+    "dedup_spans" -> spanElectionSql,
     // incremental lifecycle vs the same full-corpus election, output
     // restricted to the gate's tercile (integer // division matches
     // the Scala memo's Long arithmetic)
     "dedup_spans_incremental" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         s0 AS (SELECT doc_id, toks,
-                  unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS pos
-                FROM t),
-         s AS (SELECT doc_id, pos,
-                 array_to_string(toks[CAST(pos*16+1 AS BIGINT):CAST(pos*16+16 AS BIGINT)], ' ') AS span
-               FROM s0),
-         k AS (SELECT doc_id, pos, span,
-                 row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos) AS rn
-               FROM s),
-         g AS (SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup
-               FROM k WHERE rn = 1 GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(g.text_dedup, '') AS text_dedup
-         FROM documents d LEFT JOIN g USING (doc_id)
+      s"""$spanElectionSql
          WHERE d.doc_id > (SELECT max(doc_id) * 2 // 3 FROM documents)""",
     "dedup_minhash_lsh" -> exactJaccardPairsSql,
     // multi-probe reaches recall 1.0 at 8 hashes × 4 bands on this

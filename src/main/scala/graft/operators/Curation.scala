@@ -209,10 +209,13 @@ object Curation {
       var pos = offsets(i)
       it.map { r => pos += 1; org.apache.spark.sql.Row(r.get(0), pos) }
     }
-    // the id column keeps its own name and type — positions attach to
-    // whatever identifier the caller enumerated by
+    // the id column keeps its (analyzer-resolved) name and type —
+    // positions attach to whatever identifier the caller enumerated
+    // by; resolving through a select keeps case-insensitive lookups
+    // working like every other column reference
+    val idField = docs.select(col(idCol)).schema.head
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
-      docs.schema(idCol).copy(name = idCol),
+      idField,
       org.apache.spark.sql.types.StructField("shuffle_pos",
         org.apache.spark.sql.types.LongType, nullable = false))))
   }

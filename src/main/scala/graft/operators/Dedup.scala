@@ -59,8 +59,10 @@ object Dedup {
     // for pipelines
     reassembleSpans(docs, electFirst(spanRows(docs, spanTokens)))
 
-  /** The (doc_id, pos, span) rows [[dedupSpans]] elects over — shared
-    * by the one-shot and incremental span-dedup paths.
+  /** The (doc_id, pos, span, h) rows [[dedupSpans]] elects over —
+    * shared by the one-shot and incremental span-dedup paths. The
+    * md5 is computed HERE, once, and reused by the election window,
+    * the index anti join, and the store writes.
     */
   private def spanRows(docs: DataFrame, spanTokens: Int): DataFrame = {
     val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -69,6 +71,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), nSpans - 1),
         i => concat_ws(" ", slice(col("toks"), i * spanTokens + 1, lit(spanTokens)))))
         .as(Seq("pos", "span")))
+      .withColumn("h", md5(col("span")))
   }
 
   /** Reassemble docs from their surviving spans (empty string when
@@ -104,7 +107,7 @@ object Dedup {
     */
   def buildSpanIndex(docs: DataFrame, path: String, spanTokens: Int = 16): DataFrame = {
     val kept = electFirst(spanRows(docs, spanTokens))
-    kept.select(md5(col("span")).as("h")).distinct()
+    kept.select(col("h")).distinct()
       .write.mode(SaveMode.Overwrite).parquet(spansPath(path))
     reassembleSpans(docs, kept)
   }
@@ -118,10 +121,8 @@ object Dedup {
                             spanTokens: Int = 16): DataFrame = {
     val spark = newDocs.sparkSession
     val seen = spark.read.parquet(spansPath(path))
-    val fresh = spanRows(newDocs, spanTokens)
-      .withColumn("h", md5(col("span")))
-      .join(seen, Seq("h"), "left_anti")
-    reassembleSpans(newDocs, electFirst(fresh.drop("h")))
+    val fresh = spanRows(newDocs, spanTokens).join(seen, Seq("h"), "left_anti")
+    reassembleSpans(newDocs, electFirst(fresh))
   }
 
   /** Fold a checked shard's new spans into the index (append-only —
@@ -133,17 +134,17 @@ object Dedup {
     val spark = newDocs.sparkSession
     val seen = spark.read.parquet(spansPath(path))
     spanRows(newDocs, spanTokens)
-      .select(md5(col("span")).as("h")).distinct()
+      .select(col("h")).distinct()
       .join(seen, Seq("h"), "left_anti")
       .write.mode(SaveMode.Append).parquet(spansPath(path))
   }
 
   /** First-occurrence election: keep each distinct span's earliest
-    * (doc_id, pos) row; the window partitions on the span HASH so the
-    * exchange carries a fixed-width key, not span text.
+    * (doc_id, pos) row; the window partitions on the precomputed span
+    * HASH so the exchange carries a fixed-width key, not span text.
     */
   private def electFirst(spans: DataFrame): DataFrame = {
-    val w = Window.partitionBy(md5(col("span"))).orderBy(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
     spans.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
