@@ -43,6 +43,29 @@ class CandlesPropertySpec extends SparkSuite with Matchers {
     }
   }
 
+  test("partial-merge algebra: any split count and merge order finalizes identically") {
+    // the incremental store's load-bearing claim: mergeCandlePartials
+    // is associative + commutative, so ANY sharding of the event
+    // stream and ANY merge tree give the one true candle set
+    samples(5).zipWithIndex.foreach { case (trades, si) =>
+      val df = trades.toDF("event_id", "ts", "event_type", "value")
+      val full = Candles.ohlcv(df, tieCol = Some("event_id"))
+        .withColumn("vwap", round(col("vwap"), 6))
+        .orderBy("symbol", "window_start").collect()
+      val m = 2 + si % 3 // 2..4 shards
+      val parts = (0 until m).map(i =>
+        Candles.candlePartials(df.filter(pmod(col("event_id"), lit(m)) === i)))
+      val orders = Seq(parts, parts.reverse,
+        new scala.util.Random(si.toLong).shuffle(parts))
+      orders.foreach { ps =>
+        val got = Candles.finalizeCandles(ps.reduce(Candles.mergeCandlePartials))
+          .withColumn("vwap", round(col("vwap"), 6))
+          .orderBy("symbol", "window_start").collect()
+        assert(got.sameElements(full), s"merge order diverged on sample $si")
+      }
+    }
+  }
+
   test("candles invariant under row order given a tiebreak column") {
     // generated streams contain same-timestamp trades on purpose: with
     // the event_id tiebreak open/close must not depend on input order
