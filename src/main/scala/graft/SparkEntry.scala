@@ -48,8 +48,9 @@ object SparkEntry {
 
   /** Per-(JVM, sfDir) memo of the `sim_topk_ann_index` gate's persisted
     * IVF-PQ index, built at the production config (nlist=16, 2 Lloyd
-    * rounds — the same parameters `sim_topk_ivfpq` gates). Memoized for
-    * the same reason as [[dedupGateIndex]]: Bench and Verify time the
+    * rounds for BOTH quantizers — PQ codebooks and coarse centroids,
+    * the same parameters `sim_topk_ivfpq` gates). Memoized for the same
+    * reason as [[dedupGateIndex]]: Bench and Verify time the
     * stored-index QUERY path, which is the operation a serving loop
     * amortizes the build against.
     */
@@ -57,7 +58,8 @@ object SparkEntry {
   private def annGateIndex(s: SparkSession, dir: String): String =
     annIndexMemo.computeIfAbsent(dir, _ => {
       val idx = tempIndexDir("graft-ann-index")
-      Pq.buildAnnIndex(Tables.embeddings(s, dir), idx, kmeansIters = 2)
+      Pq.buildAnnIndex(Tables.embeddings(s, dir), idx,
+        kmeansIters = 2, coarseIters = 2)
       idx
     })
 
@@ -634,11 +636,13 @@ object SparkEntry {
     }),
     "sim_pairs_threshold" -> ((s, dir) =>
       Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.4)),
-    // contract gate at the production probe budget (nprobe=4) —
+    // contract gate at the production probe budget (nprobe=4) and the
+    // production quantizer (2 Lloyd rounds on the coarse centroids) —
     // corpus-robust, complements the equality gate above
     "sim_topk_ivf_check" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfSelfCheck(emb, emb.filter(col("vec_id") < 5), k = 10)
+      Similarity.ivfSelfCheck(emb, emb.filter(col("vec_id") < 5), k = 10,
+        coarseIters = 2)
     }),
     // PQ codes are data-derived (no external oracle for the code
     // table); the gate asserts the search contract in-engine: recall
@@ -648,14 +652,15 @@ object SparkEntry {
       Pq.selfCheck(emb, emb.filter(col("vec_id") < 5), k = 10)
     }),
     // IVF-PQ at the production probe budget (nprobe=4/16, 2 Lloyd
-    // rounds): contract row vs an exact reference that is itself
-    // cell-equi-joined (ivfTopK probing all cells == brute force,
-    // spec-verified), so the whole gate plan has no nested-loop join.
-    // Measured recall 0.88-0.94 across sf0.001/0.01/0.1 vs the 0.5
-    // bound.
+    // rounds for both quantizers): contract row vs an exact reference
+    // that is itself cell-equi-joined (ivfTopK probing all cells ==
+    // brute force, spec-verified), so the whole gate plan has no
+    // nested-loop join. Measured recall 0.88-0.94 across
+    // sf0.001/0.01/0.1 vs the 0.5 bound.
     "sim_topk_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Pq.ivfPqSelfCheck(emb, emb.filter(col("vec_id") < 5), k = 10)
+      Pq.ivfPqSelfCheck(emb, emb.filter(col("vec_id") < 5), k = 10,
+        coarseIters = 2)
     }),
     // the serving-loop path: search the PERSISTED index (built once per
     // sfDir via the memo above) and assert it returns exactly what
@@ -674,6 +679,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Pq.annIndexSelfCheck(emb, emb.filter(col("vec_id") < 5),
         annExtendGateIndex(s, dir), k = 10)
+    }),
+    // the trained-quantizer contract on a deliberately CLUSTERED corpus
+    // (contiguous-id groups pulled toward 4 centers — the sorted-corpus
+    // worst case where every untrained sample centroid lands in ONE
+    // cluster): 3 Lloyd+split rounds must hold recall ≥ 0.8 at nprobe=4
+    // AND cell balance (max cell ≤ 2× mean). The untrained layout fails
+    // the balance bound at this exact config — one cell per blob at 4×
+    // the mean population (spec-measured) — making this gate the
+    // 100×-scale claim the first-N-by-id sample can't make.
+    "sim_ann_clustered" -> ((s, dir) => {
+      val emb = Similarity.clusteredCorpus(Tables.embeddings(s, dir))
+      Similarity.ivfTrainedCheck(emb,
+        emb.filter(pmod(col("vec_id"), lit(101)) === 7), k = 10)
     }),
     // 16 bands × 2-bit buckets is the high-recall configuration: it
     // finds every ≥0.4 pair on this corpus (recall 1.0, spec-measured),
@@ -1678,6 +1696,13 @@ object SparkEntry {
     // all-cells exact reference in-engine)
     "sim_topk_ivfpq" ->
       """SELECT true AS recall_ok, true AS cosines_exact""",
+    // trained-quantizer contract on the clustered corpus: invariants
+    // when Lloyd training holds the recall and cell-balance bounds
+    // (computed in-engine vs the all-cells exact reference on the SAME
+    // trained layout)
+    "sim_ann_clustered" ->
+      """SELECT 'cell_balance' AS invariant, true AS ok
+         UNION ALL SELECT 'recall_at_nprobe', true""",
     // persisted-index contract: stored-index search == recomputation
     // (deterministic build, bit-exact parquet round-trip)
     "sim_topk_ann_index" ->

@@ -201,9 +201,14 @@ object Curation {
       .repartitionByRange(n, col("__k"), col(idCol))
       .sortWithinPartitions(col("__k"), col(idCol))
     val rdd = sorted.rdd
-    // bounded driver data: one long per partition
-    val counts = rdd.mapPartitionsWithIndex((i, it) =>
-      Iterator((i, it.size.toLong))).collect().sortBy(_._1).map(_._2)
+    // bounded driver data: one long per partition. Count in a Long from
+    // the start — Iterator.size returns Int, which would overflow at
+    // 2³¹ rows per partition BEFORE any .toLong widening could help.
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1L }
+      Iterator((i, c))
+    }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var pos = offsets(i)

@@ -133,10 +133,16 @@ object Dedup {
                       spanTokens: Int = 16): Unit = {
     val spark = newDocs.sparkSession
     val seen = spark.read.parquet(spansPath(path))
-    spanRows(newDocs, spanTokens)
-      .select(col("h")).distinct()
-      .join(seen, Seq("h"), "left_anti")
-      .write.mode(SaveMode.Append).parquet(spansPath(path))
+    // materialize the delta FIRST, then append it in a separate job:
+    // appending to the same directory the anti join is scanning would
+    // lean on the eager file-listing snapshot — unspecified behavior
+    // Spark only explicitly rejects for overwrite mode
+    val (delta, deltaPath) = writeThroughAt(
+      spanRows(newDocs, spanTokens)
+        .select(col("h")).distinct()
+        .join(seen, Seq("h"), "left_anti"))
+    delta.write.mode(SaveMode.Append).parquet(spansPath(path))
+    dropSnapshot(spark, deltaPath)
   }
 
   /** First-occurrence election: keep each distinct span's earliest

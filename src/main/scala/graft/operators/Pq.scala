@@ -198,9 +198,10 @@ object Pq {
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
-                oversample: Int = 12, kmeansIters: Int = 0): DataFrame = {
+                oversample: Int = 12, kmeansIters: Int = 0,
+                coarseIters: Int = 0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val cents = Similarity.coarseCentroids(embeddings, nlist)
+    val cents = Similarity.coarseCentroids(embeddings, nlist, coarseIters)
     val sampled = codebooks(embeddings, m, numCentroids, dim)
     val books =
       if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
@@ -244,10 +245,10 @@ object Pq {
     */
   def ivfPqSelfCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
                      nlist: Int = 16, nprobe: Int = 4,
-                     kmeansIters: Int = 2,
+                     kmeansIters: Int = 2, coarseIters: Int = 0,
                      minRecall: Double = 0.5): DataFrame = {
     val approx = ivfPqTopK(embeddings, queries, k, nlist, nprobe,
-      kmeansIters = kmeansIters)
+      kmeansIters = kmeansIters, coarseIters = coarseIters)
     val exact = Similarity.ivfTopK(embeddings, queries, k, nlist, nprobe = nlist)
     // one LEFT join from the exact side, one global aggregation: hit =
     // pair present on both sides, mismatch = present with a different
@@ -296,16 +297,16 @@ object Pq {
     */
   def buildAnnIndex(embeddings: DataFrame, path: String, nlist: Int = 16,
                     m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
-                    kmeansIters: Int = 0): Unit = {
+                    kmeansIters: Int = 0, coarseIters: Int = 0): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = Similarity.coarseCentroids(embeddings, nlist)
+    val cents = Similarity.coarseCentroids(embeddings, nlist, coarseIters)
     val sampled = codebooks(embeddings, m, numCentroids, dim)
     val books =
       if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
       else sampled
-    Seq((nlist, m, numCentroids, dim, kmeansIters))
-      .toDF("nlist", "m", "num_centroids", "dim", "kmeans_iters")
+    Seq((nlist, m, numCentroids, dim, kmeansIters, coarseIters))
+      .toDF("nlist", "m", "num_centroids", "dim", "kmeans_iters", "coarse_iters")
       .write.mode(SaveMode.Overwrite).parquet(paramsPath(path))
     cents.toSeq.map { case (cid, v, _) => (cid, v.toSeq) }
       .toDF("cid", "vec")
@@ -370,10 +371,10 @@ object Pq {
     * deterministic sample (lowest vec_ids) lies within the original
     * corpus and whose books are unrefined — gate-verified via
     * [[annIndexSelfCheck]] on exactly that split. With Lloyd-refined
-    * books the equivalence intentionally does not hold (refinement is
-    * a function of the whole build corpus); recall drifts as appended
-    * data shifts the distribution, and the remedy is a rebuild, not a
-    * smarter append. Requires shard vec_ids disjoint from the indexed
+    * books OR Lloyd-trained coarse centroids the equivalence
+    * intentionally does not hold (both trainings are functions of the
+    * whole build corpus); recall drifts as appended data shifts the
+    * distribution, and the remedy is a rebuild, not a smarter append. Requires shard vec_ids disjoint from the indexed
     * corpus (enforce upstream).
     */
   def extendAnnIndex(newEmbeddings: DataFrame, path: String): Unit = {
@@ -431,12 +432,17 @@ object Pq {
   def annIndexSelfCheck(embeddings: DataFrame, queries: DataFrame,
                         path: String, k: Int, nprobe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
-    val p = spark.read.parquet(paramsPath(path)).collect().head
+    val pdf = spark.read.parquet(paramsPath(path))
+    val p = pdf.collect().head
+    // pre-coarse-training indexes have no coarse_iters column — they
+    // were built with the untrained sample, i.e. 0 iterations
+    val ci = if (pdf.columns.contains("coarse_iters"))
+      p.getInt(p.fieldIndex("coarse_iters")) else 0
     val stored = annTopK(embeddings, queries, path, k, nprobe)
     val fresh = ivfPqTopK(embeddings, queries, k,
       nlist = p.getInt(0), nprobe = nprobe, m = p.getInt(1),
       numCentroids = p.getInt(2), dim = p.getInt(3),
-      kmeansIters = p.getInt(4))
+      kmeansIters = p.getInt(4), coarseIters = ci)
     val cmp = Seq("query_id", "neighbor_id", "cos", "rank")
     stored.withColumn("in_a", lit(1))
       .join(fresh.withColumn("in_b", lit(1)), cmp, "full_outer")

@@ -107,34 +107,100 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF-style approximate top-k: partition the vector space into
-    * `nlist` cells around deterministic coarse centroids, assign every
-    * vector to its nearest cell (one pass, `nlist` codegen'd dots per
-    * row), and have each query search only its `nprobe` closest cells.
-    *
-    * This is the standard inverted-file ANN layout: at 100 TB the
-    * assignment is a map-only pass, vectors land bucketed/partitioned
-    * by cell, and query fan-out touches nprobe/nlist of the data
-    * instead of all of it. Exact cosine within probed cells; recall is
-    * the nprobe/nlist trade-off (spec-measured against brute force).
-    *
-    * Centroids are deterministic: the embeddings of the `nlist` lowest
-    * vec_ids (a fixed sample — no RNG, no iterative k-means), collected
-    * once on the driver (nlist × dim floats) and shipped as literals.
-    */
-  /** Deterministic coarse centroids for the IVF cell layout: the
-    * embeddings of the `nlist` lowest vec_ids (a fixed sample — no RNG,
-    * no iterative k-means), collected once on the driver (nlist × dim
+  /** Deterministic coarse centroids for the IVF cell layout: seeded
+    * from the embeddings of the `nlist` lowest vec_ids (a fixed sample
+    * — no RNG), optionally polished by `iters` distributed Lloyd rounds
+    * ([[trainCentroids]]), collected once on the driver (nlist × dim
     * floats) and shipped as literals. Shared by [[ivfTopK]] and the
     * IVF-PQ composition ([[Pq.ivfPqTopK]]).
     */
   private[operators] def coarseCentroids(
-      embeddings: DataFrame, nlist: Int): Array[(Int, Array[Float], Double)] =
-    embeddings.orderBy("vec_id").limit(nlist).select("embedding").collect()
+      embeddings: DataFrame, nlist: Int,
+      iters: Int = 0): Array[(Int, Array[Float], Double)] = {
+    val sampled = embeddings.orderBy("vec_id").limit(nlist).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex
       .map { case (v, i) =>
         (i, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
       }
+    if (iters > 0) trainCentroids(embeddings, sampled, iters) else sampled
+  }
+
+  /** Distributed spherical Lloyd (k-means) refinement of the coarse
+    * centroids — the difference between an IVF layout that survives
+    * clustered real-world embedding distributions and one that doesn't.
+    * A first-N-by-id sample concentrates centroids wherever the lowest
+    * ids happen to sit; on a clustered corpus that leaves most mass in
+    * a few cells (measured: one cell per blob at 4× the mean
+    * population), so the biggest cell becomes the probe-scan bottleneck
+    * and fixed-nprobe recall is at the data's mercy. `iters` rounds of
+    * assign → update → split fix both (gate-asserted: recall AND cell
+    * balance on a deliberately clustered corpus).
+    *
+    * Each round is one job: assign every vector to its nearest cell
+    * ([[cellOf]], nlist codegen'd dots per row, map-only), then the new
+    * centroid of each cell is the component-wise mean of its members'
+    * L2-NORMALIZED vectors (spherical k-means — the mean direction,
+    * matching the cosine objective the assignment maximizes). The
+    * grouped mean collects nlist × dim doubles (bytes) to the driver.
+    * Determinism: means round to 6 decimals (immune to float-sum
+    * association order, same contract as [[Pq.refineBooks]]), empty
+    * cells keep their previous centroid, and the zero-norm guard
+    * mirrors the kernels' (a zero vector must not NaN a centroid).
+    */
+  private[operators] def trainCentroids(
+      embeddings: DataFrame,
+      init: Array[(Int, Array[Float], Double)],
+      iters: Int): Array[(Int, Array[Float], Double)] = {
+    val nlist = init.length
+    var cents = init
+    for (_ <- 1 to iters) {
+      val nrm = VectorFunctions.norm(col("embedding"))
+      val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
+      // one exploded agg: per-(cell, component) means + cell populations
+      // (count carried on every component row; component 0's is read)
+      val means = embeddings
+        .select(safe.as("nrm"), cellOf(col("embedding"), cents).as("cell"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("cell", "i")
+        .agg(round(avg(col("v") / col("nrm")), 6).as("mean"),
+          count(lit(1)).as("n"))
+        .collect()
+      val counts = means.filter(_.getInt(1) == 0)
+        .map(r => r.getInt(0) -> r.getLong(3)).toMap
+      val next = cents.map { case (cid, v, _) => (cid, v.clone()) }.toMap
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      // starved-cell splitting (the Faiss empty-cluster policy, made
+      // deterministic): a cell under a quarter of the mean population —
+      // including an empty one — is wasted probe budget, and plain
+      // Lloyd never rescues it when the init concentrates in one
+      // region (the mean update only shuffles mass locally). Reseed
+      // each starved cell as a PERTURBED CLONE of a distinct donor
+      // (largest-population) cell's updated centroid: next round the
+      // donor's members split roughly in half along the perturbation
+      // hyperplane, and repeated rounds drive the layout toward
+      // balance. The bumped component varies with the starved cell id
+      // so repeated splits of one region decorrelate.
+      val meanPop = counts.values.sum.toDouble / nlist
+      val starved = cents.map(_._1)
+        .filter(c => counts.getOrElse(c, 0L) < meanPop / 4).sorted
+      val donors = counts.toSeq
+        .filter { case (_, n) => n >= meanPop }
+        .sortBy { case (c, n) => (-n, c) }.map(_._1)
+      starved.zip(donors).foreach { case (cell, donor) =>
+        val seeded = next(donor).clone()
+        val j = cell % seeded.length
+        seeded(j) = seeded(j) + 1e-3f
+        Array.copy(seeded, 0, next(cell), 0, seeded.length)
+      }
+      cents = cents.map { case (cid, _, _) =>
+        val v = next(cid)
+        (cid, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+      }
+    }
+    cents
+  }
 
   /** Score of `emb` against centroid c: dot(e, c)/|c| — |e| is constant
     * across centroids so it can't change the argmax; negated for
@@ -143,13 +209,18 @@ object Similarity {
   private def negScore(emb: Column, c: (Int, Array[Float], Double)): Column =
     -VectorFunctions.dot(emb, lit(c._2)) / lit(c._3)
 
-  /** Nearest-cell id for a vector — the IVF assignment (one pass,
-    * `nlist` codegen'd dots per row).
+  /** Best (nearest) cell of a vector as a (s, cid) struct — `s` is the
+    * winning negated score (scales with |emb|; divide by the row norm
+    * to compare across rows). One pass, `nlist` codegen'd dots per row.
     */
-  private[operators] def cellOf(
+  private def bestCell(
       emb: Column, cents: Array[(Int, Array[Float], Double)]): Column =
     least(cents.toIndexedSeq.map(c => struct(negScore(emb, c).as("s"), lit(c._1).as("cid"))): _*)
-      .getField("cid")
+
+  /** Nearest-cell id for a vector — the IVF assignment. */
+  private[operators] def cellOf(
+      emb: Column, cents: Array[(Int, Array[Float], Double)]): Column =
+    bestCell(emb, cents).getField("cid")
 
   /** Explode each query row into its `nprobe` best cells: every column
     * of `queries` is preserved and a `probe_cell` int column is added
@@ -171,10 +242,32 @@ object Similarity {
       .filter(col("probe_cell").isNotNull)
   }
 
+  /** IVF-style approximate top-k: partition the vector space into
+    * `nlist` cells around the coarse centroids, assign every vector to
+    * its nearest cell (one pass, `nlist` codegen'd dots per row), and
+    * have each query search only its `nprobe` closest cells — the
+    * standard inverted-file ANN layout. At 100 TB the assignment is a
+    * map-only pass, vectors land bucketed/partitioned by cell, and
+    * query fan-out touches nprobe/nlist of the data instead of all of
+    * it. Exact cosine within probed cells; recall is the nprobe/nlist
+    * trade-off (spec-measured against brute force). `coarseIters` > 0
+    * Lloyd-trains the centroids ([[trainCentroids]]) — the setting a
+    * clustered real-world corpus needs.
+    */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, coarseIters: Int = 0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val cents = coarseCentroids(embeddings, nlist)
+    ivfTopKAt(embeddings, queries, k, coarseCentroids(embeddings, nlist, coarseIters), nprobe)
+  }
+
+  /** [[ivfTopK]] against a FIXED centroid array — shared by the public
+    * entry point and the checks that must search with and compare
+    * against the same cell layout without re-deriving (or re-training)
+    * it per use.
+    */
+  private def ivfTopKAt(embeddings: DataFrame, queries: DataFrame, k: Int,
+                        cents: Array[(Int, Array[Float], Double)],
+                        nprobe: Int): DataFrame = {
     val assigned = spread(embeddings).select(col("vec_id").as("neighbor_id"),
       col("embedding"), VectorFunctions.norm(col("embedding")).as("c_nrm"),
       cellOf(col("embedding"), cents).as("cell"))
@@ -204,8 +297,8 @@ object Similarity {
     */
   def ivfSelfCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
                    nlist: Int = 16, nprobe: Int = 4,
-                   minRecall: Double = 0.5): DataFrame = {
-    val ivf = ivfTopK(embeddings, queries, k, nlist, nprobe)
+                   minRecall: Double = 0.5, coarseIters: Int = 0): DataFrame = {
+    val ivf = ivfTopK(embeddings, queries, k, nlist, nprobe, coarseIters)
     val brute = bruteForceTopK(embeddings, queries, k)
     val hits = ivf.select("query_id", "neighbor_id")
       .join(brute.select("query_id", "neighbor_id"),
@@ -221,6 +314,71 @@ object Similarity {
       .select(
         (col("n_hit").cast("double") / col("n_total") >= minRecall).as("recall_ok"),
         (col("n_mismatch") === 0).as("cosines_exact"))
+  }
+
+  /** Deterministically CLUSTERED variant of an embedding corpus — the
+    * adversarial distribution the untrained first-N-by-id quantizer
+    * fails on. Each vector is pulled `mix` of the way toward its
+    * group's center direction (groups = contiguous vec_id ranges, the
+    * realistic worst case: corpora sorted by source/time put all the
+    * lowest ids — the quantizer's sample — in ONE cluster). Centers are
+    * the unit-normalized embeddings of the `nClusters` lowest ids
+    * (near-orthogonal on this corpus); the blend is codegen'd
+    * `zip_with` arithmetic, map-only, no RNG.
+    */
+  def clusteredCorpus(embeddings: DataFrame, nClusters: Int = 4,
+                      mix: Double = 0.85): DataFrame = {
+    val centers = embeddings.orderBy("vec_id").limit(nClusters)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val nn = if (n == 0.0) 1.0 else n
+        v.map(_ / nn)
+      }
+    val span = embeddings.agg(max("vec_id")).head().getLong(0) / nClusters + 1
+    val nrm = VectorFunctions.norm(col("embedding"))
+    val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
+    val center = element_at(typedLit(centers.map(_.toSeq).toSeq),
+      (col("vec_id") / lit(span)).cast("int") + 1)
+    embeddings.select(col("vec_id"),
+      transform(
+        zip_with(col("embedding"), center,
+          (a, b) => lit(mix) * b + lit(1.0 - mix) * (a / safe)),
+        x => x.cast("float")).as("embedding"))
+  }
+
+  /** The trained-quantizer contract gate: Lloyd-trained IVF on a
+    * clustered corpus must hold BOTH properties the untrained sample
+    * loses there — recall@k at a fixed probe budget, and cell balance
+    * (no cell above `balanceFactor` × the mean population, i.e. no
+    * single cell becomes the scan bottleneck at 100×). Two invariant
+    * rows `(invariant, ok)`; the exact reference is [[ivfTopKAt]]
+    * probing ALL cells of the SAME trained layout (provably brute
+    * force), and the recall aggregation is the one-pass left-join shape
+    * ([[Pq.ivfPqSelfCheck]]) — no nested-loop join anywhere in the
+    * gate's plan.
+    */
+  def ivfTrainedCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
+                      nlist: Int = 16, nprobe: Int = 4, coarseIters: Int = 3,
+                      minRecall: Double = 0.8,
+                      balanceFactor: Double = 2.0): DataFrame = {
+    val cents = coarseCentroids(embeddings, nlist, coarseIters)
+    val balance = embeddings
+      .select(cellOf(col("embedding"), cents).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg((max(col("n")) <= lit(balanceFactor) * avg(col("n"))).as("ok"))
+      .select(lit("cell_balance").as("invariant"), col("ok"))
+    val approx = ivfTopKAt(embeddings, queries, k, cents, nprobe)
+    val exact = ivfTopKAt(embeddings, queries, k, cents, nlist)
+    val recall = exact
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .agg((count(col("hit")).cast("double") / count(lit(1)) >= minRecall)
+        .as("ok"))
+      .select(lit("recall_at_nprobe").as("invariant"), col("ok"))
+    balance.unionByName(recall)
   }
 
   /** LSH-bucketed near-neighbor pairs: bucket on band prefixes of the

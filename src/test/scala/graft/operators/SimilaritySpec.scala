@@ -122,6 +122,34 @@ class SimilaritySpec extends SparkSuite with Matchers {
     ivf shouldBe brute
   }
 
+  test("trainCentroids: Lloyd rescues recall the untrained sample loses " +
+      "on a clustered corpus, and the gate config is non-vacuous") {
+    val clustered = Similarity.clusteredCorpus(emb)
+    val queries = clustered.filter(pmod(col("vec_id"), lit(101)) === 7)
+    def checkRows(iters: Int) =
+      Similarity.ivfTrainedCheck(clustered, queries, k = 10,
+        nlist = 16, nprobe = 4, coarseIters = iters)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // untrained first-N-by-id centroids all come from ONE contiguous-id
+    // cluster — the layout degenerates to one cell per blob plus
+    // singletons (measured 126 vs a 31 mean = 4× imbalance), so the
+    // balance invariant fails, which is what makes the trained gate's
+    // passing non-vacuous. (Recall survives even there because blob
+    // members co-locate; balance is the 100×-scale property the
+    // untrained sample loses.)
+    checkRows(0)("cell_balance") shouldBe false
+    val trained = checkRows(3)
+    trained("recall_at_nprobe") shouldBe true
+    trained("cell_balance") shouldBe true
+  }
+
+  test("clusteredCorpus is deterministic and preserves ids") {
+    val a = Similarity.clusteredCorpus(emb).orderBy("vec_id").collect()
+    val b = Similarity.clusteredCorpus(emb.repartition(7)).orderBy("vec_id").collect()
+    a shouldBe b
+    a.length shouldBe emb.count()
+  }
+
   test("planeRow is deterministic and in [-1, 1]") {
     val r1 = Similarity.planeRow(3, 64)
     val r2 = Similarity.planeRow(3, 64)
