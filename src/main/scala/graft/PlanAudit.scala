@@ -11,11 +11,11 @@ import org.apache.spark.sql.SparkSession
   * Streaming-replay queries execute on construction, so they are
   * skipped here (their plans are spec-audited). A few gates are
   * eager-by-construction without being streaming — dedup_components /
-  * dedup_transitive_rows run the convergence loop and
-  * dedup_simhash_pairs runs a sample-sizing count() while their plan
-  * is built; they stay in the sweep (the executed jobs are cheap at
-  * sf0.001 and their final plans are worth flagging), the "build only"
-  * premise just doesn't hold for them.
+  * dedup_transitive_rows / dedup_components_incremental run the
+  * convergence loop and dedup_simhash_pairs runs a sample-sizing
+  * count() while their plan is built; they stay in the sweep (the
+  * executed jobs are cheap at sf0.001 and their final plans are worth
+  * flagging), the "build only" premise just doesn't hold for them.
   */
 object PlanAudit {
   // sim_pairs_threshold: declared exact all-pairs baseline.

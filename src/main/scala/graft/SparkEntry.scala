@@ -143,6 +143,27 @@ object SparkEntry {
       (idx, cut2)
     })
 
+  /** Per-(JVM, sfDir) memo of the `dedup_components_incremental` gate's
+    * component store: labels built on the first PAIR tranche
+    * ((doc_a+doc_b)%3==0) of the exact-Jaccard graph, then tranche 1
+    * folded in through [[Dedup.extendComponents]] (the contracted-graph
+    * closure + atomic label swap). The gate query then serves the
+    * read-only [[Dedup.mergedComponents]] view over store ∪ tranche 2,
+    * so the full build→extend→merge lifecycle sits under the one
+    * recursive-CTE closure oracle — and the timed operation is the
+    * daily-loop merge, not the one-time build.
+    */
+  private val compIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def componentGateIndex(s: SparkSession, dir: String): String =
+    compIndexMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-comp-index")
+      val pairs = Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5)
+      val t = pmod(col("doc_a") + col("doc_b"), lit(3))
+      Dedup.buildComponents(pairs.filter(t === 0), idx)
+      Dedup.extendComponents(pairs.filter(t === 1), idx)
+      idx
+    })
+
   private def tempIndexDir(prefix: String): String = {
     val idx = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
@@ -473,6 +494,16 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.dupComponents(
         Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5))),
+    // the closure's DAILY form: stored labels (built on pair tranche 0,
+    // extended with tranche 1) merged read-only with tranche 2's pairs
+    // — the contracted-graph closure runs on ≤ one node per new-pair
+    // endpoint, the stored labels relabel through one broadcast join,
+    // and the answer must equal the from-scratch closure over ALL pairs
+    "dedup_components_incremental" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5)
+      Dedup.mergedComponents(s, componentGateIndex(s, dir),
+        pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(3)) === 2))
+    }),
     // the apply side: corpus minus non-representative group members
     "dedup_transitive_rows" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -734,6 +765,33 @@ object SparkEntry {
        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                   JOIN sizes sb ON doc_b = sb.doc_id
        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5"""
+
+  /** Transitive closure over the exact-Jaccard pair graph as a
+    * recursive CTE — shared by the one-shot closure gate and the
+    * incremental (build → extend → merge) lifecycle gate, whose
+    * maintenance strategy must not change the answer.
+    */
+  private val dupComponentsSql =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b
+                 FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                            JOIN sizes sb ON doc_b = sb.doc_id
+                 WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(src, node) AS (
+         SELECT DISTINCT s, s FROM edges
+         UNION
+         SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s)
+       SELECT src AS doc_id, min(node) AS component_id
+       FROM reach GROUP BY src"""
 
   /** Reference-reset alert recurrence re-derived as a recursive CTE —
     * the shared oracle of both executions of the alert operator
@@ -1268,27 +1326,11 @@ object SparkEntry {
     "dedup_incremental" -> exactJaccardPairsSql,
     // transitive closure as a recursive CTE: reach(src, node) walks the
     // undirected pair graph; component = min reachable node
-    "dedup_components" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(
-                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
-                FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         pairs AS (SELECT doc_a, doc_b
-                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
-                              JOIN sizes sb ON doc_b = sb.doc_id
-                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
-         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                   UNION ALL SELECT doc_b, doc_a FROM pairs),
-         reach(src, node) AS (
-           SELECT DISTINCT s, s FROM edges
-           UNION
-           SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s)
-         SELECT src AS doc_id, min(node) AS component_id
-         FROM reach GROUP BY src""",
+    "dedup_components" -> dupComponentsSql,
+    // the incremental lifecycle (build → extend → read-only merge over
+    // pair tranches) must be invisible in the answer: same oracle as
+    // the from-scratch closure
+    "dedup_components_incremental" -> dupComponentsSql,
     "dedup_transitive_rows" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(
