@@ -125,12 +125,34 @@ object Candles {
   //
   // Lifecycle (mirrors Dedup's near-dup index): [[buildCandleStore]]
   // writes partials parquet partitioned by `p_date(window_start)`;
-  // [[updateCandleStore]] folds a new event shard in by rewriting ONLY
-  // the date partitions the shard touches (dynamic partition
-  // overwrite); [[candlesFromStore]] / [[candlesWithShard]] finalize to
-  // the exact [[ohlcv]] frame — untouched partitions flow map-only
-  // (union side of the plan, no shuffle), only touched partials and the
-  // shard pay the merge aggregation.
+  // [[updateCandleStore]] folds a new event shard in by writing ONLY
+  // the date partitions the shard touches; [[candlesFromStore]] /
+  // [[candlesWithShard]] finalize to the exact [[ohlcv]] frame —
+  // untouched partitions flow map-only (union side of the plan, no
+  // shuffle), only touched partials and the shard pay the merge
+  // aggregation.
+  //
+  // Durability model (the Delta-_delta_log analog on plain parquet):
+  // data lives in immutable `data/ver=N/p_date=D/` leaf dirs — an
+  // update never rewrites an existing file — and a store GENERATION is
+  // a manifest (`_meta/manifest-N/`, a tiny parquet table) mapping each
+  // date to the version dir that currently owns it, plus the ledger of
+  // applied shard ids. The newest manifest with a `_SUCCESS` marker IS
+  // the store state:
+  //  * atomic visibility — readers resolve date→dir through one
+  //    committed manifest, so they see a complete generation, never a
+  //    mid-update mix (the previous generation's leaves are retained
+  //    until the NEXT commit, so an in-flight reader holding manifest
+  //    N survives the commit of N+1);
+  //  * crash safety — a failure before the manifest commit leaves only
+  //    orphaned `ver=N+1` leaves and a _SUCCESS-less manifest dir,
+  //    both ignored by readers and overwritten by the retry;
+  //  * idempotent retries — an update carrying a `shardId` is a no-op
+  //    when the ledger already lists it (the Delta `txn` action's
+  //    dedup; counts/sums are additive, so WITHOUT the ledger a
+  //    re-applied shard would double-count).
+  // Single WRITER at a time remains the caller's contract (as with
+  // [[graft.util.Lake.compact]]); readers are unrestricted.
 
   /** Mergeable per-(window, symbol) candle partials of `events`.
     * Columns: window bounds, symbol, `open_k`/`close_k` (winning
@@ -174,56 +196,165 @@ object Candles {
   private def withPDate(partials: DataFrame): DataFrame =
     partials.withColumn("p_date", to_date(col("window_start")))
 
-  /** Initialize the candle store: partials of `events` partitioned by
-    * window date (readers and the updater prune to the dates they
-    * touch).
+  private def dataPath(path: String) = s"$path/data"
+  private def metaPath(path: String) = s"$path/_meta"
+
+  /** A committed store generation: manifest number, date → owning
+    * version dir, applied shard ids.
+    */
+  private case class StoreState(n: Int, dates: Map[String, Int],
+                                applied: Set[String])
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the newest COMMITTED manifest (`_SUCCESS` present — a
+    * crashed manifest write is invisible). Driver-side work is one
+    * directory listing plus a tiny parquet read.
+    */
+  private def readState(spark: org.apache.spark.sql.SparkSession,
+                        path: String): StoreState = {
+    val fs = fsOf(spark, path)
+    val metas = fs.listStatus(new org.apache.hadoop.fs.Path(metaPath(path)))
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("manifest-") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    require(metas.nonEmpty, s"no committed candle-store manifest under $path")
+    val cur = metas.maxBy(_.getName.stripPrefix("manifest-").toInt)
+    val rows = spark.read.parquet(cur.toString).collect()
+    StoreState(
+      cur.getName.stripPrefix("manifest-").toInt,
+      rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getInt(1)).toMap,
+      rows.filter(_.isNullAt(0)).map(_.getString(2)).toSet)
+  }
+
+  /** Write + commit manifest `n` (Spark's `_SUCCESS` marker is the
+    * commit point; Overwrite mode makes a crashed attempt retryable).
+    */
+  private def writeState(spark: org.apache.spark.sql.SparkSession, path: String,
+                         n: Int, dates: Map[String, Int],
+                         applied: Set[String]): Unit = {
+    import spark.implicits._
+    val rows =
+      dates.toSeq.map { case (d, v) => (Option(d), Option(v), Option.empty[String]) } ++
+        applied.toSeq.map(s => (Option.empty[String], Option.empty[Int], Option(s)))
+    rows.toDF("p_date", "ver", "shard_id")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${metaPath(path)}/manifest-$n")
+  }
+
+  /** The store's partial-aggregate frame for `wanted` dates (all when
+    * None), resolved through one committed manifest: each date reads
+    * exactly its owning `ver=/p_date=` leaf dir — file listing is
+    * bounded by the dates asked for, and a concurrent update commit
+    * cannot mix generations into the scan.
+    */
+  private def storedPartials(spark: org.apache.spark.sql.SparkSession,
+                             path: String, st: StoreState,
+                             wanted: Option[Set[String]]): DataFrame = {
+    val sel = wanted.map(w => st.dates.view.filterKeys(w).toMap).getOrElse(st.dates)
+    val leaves = sel.toSeq.sortBy(_._1)
+      .map { case (d, v) => s"${dataPath(path)}/ver=$v/p_date=$d" }
+    if (leaves.isEmpty)
+      // schema-stable empty frame (a shard can touch only new dates)
+      spark.read.option("basePath", dataPath(path))
+        .parquet(dataPath(path)).filter(lit(false)).drop("ver")
+    else
+      spark.read.option("basePath", dataPath(path))
+        .parquet(leaves: _*).drop("ver")
+  }
+
+  /** Drop data versions and manifests older than the PREVIOUS
+    * generation — an in-flight reader that resolved manifest n-1 keeps
+    * every leaf it needs; anything older is unreachable garbage.
+    */
+  private def retire(spark: org.apache.spark.sql.SparkSession, path: String,
+                     st: StoreState, prev: StoreState): Unit = {
+    val fs = fsOf(spark, path)
+    val live = (st.dates.values ++ prev.dates.values).toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(dataPath(path)))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("ver=") &&
+        !live(p.getName.stripPrefix("ver=").toInt))
+      .foreach(fs.delete(_, true))
+    fs.listStatus(new org.apache.hadoop.fs.Path(metaPath(path)))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val name = p.getName
+        !name.startsWith("manifest-") ||
+          name.stripPrefix("manifest-").toInt < st.n - 1
+      }
+      .foreach(fs.delete(_, true))
+  }
+
+  /** Initialize the candle store: partials of `events` land as
+    * generation 0 (`data/ver=0/p_date=…` + manifest-0).
     */
   def buildCandleStore(events: DataFrame, path: String,
-                       windowDur: String = "1 minute"): Unit =
+                       windowDur: String = "1 minute"): Unit = {
+    val spark = events.sparkSession
     withPDate(candlePartials(events, windowDur))
       .write.partitionBy("p_date")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${dataPath(path)}/ver=0")
+    val fs = fsOf(spark, path)
+    val dates = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"${dataPath(path)}/ver=0"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("p_date="))
+      .map(_.stripPrefix("p_date=") -> 0).toMap
+    writeState(spark, path, 0, dates, Set.empty)
+  }
 
-  /** Fold a new event shard into the store, rewriting ONLY the date
-    * partitions the shard's windows land in. Counts and sums are
-    * additive, so applying the same shard twice double-counts —
-    * delivery must be exactly-once (the streaming file sinks'
-    * `_spark_metadata` manifest provides precisely this upstream).
-    * Mechanics: merged partials for the
-    * touched dates are staged to a sibling dir (Spark refuses an
-    * overwrite whose input is the output path), then dynamic partition
-    * overwrite swaps exactly those `p_date=` dirs in. Cost is
+  /** Fold a new event shard into the store, writing ONLY the date
+    * partitions the shard's windows land in (one new `ver=` dir), then
+    * committing the next manifest generation. Cost is
     * O(shard + touched partitions) — history outside the shard's date
-    * range is never read or written. Same single-writer contract as
-    * [[graft.util.Lake.compact]].
+    * range is never read or written. `shardId` (when given) is checked
+    * against and recorded in the manifest ledger, making re-application
+    * after a retry a no-op instead of a double count. An EMPTY shard
+    * returns immediately. Crash at any point leaves the committed
+    * generation untouched (see the durability model above).
     */
   def updateCandleStore(newEvents: DataFrame, path: String,
-                        windowDur: String = "1 minute"): Unit = {
+                        windowDur: String = "1 minute",
+                        shardId: Option[String] = None): Unit = {
     val spark = newEvents.sparkSession
+    val st = readState(spark, path)
+    if (shardId.exists(st.applied)) return
     val delta = withPDate(candlePartials(newEvents, windowDur))
+    // the touched dates drive leaf selection and the new manifest — a
+    // bounded driver-side list (a shard spans few dates), same contract
+    // as the probed-cell collect in Pq.annTopK
     val dates = delta.select("p_date").distinct()
-    val touched = spark.read.parquet(path)
-      .join(broadcast(dates), Seq("p_date"), "left_semi")
+      .collect().map(_.getDate(0).toString).toSet
+    if (dates.isEmpty) return
+    val touched = storedPartials(spark, path, st, Some(dates))
     val merged = withPDate(
       mergeCandlePartials(touched.drop("p_date"), delta.drop("p_date")))
-    val stage = path + ".update-stage"
+    val next = st.n + 1
     merged.write.partitionBy("p_date")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
-    spark.read.parquet(stage)
-      .write.partitionBy("p_date")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${dataPath(path)}/ver=$next")
+    writeState(spark, path, next,
+      st.dates ++ dates.map(_ -> next),
+      st.applied ++ shardId)
+    retire(spark, path, StoreState(next, st.dates ++ dates.map(_ -> next),
+      st.applied), st)
   }
 
   /** The store's current candles — exactly [[ohlcv]] over everything
-    * built + updated in.
+    * built + updated in, resolved through one committed manifest
+    * generation.
     */
   def candlesFromStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): DataFrame =
-    finalizeCandles(spark.read.parquet(path).drop("p_date"))
+    finalizeCandles(
+      storedPartials(spark, path, readState(spark, path), None).drop("p_date"))
 
   /** Read-only merge view: candles over store ∪ an unapplied shard —
     * what a serving query returns between shard arrivals and store
@@ -235,7 +366,7 @@ object Candles {
                        windowDur: String = "1 minute"): DataFrame = {
     val delta = withPDate(candlePartials(newEvents, windowDur))
     val dates = delta.select("p_date").distinct()
-    val stored = spark.read.parquet(path)
+    val stored = storedPartials(spark, path, readState(spark, path), None)
     val touched = stored.join(broadcast(dates), Seq("p_date"), "left_semi")
     val untouched = stored.join(broadcast(dates), Seq("p_date"), "left_anti")
     finalizeCandles(

@@ -127,20 +127,79 @@ class CandlesSpec extends SparkSuite with Matchers {
     val store = java.nio.file.Files.createTempDirectory("candle-part").toString
     Candles.buildCandleStore((day1 ++ day2)
       .toDF("event_id", "ts", "event_type", "value"), store)
-    def files(date: String): Set[String] =
-      Option(new java.io.File(s"$store/p_date=$date").listFiles())
+    // leaf files of a date's owning version dir (generation layout:
+    // data/ver=N/p_date=D); an update must never rewrite an untouched
+    // date's leaf
+    def files(ver: Int, date: String): Set[String] =
+      Option(new java.io.File(s"$store/data/ver=$ver/p_date=$date").listFiles())
         .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".parquet")).toSet
-    val day1Before = files("2026-01-01")
+    val day1Before = files(0, "2026-01-01")
     day1Before should not be empty
     // shard touches only day 2
     Candles.updateCandleStore(Seq((5L, ts("2026-01-02 09:00:45"), "BTC", 101.0))
       .toDF("event_id", "ts", "event_type", "value"), store)
-    files("2026-01-01") shouldBe day1Before // untouched partition intact
+    files(0, "2026-01-01") shouldBe day1Before // untouched leaf intact
+    files(1, "2026-01-02") should not be empty // touched date owned by gen 1
+    files(1, "2026-01-01") shouldBe empty      // untouched date NOT rewritten
     val d2 = Candles.candlesFromStore(spark, store)
       .filter(col("symbol") === "BTC" && col("window_start") === ts("2026-01-02 09:00:00"))
       .select("open", "close", "trade_count")
       .as[(Double, Double, Long)].head()
     d2 shouldBe ((99.0, 101.0, 2L))
+  }
+
+  test("updateCandleStore with a shardId is idempotent under re-application") {
+    val store = java.nio.file.Files.createTempDirectory("candle-ledger").toString
+    Candles.buildCandleStore(Seq(
+      (1L, ts("2026-01-01 10:00:05"), "BTC", 100.0))
+      .toDF("event_id", "ts", "event_type", "value"), store)
+    val shard = Seq((2L, ts("2026-01-01 10:00:20"), "BTC", 105.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    Candles.updateCandleStore(shard, store, shardId = Some("shard-2"))
+    val once = Candles.candlesFromStore(spark, store)
+      .orderBy("window_start", "symbol").collect()
+    // a retry re-delivers the SAME shard — the ledger makes it a no-op
+    // instead of double-counting the additive partials
+    Candles.updateCandleStore(shard, store, shardId = Some("shard-2"))
+    Candles.candlesFromStore(spark, store)
+      .orderBy("window_start", "symbol").collect() shouldBe once
+    once.map(_.getAs[Long]("trade_count")).sum shouldBe 2L
+  }
+
+  test("updateCandleStore with an empty shard is a no-op") {
+    val store = java.nio.file.Files.createTempDirectory("candle-empty").toString
+    Candles.buildCandleStore(Seq(
+      (1L, ts("2026-01-01 10:00:05"), "BTC", 100.0))
+      .toDF("event_id", "ts", "event_type", "value"), store)
+    val before = Candles.candlesFromStore(spark, store).collect()
+    Candles.updateCandleStore(
+      Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+        .toDF("event_id", "ts", "event_type", "value"), store)
+    Candles.candlesFromStore(spark, store).collect() shouldBe before
+  }
+
+  test("readers resolve a committed generation: a snapshot taken before " +
+      "an update still reads consistently after it commits") {
+    val store = java.nio.file.Files.createTempDirectory("candle-snap").toString
+    Candles.buildCandleStore(Seq(
+      (1L, ts("2026-01-01 10:00:05"), "BTC", 100.0),
+      (2L, ts("2026-01-02 09:00:00"), "BTC", 99.0))
+      .toDF("event_id", "ts", "event_type", "value"), store)
+    // resolve the reader's plan (manifest + leaf paths) BEFORE the
+    // update — but collect only AFTER it commits
+    val snapshot = Candles.candlesFromStore(spark, store)
+    val expected = snapshot.collect().sortBy(_.toString)
+    Candles.updateCandleStore(Seq(
+      (3L, ts("2026-01-02 09:00:30"), "BTC", 101.0))
+      .toDF("event_id", "ts", "event_type", "value"), store)
+    // the previous generation's leaves are retained through one commit,
+    // so the in-flight reader still sees its complete old snapshot —
+    // never a mixed or missing-partition state
+    snapshot.collect().sortBy(_.toString) shouldBe expected
+    // a NEW reader resolves the merged generation
+    Candles.candlesFromStore(spark, store)
+      .filter(col("window_start") === ts("2026-01-02 09:00:00"))
+      .select("trade_count").as[Long].head() shouldBe 2L
   }
 
   test("vwapTrue weights by volume") {
