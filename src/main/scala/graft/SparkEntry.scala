@@ -631,6 +631,11 @@ object SparkEntry {
     }),
     // ── training-data extensions: text analysis
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
+    // the same stats under the Unicode tokenizer (letter/digit runs,
+    // punctuation dropped) — what real punctuation-heavy corpora are
+    // scored with; the whitespace variant glues marks onto words
+    "text_token_stats_unicode" -> ((s, dir) =>
+      TextOps.tokenStats(Tables.documents(s, dir), unicode = true)),
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_unigram_logprob" -> ((s, dir) =>
@@ -1590,6 +1595,18 @@ object SparkEntry {
          round(list_sum(list_transform(string_split(text, ' '), x -> length(x))) * 1.0
                / len(string_split(text, ' ')), 6) AS avg_token_len,
          length(text) AS n_chars FROM documents""",
+    // DuckDB's RE2 and Java's regex agree on \p{L}/\p{N} classes over
+    // this corpus; both engines drop punctuation and count letter/digit
+    // runs
+    "text_token_stats_unicode" ->
+      """WITH t AS (SELECT doc_id, text,
+             regexp_extract_all(text, '[\p{L}]+|[\p{N}]+') AS toks
+           FROM documents)
+         SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+                 / len(toks), 6) AS avg_token_len,
+           length(text) AS n_chars FROM t""",
     "text_quality_score" ->
       """SELECT doc_id,
          round(len(list_filter(string_split(text, ' '),

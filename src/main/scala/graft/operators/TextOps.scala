@@ -20,6 +20,24 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode-aware tokenization: maximal letter runs and digit runs
+    * (`\p{L}+|\p{N}+`), dropping punctuation/symbols. On real
+    * punctuation-heavy text the whitespace split glues marks onto
+    * words ("word," ≠ "word"), skewing counts, quality ratios, and
+    * TF-IDF keys; this is the variant an LLM-corpus pipeline scores
+    * with. Kept to the Java-regex ∩ RE2 subset so the DuckDB oracle
+    * matches byte-for-byte. Map-only codegen'd regex, same cost class
+    * as [[bpeTokenStats]].
+    */
+  val unicodeTokenPattern = "[\\p{L}]+|[\\p{N}]+"
+
+  def tokensUnicode(text: Column): Column =
+    regexp_extract_all(text, lit(unicodeTokenPattern), lit(0))
+
+  /** The tokenizer the `unicode` options below select between. */
+  private def tok(text: Column, unicode: Boolean): Column =
+    if (unicode) tokensUnicode(text) else tokens(text)
+
   /** Corpus-unigram log-probability score — the statistical stand-in
     * for the LM-perplexity quality filter every production corpus
     * pipeline runs (docs whose tokens are improbable under the
@@ -36,11 +54,12 @@ object TextOps {
     * catch); scoring is the exploded tokens equi-joined to the vocab
     * then re-aggregated per doc. Two shuffles on narrow keys; no UDF.
     */
-  def unigramLogprob(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c"))
-    val t = tok.count().toDouble
-    tok.join(vocab, "w")
+  def unigramLogprob(docs: DataFrame, unicode: Boolean = false): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tok(col("text"), unicode)).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c"))
+    val t = toks.count().toDouble
+    toks.join(vocab, "w")
       .groupBy(col("doc_id"))
       .agg(round(avg(-log(col("c") / lit(t))), 6).as("avg_neg_logprob"),
         count(lit(1)).as("n_tokens"))
@@ -59,11 +78,13 @@ object TextOps {
     * final rank is a window PARTITIONED BY doc_id — millions of
     * independent k-row heaps, not a global sort.
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val tf = tok.groupBy(col("doc_id"), col("w"))
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+                    unicode: Boolean = false): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tok(col("text"), unicode)).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tok.groupBy(col("w"))
+    val df = toks.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     val n = docs.count().toDouble
     val scored = tf.join(df, "w")
@@ -82,16 +103,32 @@ object TextOps {
     * `aggregate`/`array_distinct` formulation re-splits the text per
     * lambda element access).
     */
-  def tokenStats(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("ts", graft.functions.TextFunctions.tokenStats(col("text")))
-      .select(
-        col("doc_id"),
-        col("ts.n_tokens").as("n_tokens"),
-        col("ts.n_distinct_tokens").as("n_distinct_tokens"),
-        round(col("ts.sum_token_len").cast("double") / col("ts.n_tokens"), 6)
-          .as("avg_token_len"),
-        length(col("text")).cast("long").as("n_chars"))
+  def tokenStats(docs: DataFrame, unicode: Boolean = false): DataFrame =
+    if (!unicode)
+      docs
+        .withColumn("ts", graft.functions.TextFunctions.tokenStats(col("text")))
+        .select(
+          col("doc_id"),
+          col("ts.n_tokens").as("n_tokens"),
+          col("ts.n_distinct_tokens").as("n_distinct_tokens"),
+          round(col("ts.sum_token_len").cast("double") / col("ts.n_tokens"), 6)
+            .as("avg_token_len"),
+          length(col("text")).cast("long").as("n_chars"))
+    else
+      // regex tokens via built-ins; the token array is projected to its
+      // OWN column first so lambdas reference an attribute (an inlined
+      // regexp_extract_all would re-run per lambda element — the
+      // repetition() trap)
+      docs.select(col("doc_id"), col("text"),
+          tokensUnicode(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+          round(aggregate(transform(col("toks"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x).cast("double") / size(col("toks")), 6)
+            .as("avg_token_len"),
+          length(col("text")).cast("long").as("n_chars"))
 
   /** BPE-style pre-tokenization counts: the GPT-2-family pre-tokenizer
     * splits runs of letters, runs of digits, and individual
@@ -120,8 +157,8 @@ object TextOps {
     */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  def qualityScore(docs: DataFrame, unicode: Boolean = false): DataFrame = {
+    val toks = tok(col("text"), unicode)
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(toks).cast("double")
     val stopRatio = size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok

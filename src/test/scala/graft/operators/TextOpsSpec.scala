@@ -23,6 +23,49 @@ class TextOpsSpec extends SparkSuite with Matchers {
     r(1).getLong(1) shouldBe 3
   }
 
+  test("tokensUnicode splits punctuation-glued words the whitespace " +
+      "tokenizer miscounts") {
+    val punct = Seq((1L, "Hello, world! It's 42 degrees... really?", 40L))
+      .toDF("doc_id", "text", "n_chars")
+    val uni = TextOps.tokenStats(punct, unicode = true).head()
+    // letter runs: Hello world It s degrees really; digit runs: 42
+    uni.getAs[Long]("n_tokens") shouldBe 7
+    uni.getAs[Long]("n_distinct_tokens") shouldBe 7
+    // whitespace split sees 6 mark-glued "tokens"
+    TextOps.tokenStats(punct).head().getAs[Long]("n_tokens") shouldBe 6
+    // on punctuation-free text the two tokenizers agree
+    TextOps.tokenStats(docs, unicode = true)
+      .orderBy("doc_id").select("n_tokens", "n_distinct_tokens", "avg_token_len")
+      .collect() shouldBe
+      TextOps.tokenStats(docs)
+        .orderBy("doc_id").select("n_tokens", "n_distinct_tokens", "avg_token_len")
+        .collect()
+  }
+
+  test("unicode option threads through quality/tfidf/unigram") {
+    val punct = Seq(
+      (1L, "the, cat! the cat runs", 22L),
+      (2L, "dogs bark; dogs sleep", 21L)
+    ).toDF("doc_id", "text", "n_chars")
+    // whitespace mode keys tf-idf on "the," ≠ "the"; unicode merges them
+    val uniTerms = TextOps.tfidfTopTerms(punct, k = 10, unicode = true)
+      .filter(col("doc_id") === 1).select("term").as[String].collect().toSet
+    uniTerms should contain("the")
+    uniTerms should not contain "the,"
+    val wsTerms = TextOps.tfidfTopTerms(punct, k = 10)
+      .filter(col("doc_id") === 1).select("term").as[String].collect().toSet
+    wsTerms should contain("the,")
+    // unigram logprob: unicode token count drops no words, only marks
+    TextOps.unigramLogprob(punct, unicode = true)
+      .filter(col("doc_id") === 1).select("n_tokens").as[Long].head() shouldBe 5
+    // quality: the stopword "the" is invisible to whitespace mode when
+    // comma-glued everywhere, visible to unicode mode
+    val punct2 = Seq((1L, "the, cat", 8L)).toDF("doc_id", "text", "n_chars")
+    TextOps.qualityScore(punct2).head().getAs[Double]("stopword_ratio") shouldBe 0.0
+    TextOps.qualityScore(punct2, unicode = true)
+      .head().getAs[Double]("stopword_ratio") shouldBe 0.5
+  }
+
   test("qualityScore components and weighting") {
     val r = TextOps.qualityScore(docs).orderBy("doc_id").collect()
     val row = r(0)
