@@ -740,6 +740,14 @@ object SparkEntry {
     "sim_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir), 0.4, k = 3,
         numPlanes = 32, bands = 16)),
+    // the kNN join on MULTI-PROBE candidates at the strained half-width
+    // config (16 planes × 8 bands, where single-probe provably thins
+    // neighbor lists — spec-measured): distance-1 probing restores the
+    // exact kNN answer with the signature pass, the 100 TB cost driver,
+    // half as wide
+    "sim_knn_join_multiprobe" -> ((s, dir) =>
+      Similarity.knnJoin(Tables.embeddings(s, dir), 0.4, k = 3,
+        numPlanes = 16, bands = 8, multiProbe = true)),
     // multi-probe at HALF the single-probe gate's hyperplanes (16×8 vs
     // 32×16): flipping one sign bit per band recovers the pairs the
     // leaner signature misses — recall 1.0 on this corpus
@@ -1776,6 +1784,11 @@ object SparkEntry {
     // valid oracle
     "sim_lsh_pairs" -> exactCosinePairsSql,
     "sim_knn_join" -> knnJoinSql,
+    // multi-probe candidates reach recall 1.0 at half the planes
+    // (sim_lsh_multiprobe's oracle claim), so the same exact kNN SQL is
+    // the oracle — single-probe at this width loses pairs and would
+    // hash-mismatch (spec-asserted)
+    "sim_knn_join_multiprobe" -> knnJoinSql,
     // multi-probe at 16 planes × 8 bands reaches recall 1.0 on this
     // corpus (spec-measured; single-probe at the same width misses
     // pairs) and verification keeps precision exact — the same

@@ -428,10 +428,20 @@ object Similarity {
     * all-pairs); the symmetric expansion doubles the verified pair
     * rows, and ranking is a per-vector window — independent k-row
     * heaps. Ties (equal rounded cosine) break by neighbor id.
+    *
+    * `multiProbe = true` mines candidates with [[lshPairsMultiProbe]]
+    * instead: at a strained signature budget single-probe banding
+    * silently THINS per-vector neighbor lists (a missed pair is a
+    * missing kNN edge on both endpoints), and distance-1 probing
+    * recovers those at the same planes — the knob to turn before
+    * paying for a wider signature pass.
     */
   def knnJoin(embeddings: DataFrame, threshold: Double, k: Int,
-              numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
-    val pairs = lshPairs(embeddings, threshold, numPlanes, bands, dim)
+              numPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+              multiProbe: Boolean = false): DataFrame = {
+    val pairs =
+      if (multiProbe) lshPairsMultiProbe(embeddings, threshold, numPlanes, bands, dim)
+      else lshPairs(embeddings, threshold, numPlanes, bands, dim)
     val sym = pairs
       .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos"))
       .unionByName(pairs

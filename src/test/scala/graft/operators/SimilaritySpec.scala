@@ -122,6 +122,26 @@ class SimilaritySpec extends SparkSuite with Matchers {
     ivf shouldBe brute
   }
 
+  test("knnJoin multiProbe == exact kNN at the strained half-width config " +
+      "where single-probe thins neighbor lists") {
+    // exact kNN reference: all exact pairs, symmetric expand, rank
+    val p = Similarity.pairsAboveThreshold(emb, 0.4)
+    val sym = p.select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos"))
+      .unionByName(p.select(col("id_b").as("vec_id"), col("id_a").as("neighbor_id"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    val mp = Similarity.knnJoin(emb, 0.4, k = 3, numPlanes = 16, bands = 8,
+      multiProbe = true)
+    mp.orderBy("vec_id", "neighbor_id").collect() shouldBe
+      exact.orderBy("vec_id", "neighbor_id").collect()
+    // single-probe at the same width loses pairs, so its kNN edge set
+    // is a strict subset — the multi-probe option is doing real work
+    val sp = Similarity.knnJoin(emb, 0.4, k = 3, numPlanes = 16, bands = 8)
+    sp.count() should be < exact.count()
+  }
+
   test("trainCentroids: Lloyd rescues recall the untrained sample loses " +
       "on a clustered corpus, and the gate config is non-vacuous") {
     val clustered = Similarity.clusteredCorpus(emb)
