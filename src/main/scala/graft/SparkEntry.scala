@@ -239,7 +239,8 @@ object SparkEntry {
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
         st => Candles.ohlcv(st.withWatermark("ts", "10 minutes"),
-          tieCol = Some("event_id")))),
+          tieCol = Some("event_id")),
+        stageKey = Some(s"$dir:events"))),
     // sliding (overlapping) candles through the same replay: each event
     // feeds windowDur/slideDur concurrent window states; append mode
     // emits each overlapping window once its END passes the watermark
@@ -247,7 +248,8 @@ object SparkEntry {
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
         st => Candles.ohlcvSliding(st.withWatermark("ts", "10 minutes"),
-          "2 minutes", "1 minute", tieCol = Some("event_id")))),
+          "2 minutes", "1 minute", tieCol = Some("event_id")),
+        stageKey = Some(s"$dir:events"))),
     // session windows as a REAL streaming aggregation (state-MERGING
     // windows, unlike the fixed tumbling grid): append mode emits a
     // session once the watermark passes its end (last event + gap).
@@ -258,7 +260,8 @@ object SparkEntry {
     "stream_sessions" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
-        st => Candles.sessions(st.withWatermark("ts", "10 minutes"), "30 minutes"))),
+        st => Candles.sessions(st.withWatermark("ts", "10 minutes"), "30 minutes"),
+        stageKey = Some(s"$dir:events"))),
     // the gold candles in UPDATE mode through a MERGE-style upsert
     // sink: live (still-open) windows included, so the resolved view
     // equals the batch aggregation over ALL events — same oracle as
@@ -268,7 +271,8 @@ object SparkEntry {
         "ts", "event_id",
         st => Candles.ohlcv(st.withWatermark("ts", "10 minutes"),
           tieCol = Some("event_id")),
-        keyCols = Seq("window_start", "symbol"))),
+        keyCols = Seq("window_start", "symbol"),
+        stageKey = Some(s"$dir:events"))),
     "stream_silver_typed" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
@@ -276,7 +280,8 @@ object SparkEntry {
           .select(col("event_type").as("symbol"),
             col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
             col("ts").as("trade_timestamp"),
-            col("user_id").as("trade_id")))),
+            col("user_id").as("trade_id")),
+        stageKey = Some(s"$dir:events"))),
     // the same alert recurrence as a REAL flatMapGroupsWithState
     // streaming query (custom per-key state across micro-batches): the
     // chronological replay preserves per-key order across batches, so
@@ -289,7 +294,8 @@ object SparkEntry {
             Alerts.trades(st, "event_type", "ts", "event_id", "value"),
             minMove = 150.0)
           .toDF()
-          .withColumn("move", round(col("move"), 6)))),
+          .withColumn("move", round(col("move"), 6)),
+        stageKey = Some(s"$dir:events"))),
     // the reference's TITLE feature as a real stream-STREAM join: two
     // independent file-stream sources over the same replay (A = even,
     // B = odd event_ids), watermarked band join via Medallion
@@ -309,7 +315,7 @@ object SparkEntry {
               col("ts").as("trade_timestamp"))
           graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1))
             .withColumn("spread", round(col("spread"), 6))
-        })),
+        }, stageKey = Some(s"$dir:events"))),
     // the LEFT OUTER stream-stream band join: unmatched A-trades emit
     // null-extended only once the watermark proves no future B can
     // band-match them. Spark delays outer-null emission by the
@@ -342,7 +348,7 @@ object SparkEntry {
           graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1),
               joinType = "left_outer")
             .withColumn("spread", round(col("spread"), 6))
-        })
+        }, stageKey = Some(s"$dir:spread-sentinels"))
     }),
     // ── lakehouse physical layout (SURVEY §2.9 / Lake): Z-order
     // clustered rewrite must be invisible in the answer — the table
@@ -367,7 +373,8 @@ object SparkEntry {
             col("event_id"))
           .withWatermark("trade_timestamp", "10 minutes")
           .dropDuplicatesWithinWatermark("event_id")
-          .drop("event_id"))
+          .drop("event_id"),
+        stageKey = Some(s"$dir:events-doubled"))
     }),
     // ── serving layer (SURVEY §2.3 P9, §2.5, §2.6)
     "serve_latest_per_symbol" -> ((s, dir) =>
