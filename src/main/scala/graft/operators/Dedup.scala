@@ -127,11 +127,16 @@ object Dedup {
 
   /** Fold a checked shard's new spans into the index (append-only —
     * a shard's kept spans are by construction disjoint from the
-    * stored set).
+    * stored set). `shardId` (when given) makes a retried re-application
+    * a no-op via the [[graft.util.Lake.appliedShards]] ledger —
+    * duplicate span hashes would not change dedup answers (the anti
+    * join is membership), but they bloat the stored set for nothing.
     */
   def extendSpanIndex(newDocs: DataFrame, path: String,
-                      spanTokens: Int = 16): Unit = {
+                      spanTokens: Int = 16,
+                      shardId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
+    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
     val seen = spark.read.parquet(spansPath(path))
     // materialize the delta FIRST, then append it in a separate job:
     // appending to the same directory the anti join is scanning would
@@ -143,6 +148,7 @@ object Dedup {
         .join(seen, Seq("h"), "left_anti"))
     delta.write.mode(SaveMode.Append).parquet(spansPath(path))
     dropSnapshot(spark, deltaPath)
+    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
   }
 
   /** First-occurrence election: keep each distinct span's earliest
@@ -807,15 +813,25 @@ object Dedup {
     * dropped losers) to the stored tables; after this, the index covers
     * old ∪ new and the next shard increments against it. Parquet
     * appends only — nothing existing is rewritten.
+    *
+    * `shardId` (when given) makes a retried re-application a no-op via
+    * the [[graft.util.Lake.appliedShards]] ledger. This matters more
+    * here than for the span index: a doubled `sets/` row fans out BOTH
+    * verification joins (duplicate pair rows — wrong answers, not just
+    * wasted space), so production extends should always carry an id.
     */
   def extendIndex(newDocs: DataFrame, newPairs: DataFrame, path: String,
                   n: Int = 2, numHashes: Int = 32, bands: Int = 16,
-                  multiProbe: Boolean = false): Unit = {
+                  multiProbe: Boolean = false,
+                  shardId: Option[String] = None): Unit = {
+    val spark = newDocs.sparkSession
+    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
     val newSets = hashedShingles(newDocs, n)
     newSets.write.mode(SaveMode.Append).parquet(setsPath(path))
     kernelBuckets(newSets, numHashes, bands, probes = multiProbe)
       .write.mode(SaveMode.Append).parquet(bucketsPath(path))
     newPairs.write.mode(SaveMode.Append).parquet(pairsPath(path))
+    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
   }
 
   /** All verified near-dup pairs the index knows (`pairs/`): after

@@ -377,12 +377,18 @@ object Pq {
     * distribution, and the remedy is a rebuild, not a smarter append. Requires shard vec_ids disjoint from the indexed
     * corpus (enforce upstream).
     */
-  def extendAnnIndex(newEmbeddings: DataFrame, path: String): Unit = {
+  def extendAnnIndex(newEmbeddings: DataFrame, path: String,
+                     shardId: Option[String] = None): Unit = {
     val spark = newEmbeddings.sparkSession
+    // retried re-application would append DUPLICATE code rows for the
+    // shard's vec_ids — every ADC scan then scores them twice and the
+    // rerank fetches doubled candidates; the ledger makes it a no-op
+    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
     val p = spark.read.parquet(paramsPath(path)).collect().head
     val cents = loadCents(spark, path)
     val books = loadBooks(spark, path, p.getInt(1), p.getInt(2))
     writeCodes(newEmbeddings, cents, books, path, SaveMode.Append)
+    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
   }
 
   /** Search the stored index: the serving-loop path. Driver-side work

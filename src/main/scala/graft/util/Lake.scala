@@ -219,6 +219,36 @@ object Lake {
     (before.length, parquetFiles(new File(path)).length)
   }
 
+  // ── applied-shard ledger ──────────────────────────────────────────
+  //
+  // The Delta `txn` action's idempotent-writer dedup on plain parquet:
+  // an append-only index (near-dup sets/buckets, span hashes, ANN
+  // codes) that re-applies a shard after a retry duplicates rows —
+  // which at best wastes space (span hashes) and at worst corrupts
+  // answers (duplicated shingle sets fan out verification joins). A
+  // tiny `_applied/` parquet table under the index path records shard
+  // ids; extends carrying an id skip seen shards. The underscore
+  // prefix keeps the ledger invisible to Spark's file index on the
+  // surrounding data dirs. One row appended per shard — a bounded,
+  // driver-cheap read.
+
+  private def appliedPath(path: String) = s"$path/_applied"
+
+  /** Shard ids already recorded under `path` (empty when no ledger). */
+  def appliedShards(spark: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(appliedPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(appliedPath(path)).collect().map(_.getString(0)).toSet
+  }
+
+  /** Record one applied shard id (parquet append of one tiny file). */
+  def recordApplied(spark: SparkSession, path: String, shardId: String): Unit = {
+    import spark.implicits._
+    Seq(shardId).toDF("shard_id").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(appliedPath(path))
+  }
+
   /** Persist `df` hash-bucketed (and sorted) by `keyCols` into the
     * session catalog as `tableName`. Joins and aggregations between
     * tables bucketed the same way on the same keys run without an

@@ -314,6 +314,30 @@ class DedupSpec extends SparkSuite with Matchers {
       Dedup.minhashLsh(docs, n = 2, threshold = 0.5).orderBy("doc_a", "doc_b").collect()
   }
 
+  test("extendIndex and extendSpanIndex with a shardId are idempotent " +
+      "under re-application") {
+    val path = java.nio.file.Files.createTempDirectory("dedup-ledger").toString
+    val t = pmod(col("doc_id"), lit(3))
+    Dedup.buildNearDupIndex(docs.filter(t === 1), path, n = 2, threshold = 0.5)
+    val shard = docs.filter(t === 2)
+    val inc = Dedup.incrementalPairs(shard, path, n = 2, threshold = 0.5)
+    Dedup.extendIndex(shard, inc, path, n = 2, shardId = Some("day-2"))
+    val sets = spark.read.parquet(s"$path/sets").count()
+    val pairs = Dedup.indexedPairs(spark, path).count()
+    // the retry: without the ledger this would DOUBLE the shard's
+    // sets/buckets rows and fan out every later verification join
+    Dedup.extendIndex(shard, inc, path, n = 2, shardId = Some("day-2"))
+    spark.read.parquet(s"$path/sets").count() shouldBe sets
+    Dedup.indexedPairs(spark, path).count() shouldBe pairs
+
+    val spath = java.nio.file.Files.createTempDirectory("span-ledger").toString
+    Dedup.buildSpanIndex(docs.filter(t === 1), spath)
+    Dedup.extendSpanIndex(shard, spath, shardId = Some("day-2"))
+    val spans = spark.read.parquet(s"$spath/spans").count()
+    Dedup.extendSpanIndex(shard, spath, shardId = Some("day-2"))
+    spark.read.parquet(s"$spath/spans").count() shouldBe spans
+  }
+
   test("extendComponents merges existing components through new bridge pairs") {
     val path = java.nio.file.Files.createTempDirectory("comp-idx").toString
     // two disjoint components {1,2} and {3,4}

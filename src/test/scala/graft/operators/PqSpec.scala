@@ -148,6 +148,24 @@ class PqSpec extends SparkSuite with Matchers {
     row.head.getBoolean(0) shouldBe true
   }
 
+  test("extendAnnIndex with a shardId is idempotent under re-application") {
+    val path = java.nio.file.Files.createTempDirectory("ann-ledger").toString
+    val queries = emb.filter(col("vec_id") < 5)
+    val cut = emb.agg(max("vec_id")).head.getLong(0) * 2 / 3
+    Pq.buildAnnIndex(emb.filter(col("vec_id") <= cut), path)
+    val shard = emb.filter(col("vec_id") > cut)
+    Pq.extendAnnIndex(shard, path, shardId = Some("day-2"))
+    val once = Pq.annTopK(emb, queries, path, k = 10, nprobe = 4)
+      .orderBy("query_id", "rank").collect()
+    val codes = spark.read.parquet(s"$path/codes").count()
+    // a retry re-delivers the shard: without the ledger the duplicate
+    // code rows get ADC-scored twice and pollute the rerank candidates
+    Pq.extendAnnIndex(shard, path, shardId = Some("day-2"))
+    spark.read.parquet(s"$path/codes").count() shouldBe codes
+    Pq.annTopK(emb, queries, path, k = 10, nprobe = 4)
+      .orderBy("query_id", "rank").collect() shouldBe once
+  }
+
   test("ANN index maintenance: Lake.compact on appended codes/ preserves results") {
     // three shard appends fragment every cell dir; the maintenance pass
     // is the generic partitioned-layout compact, and search must be
