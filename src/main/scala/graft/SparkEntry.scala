@@ -212,6 +212,12 @@ object SparkEntry {
     "gold_candles_incremental" -> ((s, dir) =>
       Candles.candlesWithShard(s, candleGateStore(s, dir),
         Tables.events(s, dir).filter(pmod(col("event_id"), lit(3)) === 0))),
+    // time travel: generation 0 of the same store is the build-time
+    // snapshot (tranche 1 only) — the Delta VERSION-AS-OF analog the
+    // manifest layout gives for free; the oracle restricts its source
+    // to that tranche
+    "gold_candles_time_travel" -> ((s, dir) =>
+      Candles.candlesFromStore(s, candleGateStore(s, dir), asOf = Some(0))),
     "gold_vwap_typed" -> ((s, dir) => {
       val vwap = udaf(VwapAggregator)
       val ev = Tables.events(s, dir)
@@ -893,19 +899,21 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(g.text_dedup, '') AS text_dedup
          FROM documents d LEFT JOIN g USING (doc_id)"""
 
-  /** The 1-minute OHLC/VWAP answer — shared by the one-shot
-    * aggregation gate and the incremental-store gate (maintenance
-    * strategy must not change the answer).
+  /** The 1-minute OHLC/VWAP answer over a source-table expression —
+    * shared by the one-shot aggregation gate, the incremental-store
+    * gate (maintenance strategy must not change the answer), and the
+    * time-travel gate (which restricts the source to the generation's
+    * input tranche).
     */
-  private val goldCandlesSql =
-    """WITH r AS (
+  private def goldCandlesSqlOver(src: String) =
+    s"""WITH r AS (
          SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,
                 event_type, value,
                 row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
                                    ORDER BY ts, event_id) AS rn_a,
                 row_number() OVER (PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)), event_type
                                    ORDER BY ts DESC, event_id DESC) AS rn_z
-         FROM events)
+         FROM $src)
        SELECT ws AS window_start, ws + INTERVAL 1 MINUTE AS window_end,
        event_type AS symbol,
        max(CASE WHEN rn_a = 1 THEN value END) AS open,
@@ -913,6 +921,8 @@ object SparkEntry {
        max(CASE WHEN rn_z = 1 THEN value END) AS close,
        count(*) AS trade_count, round(avg(value), 6) AS vwap
        FROM r GROUP BY 1, 2, 3"""
+
+  private val goldCandlesSql = goldCandlesSqlOver("events")
 
   /** Overlapping 2-minute/1-minute-slide candles — shared by the batch
     * gate and (with the watermark-finalization filter) the streaming
@@ -971,6 +981,9 @@ object SparkEntry {
     // store lifecycle's candles face the SAME oracle as the one-shot
     // aggregation
     "gold_candles_incremental" -> goldCandlesSql,
+    // generation-0 snapshot == candles over the build tranche only
+    "gold_candles_time_travel" ->
+      goldCandlesSqlOver("(SELECT * FROM events WHERE event_id % 3 = 1)"),
     // and so must the update-mode upsert lifecycle — live windows
     // included, hence no watermark-finalization filter
     "stream_candles_update" -> goldCandlesSql,

@@ -210,23 +210,42 @@ object Candles {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Resolve the newest COMMITTED manifest (`_SUCCESS` present — a
-    * crashed manifest write is invisible). Driver-side work is one
-    * directory listing plus a tiny parquet read.
+  /** Generation numbers of every COMMITTED manifest (`_SUCCESS`
+    * present — a crashed manifest write is invisible), ascending.
+    * These are the store's time-travel points: how many survive is the
+    * updater's `retainGenerations`.
     */
-  private def readState(spark: org.apache.spark.sql.SparkSession,
-                        path: String): StoreState = {
+  def storeGenerations(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[Int] = {
     val fs = fsOf(spark, path)
-    val metas = fs.listStatus(new org.apache.hadoop.fs.Path(metaPath(path)))
+    fs.listStatus(new org.apache.hadoop.fs.Path(metaPath(path)))
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => p.getName.startsWith("manifest-") &&
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-    require(metas.nonEmpty, s"no committed candle-store manifest under $path")
-    val cur = metas.maxBy(_.getName.stripPrefix("manifest-").toInt)
-    val rows = spark.read.parquet(cur.toString).collect()
-    StoreState(
-      cur.getName.stripPrefix("manifest-").toInt,
+      .map(_.getName.stripPrefix("manifest-").toInt)
+      .sorted.toSeq
+  }
+
+  /** Resolve one committed store generation — the newest when `asOf`
+    * is None. Driver-side work is one directory listing plus a tiny
+    * parquet read.
+    */
+  private def readState(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        asOf: Option[Int] = None): StoreState = {
+    val gens = storeGenerations(spark, path)
+    require(gens.nonEmpty, s"no committed candle-store manifest under $path")
+    val n = asOf match {
+      case None => gens.max
+      case Some(g) =>
+        require(gens.contains(g),
+          s"candle-store generation $g not retained under $path " +
+            s"(available: ${gens.mkString(",")})")
+        g
+    }
+    val rows = spark.read.parquet(s"${metaPath(path)}/manifest-$n").collect()
+    StoreState(n,
       rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getInt(1)).toMap,
       rows.filter(_.isNullAt(0)).map(_.getString(2)).toSet)
   }
@@ -268,14 +287,19 @@ object Candles {
         .parquet(leaves: _*).drop("ver")
   }
 
-  /** Drop data versions and manifests older than the PREVIOUS
-    * generation — an in-flight reader that resolved manifest n-1 keeps
-    * every leaf it needs; anything older is unreachable garbage.
+  /** Drop manifests (and the data versions only they reference) older
+    * than the newest `retain` generations. The retained window is both
+    * the in-flight-reader grace period AND the time-travel horizon —
+    * a reader that resolved any retained manifest keeps every leaf it
+    * needs; anything older is unreachable garbage.
     */
   private def retire(spark: org.apache.spark.sql.SparkSession, path: String,
-                     st: StoreState, prev: StoreState): Unit = {
+                     current: Int, retain: Int): Unit = {
     val fs = fsOf(spark, path)
-    val live = (st.dates.values ++ prev.dates.values).toSet
+    val floor = current - (retain - 1)
+    val kept = storeGenerations(spark, path).filter(_ >= floor)
+    val live = kept
+      .flatMap(g => readState(spark, path, Some(g)).dates.values).toSet
     fs.listStatus(new org.apache.hadoop.fs.Path(dataPath(path)))
       .filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith("ver=") &&
@@ -286,7 +310,7 @@ object Candles {
       .filter { p =>
         val name = p.getName
         !name.startsWith("manifest-") ||
-          name.stripPrefix("manifest-").toInt < st.n - 1
+          name.stripPrefix("manifest-").toInt < floor
       }
       .foreach(fs.delete(_, true))
   }
@@ -319,10 +343,16 @@ object Candles {
     * after a retry a no-op instead of a double count. An EMPTY shard
     * returns immediately. Crash at any point leaves the committed
     * generation untouched (see the durability model above).
+    * `retainGenerations` (≥ 2) sets how many committed generations
+    * survive each update — the time-travel horizon for
+    * [[candlesFromStore]]'s `asOf` reads.
     */
   def updateCandleStore(newEvents: DataFrame, path: String,
                         windowDur: String = "1 minute",
-                        shardId: Option[String] = None): Unit = {
+                        shardId: Option[String] = None,
+                        retainGenerations: Int = 2): Unit = {
+    require(retainGenerations >= 2,
+      "retainGenerations must be >= 2 (current + the in-flight-reader grace generation)")
     val spark = newEvents.sparkSession
     val st = readState(spark, path)
     if (shardId.exists(st.applied)) return
@@ -343,18 +373,20 @@ object Candles {
     writeState(spark, path, next,
       st.dates ++ dates.map(_ -> next),
       st.applied ++ shardId)
-    retire(spark, path, StoreState(next, st.dates ++ dates.map(_ -> next),
-      st.applied), st)
+    retire(spark, path, next, retainGenerations)
   }
 
-  /** The store's current candles — exactly [[ohlcv]] over everything
-    * built + updated in, resolved through one committed manifest
-    * generation.
+  /** The store's candles — exactly [[ohlcv]] over everything built +
+    * updated in, resolved through one committed manifest generation:
+    * the newest, or (`asOf`) any still-retained older one — the Delta
+    * `VERSION AS OF` time-travel analog, for free from the generation
+    * layout. [[storeGenerations]] lists the available points.
     */
   def candlesFromStore(spark: org.apache.spark.sql.SparkSession,
-                       path: String): DataFrame =
+                       path: String,
+                       asOf: Option[Int] = None): DataFrame =
     finalizeCandles(
-      storedPartials(spark, path, readState(spark, path), None).drop("p_date"))
+      storedPartials(spark, path, readState(spark, path, asOf), None).drop("p_date"))
 
   /** Read-only merge view: candles over store ∪ an unapplied shard —
     * what a serving query returns between shard arrivals and store

@@ -202,6 +202,31 @@ class CandlesSpec extends SparkSuite with Matchers {
       .select("trade_count").as[Long].head() shouldBe 2L
   }
 
+  test("candlesFromStore asOf reads retained generations (time travel) " +
+      "and the retention horizon bounds it") {
+    val store = java.nio.file.Files.createTempDirectory("candle-tt").toString
+    def shard(id: Long, t: String, price: Double) =
+      Seq((id, ts(t), "BTC", price)).toDF("event_id", "ts", "event_type", "value")
+    Candles.buildCandleStore(shard(1, "2026-01-01 10:00:05", 100.0), store)
+    val gen0 = Candles.candlesFromStore(spark, store).collect()
+    Candles.updateCandleStore(shard(2, "2026-01-01 10:00:20", 105.0), store,
+      retainGenerations = 3)
+    Candles.updateCandleStore(shard(3, "2026-01-01 10:00:40", 95.0), store,
+      retainGenerations = 3)
+    Candles.storeGenerations(spark, store) shouldBe Seq(0, 1, 2)
+    // each retained generation replays its historical answer exactly
+    Candles.candlesFromStore(spark, store, asOf = Some(0)).collect() shouldBe gen0
+    Candles.candlesFromStore(spark, store, asOf = Some(1))
+      .select("trade_count").as[Long].head() shouldBe 2L
+    Candles.candlesFromStore(spark, store)
+      .select("trade_count").as[Long].head() shouldBe 3L
+    // default retention (2) retires generations beyond the horizon
+    Candles.updateCandleStore(shard(4, "2026-01-01 10:00:50", 98.0), store)
+    Candles.storeGenerations(spark, store) shouldBe Seq(2, 3)
+    an[IllegalArgumentException] should be thrownBy
+      Candles.candlesFromStore(spark, store, asOf = Some(0)).collect()
+  }
+
   test("vwapTrue weights by volume") {
     val df = Seq(
       (ts("2026-01-01 10:00:05"), "BTC", 100.0, 1.0),
