@@ -488,6 +488,12 @@ object SparkEntry {
         .select(explode(col("m")).as(Seq("symbol", "cnt")))
     }),
     "q_pivot_segment_year" -> ((s, dir) => Relational.segmentYearPivot(s, dir)),
+    // per-column table profile (one scan, one agg row, stack unpivot);
+    // the gate projects the engine-portable stats — min/max strings are
+    // spec-verified in-engine, where rendering rules are ours
+    "q_profile_events" -> ((s, dir) =>
+      graft.util.Inspect.profile(Tables.events(s, dir))
+        .select("column", "n_rows", "n_nulls", "n_distinct")),
     // ── training-data extensions: dedup
     "dedup_exact_groups" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
     "dedup_exact_rows" -> ((s, dir) => Dedup.exactRows(Tables.documents(s, dir))),
@@ -1298,6 +1304,22 @@ object SparkEntry {
          FROM events e JOIN d USING (event_type)""",
     "q_heavy_hitters" ->
       "SELECT event_type AS symbol, count(*) AS cnt FROM events GROUP BY 1",
+    // ns→µs timestamp conversion is lossless (TESTDATA), so distinct
+    // counts agree across engines on every column
+    "q_profile_events" ->
+      """SELECT 'event_id' AS "column", count(*) AS n_rows,
+           count(*) - count(event_id) AS n_nulls,
+           count(DISTINCT event_id) AS n_distinct FROM events
+         UNION ALL SELECT 'ts', count(*), count(*) - count(ts),
+           count(DISTINCT ts) FROM events
+         UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id) FROM events
+         UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type) FROM events
+         UNION ALL SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value) FROM events
+         UNION ALL SELECT 'props', count(*), count(*) - count(props),
+           count(DISTINCT props) FROM events""",
     "q_pivot_segment_year" ->
       """SELECT c_mktsegment,
          count(CASE WHEN year(o_orderdate) = 1995 THEN 1 END) AS y1995,

@@ -66,4 +66,44 @@ object Inspect {
   /** Recent sample, newest first (`check_gold.py:16`). */
   def recentSample(df: DataFrame, tsCol: String, n: Int): Array[org.apache.spark.sql.Row] =
     df.orderBy(col(tsCol).desc).limit(n).collect()
+
+  /** Per-column data profile — the table-health summary a lakehouse
+    * inspector runs after every load (the natural extension of the
+    * reference's `check_bronze.py` schema/count/sample surface): one
+    * row per column with row count, null count, distinct count, and
+    * string-rendered min/max.
+    *
+    * Shape: ONE aggregation row over the table (all per-column
+    * aggregates together, map-side partials), then a `stack` unpivot
+    * of that single row — the table is scanned once and nothing but
+    * the 1×(4·cols) aggregate row moves. With `exactDistinct` the
+    * multi-column distinct plans an Expand (rows × columns — the price
+    * of exactness); `exactDistinct = false` switches to HyperLogLog
+    * `approx_count_distinct`, which keeps the profile a single
+    * narrow partial-aggregate pass — the 100 TB default.
+    */
+  def profile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    val nd: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (exactDistinct) countDistinct(_) else approx_count_distinct(_)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        nd(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stacked = cols.map(c =>
+      s"'$c', `__cnt_$c`, `__nd_$c`, `__min_$c`, `__max_$c`").mkString(", ")
+    val types = map(cols.flatMap(c =>
+      Seq(lit(c), lit(df.schema(c).dataType.simpleString))): _*)
+    one.select(col("__rows"), expr(
+        s"stack(${cols.length}, $stacked) AS " +
+          "(column, __non_null, n_distinct, min_value, max_value)"))
+      .select(col("column"),
+        element_at(types, col("column")).as("data_type"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col("__non_null")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
 }
