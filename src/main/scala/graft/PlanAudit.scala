@@ -31,7 +31,8 @@ object PlanAudit {
   private val streaming =
     Set("stream_gold_candles_1m", "stream_silver_typed", "stream_spread_join",
       "stream_threshold_alerts", "stream_sessions", "stream_silver_dedup",
-      "stream_candles_sliding", "stream_candles_update", "stream_spread_left")
+      "stream_candles_sliding", "stream_candles_update", "stream_spread_left",
+      "stream_candles_store")
 
   /** The other classic 100 TB trap: a window function with an EMPTY
     * partition spec funnels the whole input through ONE task ("No

@@ -164,6 +164,25 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the `text_unigram_incremental` gate's
+    * vocabulary store: token counts built on the first doc_id tercile,
+    * extended with the other two (ledgered appends). The gate query
+    * then SCORES the whole corpus read-only against the stored
+    * vocabulary — counts are additive, so the answer equals
+    * from-scratch [[TextOps.unigramLogprob]] and shares its oracle.
+    */
+  private val vocabMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def vocabGateStore(s: SparkSession, dir: String): String =
+    vocabMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-vocab")
+      val docs = Tables.documents(s, dir)
+      val t = pmod(col("doc_id"), lit(3))
+      TextOps.buildVocab(docs.filter(t === 0), idx)
+      TextOps.extendVocab(docs.filter(t === 1), idx, shardId = Some("t1"))
+      TextOps.extendVocab(docs.filter(t === 2), idx, shardId = Some("t2"))
+      idx
+    })
+
   private def tempIndexDir(prefix: String): String = {
     val idx = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {
@@ -278,6 +297,17 @@ object SparkEntry {
         st => Candles.ohlcv(st.withWatermark("ts", "10 minutes"),
           tieCol = Some("event_id")),
         keyCols = Seq("window_start", "symbol"),
+        stageKey = Some(s"$dir:events"))),
+    // streaming ingestion INTO the incremental candle store: every
+    // micro-batch folds in via updateCandleStore keyed by batch id, so
+    // a Spark batch retry is a ledgered no-op — exactly-once end to
+    // end, and the served store must equal the one-shot aggregation
+    // over all events (same oracle as gold_candles_1m). Fresh store
+    // per invocation so repeat runs do the full maintenance work.
+    "stream_candles_store" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayIntoCandleStore(s,
+        Tables.events(s, dir), "ts", "event_id",
+        tempIndexDir("graft-stream-store"),
         stageKey = Some(s"$dir:events"))),
     "stream_silver_typed" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
@@ -659,6 +689,12 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "text_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogprob(Tables.documents(s, dir))),
+    // the corpus LM's DAILY form: scores served read-only from the
+    // vocabulary store (built + extended over terciles in the memo) —
+    // maintenance strategy must be invisible in the answer
+    "text_unigram_incremental" -> ((s, dir) =>
+      TextOps.scoreAgainstVocab(Tables.documents(s, dir),
+        vocabGateStore(s, dir))),
     "text_tfidf_topterms" -> ((s, dir) =>
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
@@ -993,6 +1029,9 @@ object SparkEntry {
     // and so must the update-mode upsert lifecycle — live windows
     // included, hence no watermark-finalization filter
     "stream_candles_update" -> goldCandlesSql,
+    // and the streamed store-maintenance path: the store after the
+    // replay serves exactly the batch aggregation
+    "stream_candles_store" -> goldCandlesSql,
     "stream_gold_candles_1m" ->
       """WITH r AS (
            SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,
@@ -1708,6 +1747,16 @@ object SparkEntry {
     // ln() is IEEE-754 in both engines; the 6-dp round on a mean of
     // thousands of terms absorbs summation-order noise
     "text_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+         tot AS (SELECT sum(c) AS t FROM vocab)
+         SELECT doc_id, round(avg(-ln(c / (SELECT t FROM tot))), 6) AS avg_neg_logprob,
+           count(*) AS n_tokens
+         FROM tok JOIN vocab USING (w) GROUP BY doc_id""",
+    // the vocabulary-store lifecycle is invisible in the answer: same
+    // oracle as the from-scratch scoring (counts merge by summation)
+    "text_unigram_incremental" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM documents),
          vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),

@@ -55,14 +55,82 @@ object TextOps {
     * then re-aggregated per doc. Two shuffles on narrow keys; no UDF.
     */
   def unigramLogprob(docs: DataFrame, unicode: Boolean = false): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(tok(col("text"), unicode)).as("w"))
+    val toks = docTokens(docs, unicode)
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c"))
-    val t = toks.count().toDouble
+    scoreTokens(toks, vocab, toks.count().toDouble)
+  }
+
+  private def docTokens(docs: DataFrame, unicode: Boolean): DataFrame =
+    docs.select(col("doc_id"), explode(tok(col("text"), unicode)).as("w"))
+
+  /** Shared scoring tail of [[unigramLogprob]] and [[scoreAgainstVocab]]:
+    * per doc, the mean negative log probability of its tokens under
+    * `(w, c)` frequencies with corpus total `t` (one driver-side
+    * double, never a 1-row cross join).
+    */
+  private def scoreTokens(toks: DataFrame, vocab: DataFrame, t: Double): DataFrame =
     toks.join(vocab, "w")
       .groupBy(col("doc_id"))
       .agg(round(avg(-log(col("c") / lit(t))), 6).as("avg_neg_logprob"),
         count(lit(1)).as("n_tokens"))
+
+  // ── incremental unigram vocabulary store ──────────────────────────
+  //
+  // The daily form of [[unigramLogprob]]: corpus token frequencies are
+  // the model, and they are ADDITIVE — a shard's counts merge into the
+  // stored vocabulary by summation, so the corpus LM maintains
+  // incrementally while scoring stays a read-only join against the
+  // store. Same lifecycle shape as the dedup/ANN/candle stores:
+  // build → extend per shard (append-only, ledgered) → score many.
+
+  private def vocabPath(path: String) = s"$path/vocab"
+
+  /** Per-shard token-count rows of `docs` — the append unit. */
+  private def tokenCounts(docs: DataFrame, unicode: Boolean): DataFrame =
+    docTokens(docs, unicode).groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Initialize the vocabulary store with `docs`' token counts. */
+  def buildVocab(docs: DataFrame, path: String, unicode: Boolean = false): Unit =
+    tokenCounts(docs, unicode)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(vocabPath(path))
+
+  /** Fold a shard's token counts into the store — a parquet APPEND of
+    * the shard's own count rows (readers merge by summation, so
+    * nothing existing is rewritten; compact the dir with
+    * [[graft.util.Lake.compact]] when shard files accrete). `shardId`
+    * makes a retried re-application a no-op via the ledger — doubled
+    * count rows would silently skew every later score.
+    */
+  def extendVocab(newDocs: DataFrame, path: String, unicode: Boolean = false,
+                  shardId: Option[String] = None): Unit = {
+    val spark = newDocs.sparkSession
+    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
+    tokenCounts(newDocs, unicode)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(vocabPath(path))
+    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+  }
+
+  /** The store's merged vocabulary: `(w, c)` summed across shards. */
+  def vocabCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(vocabPath(path))
+      .groupBy(col("w")).agg(sum(col("c")).cast("double").as("c"))
+
+  /** Score docs against the STORED corpus LM — the serving side of the
+    * daily loop: old text is never re-tokenized, the vocabulary joins
+    * in as `(w, c)` rows, and the corpus total is one sum over the
+    * vocab (vocabulary-sized, not corpus-sized). After build + k
+    * extends this equals [[unigramLogprob]] over everything folded in
+    * (counts are additive — gate- and spec-verified). Tokens absent
+    * from the vocabulary drop from a doc's mean (inner join), exactly
+    * as they would in the from-scratch form.
+    */
+  def scoreAgainstVocab(docs: DataFrame, path: String,
+                        unicode: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab = vocabCounts(spark, path)
+    val t = vocab.agg(sum(col("c"))).head().getDouble(0)
+    scoreTokens(docTokens(docs, unicode), vocab, t)
   }
 
   /** Top-k TF-IDF terms per document — the classic statistical

@@ -180,6 +180,50 @@ object StreamedBatch {
       .drop("__rn", "__batch")
   }
 
+  /** Replay `input` as a file stream folding each micro-batch into a
+    * [[graft.operators.Candles]] candle STORE — the incremental-view-
+    * maintenance alternative to a stateful streaming aggregation: the
+    * store's mergeable partials ARE the state, updated per batch with
+    * O(batch + touched dates) work, served by readers at any moment
+    * through a committed generation.
+    *
+    * Exactly-once end-to-end on plain parquet: Structured Streaming
+    * re-runs a failed micro-batch with the SAME batch id, and
+    * `updateCandleStore(shardId = batch id)` makes the re-application
+    * a no-op via the manifest ledger — the foreachBatch idempotent-
+    * sink contract, with the idempotence actually implemented. Batch 0
+    * initializes the store (Overwrite — its own retry is idempotent
+    * too; micro-batches commit in order, so batch 0 can only re-run
+    * before batch 1 exists).
+    *
+    * Returns the store's final candles; the store at `storePath`
+    * remains live for further shards or serving.
+    */
+  def replayIntoCandleStore(spark: SparkSession, input: DataFrame,
+                            tsCol: String, tieCol: String, storePath: String,
+                            windowDur: String = "1 minute",
+                            chunks: Int = 3,
+                            stageKey: Option[String] = None): DataFrame = {
+    import graft.operators.Candles
+    val in = stagedIn(input, tsCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0) Candles.buildCandleStore(batch, storePath, windowDur)
+          else Candles.updateCandleStore(batch, storePath, windowDur,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    Candles.candlesFromStore(spark, storePath)
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —

@@ -66,6 +66,23 @@ class TextOpsSpec extends SparkSuite with Matchers {
       .head().getAs[Double]("stopword_ratio") shouldBe 0.5
   }
 
+  test("vocabulary store: build + extend == from-scratch scoring, and " +
+      "a re-applied shard is a ledgered no-op") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("vocab-store").toString
+    val t = pmod(col("doc_id"), lit(3))
+    TextOps.buildVocab(corpus.filter(t === 0), path)
+    TextOps.extendVocab(corpus.filter(t === 1), path, shardId = Some("t1"))
+    TextOps.extendVocab(corpus.filter(t === 2), path, shardId = Some("t2"))
+    val stored = TextOps.scoreAgainstVocab(corpus, path)
+    val scratch = TextOps.unigramLogprob(corpus)
+    stored.orderBy("doc_id").collect() shouldBe scratch.orderBy("doc_id").collect()
+    // retry: doubled count rows would skew every probability
+    TextOps.extendVocab(corpus.filter(t === 2), path, shardId = Some("t2"))
+    TextOps.scoreAgainstVocab(corpus, path).orderBy("doc_id").collect() shouldBe
+      scratch.orderBy("doc_id").collect()
+  }
+
   test("qualityScore components and weighting") {
     val r = TextOps.qualityScore(docs).orderBy("doc_id").collect()
     val row = r(0)

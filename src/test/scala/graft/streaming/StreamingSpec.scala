@@ -221,6 +221,26 @@ class StreamingSpec extends SparkSuite with Matchers {
     batch.exceptAll(resolved).count() shouldBe 0
   }
 
+  test("replayIntoCandleStore: per-batch store maintenance == batch agg, " +
+      "and a re-delivered batch is a ledgered no-op") {
+    val events = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("stream-store").toString
+    val served = StreamedBatch.replayIntoCandleStore(spark, events,
+      "ts", "event_id", store, chunks = 4)
+    val batch = Candles.ohlcv(events, tieCol = Some("event_id"))
+    served.exceptAll(batch).count() shouldBe 0
+    batch.exceptAll(served).count() shouldBe 0
+    // the foreachBatch retry contract: Spark re-runs a failed batch
+    // with the SAME id; re-applying any non-initial batch's events
+    // under its recorded shard id must not change the store
+    val before = Candles.candlesFromStore(spark, store)
+      .orderBy("window_start", "symbol").collect()
+    Candles.updateCandleStore(events.limit(50), store,
+      shardId = Some("replay-batch-1"))
+    Candles.candlesFromStore(spark, store)
+      .orderBy("window_start", "symbol").collect() shouldBe before
+  }
+
   test("medallion end-to-end: raw JSON files -> bronze -> silver -> gold parquet") {
     val root = tmp("graft-medallion-")
     val rawDir = tmp("graft-raw-")
