@@ -890,7 +890,15 @@ object Dedup {
   def mergedComponents(spark: org.apache.spark.sql.SparkSession, path: String,
                        newPairs: DataFrame): DataFrame = {
     val stored = indexedComponents(spark, path)
-    val p = newPairs.select(col("doc_a"), col("doc_b"))
+    // snapshot the shard's pairs ONCE: the plan below references them
+    // three ways (contracted edges, the new-doc id union, and the
+    // returned frame's evaluation), and the pair GENERATOR feeding this
+    // is typically the expensive stage (LSH mining / Jaccard
+    // verification) — without the snapshot it would re-run per
+    // reference. The snapshot outlives the returned frame; the
+    // driver-local snap dir cleans at JVM exit (same lifecycle as
+    // dupComponents' returned labels scan).
+    val (p, _) = writeThroughAt(newPairs.select(col("doc_a"), col("doc_b")))
     // contract: map each endpoint to its stored root (itself when new)
     val contracted = p
       .join(stored.select(col("doc_id").as("doc_a"), col("component_id").as("ra")),
