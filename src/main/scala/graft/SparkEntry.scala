@@ -655,6 +655,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))),
     "cur_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), maxTokens = 512, nShards = 8)),
+    // sliding-window doc chunking (128-token chunks, 32 overlap) — the
+    // sequence-prep step between curation and packing; map-only
+    "cur_chunk_docs" -> ((s, dir) =>
+      Curation.chunkDocuments(Tables.documents(s, dir))),
+    // temperature-flattened language mixture (T=2): downsample-only
+    // realization of q ∝ p^(1/T); deterministic md5 selection
+    "cur_temperature_sample" -> ((s, dir) =>
+      Curation.temperatureSample(Tables.documents(s, dir), "lang", "doc_id",
+        temperature = 2.0).select(col("doc_id"), col("lang"), col("source"))),
     "cur_scrub_pii" -> ((s, dir) => Curation.scrubPii(Tables.documents(s, dir))),
     // relative quality gate: drop each language's worst 40% by the
     // deterministic quality score. Cutoffs = one percentile agg row
@@ -1665,6 +1674,41 @@ object SparkEntry {
            lang, count(*) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          FROM b GROUP BY 1, 2""",
+    // both engines window the token array with the same start/stride
+    // arithmetic and clip the final chunk identically (the slice-parity
+    // pattern dedup_spans established)
+    "cur_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                 unnest(range(0, CASE WHEN len(toks) <= 128 THEN 1
+                          ELSE CAST(ceil((len(toks) - 128) / 96.0) AS BIGINT) + 1 END))
+                   AS chunk_id
+               FROM t),
+         s AS (SELECT doc_id, chunk_id,
+                 array_to_string(toks[CAST(chunk_id*96+1 AS BIGINT):CAST(chunk_id*96+128 AS BIGINT)], ' ')
+                   AS chunk
+               FROM c)
+         SELECT doc_id, chunk_id,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens, chunk
+         FROM s""",
+    // identical pow/round/floor threshold arithmetic on both engines;
+    // the 6-dp round before the 16-bit threshold absorbs last-ulp pow
+    // differences
+    "cur_temperature_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         tot AS (SELECT sum(c) AS t FROM n),
+         w AS (SELECT lang, pow(c * 1.0 / (SELECT t FROM tot), 1.0/2.0 - 1.0) AS w FROM n),
+         thr AS (SELECT lang,
+                   CAST(floor(round(w / (SELECT max(w) FROM w), 6) * 65536) AS BIGINT) AS thr
+                 FROM w),
+         b AS (SELECT doc_id, lang, source,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+               FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents))
+         SELECT doc_id, lang, source FROM b JOIN thr USING (lang)
+         WHERE bucket < thr""",
     "cur_pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
                       len(string_split(text, ' ')) AS n_tokens FROM documents),

@@ -175,6 +175,69 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin_id"))
   }
 
+  /** Split every document into fixed-token training chunks with
+    * `overlapTokens` of context carried across boundaries — the
+    * sequence-preparation step between curation and packing (the
+    * sliding-window form every context-bounded trainer feeds on).
+    * Emits `(doc_id, chunk_id, n_tokens, chunk)`: chunks start every
+    * `chunkTokens - overlapTokens` tokens, the final chunk clips to the
+    * doc end, and a doc at or under the budget is one chunk. Map-only
+    * (tokenize → windowed slices → posexplode), no shuffle; the token
+    * array is projected to its own column so the slice lambda reads an
+    * attribute, not a re-split (the repetition() trap).
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128,
+                     overlapTokens: Int = 32): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val n = size(col("toks"))
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens) / lit(stride.toDouble)).cast("int") + 1)
+    toked.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(col("toks"), i * stride + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        col("chunk"))
+  }
+
+  /** Temperature-scaled mixture sampling — the multilingual resampling
+    * rule: the target mixture is `q_l ∝ p_l^(1/T)` (T > 1 flattens the
+    * distribution toward low-resource strata), realized by
+    * DOWNSAMPLING only, so each stratum keeps the fraction
+    * `p_l^(1/T − 1) / max_k p_k^(1/T − 1)` of its rows — the smallest
+    * stratum keeps everything, the dominant one is cut hardest, and
+    * T = 1 keeps every row (no resampling). Selection reuses the
+    * deterministic md5 bucketing of [[hashSplit]]/[[mixtureSample]],
+    * so the sample is engine-reproducible; fractions round to 6 dp
+    * before the 16-bit bucket threshold so last-ulp `pow` differences
+    * across engines cannot flip membership.
+    *
+    * Stratum frequencies are one grouped count collected to the driver
+    * (bounded by stratum cardinality — languages/sources, not rows).
+    */
+  def temperatureSample(docs: DataFrame, stratumCol: String, idCol: String,
+                        temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val pows = counts.map { case (s, c) =>
+      s -> math.pow(c / total, 1.0 / temperature - 1.0)
+    }
+    val mx = pows.values.max
+    val thresholds = pows.map { case (s, w) =>
+      s -> math.floor(BigDecimal(w / mx).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 65536).toLong
+    }
+    val thrMap = map(thresholds.toSeq.flatMap { case (s, t) =>
+      Seq(lit(s), lit(t)) }: _*)
+    docs.filter(hashBucket(idCol) < element_at(thrMap, col(stratumCol)))
+  }
+
   /** Deterministic global training order: every row gets a consecutive
     * position 1..N along the seeded-hash permutation of its id — "the
     * corpus shuffle" a training run fixes once so every re-run, resume,

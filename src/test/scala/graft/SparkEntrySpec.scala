@@ -20,8 +20,8 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
   test("registered gate count matches the declared coverage") {
     // bump alongside SURVEY.md §8 when adding gates — a mismatch means
     // either a silently-shadowed duplicate key or a stale coverage map
-    SparkEntry.queries.size shouldBe 99
-    SparkEntry.oracleSql.size shouldBe 99
+    SparkEntry.queries.size shouldBe 101
+    SparkEntry.oracleSql.size shouldBe 101
   }
 
   test("oracle SQL mentions only tables the testdata provides") {

@@ -51,6 +51,58 @@ class CurationSpec extends SparkSuite with Matchers {
       .count() shouldBe 0
   }
 
+  test("chunkDocuments: stride windows with overlap, clipped tail, " +
+      "short doc = one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: stride 3 → starts 0,3,6 fully cover; (10-4)/3 → ceil(2)=2 → 3 chunks
+    val d1 = out.filter(_.getLong(0) == 1L)
+    d1.map(_.getString(3)) shouldBe Array(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10")
+    d1.map(_.getLong(2)) shouldBe Array(4L, 4L, 4L)
+    // consecutive chunks share exactly the overlap token
+    // doc 2 fits the budget: one chunk, clipped
+    val d2 = out.filter(_.getLong(0) == 2L)
+    d2.map(_.getString(3)) shouldBe Array("a b c")
+    d2.map(_.getLong(2)) shouldBe Array(3L)
+  }
+
+  test("chunkDocuments clips a tail shorter than the window") {
+    val docs = Seq((1L, (1 to 6).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text") // 6 tokens, chunk 4, overlap 0 → 4 + 2
+    val out = Curation.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 0)
+      .orderBy("chunk_id").collect()
+    out.map(_.getString(3)) shouldBe Array("w1 w2 w3 w4", "w5 w6")
+    out.map(_.getLong(2)) shouldBe Array(4L, 2L)
+  }
+
+  test("temperatureSample flattens the mixture: smallest stratum kept " +
+      "whole, dominant cut hardest, T=1 keeps everything") {
+    val docs = (1L to 800L).map(i => (i, if (i <= 640) "en" else if (i <= 760) "de" else "zh"))
+      .toDF("doc_id", "lang")
+    // T=1 → every keep-fraction is 1
+    Curation.temperatureSample(docs, "lang", "doc_id", 1.0).count() shouldBe 800
+    val t2 = Curation.temperatureSample(docs, "lang", "doc_id", 2.0)
+    val kept = t2.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest stratum (zh, 40 rows) keeps ~all; en is cut hardest
+    kept("zh").toDouble should be >= 35.0
+    val fracEn = kept("en").toDouble / 640
+    val fracDe = kept("de").toDouble / 120
+    val fracZh = kept("zh").toDouble / 40
+    fracEn should be < fracDe
+    fracDe should be < fracZh
+    // expected fractions: (p_l)^(1/2-1) normalized — en ~ sqrt(40/640)=0.25
+    fracEn shouldBe 0.25 +- 0.06
+    // deterministic under re-partitioning
+    Curation.temperatureSample(docs.repartition(7), "lang", "doc_id", 2.0)
+      .orderBy("doc_id").collect() shouldBe t2.orderBy("doc_id").collect()
+  }
+
   test("mixtureSample: per-stratum fractions, nested and deterministic") {
     val mix = Curation.mixtureSample(docs, "lang", "doc_id",
       Map("en" -> 1.0, "de" -> 0.25))
