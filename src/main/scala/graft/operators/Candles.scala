@@ -316,11 +316,20 @@ object Candles {
   }
 
   /** Initialize the candle store: partials of `events` land as
-    * generation 0 (`data/ver=0/p_date=…` + manifest-0).
+    * generation 0 (`data/ver=0/p_date=…` + manifest-0). A re-build
+    * over a previously used path clears the old `_meta`/`data` trees
+    * FIRST — without that, a surviving manifest with a higher
+    * generation number than 0 would stay the newest committed one and
+    * [[readState]] would silently resolve the stale pre-rebuild store
+    * (and its applied-shard ledger), ignoring the rebuild entirely.
     */
   def buildCandleStore(events: DataFrame, path: String,
                        windowDur: String = "1 minute"): Unit = {
     val spark = events.sparkSession
+    val fs0 = fsOf(spark, path)
+    Seq(metaPath(path), dataPath(path)).foreach { p =>
+      fs0.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
     withPDate(candlePartials(events, windowDur))
       .write.partitionBy("p_date")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -218,12 +218,23 @@ object Curation {
     *
     * Stratum frequencies are one grouped count collected to the driver
     * (bounded by stratum cardinality — languages/sources, not rows).
+    *
+    * NULL-stratum rows are DROPPED, explicitly and by construction: a
+    * null stratum has no frequency to temper (and a null map key is a
+    * runtime error in the threshold literal), so the driver-side count
+    * filters nulls out and the membership filter's `element_at` lookup
+    * is null for such rows — matching `WHERE`-clause three-valued
+    * logic, i.e. the SQL oracle's inner-join-on-stratum semantics.
+    * Route un-stratified rows through a sentinel stratum value upstream
+    * if they must survive.
     */
   def temperatureSample(docs: DataFrame, stratumCol: String, idCol: String,
                         temperature: Double): DataFrame = {
     require(temperature > 0, "temperature must be positive")
-    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val counts = docs.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no non-null strata to sample from")
     val total = counts.values.sum.toDouble
     val pows = counts.map { case (s, c) =>
       s -> math.pow(c / total, 1.0 / temperature - 1.0)

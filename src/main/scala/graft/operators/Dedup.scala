@@ -644,7 +644,7 @@ object Dedup {
     * [[dropSnapshot]]; anything left in the driver-local dir goes with
     * the JVM-exit hook.
     */
-  private def writeThroughAt(df: DataFrame): (DataFrame, String) = {
+  private[operators] def writeThroughAt(df: DataFrame): (DataFrame, String) = {
     val spark = df.sparkSession
     val base = spark.sparkContext.getCheckpointDir.getOrElse(localSnapDir)
     val path = s"$base/snap-${java.util.UUID.randomUUID()}"
@@ -660,7 +660,7 @@ object Dedup {
     * `hdfs://...`), which java.io.File would silently fail to resolve
     * (a permanent per-round leak on long-lived sessions).
     */
-  private def dropSnapshot(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def dropSnapshot(spark: org.apache.spark.sql.SparkSession,
                            path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
@@ -932,8 +932,15 @@ object Dedup {
 
   /** Fold a shard's pairs into the stored labels — the write side of
     * [[mergedComponents]]. The updated label table stages to a sibling
-    * dir, then swaps in with two atomic renames ([[graft.util.Lake.compact]]'s
-    * contract: readers see old or new, never half). Cost: the
+    * dir, then swaps in with two renames. Each rename is atomic, but
+    * between them the labels path briefly does not exist — a
+    * concurrent reader can hit PATH_NOT_FOUND (never a half-written
+    * table); serialize updates against reads, same contract as
+    * [[graft.util.Lake.compact]]. A stale `.update-old` from a crash
+    * mid-swap is cleared up front, and each rename's result is
+    * CHECKED: a false return would otherwise silently discard the
+    * shard's merge (the old labels stay in place, the staged update is
+    * deleted as "backup") — corruption with no error. Cost: the
     * contracted closure plus one map-only rewrite of the label table —
     * the full-graph recompute never runs again.
     */
@@ -945,10 +952,26 @@ object Dedup {
     merged.write.mode(SaveMode.Overwrite).parquet(stage)
     val fs = new org.apache.hadoop.fs.Path(labels)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val labelsP = new org.apache.hadoop.fs.Path(labels)
+    val stageP = new org.apache.hadoop.fs.Path(stage)
     val old = new org.apache.hadoop.fs.Path(labels + ".update-old")
-    fs.rename(new org.apache.hadoop.fs.Path(labels), old)
-    fs.rename(new org.apache.hadoop.fs.Path(stage),
-      new org.apache.hadoop.fs.Path(labels))
+    // a prior crash between the two renames leaves old behind (and may
+    // have lost labels/); recover: restore the backup if labels is
+    // gone, else drop the stale backup so the rename below can't fail
+    if (fs.exists(old)) {
+      if (!fs.exists(labelsP)) {
+        if (!fs.rename(old, labelsP))
+          sys.error(s"extendComponents: failed to restore $old to $labelsP")
+      } else if (!fs.delete(old, true))
+        sys.error(s"extendComponents: failed to clear stale $old")
+    }
+    if (!fs.rename(labelsP, old))
+      sys.error(s"extendComponents: failed to rename $labelsP aside")
+    if (!fs.rename(stageP, labelsP)) {
+      // put the store back before failing — leave no missing-labels gap
+      fs.rename(old, labelsP)
+      sys.error(s"extendComponents: failed to swap $stageP into $labelsP")
+    }
     fs.delete(old, true)
   }
 }

@@ -60,9 +60,10 @@ object Pq {
     * assign (one [[graft.functions.PqEncodeCodes]] pass — all m
     * subspaces at once) → update (one grouped mean over exploded
     * normalized components, m·k·dim/m rows collected — bytes).
-    * Centroid components round to 6 decimals so the update is immune
-    * to float-sum association order (partitioning-independent in
-    * practice); empty cells keep their previous centroid. Improves
+    * Centroid means accumulate in DECIMAL(38,20) (exact addition —
+    * bit-identical under any partitioning/merge order; float avg +
+    * rounding only shrinks the boundary-flip window) and round to 6
+    * decimals; empty cells keep their previous centroid. Improves
     * quantization error over the fixed-sample books at the cost of
     * `iters` extra jobs at build time.
     */
@@ -84,7 +85,9 @@ object Pq {
         .select(s.as("s"), pmod(col("pos"), lit(sub)).as("i"),
           (col("v") / col("nrm")).as("nv"),
           element_at(col("codes"), s + 1).as("c"))
-        .groupBy("s", "c", "i").agg(round(avg(col("nv")), 6).as("mean"))
+        .groupBy("s", "c", "i")
+        .agg(round(avg(col("nv").cast("decimal(38,20)")).cast("double"), 6)
+          .as("mean"))
         .collect()
       val next = b.map(_.map(_.clone()))
       means.foreach { r =>
@@ -93,6 +96,16 @@ object Pq {
       b = next
     }
     b
+  }
+
+  /** Sampled-then-refined codebooks in one call — the build every
+    * entry point shares; exposed so gate harnesses can train once per
+    * corpus and pass the result back through `booksOpt`.
+    */
+  def trainedBooks(embeddings: DataFrame, m: Int = 8, numCentroids: Int = 64,
+                   dim: Int = 64, kmeansIters: Int = 0): Array[Array[Array[Double]]] = {
+    val sampled = codebooks(embeddings, m, numCentroids, dim)
+    if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters) else sampled
   }
 
   /** Map-only PQ encoding: `(vec_id, codes array<int>)`. Code s is the
@@ -153,10 +166,7 @@ object Pq {
   def topK(embeddings: DataFrame, queries: DataFrame, k: Int,
            m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
            oversample: Int = 12, kmeansIters: Int = 0): DataFrame = {
-    val sampled = codebooks(embeddings, m, numCentroids, dim)
-    val books =
-      if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
-      else sampled
+    val books = trainedBooks(embeddings, m, numCentroids, dim, kmeansIters)
     val codes = encode(embeddings, books)
 
     // broadcast side: per query, the full ADC distance-table matrix
@@ -199,13 +209,13 @@ object Pq {
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
                 oversample: Int = 12, kmeansIters: Int = 0,
-                coarseIters: Int = 0): DataFrame = {
+                coarseIters: Int = 0,
+                centsOpt: Option[Similarity.Cents] = None,
+                booksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val cents = Similarity.coarseCentroids(embeddings, nlist, coarseIters)
-    val sampled = codebooks(embeddings, m, numCentroids, dim)
-    val books =
-      if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
-      else sampled
+    val cents = centsOpt.getOrElse(
+      Similarity.coarseCentroids(embeddings, nlist, coarseIters))
+    val books = booksOpt.getOrElse(trainedBooks(embeddings, m, numCentroids, dim, kmeansIters))
     // the stored index: (cell, vec_id, codes), partitioned by cell —
     // explicit count, AQE would coalesce a column-only repartition of a
     // small build side even though the probe join fans out
@@ -246,9 +256,12 @@ object Pq {
   def ivfPqSelfCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
                      nlist: Int = 16, nprobe: Int = 4,
                      kmeansIters: Int = 2, coarseIters: Int = 0,
-                     minRecall: Double = 0.5): DataFrame = {
+                     minRecall: Double = 0.5,
+                     centsOpt: Option[Similarity.Cents] = None,
+                     booksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val approx = ivfPqTopK(embeddings, queries, k, nlist, nprobe,
-      kmeansIters = kmeansIters, coarseIters = coarseIters)
+      kmeansIters = kmeansIters, coarseIters = coarseIters,
+      centsOpt = centsOpt, booksOpt = booksOpt)
     val exact = Similarity.ivfTopK(embeddings, queries, k, nlist, nprobe = nlist)
     // one LEFT join from the exact side, one global aggregation: hit =
     // pair present on both sides, mismatch = present with a different
@@ -301,10 +314,7 @@ object Pq {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cents = Similarity.coarseCentroids(embeddings, nlist, coarseIters)
-    val sampled = codebooks(embeddings, m, numCentroids, dim)
-    val books =
-      if (kmeansIters > 0) refineBooks(embeddings, sampled, kmeansIters)
-      else sampled
+    val books = trainedBooks(embeddings, m, numCentroids, dim, kmeansIters)
     Seq((nlist, m, numCentroids, dim, kmeansIters, coarseIters))
       .toDF("nlist", "m", "num_centroids", "dim", "kmeans_iters", "coarse_iters")
       .write.mode(SaveMode.Overwrite).parquet(paramsPath(path))

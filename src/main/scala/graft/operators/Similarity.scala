@@ -27,6 +27,9 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Coarse-centroid triples: (cell id, components, L2 norm). */
+  type Cents = Array[(Int, Array[Float], Double)]
+
   /** Cosine similarity of two numeric array columns (double result). */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
@@ -114,9 +117,9 @@ object Similarity {
     * floats) and shipped as literals. Shared by [[ivfTopK]] and the
     * IVF-PQ composition ([[Pq.ivfPqTopK]]).
     */
-  private[operators] def coarseCentroids(
+  private[graft] def coarseCentroids(
       embeddings: DataFrame, nlist: Int,
-      iters: Int = 0): Array[(Int, Array[Float], Double)] = {
+      iters: Int = 0): Cents = {
     val sampled = embeddings.orderBy("vec_id").limit(nlist).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex
       .map { case (v, i) =>
@@ -142,15 +145,21 @@ object Similarity {
     * L2-NORMALIZED vectors (spherical k-means — the mean direction,
     * matching the cosine objective the assignment maximizes). The
     * grouped mean collects nlist × dim doubles (bytes) to the driver.
-    * Determinism: means round to 6 decimals (immune to float-sum
-    * association order, same contract as [[Pq.refineBooks]]), empty
-    * cells keep their previous centroid, and the zero-norm guard
-    * mirrors the kernels' (a zero vector must not NaN a centroid).
+    * Determinism: the mean accumulates in DECIMAL(38,20) — decimal
+    * addition is exact, hence commutative/associative, so the result
+    * is bit-identical under ANY partitioning or merge order (float
+    * `avg` depends on sum order; rounding shrinks but cannot eliminate
+    * boundary flips, and a single flipped centroid component changes
+    * cell assignments — which self-checks that re-train and compare
+    * would see as spurious mismatches). The final value rounds to 6
+    * decimals as before. Empty cells keep their previous centroid, and
+    * the zero-norm guard mirrors the kernels' (a zero vector must not
+    * NaN a centroid).
     */
   private[operators] def trainCentroids(
       embeddings: DataFrame,
-      init: Array[(Int, Array[Float], Double)],
-      iters: Int): Array[(Int, Array[Float], Double)] = {
+      init: Cents,
+      iters: Int): Cents = {
     val nlist = init.length
     var cents = init
     for (_ <- 1 to iters) {
@@ -162,7 +171,8 @@ object Similarity {
         .select(safe.as("nrm"), cellOf(col("embedding"), cents).as("cell"),
           posexplode(col("embedding")).as(Seq("i", "v")))
         .groupBy("cell", "i")
-        .agg(round(avg(col("v") / col("nrm")), 6).as("mean"),
+        .agg(round(avg((col("v") / col("nrm")).cast("decimal(38,20)"))
+          .cast("double"), 6).as("mean"),
           count(lit(1)).as("n"))
         .collect()
       val counts = means.filter(_.getInt(1) == 0)
@@ -255,9 +265,11 @@ object Similarity {
     * clustered real-world corpus needs.
     */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, coarseIters: Int = 0): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, coarseIters: Int = 0,
+              centsOpt: Option[Cents] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    ivfTopKAt(embeddings, queries, k, coarseCentroids(embeddings, nlist, coarseIters), nprobe)
+    ivfTopKAt(embeddings, queries, k,
+      centsOpt.getOrElse(coarseCentroids(embeddings, nlist, coarseIters)), nprobe)
   }
 
   /** [[ivfTopK]] against a FIXED centroid array — shared by the public
@@ -297,8 +309,9 @@ object Similarity {
     */
   def ivfSelfCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
                    nlist: Int = 16, nprobe: Int = 4,
-                   minRecall: Double = 0.5, coarseIters: Int = 0): DataFrame = {
-    val ivf = ivfTopK(embeddings, queries, k, nlist, nprobe, coarseIters)
+                   minRecall: Double = 0.5, coarseIters: Int = 0,
+                   centsOpt: Option[Cents] = None): DataFrame = {
+    val ivf = ivfTopK(embeddings, queries, k, nlist, nprobe, coarseIters, centsOpt)
     val brute = bruteForceTopK(embeddings, queries, k)
     val hits = ivf.select("query_id", "neighbor_id")
       .join(brute.select("query_id", "neighbor_id"),
@@ -362,8 +375,9 @@ object Similarity {
   def ivfTrainedCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
                       nlist: Int = 16, nprobe: Int = 4, coarseIters: Int = 3,
                       minRecall: Double = 0.8,
-                      balanceFactor: Double = 2.0): DataFrame = {
-    val cents = coarseCentroids(embeddings, nlist, coarseIters)
+                      balanceFactor: Double = 2.0,
+                      centsOpt: Option[Cents] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(coarseCentroids(embeddings, nlist, coarseIters))
     val balance = embeddings
       .select(cellOf(col("embedding"), cents).as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n"))

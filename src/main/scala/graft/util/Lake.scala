@@ -231,6 +231,19 @@ object Lake {
   // prefix keeps the ledger invisible to Spark's file index on the
   // surrounding data dirs. One row appended per shard — a bounded,
   // driver-cheap read.
+  //
+  // GUARANTEE SCOPE: the ledger row is appended AFTER a shard's data
+  // appends complete, so it makes RE-DELIVERY of a COMPLETED extend a
+  // no-op (the streaming/driver redelivery case — foreachBatch retries,
+  // at-least-once upstreams). It does NOT make a crash MID-extend
+  // retryable: a failure after some appends but before `recordApplied`
+  // leaves partial shard rows that a blind retry would double. Recovery
+  // from a mid-extend crash is: drop the shard's partial files (parquet
+  // task files are attributable by write time / `_temporary` residue)
+  // or rebuild the store. The candle store ([[graft.operators.Candles]])
+  // closes this window properly — its ledger commits atomically inside
+  // the manifest, the pattern to mirror where mid-write crash coverage
+  // is required.
 
   private def appliedPath(path: String) = s"$path/_applied"
 

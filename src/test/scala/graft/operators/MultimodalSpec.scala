@@ -62,6 +62,112 @@ class MultimodalSpec extends SparkSuite with Matchers {
     out.filter(col("frame_idx") >= col("n_frames")).count() shouldBe 0
   }
 
+  // ── real image codec (javax.imageio) ──────────────────────────────
+
+  test("ImageCodec: synthesize -> decode round-trips the closed-form pixels exactly") {
+    val (w, h) = (23, 17)
+    val png = Multimodal.ImageCodec.synthesizePng(42L, w, h)
+    Multimodal.ImageCodec.isPng(png) shouldBe true
+    val (dw, dh, pix) = Multimodal.ImageCodec.decodeLuma(png)
+    (dw, dh) shouldBe ((w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      pix(y * w + x) shouldBe Multimodal.ImageCodec.synthPixel(42L, x, y)
+  }
+
+  test("ImageCodec: resizeNearest matches the floor-division reference") {
+    val (w, h) = (10, 6)
+    val pix = Array.tabulate(h * w)(i => (i * 37) % 256)
+    val out = Multimodal.ImageCodec.resizeNearest(w, h, pix, 4, 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      out(y * 4 + x) shouldBe pix((y * h / 3) * w + (x * w / 4))
+    // upscale works too (source pixels repeat)
+    val up = Multimodal.ImageCodec.resizeNearest(w, h, pix, 20, 6)
+    up(0) shouldBe pix(0)
+    up(19) shouldBe pix((19 * w / 20))
+  }
+
+  test("ImageCodec: multi-band (RGB) decode uses integer Rec.601 luma") {
+    val img = new java.awt.image.BufferedImage(
+      3, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00); img.setRGB(2, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (_, _, pix) = Multimodal.ImageCodec.decodeLuma(bos.toByteArray)
+    pix shouldBe Array((299 * 255 + 500) / 1000, (587 * 255 + 500) / 1000,
+      (114 * 255 + 500) / 1000)
+  }
+
+  private lazy val imageMedia = Multimodal.asImageTable(docs)
+
+  test("asImageTable: image rows carry real PNGs, audio/video keep opaque bytes") {
+    val rows = imageMedia.select(col("doc_id"), col("content"),
+        col("meta.media_type"), col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], String, Int, Int)].collect()
+    rows.foreach { case (id, content, tpe, w, h) =>
+      if (tpe == "image") {
+        Multimodal.ImageCodec.isPng(content) shouldBe true
+        val (dw, dh, _) = Multimodal.ImageCodec.decodeLuma(content)
+        (dw, dh) shouldBe ((w, h))
+      } else Multimodal.ImageCodec.isPng(content) shouldBe false
+    }
+    rows.count(_._3 == "image") should be > 0
+  }
+
+  test("resizeImages: real path re-encodes a decodable resized PNG with real dims") {
+    val out = Multimodal.resizeImages(imageMedia, 16, 12)
+    val img = out.filter(col("media_type") === "image")
+      .select(col("doc_id"), col("content"), col("n_bytes"))
+      .as[(Long, Array[Byte], Long)].collect()
+    img.foreach { case (id, content, nBytes) =>
+      nBytes shouldBe content.length.toLong
+      val (dw, dh, pix) = Multimodal.ImageCodec.decodeLuma(content)
+      (dw, dh) shouldBe ((16, 12))
+      // resized pixels follow the closed form through the round-trip
+      val (sw, sh) = ((id % 24 + 8).toInt, (id % 18 + 8).toInt)
+      for (y <- 0 until 12; x <- 0 until 16)
+        pix(y * 16 + x) shouldBe Multimodal.ImageCodec.synthPixel(
+          id, x * sw / 16, y * sh / 12)
+    }
+  }
+
+  test("imageStats matches direct formula computation; nulls on non-image rows") {
+    val stats = Multimodal.imageStats(imageMedia).collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      if (r.getString(1) == "image") {
+        val (w, h) = ((id % 24 + 8).toInt, (id % 18 + 8).toInt)
+        val pix = for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.ImageCodec.synthPixel(id, x, y)
+        r.getInt(2) shouldBe w
+        r.getInt(3) shouldBe h
+        r.getLong(4) shouldBe w.toLong * h
+        r.getDouble(5) shouldBe (BigDecimal(pix.map(_.toLong).sum.toDouble / pix.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        r.getInt(6) shouldBe pix.min
+        r.getInt(7) shouldBe pix.max
+      } else {
+        r.isNullAt(4) shouldBe true
+        r.isNullAt(5) shouldBe true
+      }
+    }
+  }
+
+  test("extractFeatures: real pixel features on image rows (mean plane checks out)") {
+    val feats = Multimodal.extractFeatures(imageMedia, dim = 16)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("feature")).as[(Long, Array[Float])].collect()
+    feats.foreach { case (id, f) =>
+      val (w, h) = ((id % 24 + 8).toInt, (id % 18 + 8).toInt)
+      val pix = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.ImageCodec.synthPixel(id, x, y)
+      f(0) shouldBe (pix.map(_.toLong).sum.toDouble / pix.length / 255.0).toFloat
+      f(2) shouldBe (pix.min / 255.0).toFloat
+      f(3) shouldBe (pix.max / 255.0).toFloat
+      // histogram bins sum to ~1
+      f.slice(8, 16).map(_.toDouble).sum shouldBe 1.0 +- 1e-6
+    }
+  }
+
   test("binaryStats matches direct computation") {
     val out = Multimodal.binaryStats(media)
     val direct = docs.select(col("doc_id"),
