@@ -219,6 +219,193 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
         .cast("long").as("n_marks"))
 
+  // ── trained BPE tokenizer ─────────────────────────────────────────
+  //
+  // Byte-pair-encoding TRAINING as a distributed operator — the other
+  // half of [[bpeTokenStats]] (which only counts pre-tokens): learn the
+  // merge table from corpus statistics, then tokenize with it. The
+  // algorithm is the published BPE procedure (Sennrich et al. 2016, and
+  // the GPT-2 tokenizer family): pre-tokenize, represent each distinct
+  // pre-token as a character sequence, then repeatedly (a) count
+  // adjacent symbol pairs weighted by word frequency, (b) merge the
+  // most frequent pair everywhere (left-to-right, non-overlapping),
+  // recording it in the merge table.
+  //
+  // Scale shape: the corpus is touched ONCE (the pre-token count
+  // aggregation — corpus-sized, one shuffle on the word). Every
+  // training round after that runs on the DISTINCT-WORD table
+  // (vocabulary-sized — millions of rows at 100 TB, not trillions):
+  // one exploded pair aggregation + a top-1 `orderBy(...).limit(1)`
+  // (TakeOrderedAndProject — no global sort materializes), and one
+  // map-only re-segmentation fold. Each round snapshots the word table
+  // to parquet ([[Dedup.writeThroughAt]]) so the logical plan stays
+  // O(1) — `nMerges` chained lambda transforms would otherwise nest
+  // the plan `nMerges` deep. Driver state is the merge table itself
+  // (`nMerges` rows) plus two totals — bounded.
+
+  private def bpeMergesPath(p: String) = s"$p/merges"
+  private def bpeWordsPath(p: String) = s"$p/words"
+  private def bpeStatsPath(p: String) = s"$p/stats"
+
+  /** One trained merge: `rank` is training order, `pair_count` the
+    * (overlap-naive, standard) adjacent-pair count that won the argmax,
+    * `applied_count` how many merges actually applied corpus-wide
+    * (non-overlapping, left-to-right — on runs like "aaa" the two
+    * overlapping (a,a) pairs admit one merge).
+    */
+  case class BpeMerge(rank: Int, left: String, right: String,
+                      merged: String, pair_count: Long, applied_count: Long)
+
+  /** Train `nMerges` BPE merges over `docs` and persist the model at
+    * `path`: `merges/` (the table above), `words/` (every distinct
+    * pre-token with its FINAL segment count — the serving-side
+    * segmentation cache [[applyBpe]] joins against), `stats/` (initial
+    * symbol total). Deterministic end-to-end: pair counts are exact
+    * longs, the argmax tiebreak is (count desc, left asc, right asc),
+    * and the merge fold is order-independent per word. Training stops
+    * early when no pair reaches `minCount` (returns the merges made).
+    */
+  def trainBpe(docs: DataFrame, path: String, nMerges: Int,
+               minCount: Long = 2): Seq[BpeMerge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var (words, snapPath) = Dedup.writeThroughAt(
+      docs.select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("word"), col("cnt"), chars.as("seg")))
+    def symbolTotal(w: DataFrame): Long =
+      w.agg(coalesce(sum(size(col("seg")) * col("cnt")), lit(0L))).head().getLong(0)
+    val initialSymbols = symbolTotal(words)
+    var total = initialSymbols
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      // adjacent-pair counts over the vocabulary, weighted by word
+      // frequency. explode_outer: a plain explode would infer a
+      // size>0 pre-filter that re-evaluates the pair transform per
+      // element (the repetition() trap).
+      val best = words
+        .select(col("cnt"), explode_outer(
+          when(size(col("seg")) >= 2,
+            transform(sequence(lit(1), size(col("seg")) - 1),
+              j => struct(element_at(col("seg"), j).as("a"),
+                element_at(col("seg"), j + 1).as("b"))))).as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+      else {
+        val (a, b, n) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        val merged = a + b
+        // left-to-right non-overlapping merge fold: append, or replace
+        // the just-appended `a` when `b` follows it. A replaced slot
+        // holds `merged` (strictly longer than `a`), so a merged slot
+        // can never be re-merged within the same round — exactly the
+        // sequential semantics. try_element_at: the empty-accumulator
+        // probe must yield null, not an ANSI index error.
+        val newSeg = aggregate(col("seg"),
+          array().cast("array<string>"),
+          (acc, s) =>
+            when(try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(s))))
+        val (next, nextPath) = Dedup.writeThroughAt(
+          words.select(col("word"), col("cnt"), newSeg.as("seg")))
+        val newTotal = symbolTotal(next)
+        merges += BpeMerge(rank, a, b, merged, n, total - newTotal)
+        Dedup.dropSnapshot(spark, snapPath)
+        words = next; snapPath = nextPath; total = newTotal
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bpeMergesPath(path))
+    words.select(col("word"), size(col("seg")).cast("long").as("n_seg"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bpeWordsPath(path))
+    Seq(initialSymbols).toDF("initial_symbols")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bpeStatsPath(path))
+    Dedup.dropSnapshot(spark, snapPath)
+    merges.toSeq
+  }
+
+  /** Tokenize `docs` with the trained model — the serving path: every
+    * pre-token occurrence joins the stored segmentation cache (one
+    * equi-join on the word; vocabulary-sized build side, broadcast or
+    * sort-merge as AQE sizes it) and per-doc BPE token counts
+    * aggregate back. Words unseen at training time fall back to
+    * character count (their worst-case segmentation — documented,
+    * deterministic). Old text is never re-segmented through the merge
+    * loop: the cache IS the apply-side model, the same build-once/
+    * serve-many shape as the vocab/ANN/candle stores.
+    */
+  def applyBpe(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val segs = spark.read.parquet(bpeWordsPath(path))
+    docs.select(col("doc_id"),
+        explode_outer(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .as("word"))
+      .join(segs, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        coalesce(sum(coalesce(col("n_seg"), length(col("word")).cast("long"))),
+          lit(0L)).as("n_bpe_tokens"),
+        count(col("word")).as("n_pretokens"))
+  }
+
+  /** Driver-visible contract of the trained model — four invariant
+    * rows `(invariant, ok)` any engine can assert as constants:
+    *  - `merge_concat`: every merged symbol is left||right;
+    *  - `ranks_contiguous`: ranks are exactly 0..n-1;
+    *  - `token_total_reconciles`: re-tokenizing the TRAINING corpus
+    *    through the stored segmentation cache shrinks the symbol total
+    *    by exactly the sum of recorded `applied_count`s — a cross-check
+    *    of three independently stored artifacts (stats row, merge
+    *    ledger, word cache) against a fresh corpus scan;
+    *  - `apply_bounds`: per pre-token occurrence, the BPE segment
+    *    count sits in [1, char length].
+    */
+  def bpeInvariants(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val merges = spark.read.parquet(bpeMergesPath(path))
+    val nM = merges.count()
+    val initial = spark.read.parquet(bpeStatsPath(path)).head().getLong(0)
+    val appliedSum = merges.agg(coalesce(sum(col("applied_count")), lit(0L)))
+      .head().getLong(0)
+    val structural = merges.agg(
+      (count(when(col("merged") =!= concat(col("left"), col("right")), 1)) === 0)
+        .as("ok"))
+      .select(lit("merge_concat").as("invariant"), col("ok"))
+    val ranks = merges.agg(
+      (lit(nM == 0) || (min(col("rank")) === 0 && max(col("rank")) === nM - 1 &&
+        countDistinct(col("rank")) === nM)).as("ok"))
+      .select(lit("ranks_contiguous").as("invariant"), col("ok"))
+    val joined = docs.select(
+        explode_outer(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .as("word"))
+      .filter(col("word").isNotNull)
+      .join(spark.read.parquet(bpeWordsPath(path)), Seq("word"), "left")
+    val totals = joined.agg(
+      (coalesce(sum(coalesce(col("n_seg"), length(col("word")).cast("long"))),
+        lit(0L)) === lit(initial - appliedSum)).as("reconciles"),
+      (count(when(col("n_seg") < 1 ||
+        col("n_seg") > length(col("word")), 1)) === 0).as("bounded"))
+    totals.select(lit("token_total_reconciles").as("invariant"),
+        col("reconciles").as("ok"))
+      .unionByName(totals.select(lit("apply_bounds").as("invariant"),
+        col("bounded").as("ok")))
+      .unionByName(structural).unionByName(ranks)
+  }
+
   /** Quality score: stopword ratio, type-token ratio, length band.
     * Deterministic heuristic — the shape of C4/Gopher-style quality
     * filters with the lexicons shrunk to the synthetic corpus.

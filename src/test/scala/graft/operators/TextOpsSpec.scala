@@ -155,6 +155,129 @@ class TextOpsSpec extends SparkSuite with Matchers {
     r(3)._6 shouldBe false
   }
 
+  // ── trained BPE vs a sequential reference ─────────────────────────
+
+  /** In-spec sequential BPE (the published procedure, driver-side):
+    * the independent reference the distributed trainer must equal.
+    */
+  private def seqMergeFold(s: Vector[String], a: String, b: String): Vector[String] =
+    s.foldLeft(Vector.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+      else acc :+ x
+    }
+
+  private def seqPreTokens(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(TextOps.bpePattern).matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  private def seqBpe(texts: Seq[String], nMerges: Int, minCount: Long)
+      : (Seq[(Int, String, String, String, Long, Long)], Map[String, Vector[String]]) = {
+    val wordCounts = texts.flatMap(seqPreTokens)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    var segs = wordCounts.map { case (w, c) => (w, c, w.map(_.toString).toVector) }.toSeq
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (_, c, s) =>
+        s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.toSeq
+          .sortBy { case ((x, y), m) => (-m, x, y) }.head
+        if (n < minCount) done = true
+        else {
+          var applied = 0L
+          segs = segs.map { case (w, c, s) =>
+            val ns = seqMergeFold(s, a, b)
+            applied += (s.length - ns.length) * c
+            (w, c, ns)
+          }
+          merges += ((rank, a, b, a + b, n, applied))
+          rank += 1
+        }
+      }
+    }
+    (merges.toSeq, segs.map { case (w, _, s) => w -> s }.toMap)
+  }
+
+  private def tmpModelDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-bpe-spec").toString
+
+  test("trainBpe equals the sequential reference (merges, counts, final segmentation)") {
+    val texts = Seq(
+      "the cat sat on the mat, the cat!",
+      "low lower lowest slow slower",
+      "aaaa aaa aa a banana bandana",
+      "es 2024 2024 es es data data")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val path = tmpModelDir()
+    val got = TextOps.trainBpe(d, path, nMerges = 10)
+    val (exp, expSegs) = seqBpe(texts, 10, 2)
+    got.map(m => (m.rank, m.left, m.right, m.merged, m.pair_count, m.applied_count)) shouldBe exp
+    // stored ledger round-trips
+    val stored = spark.read.parquet(s"$path/merges")
+      .orderBy("rank")
+      .as[(Int, String, String, String, Long, Long)].collect()
+    stored.toSeq shouldBe exp
+    // stored segmentation cache equals the reference's final segment counts
+    val words = spark.read.parquet(s"$path/words")
+      .as[(String, Long)].collect().toMap
+    words shouldBe expSegs.map { case (w, s) => w -> s.length.toLong }
+  }
+
+  test("applyBpe: per-doc counts match the reference; unseen words fall back to chars") {
+    val texts = Seq("ab ab ab cd cd", "ab cd ab", "abab cdcd")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val path = tmpModelDir()
+    TextOps.trainBpe(d, path, nMerges = 4)
+    val (_, segs) = seqBpe(texts, 4, 2)
+    val got = TextOps.applyBpe(d, path).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val pre = seqPreTokens(t)
+      got(i) shouldBe ((i.toLong,
+        pre.map(w => segs(w).length.toLong).sum, pre.size.toLong))
+    }
+    // a doc with words never seen at training: char-count fallback
+    val unseen = Seq((9L, "zzz qqq")).toDF("doc_id", "text")
+    TextOps.applyBpe(unseen, path).as[(Long, Long, Long)].head() shouldBe ((9L, 6L, 2L))
+  }
+
+  test("bpeInvariants holds on a trained model and trips on a corrupted ledger") {
+    val d = Seq((1L, "ab ab ab ab"), (2L, "ab cd ab cd")).toDF("doc_id", "text")
+    val path = tmpModelDir()
+    TextOps.trainBpe(d, path, nMerges = 3)
+    val ok = TextOps.bpeInvariants(d, path)
+      .as[(String, Boolean)].collect().toMap
+    ok.values.toSet shouldBe Set(true)
+    ok.keySet shouldBe Set("merge_concat", "ranks_contiguous",
+      "token_total_reconciles", "apply_bounds")
+    // corrupt the applied-count ledger -> reconciliation must fail
+    // (materialize first: overwriting the dir a lazy plan still reads
+    // from would race the scan against the delete)
+    val corrupted = spark.read.parquet(s"$path/merges")
+      .withColumn("applied_count", col("applied_count") + 1)
+      .as[(Int, String, String, String, Long, Long)].collect().toSeq
+    corrupted.toDF("rank", "left", "right", "merged", "pair_count", "applied_count")
+      .write.mode("overwrite").parquet(s"$path/merges")
+    val bad = TextOps.bpeInvariants(d, path).as[(String, Boolean)].collect().toMap
+    bad("token_total_reconciles") shouldBe false
+  }
+
+  test("trainBpe stops early when no pair reaches minCount") {
+    val d = Seq((1L, "x y z")).toDF("doc_id", "text") // all pairs unique, count 1
+    val path = tmpModelDir()
+    TextOps.trainBpe(d, path, nMerges = 5) shouldBe Seq.empty
+    TextOps.bpeInvariants(d, path).as[(String, Boolean)]
+      .collect().toMap.values.toSet shouldBe Set(true)
+  }
+
   test("repetition flags looping bigrams; short docs emit no row") {
     val d = Seq(
       (1L, "spam spam spam spam spam"), // 4 bigrams, all "spam spam"
