@@ -862,6 +862,23 @@ object SparkEntry {
       Pq.ivfPqSelfCheck(emb, emb.filter(col("vec_id") < 5), k = 10,
         coarseIters = 1, centsOpt = Some(cents), booksOpt = Some(books))
     }),
+    // RESIDUAL IVF-PQ (Faiss by_residual) at the same (nlist, nprobe,
+    // m) but a 4x-REDUCED rerank budget (oversample 3 vs 12) — the
+    // budget dimension residual coding measurably improves on this
+    // corpus (ADC-fidelity spec: resid 0.72 vs flat 0.64 recall at the
+    // strained budget; probe-miss recall is layout-independent, so
+    // reducing nprobe instead cannot differentiate the layouts).
+    // Quantizers memoized like the flat gate's; training deterministic.
+    "sim_topk_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = trainedCentsMemo(s"$dir#flat16x1",
+        Similarity.coarseCentroids(emb, nlist = 16, iters = 1))
+      val books = trainedBooksMemo(s"$dir#rbooks8x64x2",
+        Pq.residualBooks(emb, cents, kmeansIters = 2))
+      Pq.ivfPqResidualSelfCheck(emb, emb.filter(col("vec_id") < 5), k = 10,
+        coarseIters = 1, oversample = 3,
+        centsOpt = Some(cents), booksOpt = Some(books))
+    }),
     // the serving-loop path: search the PERSISTED index (built once per
     // sfDir via the memo above) and assert it returns exactly what
     // ivfPqTopK recomputes — centroids, codebooks, and codes round-trip
@@ -2074,6 +2091,8 @@ object SparkEntry {
     // keeps recall >= 0.5 and the exact rerank holds (computed vs the
     // all-cells exact reference in-engine)
     "sim_topk_ivfpq" ->
+      """SELECT true AS recall_ok, true AS cosines_exact""",
+    "sim_topk_ivfpq_residual" ->
       """SELECT true AS recall_ok, true AS cosines_exact""",
     // trained-quantizer contract on the clustered corpus: invariants
     // when Lloyd training holds the recall and cell-balance bounds

@@ -16,12 +16,17 @@ import org.apache.spark.sql.types._
   * overhead is noise while the loop body JITs hot — the same trade as
   * [[ShingleHashes]].
   *
-  * Both kernels L2-normalize implicitly (divide by the row norm) so
-  * squared-L2 ranking is monotone in cosine; a zero vector falls back
-  * to norm 1 instead of dividing by zero.
+  * With `normalize = true` (the flat/raw-vector layout) both kernels
+  * L2-normalize implicitly (divide by the row norm) so squared-L2
+  * ranking is monotone in cosine; a zero vector falls back to norm 1
+  * instead of dividing by zero. With `normalize = false` the input is
+  * taken as-is — the residual-coding layout, where the caller already
+  * subtracted the cell centroid from the unit vector and a second
+  * normalization would distort the residual space.
   */
 private[graft] trait PqKernel extends UnaryExpression with CodegenFallback {
   def books: Seq[Seq[Seq[Double]]]
+  def normalize: Boolean
 
   @transient protected lazy val m: Int = books.length
   @transient protected lazy val k: Int = books.head.length
@@ -45,6 +50,7 @@ private[graft] trait PqKernel extends UnaryExpression with CodegenFallback {
     if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
 
   protected def rowNorm(x: ArrayData): Double = {
+    if (!normalize) return 1.0
     var acc = 0.0
     var i = 0
     val n = x.numElements()
@@ -66,7 +72,8 @@ private[graft] trait PqKernel extends UnaryExpression with CodegenFallback {
   * the normalized s-th subvector, computed as argmin of
   * `|c|²/2 − dot(sub, c)/|x|`; ties break to the lowest code.
   */
-case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
+case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]],
+                         normalize: Boolean = true)
   extends PqKernel {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -100,7 +107,8 @@ case class PqEncodeCodes(child: Expression, books: Seq[Seq[Seq[Double]]])
   * from the normalized s-th query subvector to centroid c. One kernel
   * call replaces m × k dot-product expressions on the broadcast side.
   */
-case class PqDistTables(child: Expression, books: Seq[Seq[Seq[Double]]])
+case class PqDistTables(child: Expression, books: Seq[Seq[Seq[Double]]],
+                        normalize: Boolean = true)
   extends PqKernel {
 
   override def dataType: DataType =

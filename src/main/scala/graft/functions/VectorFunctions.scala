@@ -46,10 +46,12 @@ object VectorFunctions {
   /** PQ codes of an embedding column (one-pass codebook sweep; see
     * [[PqEncodeCodes]]).
     */
-  def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
-    ColumnBridge.column(PqEncodeCodes(ColumnBridge.expression(emb), books))
+  def pqEncode(emb: Column, books: Seq[Seq[Seq[Double]]],
+               normalize: Boolean = true): Column =
+    ColumnBridge.column(PqEncodeCodes(ColumnBridge.expression(emb), books, normalize))
 
   /** Per-query ADC distance tables (see [[PqDistTables]]). */
-  def pqDistTables(emb: Column, books: Seq[Seq[Seq[Double]]]): Column =
-    ColumnBridge.column(PqDistTables(ColumnBridge.expression(emb), books))
+  def pqDistTables(emb: Column, books: Seq[Seq[Seq[Double]]],
+                   normalize: Boolean = true): Column =
+    ColumnBridge.column(PqDistTables(ColumnBridge.expression(emb), books, normalize))
 }

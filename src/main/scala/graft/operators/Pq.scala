@@ -68,19 +68,30 @@ object Pq {
     * `iters` extra jobs at build time.
     */
   def refineBooks(embeddings: DataFrame, books: Array[Array[Array[Double]]],
-                  iters: Int): Array[Array[Array[Double]]] = {
-    val m = books.length
+                  iters: Int): Array[Array[Array[Double]]] =
+    refineOn(embeddings, "embedding", books, iters, normalize = true)
+
+  /** The refinement core shared by the flat layout (normalized raw
+    * vectors) and the residual layout (pre-centered vectors,
+    * `normalize = false`).
+    */
+  private def refineOn(vecs: DataFrame, vecCol: String,
+                       books: Array[Array[Array[Double]]],
+                       iters: Int, normalize: Boolean): Array[Array[Array[Double]]] = {
     val sub = books(0)(0).length
     var b = books
     for (_ <- 1 to iters) {
       // same zero-norm fallback as the kernels: v/0 would NaN the means
-      val coded = embeddings.select(col("embedding"),
-        when(VectorFunctions.norm(col("embedding")) === 0.0, lit(1.0))
-          .otherwise(VectorFunctions.norm(col("embedding"))).as("nrm"),
-        VectorFunctions.pqEncode(col("embedding"), toSeq3(b)).as("codes"))
+      val nrmCol =
+        if (normalize) {
+          val n = VectorFunctions.norm(col(vecCol))
+          when(n === 0.0, lit(1.0)).otherwise(n)
+        } else lit(1.0)
+      val coded = vecs.select(col(vecCol).as("vec"), nrmCol.as("nrm"),
+        VectorFunctions.pqEncode(col(vecCol), toSeq3(b), normalize).as("codes"))
       val s = (col("pos") / sub).cast("int")
       val means = coded
-        .select(posexplode(col("embedding")).as(Seq("pos", "v")),
+        .select(posexplode(col("vec")).as(Seq("pos", "v")),
           col("nrm"), col("codes"))
         .select(s.as("s"), pmod(col("pos"), lit(sub)).as("i"),
           (col("v") / col("nrm")).as("nv"),
@@ -269,6 +280,129 @@ object Pq {
     // 1-row aggregates with crossJoins; here that would plan the gate's
     // only nested-loop join, so the invariants fold into a single pass
     // (approx-only pairs contribute to no invariant in either shape).
+    exact.select(col("query_id"), col("neighbor_id"), col("cos").as("cos_bf"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), col("cos")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        (count(col("cos")).cast("double") / count(lit(1)) >= minRecall)
+          .as("recall_ok"),
+        (count(when(col("cos") =!= col("cos_bf"), 1)) === 0)
+          .as("cosines_exact"))
+  }
+
+  // ── residual IVF-PQ ───────────────────────────────────────────────
+  //
+  // The Faiss `by_residual=true` composition: PQ codes quantize the
+  // residual `u − c(cell)` of each unit vector from its cell's unit
+  // centroid instead of the vector itself. Residual magnitudes are a
+  // fraction of vector magnitudes on clustered corpora, so a fixed
+  // code budget spends its resolution on the informative part — the
+  // same failure mode the trained coarse quantizer fixes, one level
+  // down. The price is per-(query, probed-cell) ADC tables (the query
+  // residual differs per cell), paid on the broadcast side: nprobe
+  // kernel calls per query instead of one, never a per-candidate cost.
+
+  /** Unit-centroid directions as a literal lookup array (index =
+    * cell id + 1 for `element_at`; cells are id-ordered).
+    */
+  private def centDirsLit(cents: Similarity.Cents): Column =
+    typedLit(cents.sortBy(_._1).map { case (_, v, n) =>
+      val nn = if (n == 0.0) 1.0 else n
+      v.map(_ / nn).toSeq
+    }.toSeq)
+
+  /** `(vec_id, cell, resid)`: each unit vector's residual from its
+    * cell's unit centroid — one map-only pass (nlist dots for the
+    * assignment + one zip_with).
+    */
+  private def residuals(embeddings: DataFrame,
+                        cents: Similarity.Cents): DataFrame = {
+    val nrm = VectorFunctions.norm(col("embedding"))
+    val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
+    embeddings.select(col("vec_id"),
+      Similarity.cellOf(col("embedding"), cents).as("cell"),
+      zip_with(col("embedding"),
+        element_at(centDirsLit(cents), col("cell") + 1),
+        (a, b) => a / safe - b).as("resid"))
+  }
+
+  /** Residual-space codebooks: the deterministic first-`k` sample (of
+    * residuals, not raw vectors), optionally Lloyd-refined in residual
+    * space (`normalize = false` — a residual must not be re-scaled).
+    */
+  def residualBooks(embeddings: DataFrame, cents: Similarity.Cents,
+                    m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
+                    kmeansIters: Int = 0): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val res = residuals(embeddings, cents)
+    val sample = res.orderBy("vec_id").limit(numCentroids).select("resid")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val sampled = Array.tabulate(m)(s => sample.map(_.slice(s * sub, (s + 1) * sub)))
+    if (kmeansIters > 0) refineOn(res, "resid", sampled, kmeansIters, normalize = false)
+    else sampled
+  }
+
+  /** [[ivfPqTopK]] with residual coding. Same probe shape — the code
+    * scan is still a cell equi-join pruned to probed cells — but the
+    * ADC tables move AFTER the probe explode (per (query, cell), the
+    * inherent residual-PQ cost), and both encode and table kernels run
+    * un-normalized on pre-centered inputs. Exact-cosine rerank as
+    * always, so only recall is approximate.
+    */
+  def ivfPqTopKResidual(embeddings: DataFrame, queries: DataFrame, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4,
+                        m: Int = 8, numCentroids: Int = 64, dim: Int = 64,
+                        oversample: Int = 12, kmeansIters: Int = 0,
+                        coarseIters: Int = 0,
+                        centsOpt: Option[Similarity.Cents] = None,
+                        booksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val cents = centsOpt.getOrElse(
+      Similarity.coarseCentroids(embeddings, nlist, coarseIters))
+    val books = booksOpt.getOrElse(
+      residualBooks(embeddings, cents, m, numCentroids, dim, kmeansIters))
+    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val codes = residuals(embeddings, cents)
+      .select(col("vec_id"), col("cell"),
+        VectorFunctions.pqEncode(col("resid"), toSeq3(books), normalize = false)
+          .as("codes"))
+      .repartition(parts, col("cell"))
+    val q0 = Similarity.withProbeCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("q_nrm")),
+      cents, nprobe)
+    val qSafe = when(col("q_nrm") === 0.0, lit(1.0)).otherwise(col("q_nrm"))
+    val q = q0.withColumn("tables",
+        VectorFunctions.pqDistTables(
+          zip_with(col("embedding"),
+            element_at(centDirsLit(cents), col("probe_cell") + 1),
+            (a, b) => a / qSafe - b),
+          toSeq3(books), normalize = false))
+      .withColumnRenamed("embedding", "q_emb")
+    val scored = codes.join(broadcast(q),
+        col("cell") === col("probe_cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("neighbor_id"), adcDistance(m).as("adc"))
+    rerankTopK(scored, embeddings, k, k * oversample)
+  }
+
+  /** [[ivfPqSelfCheck]] for the residual layout — same exact reference
+    * (all-cells IVF == brute force), same one-pass left-join
+    * aggregation, one row `(recall_ok, cosines_exact)`.
+    */
+  def ivfPqResidualSelfCheck(embeddings: DataFrame, queries: DataFrame, k: Int,
+                             nlist: Int = 16, nprobe: Int = 4,
+                             kmeansIters: Int = 2, coarseIters: Int = 0,
+                             minRecall: Double = 0.5,
+                             oversample: Int = 12,
+                             centsOpt: Option[Similarity.Cents] = None,
+                             booksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val approx = ivfPqTopKResidual(embeddings, queries, k, nlist, nprobe,
+      oversample = oversample,
+      kmeansIters = kmeansIters, coarseIters = coarseIters,
+      centsOpt = centsOpt, booksOpt = booksOpt)
+    val exact = Similarity.ivfTopK(embeddings, queries, k, nlist, nprobe = nlist)
     exact.select(col("query_id"), col("neighbor_id"), col("cos").as("cos_bf"))
       .join(approx.select(col("query_id"), col("neighbor_id"), col("cos")),
         Seq("query_id", "neighbor_id"), "left")

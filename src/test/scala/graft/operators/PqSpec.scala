@@ -82,6 +82,63 @@ class PqSpec extends SparkSuite with Matchers {
     recall(16) shouldBe 1.0
   }
 
+  // ── residual IVF-PQ ───────────────────────────────────────────────
+
+  test("residual ivfPqTopK: k rows per query, exact rerank cosines, deterministic") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val r = Pq.ivfPqTopKResidual(emb, queries, k = 10, nlist = 16, nprobe = 4,
+      kmeansIters = 2)
+    r.groupBy("query_id").count().filter(col("count") =!= 10).count() shouldBe 0
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+    r.join(brute.select(col("query_id"), col("neighbor_id"), col("cos").as("cos_bf")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("cos_bf")).count() shouldBe 0
+    val again = Pq.ivfPqTopKResidual(emb.repartition(7), queries, k = 10,
+      nlist = 16, nprobe = 4, kmeansIters = 2)
+    again.orderBy("query_id", "rank").collect() shouldBe
+      r.orderBy("query_id", "rank").collect()
+  }
+
+  test("residual coding beats flat at the strained ADC budget (all cells probed)") {
+    // probe misses are layout-independent, so probing every cell
+    // isolates ADC ranking fidelity; oversample=2 strains the rerank.
+    // Deterministic end-to-end -> exact inequality, not a bound.
+    // (Measured here: resid 0.70 vs flat 0.64. On the synthetic
+    // CLUSTERED corpus the sign flips — blob-centered subvectors are
+    // easy for flat PQ, while residuals there are incompressible
+    // blend noise; residual coding is the right default for
+    // real-world corpora whose residuals keep correlated structure.)
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.coarseCentroids(emb, 16, 1)
+    val exact = Similarity.ivfTopK(emb, queries, 10, 16, nprobe = 16)
+      .select("query_id", "neighbor_id")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val flat = Pq.ivfPqTopK(emb, queries, 10, nprobe = 16, oversample = 2,
+      kmeansIters = 2, centsOpt = Some(cents))
+    val resid = Pq.ivfPqTopKResidual(emb, queries, 10, nprobe = 16, oversample = 2,
+      kmeansIters = 2, centsOpt = Some(cents))
+    hits(resid) should be > hits(flat)
+  }
+
+  test("residual self-check holds at the gate config (reduced rerank budget)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    Pq.ivfPqResidualSelfCheck(emb, queries, k = 10, coarseIters = 1,
+        kmeansIters = 2, oversample = 3)
+      .as[(Boolean, Boolean)].head() shouldBe ((true, true))
+  }
+
+  test("residual codes are a genuinely different quantization from flat codes") {
+    val cents = Similarity.coarseCentroids(emb, 16, 1)
+    val flatBooks = Pq.trainedBooks(emb, kmeansIters = 0)
+    val resBooks = Pq.residualBooks(emb, cents, kmeansIters = 0)
+    // same shape, different centroids
+    resBooks.length shouldBe flatBooks.length
+    resBooks(0).length shouldBe flatBooks(0).length
+    resBooks.flatten.flatten.toSeq should not equal flatBooks.flatten.flatten.toSeq
+  }
+
   test("ivfPqSelfCheck emits (true, true); its exact reference is truly exact") {
     val queries = emb.filter(col("vec_id") < 5)
     // the check's reference: ivfTopK probing ALL cells == brute force
