@@ -363,6 +363,22 @@ object SparkEntry {
         Tables.events(s, dir), "ts", "event_id",
         tempIndexDir("graft-stream-store"),
         stageKey = Some(s"$dir:events"))),
+    // streaming ingestion INTO the persisted ANN index: batch 0 builds
+    // (quantizer sample = lowest vec_ids, all in the first
+    // chronological-by-id chunk), later micro-batches append via
+    // extendAnnIndex keyed by batch id (a Spark retry is a ledgered
+    // no-op), and searching the streamed index must equal a
+    // from-scratch recompute over the whole corpus — the
+    // frozen-quantizer equivalence, now reached through the streaming
+    // maintenance path. Fresh index per invocation so repeat runs do
+    // the full maintenance work (the stream_candles_store contract).
+    "stream_ann_extend" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = tempIndexDir("graft-stream-ann")
+      graft.streaming.StreamedBatch.replayIntoAnnIndex(s, emb,
+        "vec_id", "vec_id", idx, stageKey = Some(s"$dir:embeddings"))
+      Pq.annIndexSelfCheck(emb, emb.filter(col("vec_id") < 5), idx, k = 10)
+    }),
     "stream_silver_typed" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
@@ -2108,6 +2124,8 @@ object SparkEntry {
     // append-lifecycle contract: build 2/3 + extend 1/3 == from-scratch
     // recompute over the whole corpus (frozen quantizers)
     "sim_topk_ann_extend" ->
+      """SELECT true AS stored_equals_recompute""",
+    "stream_ann_extend" ->
       """SELECT true AS stored_equals_recompute""",
     // the 16-band × 2-bit-bucket configuration (32 planes) reaches
     // recall 1.0 at ≥0.4 on this corpus (spec-measured) and

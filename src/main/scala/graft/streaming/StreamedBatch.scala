@@ -224,6 +224,47 @@ object StreamedBatch {
     Candles.candlesFromStore(spark, storePath)
   }
 
+  /** Replay `input` (an embedding table) as a file stream folding each
+    * micro-batch into a persisted [[graft.operators.Pq]] ANN index —
+    * the live-embedding-pipeline shape: batch 0 initializes the index
+    * (quantizer training = the deterministic lowest-id sample, which a
+    * chronological-by-id replay places entirely in batch 0), every
+    * later batch appends through [[graft.operators.Pq.extendAnnIndex]]
+    * with the batch id as the shard id, so a re-run micro-batch (same
+    * id, the Structured Streaming retry contract) is a ledgered no-op
+    * instead of doubled code rows. Unrefined books by design — the
+    * frozen-quantizer append is bit-identical to a from-scratch build
+    * over everything streamed (the [[graft.operators.Pq.extendAnnIndex]]
+    * equivalence), which is exactly what the gate asserts.
+    *
+    * The index at `indexPath` stays live for queries or further shards
+    * — the same store-maintenance contract as
+    * [[replayIntoCandleStore]], completing "every index has a
+    * streaming maintenance path".
+    */
+  def replayIntoAnnIndex(spark: SparkSession, input: DataFrame,
+                         orderCol: String, tieCol: String, indexPath: String,
+                         chunks: Int = 3,
+                         stageKey: Option[String] = None): Unit = {
+    import graft.operators.Pq
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0) Pq.buildAnnIndex(batch, indexPath)
+          else Pq.extendAnnIndex(batch, indexPath,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —

@@ -241,6 +241,27 @@ class StreamingSpec extends SparkSuite with Matchers {
       .orderBy("window_start", "symbol").collect() shouldBe before
   }
 
+  test("replayIntoAnnIndex: streamed build+extends == from-scratch index, " +
+      "and a re-delivered batch is a ledgered no-op") {
+    import graft.operators.Pq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("stream-ann").toString
+    StreamedBatch.replayIntoAnnIndex(spark, emb, "vec_id", "vec_id", idx,
+      chunks = 4)
+    // batch 0 built, batches 1..3 appended through the ledger
+    graft.util.Lake.appliedShards(spark, idx) shouldBe
+      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+    // searching the streamed index == recomputing over the whole corpus
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    Pq.annIndexSelfCheck(emb, queries, idx, k = 10)
+      .as[Boolean].head() shouldBe true
+    // the foreachBatch retry contract: re-applying a batch's embeddings
+    // under its recorded shard id must not change the code table
+    val codesBefore = spark.read.parquet(s"$idx/codes").count()
+    Pq.extendAnnIndex(emb.limit(50), idx, shardId = Some("replay-batch-1"))
+    spark.read.parquet(s"$idx/codes").count() shouldBe codesBefore
+  }
+
   test("medallion end-to-end: raw JSON files -> bronze -> silver -> gold parquet") {
     val root = tmp("graft-medallion-")
     val rawDir = tmp("graft-raw-")
