@@ -829,13 +829,17 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
     }),
-    // nprobe=14/16 is the empirically-exhaustive setting on this corpus
-    // (recall 1.0 vs brute force), which lets the brute-force SQL serve
-    // as the oracle while still exercising cell assignment + probe
-    // pruning; the nprobe/nlist recall trade-off is spec-measured.
+    // nprobe = nlist probes every cell, so recall is 1.0 BY
+    // CONSTRUCTION at any corpus scale and the brute-force SQL is a
+    // valid oracle (an "empirically exhaustive" nprobe=14 held at
+    // sf0.01/0.1 but quietly missed 2/50 pairs at sf0.001 — a
+    // per-corpus calibration this equality gate must not depend on).
+    // Cell assignment + the probe equi-join still run in full; the
+    // nprobe<nlist pruning trade-off is what sim_topk_ivf_check,
+    // sim_ann_clustered, and the ivfpq gates measure.
     "sim_topk_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 16, nprobe = 14)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nlist = 16, nprobe = 16)
     }),
     "sim_pairs_threshold" -> ((s, dir) =>
       Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.4)),

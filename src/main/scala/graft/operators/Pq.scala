@@ -34,14 +34,16 @@ import graft.functions.VectorFunctions
 object Pq {
 
   /** Deterministic codebooks: subspace s gets the s-th subvectors of
-    * the `k` lowest-vec_id embeddings, L2-normalized. Returns
-    * [subspace][centroid][component].
+    * the `k` lowest-vec_id embeddings ([[Similarity.lowestByVecId]] —
+    * bounded scan, never a full-table TakeOrdered), L2-normalized.
+    * Returns [subspace][centroid][component].
     */
   def codebooks(embeddings: DataFrame, m: Int, k: Int, dim: Int): Array[Array[Array[Double]]] = {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
-    val sample = embeddings.orderBy("vec_id").limit(k).select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = Similarity.lowestByVecId(
+        embeddings.select(col("vec_id"), col("embedding")), k)
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
       .map { v =>
         // zero-norm fallback mirrors PqKernel.rowNorm: a zero vector in
         // the sample must not seed NaN centroids (they'd silently poison
@@ -336,8 +338,9 @@ object Pq {
     require(dim % m == 0, "m must divide dim")
     val sub = dim / m
     val res = residuals(embeddings, cents)
-    val sample = res.orderBy("vec_id").limit(numCentroids).select("resid")
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = Similarity.lowestByVecId(
+        res.select(col("vec_id"), col("resid")), numCentroids)
+      .map(_.getSeq[Double](1).toArray)
     val sampled = Array.tabulate(m)(s => sample.map(_.slice(s * sub, (s + 1) * sub)))
     if (kmeansIters > 0) refineOn(res, "resid", sampled, kmeansIters, normalize = false)
     else sampled

@@ -110,18 +110,40 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** The `k` lowest-`vec_id` rows of `df` (which must carry `vec_id`),
+    * collected in id order — the deterministic quantizer sample every
+    * index build here uses. A bare `orderBy(vec_id).limit(k)` plans
+    * TakeOrderedAndProject, which SCANS THE WHOLE TABLE to keep a
+    * k-row heap — fine at gate scale, a full pass over 100 TB of
+    * embeddings per index build at production scale. Instead the scan
+    * is pre-bounded with `vec_id < 4k` — a filter that reaches the
+    * parquet scan (row-group min/max pruning skips everything else) —
+    * and only falls back to the unbounded TakeOrdered when ids are
+    * sparse enough that the window holds fewer than `k` rows. Sample
+    * identity is exact either way: if ≥ k ids sit below 4k, the k
+    * lowest of the window ARE the k lowest of the table.
+    */
+  private[operators] def lowestByVecId(df: DataFrame, k: Int)
+      : Array[org.apache.spark.sql.Row] = {
+    val bounded = df.filter(col("vec_id") < k.toLong * 4)
+      .orderBy("vec_id").limit(k).collect()
+    if (bounded.length >= k) bounded
+    else df.orderBy("vec_id").limit(k).collect()
+  }
+
   /** Deterministic coarse centroids for the IVF cell layout: seeded
     * from the embeddings of the `nlist` lowest vec_ids (a fixed sample
-    * — no RNG), optionally polished by `iters` distributed Lloyd rounds
-    * ([[trainCentroids]]), collected once on the driver (nlist × dim
-    * floats) and shipped as literals. Shared by [[ivfTopK]] and the
-    * IVF-PQ composition ([[Pq.ivfPqTopK]]).
+    * — no RNG, bounded scan via [[lowestByVecId]]), optionally polished
+    * by `iters` distributed Lloyd rounds ([[trainCentroids]]),
+    * collected once on the driver (nlist × dim floats) and shipped as
+    * literals. Shared by [[ivfTopK]] and the IVF-PQ composition
+    * ([[Pq.ivfPqTopK]]).
     */
   private[graft] def coarseCentroids(
       embeddings: DataFrame, nlist: Int,
       iters: Int = 0): Cents = {
-    val sampled = embeddings.orderBy("vec_id").limit(nlist).select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray).zipWithIndex
+    val sampled = lowestByVecId(embeddings.select(col("vec_id"), col("embedding")), nlist)
+      .map(_.getSeq[Float](1).toArray).zipWithIndex
       .map { case (v, i) =>
         (i, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
       }
@@ -341,9 +363,9 @@ object Similarity {
     */
   def clusteredCorpus(embeddings: DataFrame, nClusters: Int = 4,
                       mix: Double = 0.85): DataFrame = {
-    val centers = embeddings.orderBy("vec_id").limit(nClusters)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centers = lowestByVecId(
+        embeddings.select(col("vec_id"), col("embedding")), nClusters)
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
         val nn = if (n == 0.0) 1.0 else n

@@ -185,4 +185,24 @@ class SimilaritySpec extends SparkSuite with Matchers {
       Similarity.lshSignature(col("embedding"), 16, 64).as("s")).orderBy("vec_id").collect()
     s1 shouldBe s2
   }
+
+  test("lowestByVecId: bounded scan == unbounded TakeOrdered; sparse ids fall back") {
+    // identity on the real table (dense ids -> the bounded window wins)
+    val viaBounded = Similarity.lowestByVecId(
+      emb.select(col("vec_id"), col("embedding")), 16).map(_.getLong(0))
+    val viaFull = emb.orderBy("vec_id").limit(16)
+      .select("vec_id").collect().map(_.getLong(0))
+    viaBounded shouldBe viaFull
+    // the bounded branch's filter reaches the parquet scan
+    val plan = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 64).queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("LessThan(vec_id,64)")
+    // sparse ids: fewer than k below 4k -> fallback still returns the
+    // true k lowest
+    val sparse = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+    Similarity.lowestByVecId(sparse.select(col("vec_id"), col("embedding")), 16)
+      .map(_.getLong(0)) shouldBe
+      sparse.orderBy("vec_id").limit(16).select("vec_id").collect().map(_.getLong(0))
+  }
 }
