@@ -385,6 +385,46 @@ object Candles {
     retire(spark, path, next, retainGenerations)
   }
 
+  /** Compact the store into ONE new generation: every live leaf
+    * rewrites into `ver=n+1` (one file per date — the write
+    * repartitions by `p_date`, rows clustered by (window_start,
+    * symbol) within each leaf for scan locality), and manifest `n+1`
+    * maps every date to it, carrying the applied-shard ledger forward
+    * unchanged so retried shards stay no-ops across the compaction.
+    *
+    * Why it exists: each [[updateCandleStore]] adds one `ver=` dir
+    * owning just the dates it touched; after a year of daily shards
+    * the live tree spans ~365 version dirs, and the per-read leaf
+    * listing (and every filesystem's directory metadata) scales with
+    * update COUNT instead of date count. Compaction resets that to one
+    * dir — the maintenance op that keeps the accretion bounded, same
+    * role as [[graft.util.Lake.compact]] for flat dirs.
+    *
+    * Protocol-honoring: the new generation commits through the same
+    * `_SUCCESS`-marked manifest (readers see old or new, never a mix),
+    * prior retained generations stay resolvable for `asOf` time travel
+    * (their leaves survive [[retire]] until they age out), and the
+    * single-writer contract is the caller's, as with updates. Cost is
+    * one read+write of the LIVE data only — history never re-merges
+    * (partials are already one row per (window, symbol) per date).
+    */
+  def compactCandleStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                         retainGenerations: Int = 2): Unit = {
+    require(retainGenerations >= 2,
+      "retainGenerations must be >= 2 (current + the in-flight-reader grace generation)")
+    val st = readState(spark, path)
+    val next = st.n + 1
+    storedPartials(spark, path, st, None)
+      .repartition(col("p_date"))
+      .sortWithinPartitions(col("p_date"), col("window_start"), col("symbol"))
+      .write.partitionBy("p_date")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${dataPath(path)}/ver=$next")
+    writeState(spark, path, next,
+      st.dates.keys.map(_ -> next).toMap, st.applied)
+    retire(spark, path, next, retainGenerations)
+  }
+
   /** The store's candles — exactly [[ohlcv]] over everything built +
     * updated in, resolved through one committed manifest generation:
     * the newest, or (`asOf`) any still-retained older one — the Delta

@@ -166,6 +166,46 @@ class CandlesSpec extends SparkSuite with Matchers {
     once.map(_.getAs[Long]("trade_count")).sum shouldBe 2L
   }
 
+  test("compactCandleStore: N update generations collapse to one; answers, " +
+      "time travel, and the shard ledger survive") {
+    val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("candle-compact").toString
+    val t = pmod(col("event_id"), lit(4))
+    Candles.buildCandleStore(ev.filter(t === 0), store)
+    Candles.updateCandleStore(ev.filter(t === 1), store,
+      shardId = Some("s1"), retainGenerations = 4)
+    Candles.updateCandleStore(ev.filter(t === 2), store,
+      shardId = Some("s2"), retainGenerations = 4)
+    Candles.updateCandleStore(ev.filter(t === 3), store,
+      shardId = Some("s3"), retainGenerations = 4)
+    def verDirs(): Set[String] =
+      Option(new java.io.File(s"$store/data").listFiles())
+        .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("ver=")).toSet
+    verDirs().size should be >= 4 // one dir accreted per update
+    val before = Candles.candlesFromStore(spark, store)
+      .orderBy("window_start", "symbol").collect()
+    val gensBefore = Candles.storeGenerations(spark, store)
+
+    Candles.compactCandleStore(spark, store, retainGenerations = 2)
+
+    // newest generation owns EVERY date in one ver dir...
+    val newest = Candles.storeGenerations(spark, store).max
+    newest shouldBe gensBefore.max + 1
+    val compacted = new java.io.File(s"$store/data/ver=$newest")
+    compacted.listFiles().count(_.getName.startsWith("p_date=")) should be > 0
+    // ...and answers are unchanged, byte for byte
+    Candles.candlesFromStore(spark, store)
+      .orderBy("window_start", "symbol").collect() shouldBe before
+    // the pre-compaction generation stays resolvable (time travel)
+    Candles.candlesFromStore(spark, store, asOf = Some(gensBefore.max))
+      .orderBy("window_start", "symbol").collect() shouldBe before
+    // the applied-shard ledger rode along: a retried old shard is
+    // still a no-op after compaction
+    Candles.updateCandleStore(ev.filter(t === 2), store, shardId = Some("s2"))
+    Candles.candlesFromStore(spark, store)
+      .orderBy("window_start", "symbol").collect() shouldBe before
+  }
+
   test("updateCandleStore with an empty shard is a no-op") {
     val store = java.nio.file.Files.createTempDirectory("candle-empty").toString
     Candles.buildCandleStore(Seq(
