@@ -557,7 +557,18 @@ object Dedup {
     * the in-body comment — persist() alone lets the plan tree grow
     * 4× per round).
     */
-  def dupComponents(pairs: DataFrame): DataFrame = {
+  def dupComponents(pairs: DataFrame): DataFrame =
+    dupComponents(pairs, hotDegree = 65536)
+
+  /** [[dupComponents]] with an explicit hub threshold. `hotDegree`
+    * bounds the per-task shuffle rows of the propagation join: a node
+    * whose degree reaches it (web-duplicate graphs are power-law — a
+    * boilerplate page can match millions) is a HOT key, and the
+    * propagation handles hot keys on a broadcast path instead of the
+    * shuffle join (see in-body comment). Lower it in tests to force
+    * the path; raise it past the max degree to disable.
+    */
+  def dupComponents(pairs: DataFrame, hotDegree: Int): DataFrame = {
     val spark = pairs.sparkSession
     // snapshot the PAIRS to parquet, not persist(): the union below
     // reads its input twice (so materializing downstream of it would
@@ -586,11 +597,42 @@ object Dedup {
     // zero block-manager storage after returning (spec-asserted).
     var (labels, labelsPath) = writeThroughAt(edges.groupBy(col("s").as("doc_id"))
       .agg(least(first(col("s")), min(col("d"))).as("component_id")))
+    // Hot-key split for the per-round propagation join. The join keys
+    // the EDGES by `s` to look up label(s); a power-law hub (degree ≥
+    // hotDegree) would land its whole edge list on one sort-merge task
+    // — the straggler that decides wall-clock at web-duplicate scale.
+    // Degrees are a property of the static edge set, so the hot set is
+    // computed ONCE (a partial-agg'd count — map-side combine bounds
+    // the count shuffle itself), collected to the driver (power-law ⇒
+    // few keys above any high threshold; the collect is bounded by
+    // design, same contract as the probed-cell collect in Pq.annTopK),
+    // and the split is a map-side isin filter. Hot edges then join
+    // their labels via BROADCAST (the hot label slice is ≤ |hot keys|
+    // rows — bytes), so no hub edge list ever crosses a shuffle keyed
+    // by s; the downstream groupBy(d).min is already safe for hot d
+    // because min partial-aggregates map-side. Spec-measured on a
+    // 10⁵-spoke star: max per-task shuffle-read collapses from the
+    // full spoke count to the even split.
+    val hotKeys: Array[Long] = edges.groupBy("s")
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= hotDegree).select("s")
+      .collect().map(_.getLong(0))
+    val (edgesCold, edgesHot) =
+      if (hotKeys.isEmpty) (edges, None)
+      else (edges.filter(!col("s").isin(hotKeys.toIndexedSeq: _*)),
+        Some(edges.filter(col("s").isin(hotKeys.toIndexedSeq: _*))))
     var converged = false
     while (!converged) {
       // candidate label for d: the smallest label among its neighbors
-      val viaNeighbors = edges
-        .join(labels.select(col("doc_id").as("s"), col("component_id").as("nl")), "s")
+      val labelsS = labels.select(col("doc_id").as("s"), col("component_id").as("nl"))
+      val joined = edgesHot match {
+        case None => edgesCold.join(labelsS, "s")
+        case Some(hot) =>
+          edgesCold.join(labelsS, "s").unionByName(
+            hot.join(broadcast(
+              labelsS.filter(col("s").isin(hotKeys.toIndexedSeq: _*))), "s"))
+      }
+      val viaNeighbors = joined
         .groupBy(col("d").as("doc_id"))
         .agg(min(col("nl")).as("neighbor_min"))
       val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
@@ -599,12 +641,32 @@ object Dedup {
             .as("component_id"))
       // shortcut: label ← label(label). Every label IS a node of the
       // graph (it starts as a min over doc ids), so the self-join
-      // resolves unless the label is already a root.
-      val next = propagated
-        .join(propagated.select(col("doc_id").as("component_id"),
-          col("component_id").as("parent")), Seq("component_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("parent"), col("component_id")).as("component_id"))
+      // resolves unless the label is already a root. This join keys
+      // MEMBERS by their label, and a large component's label is a hot
+      // key by definition (the star straggler all over again — and it
+      // gets WORSE as components converge), so labels with ≥ hotDegree
+      // members each round take the broadcast path: the member counts
+      // are a partial-agg'd pass, the hot list is driver-bounded by
+      // pigeonhole (≤ N/hotDegree ids), and the hot labels' parent
+      // rows are ≤ that many — bytes to broadcast.
+      val parentSide = propagated.select(col("doc_id").as("component_id"),
+        col("component_id").as("parent"))
+      val hotLabels: Array[Long] = propagated.groupBy("component_id")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= hotDegree).select("component_id")
+        .collect().map(_.getLong(0))
+      val resolved =
+        if (hotLabels.isEmpty) propagated.join(parentSide, Seq("component_id"), "left")
+        else {
+          val hs = hotLabels.toIndexedSeq
+          propagated.filter(!col("component_id").isin(hs: _*))
+            .join(parentSide, Seq("component_id"), "left")
+            .unionByName(propagated.filter(col("component_id").isin(hs: _*))
+              .join(broadcast(parentSide.filter(col("component_id").isin(hs: _*))),
+                Seq("component_id"), "left"))
+        }
+      val next = resolved.select(col("doc_id"),
+        coalesce(col("parent"), col("component_id")).as("component_id"))
       val (snapped, snappedPath) = writeThroughAt(next)
       val changed = snapped.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
         .filter(col("component_id") =!= col("prev")).count()

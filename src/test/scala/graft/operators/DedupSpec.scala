@@ -116,6 +116,77 @@ class DedupSpec extends SparkSuite with Matchers {
     all(got.map(_._2)) shouldBe 0L
   }
 
+  test("dupComponents star graph: hot-key split keeps per-task shuffle reads " +
+      "at the even split; labels identical to the unsplit path") {
+    import spark.implicits._
+    val spokes = 100000L
+    // 1 hub (id 0) with 10^5 spokes — the power-law worst case: every
+    // propagation join row keys on s=0
+    val pairs = spark.range(1L, spokes + 1L)
+      .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+      .repartition(16)
+
+    // max records any single task pulls over a shuffle during `body`
+    def maxTaskShuffleRead(body: => Unit): Long = {
+      val max = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val rec = t.taskMetrics.shuffleReadMetrics.recordsRead
+          max.updateAndGet(m => math.max(m, rec))
+        }
+      }
+      // AQE's small-partition coalescing would merge this toy-sized
+      // shuffle into ONE task either way, drowning the signal the
+      // assertion reads (per-task reads then reflect total size, not
+      // key distribution); partition counts stay fixed for the
+      // measurement so they reflect the key layout, as at scale
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prevCoalesce = spark.conf.get(coalesceKey)
+      spark.conf.set(coalesceKey, "false")
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener events are delivered async; settle until the max is
+        // stable (collect() already blocked for the jobs themselves)
+        var prev = -1L
+        var settles = 0
+        while (settles < 3) {
+          Thread.sleep(200)
+          val cur = max.get()
+          if (cur == prev) settles += 1 else { settles = 0; prev = cur }
+        }
+      }
+      finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set(coalesceKey, prevCoalesce)
+      }
+      max.get()
+    }
+
+    var hot: Array[org.apache.spark.sql.Row] = null
+    var cold: Array[org.apache.spark.sql.Row] = null
+    val hotMax = maxTaskShuffleRead {
+      hot = Dedup.dupComponents(pairs, hotDegree = 1000)
+        .orderBy("doc_id").collect()
+    }
+    val coldMax = maxTaskShuffleRead {
+      cold = Dedup.dupComponents(pairs, hotDegree = Int.MaxValue)
+        .orderBy("doc_id").collect()
+    }
+    // same answer either way: every node labels to the hub's min id
+    hot shouldBe cold
+    hot.length shouldBe spokes + 1
+    all(hot.map(_.getLong(1))) shouldBe 0L
+    // the unsplit path funnels the hub's whole edge list (and the
+    // converged component's whole member list) through single tasks;
+    // the split path's per-task reads stay near the even split — the
+    // ~N/4 partial-agg floor of this 4-partition session, a third of
+    // the straggler load at worst
+    coldMax should be >= spokes
+    hotMax.toDouble should be < coldMax / 3.0
+  }
+
   test("dupComponents leaves no cached RDDs behind, result stays readable") {
     import spark.implicits._
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
