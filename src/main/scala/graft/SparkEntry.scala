@@ -203,6 +203,27 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the `text_nb_incremental` gate's stored
+    * Naive Bayes model: built on one slice of the doc_id%5!=0 training
+    * split, extended with the rest via ledgered appends — including a
+    * deliberate RE-delivery of shard `s2`, which the ledger must turn
+    * into a no-op (a doubled shard would bias every prediction). The
+    * gate classifies the held-out fifth read-only against the store.
+    */
+  private val nbMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nbGateModel(s: SparkSession, dir: String): String =
+    nbMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-nb-model")
+      val d = Tables.documents(s, dir)
+      val t = pmod(col("doc_id"), lit(5))
+      Classifier.buildNbModel(d.filter(t === 1), idx, "lang")
+      Classifier.extendNbModel(d.filter(t === 2), idx, "lang", shardId = Some("s2"))
+      Classifier.extendNbModel(d.filter(t === 3 || t === 4), idx, "lang",
+        shardId = Some("s34"))
+      Classifier.extendNbModel(d.filter(t === 2), idx, "lang", shardId = Some("s2"))
+      idx
+    })
+
   /** Per-(JVM, sfDir) memo of the `text_bpe_*` gates' trained BPE
     * model: 12 merges learned over the whole documents table
     * ([[TextOps.trainBpe]]), persisted as merge ledger + segmentation
@@ -378,6 +399,36 @@ object SparkEntry {
       graft.streaming.StreamedBatch.replayIntoAnnIndex(s, emb,
         "vec_id", "vec_id", idx, stageKey = Some(s"$dir:embeddings"))
       Pq.annIndexSelfCheck(emb, emb.filter(col("vec_id") < 5), idx, k = 10)
+    }),
+    // streaming ingestion INTO the persisted near-dup index: batch 0
+    // builds, later micro-batches run incrementalPairs against the
+    // stored index (old text never re-shingled) then fold themselves in
+    // via extendIndex keyed by batch id (a Spark retry is a ledgered
+    // no-op). Per-doc artifacts are deterministic, so the streamed
+    // index's stored pairs equal from-scratch minhashLsh over the whole
+    // corpus — the exact-Jaccard SQL is the oracle, same as
+    // dedup_incremental. Fresh index per invocation so repeat runs do
+    // the full maintenance work.
+    "stream_neardup_extend" -> ((s, dir) => {
+      val idx = tempIndexDir("graft-stream-neardup")
+      graft.streaming.StreamedBatch.replayIntoNearDupIndex(s,
+        Tables.documents(s, dir), "doc_id", "doc_id", idx,
+        stageKey = Some(s"$dir:documents"))
+      Dedup.indexedPairs(s, idx)
+    }),
+    // streaming maintenance of the vocabulary store: batch 0 builds,
+    // later micro-batches append their own ledgered count rows; counts
+    // merge by summation, so scoring the whole corpus against the
+    // streamed store equals from-scratch unigramLogprob — the
+    // text_unigram oracle serves verbatim. Completes "every persisted
+    // index has a streaming maintenance path" (candles, ANN, near-dup,
+    // vocab).
+    "stream_vocab_extend" -> ((s, dir) => {
+      val idx = tempIndexDir("graft-stream-vocab")
+      graft.streaming.StreamedBatch.replayIntoVocab(s,
+        Tables.documents(s, dir), "doc_id", "doc_id", idx,
+        stageKey = Some(s"$dir:documents"))
+      TextOps.scoreAgainstVocab(Tables.documents(s, dir), idx)
     }),
     "stream_silver_typed" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
@@ -795,6 +846,26 @@ object SparkEntry {
       TextOps.applyBpe(Tables.documents(s, dir), bpeGateModel(s, dir))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
     "text_quality_flags" -> ((s, dir) => TextOps.qualityFlags(Tables.documents(s, dir))),
+    // trained multinomial Naive Bayes (the fastText-style model filter
+    // every production pipeline runs): train on the doc_id%5!=0 split
+    // labeled by lang, predict the held-out fifth. Scores round to 6dp
+    // BEFORE the argmax with ascending-label tiebreak, so DuckDB
+    // re-derives the exact prediction set from the same closed-form
+    // model — a hash-matching external oracle for a LEARNED filter.
+    "text_nb_classify" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = pmod(col("doc_id"), lit(5))
+      Classifier.naiveBayes(d.filter(t === 0), d.filter(t =!= 0), "lang")
+    }),
+    // the classifier's DAILY form: per-class token counts are additive,
+    // so the model store builds once and folds labeled shards in with
+    // ledgered appends (memo re-delivers one shard to prove the no-op);
+    // classifying the holdout against the STORE equals from-scratch
+    // training on everything folded in — same oracle verbatim.
+    "text_nb_incremental" -> ((s, dir) =>
+      Classifier.classifyWithModel(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
+        nbGateModel(s, dir))),
     // ── training-data extensions: multimodal binary columns
     "mm_binary_stats" -> ((s, dir) =>
       Multimodal.binaryStats(Multimodal.asMediaTable(Tables.documents(s, dir)))),
@@ -824,6 +895,24 @@ object SparkEntry {
     "mm_image_resize" -> ((s, dir) =>
       Multimodal.imageStats(Multimodal.resizeImages(
         Multimodal.asImageTable(Tables.documents(s, dir)), 16, 12))),
+    // REAL audio decode: synthesized closed-form 16-bit PCM WAVs (real
+    // javax.sound.sampled writer) → real AudioSystem decode → sample
+    // statistics the oracle re-derives by enumerating the same sample
+    // formula in SQL — a fabricated decode cannot hash-match.
+    "mm_audio_decode" -> ((s, dir) =>
+      Multimodal.audioStats(Multimodal.asAvTable(Tables.documents(s, dir)))),
+    // REAL resample: decode → nearest-neighbor resample to 8 kHz
+    // (floor-division source map, SQL-mirrorable) → re-encode through
+    // the real WAV writer → RE-decode for the emitted stats, proving
+    // the full codec round-trip.
+    "mm_audio_resample" -> ((s, dir) =>
+      Multimodal.audioStats(Multimodal.resampleAudio(
+        Multimodal.asAvTable(Tables.documents(s, dir)), 8000))),
+    // REAL video parse: synthesized luma-only Y4M clips → real
+    // container parse → per-sampled-frame luma statistics the oracle
+    // re-derives by enumerating the same (frame, pixel) grid.
+    "mm_video_frames" -> ((s, dir) =>
+      Multimodal.videoFrameStats(Multimodal.asAvTable(Tables.documents(s, dir)), 5)),
     // ── training-data extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -985,6 +1074,44 @@ object SparkEntry {
        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                   JOIN sizes sb ON doc_b = sb.doc_id
        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5"""
+
+  /** Full Naive Bayes re-derivation in SQL — shared oracle of the
+    * from-scratch (`text_nb_classify`) and stored-model
+    * (`text_nb_incremental`) gates, whose answers must be identical.
+    * Re-trains the per-class counts on the doc_id%5!=0 split, rebuilds
+    * the add-one-smoothed log-likelihoods, scores the held-out fifth
+    * token-by-token (unseen tokens take each class's smoothing floor
+    * via the LEFT JOIN's coalesce), and reproduces the round-6dp
+    * argmax with ascending-label tiebreak plus the runner-up margin.
+    */
+  private val naiveBayesOracleSql =
+    """WITH train AS (SELECT lang AS y, text FROM documents WHERE doc_id % 5 <> 0),
+       test AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       ttok AS (SELECT y, unnest(string_split(text, ' ')) AS w FROM train),
+       counts AS (SELECT y, w, count(*) AS c FROM ttok GROUP BY y, w),
+       totals AS (SELECT y, count(*) AS n_docs,
+                         sum(len(string_split(text, ' '))) AS n_tokens
+                  FROM train GROUP BY y),
+       vocab AS (SELECT count(DISTINCT w) AS v FROM counts),
+       dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
+       scored AS (
+         SELECT d.doc_id, t.y,
+           ln(t.n_docs * 1.0 / (SELECT sum(n_docs) FROM totals)) +
+           sum(ln((coalesce(c.c, 0) + 1.0) /
+                  (t.n_tokens + (SELECT v FROM vocab)))) AS s
+         FROM dtok d
+         CROSS JOIN totals t
+         LEFT JOIN counts c ON c.y = t.y AND c.w = d.w
+         GROUP BY d.doc_id, t.y, t.n_docs, t.n_tokens),
+       ranked AS (
+         SELECT doc_id, y, round(-s, 6) AS ns,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY round(-s, 6), y) AS rn
+         FROM scored)
+       SELECT a.doc_id, a.y AS pred, -a.ns AS score,
+              round(b.ns - a.ns, 6) AS margin
+       FROM ranked a JOIN ranked b
+         ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2"""
 
   /** Transitive closure over the exact-Jaccard pair graph as a
     * recursive CTE — shared by the one-shot closure gate and the
@@ -1951,6 +2078,15 @@ object SparkEntry {
          SELECT doc_id, round(avg(-ln(c / (SELECT t FROM tot))), 6) AS avg_neg_logprob,
            count(*) AS n_tokens
          FROM tok JOIN vocab USING (w) GROUP BY doc_id""",
+    // the Naive Bayes model is closed-form in the training counts
+    // (add-one smoothing, ln-sum scores, round-6dp argmax with
+    // ascending-label tiebreak), so the oracle re-trains and re-scores
+    // it entirely in SQL — prediction, rounded score, and margin must
+    // all hash-match
+    "text_nb_classify" -> naiveBayesOracleSql,
+    // per-class counts merge by summation, so the stored model scores
+    // identically to from-scratch training — the oracle is verbatim
+    "text_nb_incremental" -> naiveBayesOracleSql,
     "text_token_bpe" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
@@ -2052,6 +2188,79 @@ object SparkEntry {
            CAST(list_max(px.p) AS INT) AS luma_max,
            round(list_avg(px.gr), 6) AS grad_mean
          FROM documents d LEFT JOIN px ON d.doc_id = px.doc_id""",
+    // the synthesized audio is closed-form (sample(i) =
+    // (i*17 + doc_id*29) % 4001 - 2000 over doc_id % 1200 + 64
+    // samples), so the oracle enumerates the same samples the engine
+    // encodes/decodes through the real WAV codec
+    "mm_audio_decode" ->
+      """WITH a AS (
+           SELECT doc_id, CAST(doc_id % 1200 + 64 AS BIGINT) AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         s AS (
+           SELECT doc_id, n,
+             list_transform(range(0, n), i -> (i*17 + doc_id*29) % 4001 - 2000) AS v
+           FROM a)
+         SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CASE WHEN d.doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
+           s.n AS n_samples,
+           round(s.n / 16000.0, 6) AS duration_s,
+           round(list_sum(list_transform(s.v, x -> abs(x))) / CAST(s.n AS DOUBLE), 6)
+             AS amp_mean,
+           CAST(list_max(list_transform(s.v, x -> abs(x))) AS INT) AS amp_peak,
+           CAST(list_sum(list_transform(range(1, s.n), i ->
+             CASE WHEN (((i-1)*17 + d.doc_id*29) % 4001 - 2000 < 0)
+                    <> ((i*17 + d.doc_id*29) % 4001 - 2000 < 0)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_cross
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+    // resampled samples: out(j) = src((j*n)//m) with m = n//2 — the
+    // nearest-neighbor floor-division map, enumerated in SQL
+    "mm_audio_resample" ->
+      """WITH a AS (
+           SELECT doc_id, CAST(doc_id % 1200 + 64 AS BIGINT) AS n,
+                  CAST((doc_id % 1200 + 64) // 2 AS BIGINT) AS m
+           FROM documents WHERE doc_id % 3 = 1),
+         s AS (
+           SELECT doc_id, m,
+             list_transform(range(0, m), j ->
+               (((j*n)//m)*17 + doc_id*29) % 4001 - 2000) AS v,
+             list_transform(range(1, m), j ->
+               CASE WHEN (((((j-1)*n)//m)*17 + doc_id*29) % 4001 - 2000 < 0)
+                      <> ((((j*n)//m)*17 + doc_id*29) % 4001 - 2000 < 0)
+                    THEN 1 ELSE 0 END) AS zc
+           FROM a)
+         SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CASE WHEN d.doc_id % 3 = 1 THEN 8000 ELSE 0 END AS sample_rate,
+           s.m AS n_samples,
+           round(s.m / 8000.0, 6) AS duration_s,
+           round(list_sum(list_transform(s.v, x -> abs(x))) / CAST(s.m AS DOUBLE), 6)
+             AS amp_mean,
+           CAST(list_max(list_transform(s.v, x -> abs(x))) AS INT) AS amp_peak,
+           CAST(list_sum(s.zc) AS BIGINT) AS n_zero_cross
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+    // the synthesized clip grid is closed-form (pixel(f,x,y) =
+    // (x*7 + y*13 + f*19 + doc_id*31) % 256 on (doc_id%12+4) x
+    // (doc_id%8+4) x (doc_id%24+2) frames), sampled every 5th frame
+    "mm_video_frames" ->
+      """WITH v AS (
+           SELECT doc_id, CAST(doc_id % 12 + 4 AS INT) AS w,
+                  CAST(doc_id % 8 + 4 AS INT) AS h,
+                  CAST(doc_id % 24 + 2 AS INT) AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf, 5)) AS fi FROM v),
+         px AS (
+           SELECT doc_id, fi, w, h, nf,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (x*7 + y*13 + fi*19 + doc_id*31) % 256))) AS p
+           FROM f)
+         SELECT doc_id, CAST(fi AS INT) AS frame_idx, w AS width, h AS height,
+           nf AS n_frames, round(list_avg(p), 6) AS mean_luma,
+           CAST(list_min(p) AS INT) AS luma_min, CAST(list_max(p) AS INT) AS luma_max
+         FROM px""",
     "mm_features" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -2131,6 +2340,22 @@ object SparkEntry {
       """SELECT true AS stored_equals_recompute""",
     "stream_ann_extend" ->
       """SELECT true AS stored_equals_recompute""",
+    // the streamed near-dup index's stored pairs == from-scratch
+    // minhashLsh over the whole corpus (the incrementalPairs
+    // equivalence reached through the streaming maintenance path), so
+    // the exact-Jaccard SQL is the oracle verbatim
+    "stream_neardup_extend" -> exactJaccardPairsSql,
+    // counts merge by summation, so the streamed vocabulary store
+    // scores identically to from-scratch unigramLogprob — the
+    // text_unigram oracle verbatim
+    "stream_vocab_extend" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+         tot AS (SELECT sum(c) AS t FROM vocab)
+         SELECT doc_id, round(avg(-ln(c / (SELECT t FROM tot))), 6) AS avg_neg_logprob,
+           count(*) AS n_tokens
+         FROM tok JOIN vocab USING (w) GROUP BY doc_id""",
     // the 16-band × 2-bit-bucket configuration (32 planes) reaches
     // recall 1.0 at ≥0.4 on this corpus (spec-measured) and
     // verification makes precision exact, so the exact-pairs SQL is a

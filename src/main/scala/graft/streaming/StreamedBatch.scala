@@ -265,6 +265,95 @@ object StreamedBatch {
     }
   }
 
+  /** Replay `input` (a documents table) as a file stream folding each
+    * micro-batch into a persisted [[graft.operators.Dedup]] near-dup
+    * index — the daily-ingest loop run as a LIVE stream: batch 0
+    * builds the index ([[graft.operators.Dedup.buildNearDupIndex]]),
+    * every later batch computes its incremental pair set against the
+    * stored index ([[graft.operators.Dedup.incrementalPairs]] — old
+    * text is never re-shingled) and folds itself in through
+    * [[graft.operators.Dedup.extendIndex]] with the batch id as the
+    * shard id, so a re-run micro-batch (the Structured Streaming retry
+    * contract) is a ledgered no-op instead of doubled set/bucket rows
+    * fanning out every later verification join. Per-doc artifacts are
+    * deterministic, so after the replay the index's stored pairs equal
+    * a from-scratch [[graft.operators.Dedup.minhashLsh]] over
+    * everything streamed (the incrementalPairs equivalence) — which is
+    * what the gate's exact-Jaccard oracle asserts.
+    *
+    * The index at `indexPath` stays live for queries or further shards
+    * — the same store-maintenance contract as [[replayIntoCandleStore]]
+    * and [[replayIntoAnnIndex]].
+    */
+  def replayIntoNearDupIndex(spark: SparkSession, input: DataFrame,
+                             orderCol: String, tieCol: String, indexPath: String,
+                             chunks: Int = 3, n: Int = 2,
+                             threshold: Double = 0.5,
+                             stageKey: Option[String] = None): Unit = {
+    import graft.operators.Dedup
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0) {
+            // returns the stored pair frame; the replay only needs the
+            // build side effect
+            Dedup.buildNearDupIndex(batch, indexPath, n = n, threshold = threshold)
+            ()
+          } else {
+            val pairs = Dedup.incrementalPairs(batch, indexPath,
+              n = n, threshold = threshold)
+            Dedup.extendIndex(batch, pairs, indexPath, n = n,
+              shardId = Some(s"replay-batch-$id"))
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
+  /** Replay `input` (a documents table) as a file stream folding each
+    * micro-batch's token counts into a persisted
+    * [[graft.operators.TextOps]] vocabulary store — the corpus-LM
+    * maintenance loop as a live stream: batch 0 initializes the store,
+    * later batches append their own count rows
+    * ([[graft.operators.TextOps.extendVocab]], batch id = shard id, so
+    * a Spark retry is a ledgered no-op instead of doubled counts
+    * skewing every later score). Counts merge by summation, so scoring
+    * against the streamed store equals from-scratch
+    * [[graft.operators.TextOps.unigramLogprob]] over everything
+    * streamed — the gate shares that oracle. Completes the
+    * "every index has a streaming maintenance path" set: candle store,
+    * ANN index, near-dup index, vocabulary.
+    */
+  def replayIntoVocab(spark: SparkSession, input: DataFrame,
+                      orderCol: String, tieCol: String, vocabPath: String,
+                      chunks: Int = 3,
+                      stageKey: Option[String] = None): Unit = {
+    import graft.operators.TextOps
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0) TextOps.buildVocab(batch, vocabPath)
+          else TextOps.extendVocab(batch, vocabPath,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —

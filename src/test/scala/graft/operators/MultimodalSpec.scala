@@ -168,6 +168,145 @@ class MultimodalSpec extends SparkSuite with Matchers {
     }
   }
 
+  // ── real audio codec (javax.sound.sampled) ────────────────────────
+
+  test("AudioCodec: synthesize -> decode round-trips the closed-form samples exactly") {
+    val n = 777
+    val wav = Multimodal.AudioCodec.synthesizeWav(42L, n, 16000)
+    Multimodal.AudioCodec.isWav(wav) shouldBe true
+    val (rate, s) = Multimodal.AudioCodec.decodePcm(wav)
+    rate shouldBe 16000
+    s.length shouldBe n
+    for (i <- 0 until n) s(i) shouldBe Multimodal.AudioCodec.synthSample(42L, i)
+  }
+
+  test("AudioCodec: negative samples survive the 16-bit round-trip") {
+    val samples = Array(-32768, -1, 0, 1, 32767, -2000, 2000)
+    val wav = Multimodal.AudioCodec.encodeWav(8000, samples)
+    val (rate, s) = Multimodal.AudioCodec.decodePcm(wav)
+    rate shouldBe 8000
+    s shouldBe samples
+  }
+
+  test("AudioCodec: resampleNearest matches the floor-division reference") {
+    val src = Array.tabulate(100)(i => (i * 37) % 4001 - 2000)
+    val out = Multimodal.AudioCodec.resampleNearest(src, 40)
+    for (j <- 0 until 40) out(j) shouldBe src(j * 100 / 40)
+    // upsample repeats source samples
+    val up = Multimodal.AudioCodec.resampleNearest(src, 250)
+    for (j <- 0 until 250) up(j) shouldBe src((j.toLong * 100 / 250).toInt)
+  }
+
+  // ── real video container codec (Y4M) ──────────────────────────────
+
+  test("VideoCodec: synthesize -> decode round-trips the closed-form frames exactly") {
+    val (w, h, nf) = (7, 5, 4)
+    val y4m = Multimodal.VideoCodec.synthesizeY4m(42L, w, h, nf)
+    Multimodal.VideoCodec.isY4m(y4m) shouldBe true
+    val (dw, dh, frames) = Multimodal.VideoCodec.decodeFrames(y4m)
+    (dw, dh) shouldBe ((w, h))
+    frames.length shouldBe nf
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+      frames(f)(y * w + x) shouldBe Multimodal.VideoCodec.synthPixel(42L, f, x, y)
+  }
+
+  test("VideoCodec: C420 streams parse (luma read, chroma skipped)") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val (w, h) = (4, 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F30:1 Ip A1:1 C420jpeg\n".getBytes(ascii))
+    for (f <- 0 until 3) {
+      bos.write("FRAME\n".getBytes(ascii))
+      for (i <- 0 until w * h) bos.write(10 * f + i)       // luma
+      for (_ <- 0 until 2 * ((w / 2) * (h / 2))) bos.write(128) // chroma
+    }
+    val (dw, dh, frames) = Multimodal.VideoCodec.decodeFrames(bos.toByteArray)
+    (dw, dh) shouldBe ((w, h))
+    frames.length shouldBe 3
+    for (f <- 0 until 3; i <- 0 until w * h) frames(f)(i) shouldBe 10 * f + i
+  }
+
+  private lazy val avMedia = Multimodal.asAvTable(docs)
+
+  test("asAvTable: every row's payload decodes in its type's real container") {
+    val rows = avMedia.select(col("doc_id"), col("content"),
+        col("meta.media_type"), col("meta.n_frames"))
+      .as[(Long, Array[Byte], String, Int)].collect()
+    rows.length shouldBe docs.count()
+    rows.foreach {
+      case (id, content, "image", _) =>
+        val (dw, dh, _) = Multimodal.ImageCodec.decodeLuma(content)
+        (dw, dh) shouldBe (((id % 24 + 8).toInt, (id % 18 + 8).toInt))
+      case (id, content, "audio", nf) =>
+        val (rate, s) = Multimodal.AudioCodec.decodePcm(content)
+        rate shouldBe 16000
+        s.length shouldBe nf
+      case (id, content, _, nf) =>
+        val (dw, dh, frames) = Multimodal.VideoCodec.decodeFrames(content)
+        (dw, dh) shouldBe (((id % 12 + 4).toInt, (id % 8 + 4).toInt))
+        frames.length shouldBe nf
+    }
+  }
+
+  test("audioStats matches direct formula computation; nulls on non-audio rows") {
+    Multimodal.audioStats(avMedia).collect().foreach { r =>
+      val id = r.getLong(0)
+      if (r.getString(1) == "audio") {
+        val n = (id % 1200 + 64).toInt
+        val s = Array.tabulate(n)(i => Multimodal.AudioCodec.synthSample(id, i))
+        r.getInt(2) shouldBe 16000
+        r.getLong(3) shouldBe n.toLong
+        r.getDouble(5) shouldBe (BigDecimal(s.map(v => math.abs(v).toLong).sum.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        r.getInt(6) shouldBe s.map(math.abs).max
+        r.getLong(7) shouldBe (1 until n).count(i => (s(i - 1) < 0) != (s(i) < 0)).toLong
+      } else {
+        r.isNullAt(3) shouldBe true
+        r.isNullAt(5) shouldBe true
+      }
+    }
+  }
+
+  test("resampleAudio: real round-trip halves the sample count at 8 kHz") {
+    val out = Multimodal.resampleAudio(avMedia, 8000)
+    val rows = out.filter(col("meta.media_type") === "audio")
+      .select(col("doc_id"), col("content")).as[(Long, Array[Byte])].collect()
+    rows.foreach { case (id, content) =>
+      val n = (id % 1200 + 64).toInt
+      val m = n / 2
+      val (rate, s) = Multimodal.AudioCodec.decodePcm(content)
+      rate shouldBe 8000
+      s.length shouldBe m
+      for (j <- 0 until m)
+        s(j) shouldBe Multimodal.AudioCodec.synthSample(id, (j.toLong * n / m).toInt)
+    }
+    // non-audio rows pass through untouched
+    out.filter(col("meta.media_type") =!= "audio")
+      .join(avMedia.select(col("doc_id"), md5(col("content")).as("md0")), "doc_id")
+      .filter(md5(col("content")) =!= col("md0")).count() shouldBe 0
+  }
+
+  test("videoFrameStats: strided frames with exact luma stats") {
+    val out = Multimodal.videoFrameStats(avMedia, 5).collect()
+    out.length should be > 0
+    out.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      f % 5 shouldBe 0
+      val (w, h) = ((id % 12 + 4).toInt, (id % 8 + 4).toInt)
+      r.getInt(2) shouldBe w
+      r.getInt(3) shouldBe h
+      r.getInt(4) shouldBe (id % 24 + 2).toInt
+      val pix = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.VideoCodec.synthPixel(id, f, x, y)
+      r.getDouble(5) shouldBe (BigDecimal(pix.map(_.toLong).sum.toDouble / pix.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      r.getInt(6) shouldBe pix.min
+      r.getInt(7) shouldBe pix.max
+    }
+    // every sampled (doc, frame) appears exactly once
+    out.map(r => (r.getLong(0), r.getInt(1))).distinct.length shouldBe out.length
+  }
+
   test("binaryStats matches direct computation") {
     val out = Multimodal.binaryStats(media)
     val direct = docs.select(col("doc_id"),

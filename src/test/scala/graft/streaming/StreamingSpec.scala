@@ -262,6 +262,49 @@ class StreamingSpec extends SparkSuite with Matchers {
     spark.read.parquet(s"$idx/codes").count() shouldBe codesBefore
   }
 
+  test("replayIntoNearDupIndex: streamed build+extends == from-scratch " +
+      "minhashLsh, and a re-delivered batch is a ledgered no-op") {
+    import graft.operators.Dedup
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("stream-neardup").toString
+    StreamedBatch.replayIntoNearDupIndex(spark, docs, "doc_id", "doc_id", idx,
+      chunks = 4)
+    graft.util.Lake.appliedShards(spark, idx) shouldBe
+      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+    // per-doc artifacts are deterministic, so the streamed index's
+    // stored pairs == one-shot minhashLsh over everything streamed
+    val stored = Dedup.indexedPairs(spark, idx)
+    val scratch = Dedup.minhashLsh(docs)
+    stored.exceptAll(scratch).count() shouldBe 0
+    scratch.exceptAll(stored).count() shouldBe 0
+    // retry contract: re-applying a batch's docs under its recorded
+    // shard id must not change the stored set/bucket/pair tables
+    val setsBefore = spark.read.parquet(s"$idx/sets").count()
+    Dedup.extendIndex(docs.limit(20), stored.limit(0), idx,
+      shardId = Some("replay-batch-2"))
+    spark.read.parquet(s"$idx/sets").count() shouldBe setsBefore
+  }
+
+  test("replayIntoVocab: streamed vocabulary store scores == from-scratch " +
+      "unigramLogprob, and a re-delivered batch is a ledgered no-op") {
+    import graft.operators.TextOps
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("stream-vocab").toString
+    StreamedBatch.replayIntoVocab(spark, docs, "doc_id", "doc_id", store,
+      chunks = 4)
+    graft.util.Lake.appliedShards(spark, store) shouldBe
+      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+    // counts merge by summation: streamed store == from-scratch LM
+    val served = TextOps.scoreAgainstVocab(docs, store)
+    val scratch = TextOps.unigramLogprob(docs)
+    served.exceptAll(scratch).count() shouldBe 0
+    scratch.exceptAll(served).count() shouldBe 0
+    // retry contract: re-applying a batch under its shard id is a no-op
+    val rowsBefore = spark.read.parquet(s"$store/vocab").count()
+    TextOps.extendVocab(docs.limit(20), store, shardId = Some("replay-batch-3"))
+    spark.read.parquet(s"$store/vocab").count() shouldBe rowsBefore
+  }
+
   test("medallion end-to-end: raw JSON files -> bronze -> silver -> gold parquet") {
     val root = tmp("graft-medallion-")
     val rawDir = tmp("graft-raw-")
