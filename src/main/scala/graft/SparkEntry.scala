@@ -825,6 +825,11 @@ object SparkEntry {
     "text_unigram_incremental" -> ((s, dir) =>
       TextOps.scoreAgainstVocab(Tables.documents(s, dir),
         vocabGateStore(s, dir))),
+    // the unigram filter's next model class up: conditional
+    // probability under corpus bigram statistics — catches
+    // common-tokens-in-impossible-order docs the unigram gate passes
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogprob(Tables.documents(s, dir))),
     "text_tfidf_topterms" -> ((s, dir) =>
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
@@ -2068,6 +2073,25 @@ object SparkEntry {
          SELECT doc_id, round(avg(-ln(c / (SELECT t FROM tot))), 6) AS avg_neg_logprob,
            count(*) AS n_tokens
          FROM tok JOIN vocab USING (w) GROUP BY doc_id""",
+    // parallel unnests zip positionally in DuckDB, so the bigram table
+    // re-derives map-only exactly as the engine's zipped-slice extract;
+    // context counts and add-one smoothing mirror the engine formula
+    "text_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                 unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+               FROM toks),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+         v AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(t) AS w FROM toks))
+         SELECT doc_id,
+           round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + (SELECT v FROM v)))), 6)
+             AS avg_neg_logprob,
+           count(*) AS n_bigrams
+         FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         GROUP BY doc_id""",
     // the vocabulary-store lifecycle is invisible in the answer: same
     // oracle as the from-scratch scoring (counts merge by summation)
     "text_unigram_incremental" ->

@@ -133,6 +133,46 @@ object TextOps {
     scoreTokens(docTokens(docs, unicode), vocab, t)
   }
 
+  /** Corpus-bigram conditional log-probability score — the unigram
+    * filter's ([[unigramLogprob]]) next model class up: per doc, the
+    * mean negative log of `p(w_i | w_{i-1})` under add-one-smoothed
+    * corpus bigram statistics, plus the bigram count. A doc of
+    * individually common tokens in an order the corpus never produces
+    * (shuffled boilerplate, table dumps, mixed-language lines) scores
+    * poorly here while sailing through the unigram gate — which is why
+    * production quality filters score with a conditional model.
+    *
+    * Model: `p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V)` with `c2` the
+    * corpus bigram count, `c1(w1)` the context count (occurrences of
+    * `w1` with a successor), and `V` the unigram vocabulary size.
+    *
+    * Scale shape: bigram extraction is MAP-ONLY (two array slices
+    * zipped per row — no self-join of adjacent tokens); the bigram
+    * table aggregates on the narrow (w1, w2) key with map-side
+    * partials; `V` is one driver-side long; scoring is one equi-join
+    * of exploded doc bigrams against the bigram table (the context
+    * count rides ON the bigram row via a window-free second agg join
+    * on w1, also narrow-key). Docs with fewer than two tokens have no
+    * bigrams and drop out, same inner-join semantics as the unigram
+    * scorer's unseen tokens.
+    */
+  def bigramLogprob(docs: DataFrame, unicode: Boolean = false): DataFrame = {
+    val t = tok(col("text"), unicode)
+    val pairs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = docs.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = docTokens(docs, unicode).select(col("w")).distinct().count()
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log((col("c2") + lit(1.0)) / (col("c1") + lit(v.toDouble)))),
+          6).as("avg_neg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Top-k TF-IDF terms per document — the classic statistical
     * featurization (retrieval keys, topic signatures, nearest-neighbor
     * blocking keys). tf is the in-doc term count, idf is

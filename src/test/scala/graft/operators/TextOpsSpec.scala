@@ -66,6 +66,47 @@ class TextOpsSpec extends SparkSuite with Matchers {
       .head().getAs[Double]("stopword_ratio") shouldBe 0.5
   }
 
+  test("bigramLogprob scores conditional probabilities with add-one " +
+      "smoothing; word order changes the score") {
+    // bigrams: doc1 (a,b),(b,a); doc2 (b,a); c2: (a,b)=1,(b,a)=2;
+    // context counts c1: a=1, b=2; V=2
+    val corpus = Seq(
+      (1L, "a b a", 5L), (2L, "b a", 3L)
+    ).toDF("doc_id", "text", "n_chars")
+    val r = TextOps.bigramLogprob(corpus).orderBy("doc_id").collect()
+    val pBgivenA = 2.0 / 3.0 // (1+1)/(1+2)
+    val pAgivenB = 3.0 / 4.0 // (2+1)/(2+2)
+    r(0).getLong(0) shouldBe 1L
+    r(0).getLong(2) shouldBe 2L
+    r(0).getDouble(1) shouldBe
+      BigDecimal((-math.log(pBgivenA) - math.log(pAgivenB)) / 2.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    r(1).getLong(2) shouldBe 1L
+    r(1).getDouble(1) shouldBe
+      BigDecimal(-math.log(pAgivenB))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+
+    // the motivating property: same tokens, different order -> the doc
+    // whose order the corpus has seen scores better (lower)
+    val ordered = Seq(
+      (1L, "the cat runs", 12L), (2L, "the cat runs", 12L),
+      (3L, "the cat runs", 12L), (4L, "runs cat the", 12L)
+    ).toDF("doc_id", "text", "n_chars")
+    val s = TextOps.bigramLogprob(ordered)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    s(1L) should be < s(4L)
+    // and the unigram filter cannot tell them apart
+    val u = TextOps.unigramLogprob(ordered)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    u(1L) shouldBe u(4L)
+
+    // single-token docs have no bigrams and drop out
+    val tiny = Seq((1L, "only", 4L), (2L, "two words", 9L))
+      .toDF("doc_id", "text", "n_chars")
+    TextOps.bigramLogprob(tiny).select("doc_id").as[Long].collect() shouldBe
+      Array(2L)
+  }
+
   test("vocabulary store: build + extend == from-scratch scoring, and " +
       "a re-applied shard is a ledgered no-op") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
