@@ -430,6 +430,22 @@ object SparkEntry {
         stageKey = Some(s"$dir:documents"))
       TextOps.scoreAgainstVocab(Tables.documents(s, dir), idx)
     }),
+    // continuous classifier training: the labeled train split streams
+    // into the persisted NB model store (batch 0 builds, later batches
+    // are ledgered count appends), then the holdout classifies against
+    // the STREAMED store — counts are additive, so the answer equals
+    // from-scratch training and the classifier's full SQL oracle
+    // applies verbatim. Fresh store per invocation so repeat runs do
+    // the full maintenance work.
+    "stream_nb_model" -> ((s, dir) => {
+      val idx = tempIndexDir("graft-stream-nb")
+      val d = Tables.documents(s, dir)
+      val t = pmod(col("doc_id"), lit(5))
+      graft.streaming.StreamedBatch.replayIntoNbModel(s,
+        d.filter(t =!= 0), "doc_id", "doc_id", idx, "lang",
+        stageKey = Some(s"$dir:documents-train"))
+      Classifier.classifyWithModel(d.filter(t === 0), idx)
+    }),
     "stream_silver_typed" -> ((s, dir) =>
       graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
         "ts", "event_id",
@@ -2111,6 +2127,9 @@ object SparkEntry {
     // per-class counts merge by summation, so the stored model scores
     // identically to from-scratch training — the oracle is verbatim
     "text_nb_incremental" -> naiveBayesOracleSql,
+    // the streaming maintenance path reaches the same additive counts,
+    // so the streamed model's predictions share the oracle too
+    "stream_nb_model" -> naiveBayesOracleSql,
     "text_token_bpe" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,

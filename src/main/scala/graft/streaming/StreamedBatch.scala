@@ -354,6 +354,45 @@ object StreamedBatch {
     }
   }
 
+  /** Replay `labeled` (a documents table carrying a label column) as a
+    * file stream folding each micro-batch's per-class token counts
+    * into a persisted [[graft.operators.Classifier]] Naive Bayes model
+    * — continuous model training as a live stream: batch 0 initializes
+    * the store, later batches append their own count rows
+    * ([[graft.operators.Classifier.extendNbModel]], batch id = shard
+    * id, so a Spark retry is a ledgered no-op instead of doubled
+    * counts biasing every later prediction toward the re-run shard's
+    * classes). Counts are additive, so classifying against the
+    * streamed store equals from-scratch
+    * [[graft.operators.Classifier.naiveBayes]] over everything
+    * streamed — the gate reuses the classifier's full SQL-re-derivation
+    * oracle verbatim. With this, every persisted model/index family
+    * has a streaming maintenance path: candle store, ANN index,
+    * near-dup index, vocabulary, classifier.
+    */
+  def replayIntoNbModel(spark: SparkSession, labeled: DataFrame,
+                        orderCol: String, tieCol: String, modelPath: String,
+                        labelCol: String, chunks: Int = 3,
+                        stageKey: Option[String] = None): Unit = {
+    import graft.operators.Classifier
+    val in = stagedIn(labeled, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(labeled.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0) Classifier.buildNbModel(batch, modelPath, labelCol)
+          else Classifier.extendNbModel(batch, modelPath, labelCol,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —

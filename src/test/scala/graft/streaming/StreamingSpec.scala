@@ -305,6 +305,29 @@ class StreamingSpec extends SparkSuite with Matchers {
     spark.read.parquet(s"$store/vocab").count() shouldBe rowsBefore
   }
 
+  test("replayIntoNbModel: classifying against the streamed model == " +
+      "from-scratch naiveBayes, and a re-delivered batch is a no-op") {
+    import graft.operators.Classifier
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val store = java.nio.file.Files.createTempDirectory("stream-nb").toString
+    StreamedBatch.replayIntoNbModel(spark, train, "doc_id", "doc_id", store,
+      "lang", chunks = 4)
+    graft.util.Lake.appliedShards(spark, store) shouldBe
+      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+    // per-class counts merge by summation: streamed model == scratch
+    val served = Classifier.classifyWithModel(test, store)
+    val scratch = Classifier.naiveBayes(test, train, "lang")
+    served.exceptAll(scratch).count() shouldBe 0
+    scratch.exceptAll(served).count() shouldBe 0
+    // retry contract: a re-run micro-batch must not double its counts
+    val rowsBefore = spark.read.parquet(s"$store/counts").count()
+    Classifier.extendNbModel(train.limit(20), store, "lang",
+      shardId = Some("replay-batch-2"))
+    spark.read.parquet(s"$store/counts").count() shouldBe rowsBefore
+  }
+
   test("medallion end-to-end: raw JSON files -> bronze -> silver -> gold parquet") {
     val root = tmp("graft-medallion-")
     val rawDir = tmp("graft-raw-")
