@@ -824,6 +824,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
     }),
+    // the learned-filter pipeline: a Naive Bayes model trained on the
+    // labeled split classifies the WHOLE corpus; docs whose prediction
+    // disagrees with their recorded label (or agrees without
+    // confidence) are dropped — the fastText-style model-based
+    // curation stage in its production position, composed with the
+    // deterministic split. The oracle re-derives the entire chain:
+    // model, margins, agreement filter, md5 split, summary.
+    "cur_pipeline3" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val labeled = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val preds = Classifier.naiveBayes(d, labeled, "lang")
+      val kept = d.join(preds.filter(col("margin") >= 0.05), Seq("doc_id"))
+        .filter(col("pred") === col("lang"))
+      Curation.hashSplit(kept, "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    }),
     // ── training-data extensions: text analysis
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     // the same stats under the Unicode tokenizer (letter/digit runs,
@@ -1934,6 +1952,51 @@ object SparkEntry {
                  (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
                  (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
                FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM clean))
+         SELECT CASE WHEN bucket < 52428 THEN 'train'
+                     WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split",
+           lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1, 2""",
+    // the learned-filter chain re-derived end to end: NB model on the
+    // labeled split, round-6dp scores/margins over ALL docs, the
+    // agreement+confidence filter, then the md5-bucket split summary
+    "cur_pipeline3" ->
+      """WITH train AS (SELECT lang AS y, text FROM documents WHERE doc_id % 5 <> 0),
+         ttok AS (SELECT y, unnest(string_split(text, ' ')) AS w FROM train),
+         counts AS (SELECT y, w, count(*) AS c FROM ttok GROUP BY y, w),
+         totals AS (SELECT y, count(*) AS n_docs,
+                           sum(len(string_split(text, ' '))) AS n_tokens
+                    FROM train GROUP BY y),
+         vocab AS (SELECT count(DISTINCT w) AS v FROM counts),
+         dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+         scored AS (
+           SELECT d.doc_id, t.y,
+             ln(t.n_docs * 1.0 / (SELECT sum(n_docs) FROM totals)) +
+             sum(ln((coalesce(c.c, 0) + 1.0) /
+                    (t.n_tokens + (SELECT v FROM vocab)))) AS s
+           FROM dtok d
+           CROSS JOIN totals t
+           LEFT JOIN counts c ON c.y = t.y AND c.w = d.w
+           GROUP BY d.doc_id, t.y, t.n_docs, t.n_tokens),
+         ranked AS (
+           SELECT doc_id, y, round(-s, 6) AS ns,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY round(-s, 6), y) AS rn
+           FROM scored),
+         pred AS (SELECT a.doc_id, a.y AS pred,
+                         round(b.ns - a.ns, 6) AS margin
+                  FROM ranked a JOIN ranked b
+                    ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2),
+         kept AS (SELECT d.doc_id, d.lang, d.text
+                  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+                  WHERE p.pred = d.lang AND p.margin >= 0.05),
+         b AS (SELECT doc_id, lang, text,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+               FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM kept))
          SELECT CASE WHEN bucket < 52428 THEN 'train'
                      WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split",
            lang, count(*) AS n_docs,
