@@ -934,6 +934,15 @@ object SparkEntry {
     "mm_image_resize" -> ((s, dir) =>
       Multimodal.imageStats(Multimodal.resizeImages(
         Multimodal.asImageTable(Tables.documents(s, dir)), 16, 12))),
+    // perceptual near-dup over IMAGE payloads: planted near-duplicate
+    // PNGs (one inverted pixel per group member) → real decode →
+    // integer-threshold average hash → pigeonhole-banded Hamming pair
+    // join. The oracle re-derives hash bits and the exact pair set
+    // from the closed-form grids — recall is guaranteed by banding,
+    // precision by the exact bit_count verify, so the sets must match.
+    "mm_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(
+        Multimodal.asImageDupTable(Tables.documents(s, dir)))),
     // REAL audio decode: synthesized closed-form 16-bit PCM WAVs (real
     // javax.sound.sampled writer) → real AudioSystem decode → sample
     // statistics the oracle re-derives by enumerating the same sample
@@ -2294,6 +2303,39 @@ object SparkEntry {
            CAST(list_max(px.p) AS INT) AS luma_max,
            round(list_avg(px.gr), 6) AS grad_mean
          FROM documents d LEFT JOIN px ON d.doc_id = px.doc_id""",
+    // the planted-dup image grids are closed-form (base grid
+    // (x*7+y*13+base*31)%256 with one inverted pixel at doc_id%(w*h)),
+    // so the oracle re-derives the 8x8 integer-threshold aHash bits
+    // and brute-forces the exact Hamming pair set the banded join must
+    // reproduce
+    "mm_image_neardup" ->
+      """WITH img AS (SELECT doc_id, doc_id - (doc_id % 9) AS base
+                      FROM documents WHERE doc_id % 3 = 0),
+         dims AS (SELECT doc_id, base,
+                    CAST(base % 24 + 8 AS BIGINT) AS w,
+                    CAST(base % 18 + 8 AS BIGINT) AS h FROM img),
+         px AS (SELECT doc_id, w, h,
+                  flatten(list_transform(range(0, h), y ->
+                    list_transform(range(0, w), x ->
+                      CASE WHEN y * w + x = doc_id % (w * h)
+                        THEN 255 - (x*7 + y*13 + base*31) % 256
+                        ELSE (x*7 + y*13 + base*31) % 256 END))) AS p
+                FROM dims),
+         rs AS (SELECT doc_id,
+                  list_transform(range(0, 64), i ->
+                    p[(((i // 8) * h) // 8) * w + (((i % 8) * w) // 8) + 1]) AS q
+                FROM px),
+         bt AS (SELECT doc_id, q, list_sum(q) AS s FROM rs),
+         bits AS (SELECT doc_id,
+                    list_transform(q, v -> CASE WHEN v * 64 > s
+                                           THEN 1 ELSE 0 END) AS b
+                  FROM bt),
+         ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(list_sum(list_transform(range(1, 65), i ->
+                     CASE WHEN a.b[i] <> b.b[i] THEN 1 ELSE 0 END)) AS INT)
+                     AS hamming
+                 FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""",
     // the synthesized audio is closed-form (sample(i) =
     // (i*17 + doc_id*29) % 4001 - 2000 over doc_id % 1200 + 64
     // samples), so the oracle enumerates the same samples the engine

@@ -634,6 +634,114 @@ object Multimodal {
           .as("grad_mean"))
   }
 
+  /** [[asImageTable]]'s image rows with PLANTED near-duplicates — the
+    * corpus the perceptual-hash dedup gate runs on. Image ids group by
+    * `base = doc_id - doc_id % 9` (triples {9k, 9k+3, 9k+6} among the
+    * `% 3 == 0` image ids); every member renders its BASE's pixel grid
+    * with exactly one pixel inverted at a member-specific index, so
+    * in-group pairs are perceptual near-duplicates (tiny Hamming
+    * distance between average-hashes) while cross-group pairs differ
+    * in dimensions or in a large mod-256 brightness wrap (far).
+    * Everything is closed-form — base grid [[ImageCodec.synthPixel]],
+    * inversion index `doc_id % (w*h)` — so the SQL oracle re-derives
+    * the hash bits and the exact pair set without touching a codec;
+    * payload bytes still go through the real PNG encoder/decoder.
+    */
+  def asImageDupTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = id - (id % 9)
+          val w = (base % 24 + 8).toInt
+          val h = (base % 18 + 8).toInt
+          val flip = (id % (w.toLong * h)).toInt
+          val pix = Array.tabulate(h * w) { i =>
+            val v = ImageCodec.synthPixel(base, i % w, i / w)
+            if (i == flip) 255 - v else v
+          }
+          MediaRow(id, ImageCodec.encodeGrayPng(w, h, pix),
+            MediaMeta("image", w, h, 0, 1))
+        }
+      }.toDF()
+  }
+
+  /** Average perceptual hash (aHash) of each decodable image row: real
+    * decode ([[ImageCodec.decodeLuma]]) → nearest-neighbor resize to a
+    * `hashW × hashH` thumbnail ([[ImageCodec.resizeNearest]], the
+    * floor-division map a SQL oracle mirrors exactly) → one bit per
+    * cell. The threshold is INTEGER-EXACT: bit i is set iff
+    * `pix(i) * n > Σ pix` (strictly above the mean with no float
+    * division), so the hash is bit-identical across engines, JVMs, and
+    * partitionings. Map-only — one task per partition, no shuffle.
+    */
+  def imageAHash(media: DataFrame, hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    require(hashW * hashH <= 64, "hash must fit in 64 bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("meta.media_type") === "image")
+      .select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, pix) = ImageCodec.decodeLuma(bytes)
+          val q = ImageCodec.resizeNearest(w, h, pix, hashW, hashH)
+          val n = q.length
+          var total = 0L
+          var i = 0
+          while (i < n) { total += q(i); i += 1 }
+          var hash = 0L
+          i = 0
+          while (i < n) {
+            if (q(i).toLong * n > total) hash |= (1L << i)
+            i += 1
+          }
+          (id, hash)
+        }
+      }.toDF("doc_id", "ahash")
+  }
+
+  /** All image pairs whose average-hashes are within `maxHamming` bits
+    * — perceptual near-duplicate detection for image columns, the
+    * multimodal leg of the dedup family (re-encoded thumbnails, small
+    * overlays, brightness-preserving edits collapse to nearby hashes).
+    *
+    * Scale shape: the same pigeonhole banding as
+    * [[graft.operators.Dedup.simhashPairs]] — `maxHamming + 1` bands
+    * over the 64-bit hash, so any pair within the distance shares at
+    * least one exact band; candidates meet in a bucket equi-join on
+    * lean `(band, bucket)` keys (never an all-pairs product), then one
+    * codegen'd `bit_count(xor)` verifies the exact distance. Output is
+    * exact by construction: banding guarantees recall, verification
+    * guarantees precision.
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nBands = maxHamming + 1
+    val sig = imageAHash(media)
+    val bandCols = (0 until nBands).map { bId =>
+      val lo = bId * 64 / nBands
+      val hi = (bId + 1) * 64 / nBands // exclusive
+      val width = hi - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(bId).as("band"),
+        shiftright(col("ahash"), lo).bitwiseAND(mask).as("bucket"))
+    }
+    val buckets = sig.select(col("doc_id"), col("ahash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("ahash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Decoded-sample statistics for audio rows — the gate surface that
     * proves the WAV codec is real: decode through `javax.sound.sampled`
     * and emit the container's sample rate plus integer sample

@@ -307,6 +307,37 @@ class MultimodalSpec extends SparkSuite with Matchers {
     out.map(r => (r.getLong(0), r.getInt(1))).distinct.length shouldBe out.length
   }
 
+  test("imageAHash: known half-dark half-bright 8x8 image hashes to the " +
+      "expected bit pattern through the real codec") {
+    import spark.implicits._
+    // left half 0, right half 200: mean 100, strict > sets bits x>=4
+    val pix = Array.tabulate(64)(i => if (i % 8 >= 4) 200 else 0)
+    val png = Multimodal.ImageCodec.encodeGrayPng(8, 8, pix)
+    val media = Seq(Multimodal.MediaRow(1L, png,
+      Multimodal.MediaMeta("image", 8, 8, 0, 1))).toDF()
+    val h = Multimodal.imageAHash(media).head().getLong(1)
+    h shouldBe 0xF0F0F0F0F0F0F0F0L // per row: bits 4..7 set
+  }
+
+  test("imageNearDupPairs == brute-force Hamming scan on the planted-dup " +
+      "corpus, and in-group near-dups exist (non-vacuous)") {
+    val dup = Multimodal.asImageDupTable(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val banded = Multimodal.imageNearDupPairs(dup, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = Multimodal.imageAHash(dup)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      d = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      if d <= 3
+    } yield (hashes(i)._1, hashes(j)._1, d)).toSet
+    banded shouldBe brute
+    banded should not be empty
+    // at least one pair is an in-group planted near-dup
+    banded.exists { case (a, b, _) => a - (a % 9) == b - (b % 9) } shouldBe true
+  }
+
   test("binaryStats matches direct computation") {
     val out = Multimodal.binaryStats(media)
     val direct = docs.select(col("doc_id"),
