@@ -824,6 +824,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
     }),
+    // length-bucketed batch assembly (padding minimization): the
+    // per-bucket enumeration runs the two-phase range exchange, never
+    // a one-task-per-bucket window; the oracle IS that naive window
+    // formulation — the scalable plan must reproduce it exactly
+    "cur_length_batches" -> ((s, dir) =>
+      Curation.lengthBatches(Tables.documents(s, dir))),
     // the learned-filter pipeline: a Naive Bayes model trained on the
     // labeled split classifies the WHOLE corpus; docs whose prediction
     // disagrees with their recorded label (or agrees without
@@ -1966,6 +1972,17 @@ object SparkEntry {
            lang, count(*) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          FROM b GROUP BY 1, 2""",
+    // the oracle is the naive per-bucket window formulation the
+    // distributed enumeration must match row for row
+    "cur_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS n_tokens
+                    FROM documents),
+         b AS (SELECT doc_id, n_tokens, n_tokens // 64 AS bucket FROM t)
+         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, bucket,
+           (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 32
+             AS batch_id
+         FROM b""",
     // the learned-filter chain re-derived end to end: NB model on the
     // labeled split, round-6dp scores/margins over ALL docs, the
     // agreement+confidence filter, then the md5-bucket split summary

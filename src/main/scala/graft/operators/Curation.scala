@@ -299,6 +299,79 @@ object Curation {
         org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Length-bucketed batch assembly — the padding-minimization step of
+    * a training dataloader pipeline: docs group into fixed-width
+    * token-length buckets (`bucket = n_tokens div bucketWidth`), and
+    * within each bucket consecutive docs (doc_id order) form batches
+    * of `batchSize`, so a batch pads at most to its longest member's
+    * bucket ceiling instead of the corpus maximum. Output: one row per
+    * doc with its `n_tokens`, `bucket`, and `batch_id` (0-based within
+    * the bucket).
+    *
+    * Scale shape: the naive formulation is a row_number window
+    * PARTITIONED BY bucket — but bucket cardinality is tiny (corpus
+    * max length / width), so at 100 TB each window partition is a
+    * single task holding billions of rows: exactly the global-window
+    * trap [[shufflePositions]] avoids. This uses the same two-phase
+    * range-exchange enumeration, generalized per bucket: range-exchange
+    * on (bucket, id), count rows per (partition, bucket) — bounded
+    * driver state, at most partitions + buckets entries because range
+    * partitioning makes each bucket a contiguous partition run — then
+    * assign per-bucket positions map-side from the prefix offsets.
+    * Answer is partition-count invariant (spec-asserted).
+    */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 32,
+                    bucketWidth: Int = 64, unicode: Boolean = false,
+                    partitions: Int = 0): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val spark = docs.sparkSession
+    val n = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t = if (unicode) TextOps.tokensUnicode(col("text"))
+            else TextOps.tokens(col("text"))
+    val withLen = docs.select(col("doc_id"), size(t).as("n_tokens"))
+      .withColumn("bucket",
+        floor(col("n_tokens").cast("long") / lit(bucketWidth)).cast("long"))
+    val sorted = withLen.repartitionByRange(n, col("bucket"), col("doc_id"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+    val rdd = sorted.rdd
+    // bounded driver data: one (partition, bucket, count) triple per
+    // bucket-run; Long counts from the start (Iterator.size is Int)
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      it.foreach { r =>
+        val b = r.getLong(2); m.update(b, m.getOrElse(b, 0L) + 1L)
+      }
+      m.iterator.map { case (b, c) => (i, b, c) }
+    }.collect()
+    val offsets: Map[(Int, Long), Long] = counts.groupBy(_._2)
+      .flatMap { case (b, runs) =>
+        val byPart = runs.sortBy(_._1)
+        byPart.map(_._1).zip(byPart.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (p, off) => (p, b) -> off }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cur = Long.MinValue
+      var pos = 0L
+      it.map { r =>
+        val b = r.getLong(2)
+        if (b != cur) { cur = b; pos = bc.value.getOrElse((i, b), 0L) }
+        val row = org.apache.spark.sql.Row(
+          r.get(0), r.getInt(1), b, pos / batchSize)
+        pos += 1L
+        row
+      }
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(out, StructType(Seq(
+      docs.select(col("doc_id")).schema.head,
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField("batch_id", LongType, nullable = false))))
+  }
+
   // PII patterns: kept to the common subset of Java regex and RE2 so
   // external engines (and the DuckDB oracle) match byte-for-byte
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

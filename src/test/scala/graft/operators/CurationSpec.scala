@@ -184,6 +184,35 @@ class CurationSpec extends SparkSuite with Matchers {
     ps shouldBe (1L to 500L).toArray
   }
 
+  test("lengthBatches equals the per-bucket window formulation, is " +
+      "partition-invariant, and fills batches to size") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val expected = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens").cast("long") / lit(64)).cast("long"))
+      .withColumn("batch_id",
+        ((row_number().over(win) - 1) / 8).cast("long"))
+      .as[(Long, Int, Long, Long)].collect().sorted
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Curation.lengthBatches(docs.repartition(5), batchSize = 8,
+        partitions = parts).as[(Long, Int, Long, Long)].collect().sorted
+      got shouldBe expected
+    }
+    // every batch but a bucket's last is exactly full
+    val sizes = expected.groupBy(r => (r._3, r._4)).view
+      .mapValues(_.length).toMap
+    val lastBatch = expected.groupBy(_._3).view
+      .mapValues(_.map(_._4).max).toMap
+    for (((b, batch), n) <- sizes if batch != lastBatch(b))
+      withClue(s"bucket $b batch $batch:") { n shouldBe 8 }
+    // batches never mix buckets (one (bucket, batch) key per doc group)
+    sizes.values.max should be <= 8
+  }
+
   test("percentileCutoff at pct=0 keeps everything; tied boundary scores are kept") {
     val in = Seq(
       ("A", 1L, 5.0), ("A", 2L, 5.0), ("A", 3L, 5.0), ("A", 4L, 9.0)
