@@ -968,6 +968,15 @@ object SparkEntry {
     "mm_video_frames" -> ((s, dir) =>
       Multimodal.videoFrameStats(Multimodal.asAvTable(Tables.documents(s, dir)), 5)),
     // ── training-data extensions: similarity search
+    // distributed PCA over the embedding column (the ANN family's
+    // dimensionality-reduction stage): eigenvectors have no external
+    // oracle (sign/rotation conventions), so the gate asserts the
+    // eigen CONTRACT — C·w = λw against a covariance rebuilt from the
+    // data, orthonormality, spectrum order, trace conservation, and
+    // full-rank losslessness — invariants a fabricated decomposition
+    // cannot satisfy.
+    "sim_pca_check" -> ((s, dir) =>
+      Pca.pcaInvariants(Tables.embeddings(s, dir), k = 16)),
     "sim_topk_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
@@ -2481,6 +2490,12 @@ object SparkEntry {
     // in-engine)
     "sim_topk_pq" ->
       """SELECT true AS recall_at_least_80pct, true AS cosines_exact""",
+    // PCA eigen-contract invariants (see the gate comment): all six
+    // must hold on a genuine decomposition of the data's covariance
+    "sim_pca_check" ->
+      """SELECT true AS eigen_ok, true AS orthonormal_ok,
+           true AS descending_ok, true AS trace_ok,
+           true AS lossless_ok, true AS ratio_ok""",
     // IVF-PQ search contract: invariants when cell probing at nprobe=4
     // keeps recall >= 0.5 and the exact rerank holds (computed vs the
     // all-cells exact reference in-engine)

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed principal-component analysis over an embedding column —
+  * the dimensionality-reduction stage a 100 TB embedding pipeline runs
+  * before ANN indexing or clustering (project 64-dim vectors to 16 and
+  * every downstream distance computation is 4× cheaper at minimal
+  * recall loss).
+  *
+  * Scale shape: fitting is ONE pass over the vectors accumulating
+  * per-partition dense partials (count, Σv, Σv⊗v) — each partial is a
+  * single `d + d²` double array, so the driver combines
+  * `numPartitions` fixed-size blocks regardless of row count; nothing
+  * corpus-sized is ever collected. The eigendecomposition runs on the
+  * driver over the d×d covariance (d is the embedding width — small by
+  * construction), exactly like the coarse-quantizer centroids.
+  * Projection is map-only with the broadcast component matrix.
+  *
+  * Determinism: partials combine in partition-index order and the
+  * cyclic Jacobi sweep is branch-deterministic, so the same input
+  * layout yields bit-identical components; the verification gates are
+  * INVARIANT-based (the eigen contract `C·w = λw`, orthonormality,
+  * trace conservation, full-rank losslessness) — sharp enough that a
+  * fabricated decomposition cannot satisfy them, yet independent of
+  * sign/rotation conventions an external oracle could not pin.
+  */
+object Pca {
+
+  /** Fitted model: column means, row-major components (one PRINCIPAL
+    * AXIS per row, descending eigenvalue), and the eigenvalue spectrum
+    * of the full covariance (all d values even when k < d — the tail
+    * is what the captured-variance ratio is measured against).
+    */
+  case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
+                      eigenvalues: Array[Double], d: Int) {
+    def k: Int = components.length
+    /** Fraction of total variance captured by the first `k` axes. */
+    def varianceRatio: Double = {
+      val tot = eigenvalues.sum
+      if (tot <= 0d) 1d else eigenvalues.take(k).sum / tot
+    }
+  }
+
+  /** Distributed one-pass covariance: per-partition partials of
+    * `[Σv (d), Σ v⊗v (d·d upper)]` — one fixed-size double array per
+    * partition whatever the row count — combined on the driver in
+    * partition-index order (deterministic for a fixed input layout).
+    * Returns (n, mean, population covariance).
+    */
+  private def covariance(emb: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(vecCol)).as[Array[Float]]
+    val partials = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc: Array[Double] = null
+      var d = 0
+      var n = 0L
+      it.foreach { v =>
+        if (acc == null) { d = v.length; acc = new Array[Double](d + d * d) }
+        require(v.length == d, s"ragged embedding width: ${v.length} vs $d")
+        var i = 0
+        while (i < d) {
+          val vi = v(i).toDouble
+          acc(i) += vi
+          var j = i
+          while (j < d) { acc(d + i * d + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+        n += 1L
+      }
+      if (acc == null) Iterator.empty else Iterator((pid, n, d, acc))
+    }.collect().sortBy(_._1)
+    require(partials.nonEmpty, "cannot fit PCA on an empty table")
+    val d = partials.head._3
+    val n = partials.map(_._2).sum
+    val sum = new Array[Double](d)
+    val prod = Array.ofDim[Double](d, d)
+    partials.foreach { case (_, _, pd, acc) =>
+      require(pd == d, "ragged embedding width across partitions")
+      var i = 0
+      while (i < d) {
+        sum(i) += acc(i)
+        var j = i
+        while (j < d) { prod(i)(j) += acc(d + i * d + j); j += 1 }
+        i += 1
+      }
+    }
+    val mean = sum.map(_ / n)
+    // population covariance: C = E[v vᵀ] − mean meanᵀ, symmetrized
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = prod(i)(j) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    (n, mean, cov)
+  }
+
+  /** One-pass covariance fit + driver-side Jacobi eigendecomposition.
+    * `k` is the number of components to keep (1 ≤ k ≤ d).
+    */
+  def fit(emb: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
+    val (_, mean, cov) = covariance(emb, vecCol)
+    val d = mean.length
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val (values, vectors) = jacobiEigen(cov)
+    // descending eigenvalue order; deterministic index tiebreak
+    val order = values.indices.sortBy(i => (-values(i), i))
+    PcaModel(mean, order.take(k).map(i => vectors(i)).toArray,
+      order.map(values(_)).toArray, d)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotate
+    * away the largest off-diagonal entries sweep by sweep until the
+    * off-diagonal norm vanishes. Branch-deterministic (fixed sweep
+    * order, fixed rotation formula), O(d³) per sweep — milliseconds at
+    * embedding widths. Returns (eigenvalues, eigenvectors) with
+    * `vectors(i)` the UNIT eigenvector of `values(i)`.
+    */
+  private[operators] def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1d else 0d)
+    var sweep = 0
+    while (sweep < 100 && offDiag(a) > 1e-12) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2d * a(p)(q))
+            // sign(0) must be +1: equal diagonal entries still need the
+            // full 45° rotation (math.signum(0) = 0 would freeze them)
+            val sgn = if (theta >= 0d) 1d else -1d
+            val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1d))
+            val c = 1d / math.sqrt(t * t + 1d)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d)(i => Array.tabulate(d)(j => v(j)(i))))
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0d
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  /** Project every vector onto the model's axes — map-only with the
+    * broadcast component matrix; output keeps the id column and adds
+    * `projCol` as an Array[Float] of width `model.k`.
+    */
+  def project(emb: DataFrame, model: PcaModel, idCol: String = "vec_id",
+              vecCol: String = "embedding", projCol: String = "proj"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val m = bc.value
+        rows.map { case (id, vec) =>
+          val out = new Array[Float](m.k)
+          var j = 0
+          while (j < m.k) {
+            val w = m.components(j)
+            var s = 0d
+            var i = 0
+            while (i < m.d) { s += (vec(i) - m.mean(i)) * w(i); i += 1 }
+            out(j) = s.toFloat
+            j += 1
+          }
+          (id, out)
+        }
+      }.toDF(idCol, projCol)
+  }
+
+  /** The verification surface: ONE invariant row asserting the eigen
+    * contract on the fitted model — properties a fabricated
+    * decomposition cannot satisfy, yet independent of the sign and
+    * rotation conventions no external engine could reproduce.
+    *
+    *  - `eigen_ok`: every kept axis satisfies `C·w = λw` to 1e-8
+    *    (verified against a covariance REBUILT from the data);
+    *  - `orthonormal_ok`: max |WᵀW − I| ≤ 1e-8;
+    *  - `descending_ok`: the spectrum is non-increasing;
+    *  - `trace_ok`: Σλ equals tr(C) to 1e-8 relative — the
+    *    decomposition conserves total variance;
+    *  - `lossless_ok`: at k = d, projecting and reconstructing a
+    *    deterministic row sample (`vec_id < 32`) recovers every
+    *    coordinate to 1e-4 (float inputs) — full rank loses nothing;
+    *  - `ratio_ok`: captured variance at the reduced k is a proper
+    *    fraction strictly above d·k/d·ε floor 0 and ≤ 1.
+    */
+  def pcaInvariants(emb: DataFrame, k: Int, vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // one distributed covariance pass serves both the fits and the
+    // residual check — never a corpus-sized collect
+    val (_, mean, cov) = covariance(emb, vecCol)
+    val d = mean.length
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(i => (-values(i), i))
+    val full = PcaModel(mean, order.map(i => vectors(i)).toArray,
+      order.map(values(_)).toArray, d)
+    val reduced = PcaModel(mean, full.components.take(k), full.eigenvalues, d)
+    def residual(w: Array[Double], lambda: Double): Double =
+      (0 until d).map { i =>
+        math.abs((0 until d).map(j => cov(i)(j) * w(j)).sum - lambda * w(i))
+      }.max
+    val eigenOk = reduced.components.zip(reduced.eigenvalues)
+      .forall { case (w, l) => residual(w, l) <= 1e-8 }
+    val orthoOk = {
+      var worst = 0d
+      for (a <- reduced.components.indices; b <- reduced.components.indices) {
+        val dot = (0 until d).map(i => reduced.components(a)(i) * reduced.components(b)(i)).sum
+        worst = math.max(worst, math.abs(dot - (if (a == b) 1d else 0d)))
+      }
+      worst <= 1e-8
+    }
+    val descOk = reduced.eigenvalues.sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val traceOk = math.abs(full.eigenvalues.sum - trace) <= 1e-8 * math.max(trace, 1d)
+    val sample = emb.filter(col("vec_id") < 32)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    val losslessOk = sample.forall { v =>
+      val p = new Array[Double](d)
+      for (j <- 0 until d) {
+        val w = full.components(j)
+        p(j) = (0 until d).map(i => (v(i) - mean(i)) * w(i)).sum
+      }
+      (0 until d).forall { i =>
+        val rec = mean(i) + (0 until d).map(j => p(j) * full.components(j)(i)).sum
+        math.abs(rec - v(i)) <= 1e-4
+      }
+    }
+    val ratio = reduced.varianceRatio
+    val ratioOk = ratio > 0d && ratio <= 1d + 1e-12
+    spark.createDataFrame(
+      java.util.List.of(Row(eigenOk, orthoOk, descOk, traceOk, losslessOk, ratioOk)),
+      StructType(Seq("eigen_ok", "orthonormal_ok", "descending_ok", "trace_ok",
+        "lossless_ok", "ratio_ok").map(StructField(_, BooleanType, nullable = false))))
+  }
+}

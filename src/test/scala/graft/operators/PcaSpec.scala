@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+class PcaSpec extends SparkSuite with Matchers {
+  import spark.implicits._
+
+  test("jacobiEigen diagonalizes a known symmetric matrix exactly") {
+    // [[2,1],[1,2]]: eigenvalues 3 (axis (1,1)/√2) and 1 ((1,-1)/√2)
+    val (values, vectors) = Pca.jacobiEigen(
+      Array(Array(2d, 1d), Array(1d, 2d)))
+    val byVal = values.zip(vectors).sortBy(-_._1)
+    byVal(0)._1 shouldBe 3d +- 1e-12
+    byVal(1)._1 shouldBe 1d +- 1e-12
+    val r2 = 1d / math.sqrt(2d)
+    math.abs(byVal(0)._2(0) * r2 + byVal(0)._2(1) * r2) shouldBe 1d +- 1e-10
+    math.abs(byVal(1)._2(0) * r2 - byVal(1)._2(1) * r2) shouldBe 1d +- 1e-10
+  }
+
+  test("fit recovers a planted dominant axis") {
+    // points stretched 10x along (3,4)/5 with small deterministic
+    // off-axis noise: the first principal axis must align with it
+    val axis = Array(0.6f, 0.8f)
+    val rows = (0 until 200).map { i =>
+      val t = (i % 41) - 20 // dominant coordinate, range ±20
+      val noise = ((i * 7) % 11 - 5) * 0.05f
+      (i.toLong, Array(t * axis(0) - noise * axis(1), t * axis(1) + noise * axis(0)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, k = 1)
+    val cosine = math.abs(m.components(0)(0) * axis(0) + m.components(0)(1) * axis(1))
+    cosine shouldBe 1d +- 1e-3
+    m.varianceRatio should be > 0.99
+  }
+
+  test("pcaInvariants all hold on the embeddings corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val row = Pca.pcaInvariants(emb, k = 16).head()
+    for (i <- 0 until 6) withClue(s"invariant $i:") {
+      row.getBoolean(i) shouldBe true
+    }
+  }
+
+  test("project emits k-wide vectors and full-rank projection preserves " +
+      "pairwise dot products") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 20)
+    val d = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val m = Pca.fit(emb, k = d)
+    val proj = Pca.project(emb, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    proj.values.foreach(_.length shouldBe d)
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val mean = m.mean
+    for (a <- 0L until 5L; b <- (a + 1) until 5L) {
+      val dotOrig = (0 until d).map(i =>
+        (orig(a)(i) - mean(i)) * (orig(b)(i) - mean(i))).sum
+      val dotProj = (0 until d).map(i =>
+        proj(a)(i).toDouble * proj(b)(i)).sum
+      dotProj shouldBe dotOrig +- math.max(1e-3, math.abs(dotOrig) * 1e-4)
+    }
+    // reduced projection really reduces
+    Pca.project(emb, Pca.fit(emb, k = 8)).head()
+      .getSeq[Float](1).length shouldBe 8
+  }
+}
