@@ -25,9 +25,14 @@ object PlanAudit {
   // sim_topk_pq / sim_topk_ivf_check: self-check gates that embed the
   // brute-force baseline they compare against (and PQ's ADC scan is
   // the same broadcast-queries shape over 8-byte codes).
+  // sim_topk_pca: the candidate stage is the DELIBERATELY exhaustive
+  // reduced-space scan (isolates projection quality from any index's
+  // recall), and the check embeds the brute-force reference — both the
+  // sim_topk_bruteforce shape; the at-scale composition swaps the scan
+  // for ivfTopK over projected vectors.
   private val allPairsByDesign =
     Set("sim_pairs_threshold", "dedup_simhash_pairs", "sim_topk_bruteforce",
-      "sim_topk_pq", "sim_topk_ivf_check")
+      "sim_topk_pq", "sim_topk_ivf_check", "sim_topk_pca")
   private val streaming =
     Set("stream_gold_candles_1m", "stream_silver_typed", "stream_spread_join",
       "stream_threshold_alerts", "stream_sessions", "stream_silver_dedup",

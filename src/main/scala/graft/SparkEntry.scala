@@ -1080,6 +1080,16 @@ object SparkEntry {
     // (training memoized per (JVM, clustered corpus) — deterministic,
     // so the contract rows are unchanged; the timed path keeps the
     // balance scan + approx/exact probe comparison, which IS the check)
+    // search THROUGH the PCA reduction (candidates by 16-dim cosine,
+    // exact full-space rerank) on the clustered corpus — the scenario
+    // dimensionality reduction is deployed for (97% of the variance is
+    // cluster structure); recall >= 0.9 at an 8x rerank budget, and
+    // every emitted cosine must equal the exact reference's (the
+    // rerank is exact, only the candidate SET is approximate). The
+    // spec proves the near-isotropic corpus FAILS the same bar at
+    // half the budget — the gate is non-vacuous about the projection.
+    "sim_topk_pca" -> ((s, dir) =>
+      Pca.pcaSearchCheck(s.read.parquet(clusteredGateCorpus(s, dir)))),
     "sim_ann_clustered" -> ((s, dir) => {
       val emb = s.read.parquet(clusteredGateCorpus(s, dir))
       val cents = trainedCentsMemo(s"$dir#clustered16x3",
@@ -2496,6 +2506,11 @@ object SparkEntry {
       """SELECT true AS eigen_ok, true AS orthonormal_ok,
            true AS descending_ok, true AS trace_ok,
            true AS lossless_ok, true AS ratio_ok""",
+    // reduced-space search contract on the clustered corpus: recall
+    // through the projection and rerank exactness (in-engine vs the
+    // brute-force reference)
+    "sim_topk_pca" ->
+      """SELECT true AS recall_ok, true AS cosines_exact""",
     // IVF-PQ search contract: invariants when cell probing at nprobe=4
     // keeps recall >= 0.5 and the exact rerank holds (computed vs the
     // all-cells exact reference in-engine)

@@ -202,6 +202,78 @@ object Pca {
       }.toDF(idCol, projCol)
   }
 
+  /** Top-k cosine search THROUGH the reduction: candidates rank by
+    * reduced-space cosine (k-dim dot products — `d/k`× cheaper than
+    * full-width), the top `mult·k` per query rerank by EXACT
+    * full-space cosine. The candidate stage here is the exhaustive
+    * reduced-space scan — deliberately index-free so the gate isolates
+    * "how much neighborhood structure does the projection keep" from
+    * any index's own recall; the at-scale composition replaces it with
+    * [[Similarity.ivfTopK]] over projected vectors, same rerank.
+    * Output matches [[Similarity.bruteForceTopK]]: (query_id,
+    * neighbor_id, cos, rank).
+    */
+  def pcaTopK(emb: DataFrame, queries: DataFrame, model: PcaModel,
+              k: Int, mult: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val projAll = project(emb, model, projCol = "p")
+    val projQ = project(queries, model, projCol = "qp")
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = projAll.join(broadcast(projQ), col("query_id") =!= col("vec_id"))
+      .withColumn("rcos", VectorFunctions.dot(col("qp"), col("p")) /
+        (VectorFunctions.norm(col("qp")) * VectorFunctions.norm(col("p"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rcos").desc, col("vec_id"))
+    val top = cand.withColumn("r", row_number().over(w))
+      .filter(col("r") <= mult * k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val full = emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("c_nrm"))
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      VectorFunctions.norm(col("embedding")).as("q_nrm"))
+    val reranked = top.join(full, "neighbor_id").join(broadcast(qs), "query_id")
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Search-quality contract of [[pcaTopK]] as ONE invariant row:
+    * `recall_ok` — recall@k against the exact full-space reference is
+    * at least `minRecall`; `cosines_exact` — every emitted cosine
+    * equals the reference's value for the same (query, neighbor) pair
+    * (the rerank really is exact, only the candidate SET is
+    * approximate). Driver state: two counts.
+    */
+  def pcaSearchCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
+                     mult: Int = 8, minRecall: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = fit(emb, kDims)
+    val approx = pcaTopK(emb, queries, model, k, mult)
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+    val total = exact.count()
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+    val mismatches = approx.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+          col("cos").as("ref_cos")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("ref_cos")).count()
+    spark.createDataFrame(
+      java.util.List.of(Row(hits.toDouble >= minRecall * total, mismatches == 0L)),
+      StructType(Seq(
+        StructField("recall_ok", BooleanType, nullable = false),
+        StructField("cosines_exact", BooleanType, nullable = false))))
+  }
+
   /** The verification surface: ONE invariant row asserting the eigen
     * contract on the fitted model — properties a fabricated
     * decomposition cannot satisfy, yet independent of the sign and

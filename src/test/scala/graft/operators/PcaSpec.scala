@@ -43,6 +43,45 @@ class PcaSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("pcaTopK: reduced-space candidates + exact rerank reach high " +
+      "recall vs brute force, with exact emitted cosines") {
+    def recallAt(emb: org.apache.spark.sql.DataFrame, kDims: Int,
+                 mult: Int): (Double, Long, Double) = {
+      val queries = emb.filter(col("vec_id") < 5)
+      val model = Pca.fit(emb, k = kDims)
+      val approx = Pca.pcaTopK(emb, queries, model, k = 10, mult = mult)
+      val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      val total = exact.count()
+      val hits = exact.select(col("query_id"), col("neighbor_id"))
+        .join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id")).count()
+      val mismatches = approx.join(exact.select(col("query_id"),
+          col("neighbor_id"), col("cos").as("ref_cos")),
+        Seq("query_id", "neighbor_id"))
+        .filter(col("cos") =!= col("ref_cos")).count()
+      (hits.toDouble / total, mismatches, model.varianceRatio)
+    }
+    val plain = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clustered = Similarity.clusteredCorpus(plain)
+    // clustered corpus (where reduction is actually deployed): 16 of 64
+    // dims keep the cluster geometry -> high recall
+    val (rc, mc, vc) = recallAt(clustered, kDims = 16, mult = 8)
+    info(s"clustered recall@10, 16 dims, mult=8: $rc (var ratio $vc)")
+    rc should be >= 0.9
+    mc shouldBe 0L
+    // near-isotropic corpus: the same config degrades (the projection
+    // has little structure to keep) - documents WHY the gate runs on
+    // the clustered corpus, and the rerank stays exact regardless
+    val (rp, mp, vp) = recallAt(plain, kDims = 16, mult = 4)
+    info(s"plain recall@10, 16 dims, mult=4: $rp (var ratio $vp)")
+    rp should be < 0.9
+    mp shouldBe 0L
+    // the check surface agrees on the clustered corpus
+    val row = Pca.pcaSearchCheck(clustered).head()
+    row.getBoolean(0) shouldBe true
+    row.getBoolean(1) shouldBe true
+  }
+
   test("project emits k-wide vectors and full-rank projection preserves " +
       "pairwise dot products") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
