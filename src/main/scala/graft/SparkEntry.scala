@@ -824,6 +824,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
     }),
+    // SEMANTIC decontamination: corpus docs whose embedding is within
+    // cosine 0.45 of any benchmark embedding drop — the paraphrase
+    // leak the n-gram filter (cur_contamination) cannot see. Cross-set
+    // LSH at the recall-1.0 config (32 planes × 16 bands, proven by
+    // sim_lsh_pairs) + exact verify == the oracle's exact-cosine filter.
+    "cur_semantic_decon" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Curation.semanticDecontaminate(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), 0.45)
+    }),
     // length-bucketed batch assembly (padding minimization): the
     // per-bucket enumeration runs the two-phase range exchange, never
     // a one-task-per-bucket window; the oracle IS that naive window
@@ -1991,6 +2003,24 @@ object SparkEntry {
            lang, count(*) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
          FROM b GROUP BY 1, 2""",
+    // exact-cosine cross filter: every corpus doc with a bench
+    // neighbor at rounded cosine >= 0.45 drops (the engine's banded
+    // path must reproduce the exact set)
+    "cur_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bench AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+         corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         dirty AS (
+           SELECT DISTINCT c.vec_id AS doc_id
+           FROM corp c JOIN bench b ON
+             round(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
+               6) >= 0.45)
+         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         FROM documents d
+         WHERE d.doc_id % 10 <> 0
+           AND d.doc_id NOT IN (SELECT doc_id FROM dirty)""",
     // the oracle is the naive per-bucket window formulation the
     // distributed enumeration must match row for row
     "cur_length_batches" ->

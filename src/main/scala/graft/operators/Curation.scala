@@ -299,6 +299,28 @@ object Curation {
         org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * complement of the n-gram [[decontaminate]]: drop corpus docs
+    * whose embedding is within cosine `threshold` of ANY benchmark
+    * embedding, catching paraphrased or re-worded eval leakage that
+    * shares no verbatim n-gram. Matching runs through
+    * [[Similarity.crossMatches]] — shared-hyperplane LSH buckets meet
+    * the two sets in an equi-join (the corpus never scans the bench
+    * set row by row), exact cosine verifies each candidate — then one
+    * anti join drops the matched doc ids. At the recall-1.0 LSH
+    * configuration the result equals the exact-cosine cross-pair
+    * filter (the gate's oracle).
+    */
+  def semanticDecontaminate(docs: DataFrame, corpusVecs: DataFrame,
+                            benchVecs: DataFrame, threshold: Double,
+                            numPlanes: Int = 32, bands: Int = 16,
+                            dim: Int = 64): DataFrame = {
+    val dirty = Similarity.crossMatches(corpusVecs, benchVecs, threshold,
+        numPlanes, bands, dim)
+      .select(col("id_a").as("doc_id")).distinct()
+    docs.join(dirty, Seq("doc_id"), "left_anti")
+  }
+
   /** Length-bucketed batch assembly — the padding-minimization step of
     * a training dataloader pipeline: docs group into fixed-width
     * token-length buckets (`bucket = n_tokens div bucketWidth`), and

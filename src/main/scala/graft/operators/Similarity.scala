@@ -493,6 +493,56 @@ object Similarity {
     * the bucketed pair generators. Each side's vector is fetched once
     * per surviving pair; precision is exact at any probing setting.
     */
+  /** Cross-SET near-match: every (left, right) pair with cosine ≥
+    * `threshold`, where the two sides are different tables (corpus vs
+    * benchmark embeddings — the semantic-decontamination shape; corpus
+    * vs yesterday's index — the incremental shape). Same machinery as
+    * [[lshPairs]] — shared hyperplanes sign both sides, candidates
+    * meet in a lean (band, bucket) equi-join across the sets (never a
+    * broadcast non-equi scan of corpus × bench), exact-cosine verify
+    * fetches each side's vector once per surviving candidate. At a
+    * recall-1.0 configuration the output equals the exact cross-pair
+    * set (spec-asserted; cross-set pairs draw from the same vector
+    * population the within-set recall measurement covers).
+    */
+  def crossMatches(left: DataFrame, right: DataFrame, threshold: Double,
+                   numPlanes: Int = 32, bands: Int = 16,
+                   dim: Int = 64): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val r = numPlanes / bands
+    def sigOf(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"),
+        lshSignature(col("embedding"), numPlanes, dim).as("sig"))
+    def bucketsOf(sig: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { bId =>
+        struct(lit(bId).as("band"),
+          shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1))
+            .as("bucket"))
+      }
+      sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    }
+    val ls = sigOf(spread(left))
+    val rs = sigOf(right)
+    val cand = bucketsOf(ls).as("a")
+      .join(bucketsOf(rs).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(ls.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(rs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   private def verifyCosine(cand: DataFrame, vecs: DataFrame,
                            threshold: Double): DataFrame = {
     val v = vecs.select(col("vec_id"), col("embedding"), col("nrm"))

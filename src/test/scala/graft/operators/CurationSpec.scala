@@ -184,6 +184,46 @@ class CurationSpec extends SparkSuite with Matchers {
     ps shouldBe (1L to 500L).toArray
   }
 
+  test("semanticDecontaminate drops exactly the corpus docs with a " +
+      "benchmark cosine neighbor (== brute-force reference)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val benchV = emb.filter(col("vec_id") % 10 === 0)
+    val corpV = emb.filter(col("vec_id") % 10 =!= 0)
+    def vecsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val bv = vecsOf(benchV); val cv = vecsOf(corpV)
+    val dirty = (for {
+      (cid, c) <- cv; (_, b) <- bv if cos(c, b) >= 0.45
+    } yield cid).toSet
+    dirty should not be empty // planted structure makes this non-vacuous
+    val expected = docs.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id").as[Long].collect().toSet -- dirty
+    val kept = Curation.semanticDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0), corpV, benchV, 0.45)
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe expected
+    // crossMatches itself equals the brute cross-pair set at the
+    // recall-1.0 config (pairs + exact cosines)
+    val brute = (for {
+      (cid, c) <- cv; (bid, b) <- bv
+      s = cos(c, b) if s >= 0.45
+    } yield (cid, bid, s)).toSet
+    Similarity.crossMatches(corpV, benchV, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet shouldBe brute
+  }
+
   test("lengthBatches equals the per-bucket window formulation, is " +
       "partition-invariant, and fills batches to size") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
