@@ -239,6 +239,68 @@ object SparkEntry {
       path
     })
 
+  /** Per-(JVM, sfDir) memo of the `lake_stats_skipping` gate's table:
+    * the Z-ordered events slice (same layout as `lake_zorder_roundtrip`
+    * — clustering is what makes per-file ranges narrow) plus its
+    * [[graft.util.Lake.buildFileStats]] manifest on (user_id, value).
+    * The gate reads a value range THROUGH the manifest — hash equality
+    * against the plain SQL filter proves skipping drops no rows; the
+    * file-pruning claim itself is spec-asserted in LakeSpec.
+    */
+  private val statsSkipMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def statsSkipGateTable(s: SparkSession, dir: String): String =
+    statsSkipMemo.computeIfAbsent(dir, _ => {
+      val t = tempIndexDir("graft-statsskip")
+      Tables.events(s, dir).select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(t)
+      graft.util.Lake.compactClustered(s, t, Seq("user_id", "value"),
+        targetFileMB = 1)
+      graft.util.Lake.buildFileStats(s, t, Seq("user_id", "value"))
+      t
+    })
+
+  /** Per-(JVM, sfDir) memo of the `q_distinct_store` gate's HLL
+    * distinct-count store: per-(event_type) user sketches built on the
+    * first event_id tercile, the other two folded in as ledgered
+    * appends — including a deliberate RE-delivery of shard `t1`, which
+    * the ledger must no-op. The gate then serves distinct counts from
+    * the store and checks them against the one-shot sketch (union
+    * additivity — must match exactly) and the exact distinct count
+    * (the 5% HLL error contract at lgK=12).
+    */
+  private val hllStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hllGateStore(s: SparkSession, dir: String): String =
+    hllStoreMemo.computeIfAbsent(dir, _ => {
+      val store = tempIndexDir("graft-hll-store")
+      val ev = Tables.events(s, dir)
+      val t = pmod(col("event_id"), lit(3))
+      Hll.buildDistinctStore(ev.filter(t === 0), Seq("event_type"), "user_id", store)
+      Hll.extendDistinctStore(ev.filter(t === 1), Seq("event_type"), "user_id",
+        store, shardId = Some("t1"))
+      Hll.extendDistinctStore(ev.filter(t === 2), Seq("event_type"), "user_id",
+        store, shardId = Some("t2"))
+      Hll.extendDistinctStore(ev.filter(t === 1), Seq("event_type"), "user_id",
+        store, shardId = Some("t1"))
+      store
+    })
+
+  /** Per-(JVM, sfDir) memo of the `text_search_*` gates' inverted
+    * index: postings built on the first doc_id tercile, the other two
+    * folded in as ledgered appends. Both search gates read the stored
+    * posting lists only — the corpus text is never rescanned.
+    */
+  private val textIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def textIndexGateStore(s: SparkSession, dir: String): String =
+    textIndexMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-text-index")
+      val docs = Tables.documents(s, dir)
+      val t = pmod(col("doc_id"), lit(3))
+      TextIndex.buildTextIndex(docs.filter(t === 0), idx)
+      TextIndex.extendTextIndex(docs.filter(t === 1), idx, shardId = Some("t1"))
+      TextIndex.extendTextIndex(docs.filter(t === 2), idx, shardId = Some("t2"))
+      idx
+    })
+
   /** Per-(JVM, sfDir, config) memo of TRAINED quantizers — coarse
     * centroids and refined PQ codebooks. Training is a deterministic
     * function of (corpus, nlist/m/k, iters), so memoizing changes no
@@ -469,6 +531,21 @@ object SparkEntry {
           .toDF()
           .withColumn("move", round(col("move"), 6)),
         stageKey = Some(s"$dir:events"))),
+    // the EWMA recurrence as the same custom-state streaming shape:
+    // the smoothed value survives micro-batch boundaries in GroupState
+    // and the chronological replay preserves per-key order, so the
+    // streamed rows equal the batch scan — the recursive-CTE oracle
+    // serves both executions.
+    "stream_ewma" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayAggregate(s, Tables.events(s, dir),
+        "ts", "event_id",
+        st => Alerts.ewmaStream(
+            Alerts.trades(st, "event_type", "ts", "event_id", "value"),
+            alpha = 0.2)
+          .toDF()
+          .select(col("symbol"), col("ts"), col("tie").as("event_id"),
+            col("price"), round(col("ewma"), 6).as("ewma")),
+        stageKey = Some(s"$dir:events"))),
     // the reference's TITLE feature as a real stream-STREAM join: two
     // independent file-stream sources over the same replay (A = even,
     // B = odd event_ids), watermarked band join via Medallion
@@ -528,6 +605,33 @@ object SparkEntry {
     // reads back exactly as the unclustered original
     "lake_zorder_roundtrip" -> ((s, dir) =>
       s.read.parquet(zorderGateTable(s, dir))),
+    // file-level data skipping (the Delta stats-pruning analogue):
+    // a value-range read THROUGH the _filestats manifest must equal
+    // the plain filter — files are pruned, rows are not. The manifest
+    // actually pruning files (not just passing them all) is
+    // spec-asserted in LakeSpec where file counts are visible.
+    "lake_stats_skipping" -> ((s, dir) =>
+      graft.util.Lake.readSkipping(s, statsSkipGateTable(s, dir),
+        "value", lit(30.0), lit(40.0))),
+    // incremental HLL distinct-count store: per-key estimates served
+    // from sketches (build + 2 ledgered extends + a re-delivered
+    // shard) must equal the one-shot sketch over everything (union
+    // additivity, exact equality) and sit within the lgK=12 error
+    // contract of the exact count. n_exact rows make the oracle
+    // non-vacuous; the ok_* columns carry the sketch contract.
+    "q_distinct_store" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fromStore = Hll.distinctCounts(s, hllGateStore(s, dir), Seq("event_type"))
+      val oneShot = Hll.distinctOneShot(ev, Seq("event_type"), "user_id")
+        .withColumnRenamed("n_distinct", "n_oneshot")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      fromStore.join(oneShot, "event_type").join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (col("n_distinct") === col("n_oneshot")).as("ok_merge"),
+          (abs(col("n_distinct") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("ok_err"))
+    }),
     // the README-declared silver dedup (§7 gap-closure) as a REAL
     // streaming query: every event arrives TWICE (input ∪ input) and
     // dropDuplicatesWithinWatermark must collapse each pair — the
@@ -572,6 +676,16 @@ object SparkEntry {
       Alerts.thresholdAlerts(Tables.events(s, dir),
           "event_type", "ts", "event_id", "value", minMove = 150.0)
         .withColumn("move", round(col("move"), 6))),
+    // EWMA smoothing — the other sequential per-key recurrence
+    // (e_i = p_i·α + e_{i-1}·(1−α)); same secondary-sort scan, same
+    // recursive-CTE oracle family. Both engines evaluate the raw IEEE
+    // recurrence in identical operation order ((1 - 0.2) computed, not
+    // a 0.8 literal), so round(6) at the edge is hash-safe.
+    "serve_ewma" -> ((s, dir) =>
+      Alerts.ewma(Tables.events(s, dir),
+          "event_type", "ts", "event_id", "value", alpha = 0.2)
+        .select(col("symbol"), col("ts"), col("tie").as("event_id"),
+          col("price"), round(col("ewma"), 6).as("ewma"))),
     // spread queries use daily candles: at sf0.001 the event stream is
     // too sparse for two symbols to share a 1-min window
     "serve_spread_by_window" -> ((s, dir) =>
@@ -901,6 +1015,17 @@ object SparkEntry {
     // reference.
     "text_bpe_apply" -> ((s, dir) =>
       TextOps.applyBpe(Tables.documents(s, dir), bpeGateModel(s, dir))),
+    // inverted text index (term → postings, build + 2 ledgered
+    // extends): searches read the stored posting lists only, never the
+    // corpus text. The AND search's distinct-term count must reproduce
+    // exact substring-membership SQL; posting-file pruning on the
+    // term-range layout is spec-asserted (TextOpsSpec).
+    "text_search_all" -> ((s, dir) =>
+      TextIndex.searchAll(s, textIndexGateStore(s, dir),
+        Seq("vector", "spark", "window", "merge"))),
+    "text_search_any" -> ((s, dir) =>
+      TextIndex.searchAny(s, textIndexGateStore(s, dir),
+        Seq("vector", "spark"))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
     "text_quality_flags" -> ((s, dir) => TextOps.qualityFlags(Tables.documents(s, dir))),
     // trained multinomial Naive Bayes (the fastText-style model filter
@@ -1234,6 +1359,28 @@ object SparkEntry {
     * in lockstep (one row per symbol per step), so its depth is the
     * largest per-symbol row count, not the table size.
     */
+  /** EWMA recurrence oracle (shared by the batch scan and the
+    * streamed GroupState execution): `(1 - 0.2)` is spelled as the
+    * same subtraction the engine computes so the doubles agree
+    * bitwise before the round-6 presentation edge.
+    */
+  private val ewmaSql =
+    """WITH RECURSIVE ev AS (
+         SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts,
+                event_id, value AS price,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+       walk(symbol, rn, ts, event_id, price, e) AS (
+         SELECT symbol, rn, ts, event_id, price, price
+         FROM ev WHERE rn = 1
+         UNION ALL
+         SELECT v.symbol, v.rn, v.ts, v.event_id, v.price,
+                v.price * 0.2 + w.e * (1 - 0.2)
+         FROM walk w JOIN ev v ON v.symbol = w.symbol AND v.rn = w.rn + 1)
+       SELECT symbol, ts, event_id, price, round(e, 6) AS ewma
+       FROM walk"""
+
   private val thresholdAlertsSql =
     """WITH RECURSIVE ev AS (
          SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts,
@@ -1490,6 +1637,22 @@ object SparkEntry {
          FROM ev WHERE vol > 0 GROUP BY 1, 2""",
     "lake_zorder_roundtrip" ->
       "SELECT event_id, user_id, value FROM events",
+    "lake_stats_skipping" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE value >= 30.0 AND value <= 40.0""",
+    // the ok_* columns are TRUE by the sketch contract (union
+    // additivity / the lgK=12 error bound); n_exact keeps the oracle
+    // anchored to real per-key cardinalities
+    "q_distinct_store" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         TRUE AS ok_merge, TRUE AS ok_err
+         FROM events GROUP BY 1""",
+    // EWMA recurrence re-derived row-by-row; (1 - 0.2) spelled as the
+    // same subtraction the engine computes so the doubles agree bitwise
+    "serve_ewma" -> ewmaSql,
+    // per-key order is preserved by the chronological replay, so the
+    // streamed recurrence shares the batch oracle
+    "stream_ewma" -> ewmaSql,
     "serve_latest_per_symbol" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
          FROM (SELECT *, row_number() OVER
@@ -2268,6 +2431,18 @@ object SparkEntry {
     // the streaming maintenance path reaches the same additive counts,
     // so the streamed model's predictions share the oracle too
     "stream_nb_model" -> naiveBayesOracleSql,
+    // membership via the same single-space tokenization the index
+    // stores; the engine side answers from posting lists only
+    "text_search_all" ->
+      """SELECT doc_id FROM documents
+         WHERE list_contains(string_split(text, ' '), 'vector')
+           AND list_contains(string_split(text, ' '), 'spark')
+           AND list_contains(string_split(text, ' '), 'window')
+           AND list_contains(string_split(text, ' '), 'merge')""",
+    "text_search_any" ->
+      """SELECT doc_id FROM documents
+         WHERE list_contains(string_split(text, ' '), 'vector')
+            OR list_contains(string_split(text, ' '), 'spark')""",
     "text_token_bpe" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,

@@ -109,6 +109,48 @@ object Alerts {
       .toDF()
   }
 
+  /** One EWMA output row per input trade. */
+  case class EwmaRow(symbol: String, ts: Timestamp, tie: Long,
+                     price: Double, ewma: Double)
+
+  /** Exponentially weighted moving average per key — the standard
+    * live-dashboard smoothing indicator (the EMA under MACD/signal
+    * lines) the reference's plotly panel would compute client-side,
+    * here as an engine operator over the full history.
+    *
+    * Per key in (ts, tie) order: `e_1 = p_1`;
+    * `e_i = p_i * alpha + e_{i-1} * (1 - alpha)`. Like the alert
+    * process this is a sequential recurrence (every row depends on the
+    * whole prefix), NOT a window aggregate — an exponential window
+    * frame does not exist in SQL engines — so it runs on the same
+    * secondary-sort skeleton as [[thresholdAlerts]]: one hash exchange
+    * on the key, spillable per-partition sort, lazy scan carrying one
+    * double per key. The raw IEEE recurrence is emitted (rounding
+    * inside the recurrence would compound); `1 - alpha` is computed,
+    * not a literal, so an oracle writing `(1 - a)` reproduces the
+    * bits. Resumable from `(ewma)` alone — the hot-key time-slice
+    * stitch described above applies unchanged.
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           priceCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"ewma: alpha out of (0,1]: $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    trades(df, keyCol, tsCol, tieCol, priceCol)
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("ts"), col("tie"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var e = 0.0
+        it.map { t =>
+          e = if (t.symbol != cur) { cur = t.symbol; t.price }
+              else t.price * alpha + e * (1 - alpha)
+          EwmaRow(t.symbol, t.ts, t.tie, t.price, e)
+        }
+      }
+      .toDF()
+  }
+
   /** Streaming execution of the same recurrence via
     * `flatMapGroupsWithState` (SURVEY §2.8's custom-state tool): the
     * reference price lives in `GroupState[RefState]` and survives
@@ -144,6 +186,40 @@ object Alerts {
             }
           }
           ref.foreach(r => state.update(RefState(r)))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of [[ewma]]: the smoothed value lives in
+    * `GroupState` (one double per key) and the recurrence resumes
+    * across micro-batches — `e` after a batch is all the state the
+    * process needs (same resumability that powers the hot-key stitch).
+    * Emits one row per input trade in the observing batch (append
+    * mode; EWMA rows are immutable facts). Same cross-batch per-key
+    * ordering contract as [[thresholdAlertsStream]].
+    */
+  def ewmaStream(input: Dataset[Trade], alpha: Double): Dataset[EwmaRow] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input.groupByKey(_.symbol)
+      .flatMapGroupsWithState[RefState, EwmaRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[Trade], state: GroupState[RefState]) =>
+          val sorted = rows.toIndexedSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            if (c != 0) c < 0 else a.tie < b.tie
+          }
+          val out = Seq.newBuilder[EwmaRow]
+          var e = state.getOption.map(_.ref)
+          sorted.foreach { t =>
+            val next = e match {
+              case None    => t.price
+              case Some(p) => t.price * alpha + p * (1 - alpha)
+            }
+            e = Some(next)
+            out += EwmaRow(sym, t.ts, t.tie, t.price, next)
+          }
+          e.foreach(v => state.update(RefState(v)))
           out.result().iterator
       }
   }

@@ -219,6 +219,133 @@ object Lake {
     (before.length, parquetFiles(new File(path)).length)
   }
 
+  // ── file-level stats index (data skipping) ────────────────────────
+  //
+  // Delta/Iceberg keep per-file column min/max in their transaction
+  // log and prune FILES from a scan before any footer is opened —
+  // "data skipping". Plain parquet only prunes ROW GROUPS, and only
+  // after paying an open+footer-read per file; at 100 TB with
+  // millions of files the opens dominate a selective query. This is
+  // the same observation behind Z-ordering ([[compactClustered]]):
+  // clustering makes per-file ranges NARROW, the stats index is what
+  // lets the planner USE those ranges without touching the files.
+  //
+  // The manifest is one tiny parquet table under `path/_filestats`
+  // (underscore → invisible to Spark's file index on the data dir):
+  // one row per data file with min/max per indexed column. One scan
+  // builds it (a groupBy on `_metadata.file_path` — Spark's file
+  // source exposes provenance without any UDF), and the skipping
+  // reader collects only the manifest (bounded by FILE COUNT, the
+  // same cardinality every Delta reader holds) to compute the
+  // surviving file list.
+
+  private def statsPath(path: String) = s"$path/_filestats"
+
+  /** Build (or rebuild) the per-file min/max manifest for `statsCols`
+    * over the parquet table at `path`. One distributed scan; the
+    * manifest is ~one row per data file. Returns the file count.
+    *
+    * Staleness contract: the manifest describes the files present at
+    * build time. [[readSkipping]] re-checks the live listing and
+    * REFUSES (throws) if data files exist that the manifest does not
+    * cover — an append without a rebuild fails loudly instead of
+    * silently dropping rows. (Delta avoids the race by committing
+    * stats and files in one log entry; on plain parquet rebuild-after-
+    * append is the contract, and the guard is what makes forgetting it
+    * an error rather than wrong answers.)
+    */
+  def buildFileStats(spark: SparkSession, path: String,
+                     statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "buildFileStats: no stats columns")
+    val df = spark.read.parquet(path)
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    val stats = df
+      .groupBy(col("_metadata.file_path").as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsPath(path))
+    spark.read.parquet(statsPath(path)).count()
+  }
+
+  /** Read `path` restricted to `lo <= predCol <= hi`, pruning whole
+    * FILES via the [[buildFileStats]] manifest before the scan: a file
+    * whose `[min, max]` range misses `[lo, hi]` is never opened. The
+    * residual predicate is still applied row-level (file ranges
+    * overlap the bounds, they don't prove membership). Files whose
+    * min/max are NULL (every row's `predCol` is NULL) are pruned —
+    * range predicates never match NULL.
+    *
+    * Throws if the manifest is missing or stale (live data files not
+    * covered by the manifest — see the staleness contract above).
+    *
+    * Scope: flat table layouts (the [[compactClustered]] target).
+    * Hive-partitioned layouts skip at the directory level through
+    * `PartitionFilters` already; per-file skipping composes with that
+    * by running this reader per partition directory.
+    */
+  def readSkipping(spark: SparkSession, path: String, predCol: String,
+                   lo: Column, hi: Column): DataFrame =
+    readPruned(spark, path,
+      keep = !(col(s"max_$predCol") < lo || col(s"min_$predCol") > hi),
+      pred = col(predCol) >= lo && col(predCol) <= hi)
+
+  /** [[readSkipping]] for a VALUE SET: keep files whose `[min, max]`
+    * range covers at least one probed value — the posting-list /
+    * point-lookup shape (`predCol IN (...)`). With values range-laid-
+    * out ([[compactClustered]] or a range-partitioned write), the
+    * surviving files track the probe's selectivity, not the table.
+    */
+  def readSkippingIn(spark: SparkSession, path: String, predCol: String,
+                     values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readSkippingIn: no probe values")
+    val vs = values.distinct
+    readPruned(spark, path,
+      keep = vs.map(v =>
+        col(s"min_$predCol") <= lit(v) && lit(v) <= col(s"max_$predCol"))
+        .reduce(_ || _),
+      pred = col(predCol).isin(vs: _*))
+  }
+
+  /** Shared skipping core: evaluate `keep` over the manifest, verify
+    * coverage of the live listing (staleness guard), scan only
+    * surviving files, apply the residual row predicate. Driver state
+    * is one (path, boolean) per data file — the same cardinality any
+    * parquet scan's file index already holds for the listing.
+    */
+  private def readPruned(spark: SparkSession, path: String,
+                         keep: Column, pred: Column): DataFrame = {
+    val sp = new org.apache.hadoop.fs.Path(statsPath(path))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sp),
+      s"readSkipping: no _filestats manifest at $path; run buildFileStats first")
+    val files = spark.read.parquet(statsPath(path))
+      .select(col("file_path"), keep.as("keep"))
+      .collect().map(r => (r.getString(0), !r.isNullAt(1) && r.getBoolean(1)))
+    val covered = files.map(_._1.replaceFirst("^file:", "")).toSet
+    val live = listDataFiles(new java.io.File(path))
+    val stale = live.filterNot(f => covered.contains(f.getAbsolutePath))
+    require(stale.isEmpty,
+      s"readSkipping: manifest at $path is STALE — ${stale.length} data " +
+        s"file(s) not covered (e.g. ${stale.head.getName}); rebuild with " +
+        "buildFileStats after appends")
+    val keepFiles = files.collect { case (f, true) => f }
+    if (keepFiles.isEmpty)
+      spark.read.parquet(path).filter(pred).filter(lit(false))
+    else
+      spark.read.parquet(keepFiles: _*).filter(pred)
+  }
+
+  /** Visible `.parquet` files under `dir`, recursively (shared with
+    * the compaction file census; dot/underscore names are metadata).
+    */
+  private def listDataFiles(dir: java.io.File): Array[java.io.File] = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    kids.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+      kids.filter(_.isDirectory).flatMap(listDataFiles)
+  }
+
   // ── applied-shard ledger ──────────────────────────────────────────
   //
   // The Delta `txn` action's idempotent-writer dedup on plain parquet:

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.rand
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSuite
@@ -118,6 +119,46 @@ class AlertsSpec extends SparkSuite with Matchers {
     q.stop()
   }
 
+  test("ewma matches a naive sequential per-key recompute, bit for bit") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 900).map { i =>
+      ("S" + rng.nextInt(4),
+        new Timestamp(1700000000000L + i * 1000L),
+        i.toLong, rng.nextDouble() * 400.0)
+    }
+    val df = rows.toDF("symbol", "ts", "event_id", "price")
+    val alpha = 0.3
+    val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2.getTime, r._3))
+      var e = 0.0
+      sorted.zipWithIndex.map { case ((sym, _, tie, p), i) =>
+        e = if (i == 0) p else p * alpha + e * (1 - alpha)
+        (sym, tie, e)
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = Alerts.ewma(df, "symbol", "ts", "event_id", "price", alpha)
+      .orderBy("symbol", "tie")
+      .select("symbol", "tie", "ewma")
+      .as[(String, Long, Double)].collect().toSeq
+    got shouldBe want // raw doubles: identical op order must mean identical bits
+  }
+
+  test("ewma is invariant to input order and partitioning") {
+    val rng = new scala.util.Random(29)
+    val rows = (1 to 500).map { i =>
+      ("S" + rng.nextInt(3),
+        new Timestamp(1700000000000L + i * 1000L),
+        i.toLong, rng.nextDouble() * 100.0)
+    }
+    val df = rows.toDF("symbol", "ts", "event_id", "price")
+    def run(d: DataFrame) =
+      Alerts.ewma(d, "symbol", "ts", "event_id", "price", 0.2)
+        .orderBy("symbol", "tie")
+        .select("symbol", "tie", "ewma")
+        .as[(String, Long, Double)].collect().toSeq
+    run(df.orderBy(rand(7)).repartition(7)) shouldBe run(df.coalesce(1))
+  }
+
   test("streamed alerts over a chronological replay equal the batch recurrence") {
     val rng = new scala.util.Random(11)
     val rows = (1 to 600).map { i =>
@@ -135,5 +176,27 @@ class AlertsSpec extends SparkSuite with Matchers {
       .select("trade_id", "price", "ref_price", "move")
       .as[(Long, Double, Double, Double)].collect().toSeq
     streamed shouldBe batch
+  }
+
+  test("streamed ewma over a chronological replay equals the batch scan") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 600).map { i =>
+      ("S" + rng.nextInt(3),
+        new Timestamp(1700000000000L + i * 1000L),
+        i.toLong, rng.nextDouble() * 400.0)
+    }
+    val df = rows.toDF("symbol", "ts", "event_id", "price")
+    val batch = Alerts.ewma(df, "symbol", "ts", "event_id", "price", 0.25)
+      .orderBy("symbol", "tie")
+      .select("symbol", "tie", "price", "ewma")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val streamed = graft.streaming.StreamedBatch.replayAggregate(
+        spark, df, "ts", "event_id",
+        st => Alerts.ewmaStream(
+          Alerts.trades(st, "symbol", "ts", "event_id", "price"), 0.25).toDF())
+      .orderBy("symbol", "tie")
+      .select("symbol", "tie", "price", "ewma")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    streamed shouldBe batch // cross-batch GroupState resumes the recurrence
   }
 }

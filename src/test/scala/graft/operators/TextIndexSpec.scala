@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSuite
+import graft.util.Tables
+
+class TextIndexSpec extends SparkSuite with Matchers {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private def bruteAll(terms: Seq[String]): Set[Long] =
+    docs.filter(terms.map(t =>
+        array_contains(split(col("text"), " "), t)).reduce(_ && _))
+      .select(col("doc_id")).as[Long].collect().toSet
+
+  test("searchAll == brute-force membership over the corpus") {
+    val idx = java.nio.file.Files.createTempDirectory("tidx-all").toString
+    TextIndex.buildTextIndex(docs, idx)
+    val terms = Seq("vector", "spark", "window")
+    TextIndex.searchAll(spark, idx, terms)
+      .as[Long].collect().toSet shouldBe bruteAll(terms)
+  }
+
+  test("searchAny == brute-force union; duplicate probe terms collapse") {
+    val idx = java.nio.file.Files.createTempDirectory("tidx-any").toString
+    TextIndex.buildTextIndex(docs, idx)
+    val want = docs.filter(
+        array_contains(split(col("text"), " "), "vector") ||
+        array_contains(split(col("text"), " "), "merge"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    TextIndex.searchAny(spark, idx, Seq("vector", "merge", "vector"))
+      .as[Long].collect().toSet shouldBe want
+    // AND with a repeated term must not demand multiplicity 2
+    TextIndex.searchAll(spark, idx, Seq("vector", "vector"))
+      .as[Long].collect().toSet shouldBe bruteAll(Seq("vector"))
+  }
+
+  test("build + ledgered extends == from-scratch index; re-delivery is a no-op") {
+    val idx = java.nio.file.Files.createTempDirectory("tidx-ext").toString
+    val t = pmod(col("doc_id"), lit(3))
+    TextIndex.buildTextIndex(docs.filter(t === 0), idx)
+    TextIndex.extendTextIndex(docs.filter(t === 1), idx, Some("s1"))
+    TextIndex.extendTextIndex(docs.filter(t === 2), idx, Some("s2"))
+    val rows = spark.read.parquet(s"$idx/data").count()
+    TextIndex.extendTextIndex(docs.filter(t === 1), idx, Some("s1"))
+    spark.read.parquet(s"$idx/data").count() shouldBe rows
+    val terms = Seq("spark", "batch")
+    TextIndex.searchAll(spark, idx, terms)
+      .as[Long].collect().toSet shouldBe bruteAll(terms)
+  }
+
+  test("a term probe opens only the files whose term range covers it") {
+    val idx = java.nio.file.Files.createTempDirectory("tidx-prune").toString
+    TextIndex.buildTextIndex(docs, idx, nFiles = 8)
+    val total = spark.read.parquet(s"$idx/data").inputFiles.length
+    total should be >= 4 // multiple vocabulary slices, else vacuous
+    // one term lives in one lexicographic slice: the manifest must
+    // prune the scan to a strict minority of the posting files
+    val probed = TextIndex.searchAny(spark, idx, Seq("spark")).inputFiles.length
+    probed should be < total / 2
+    probed should be >= 1
+  }
+
+  test("empty postings for unknown terms answer zero rows, zero matches") {
+    val idx = java.nio.file.Files.createTempDirectory("tidx-miss").toString
+    TextIndex.buildTextIndex(docs, idx)
+    TextIndex.searchAny(spark, idx, Seq("zzz_not_a_word")).count() shouldBe 0L
+    TextIndex.searchAll(spark, idx, Seq("spark", "zzz_not_a_word"))
+      .count() shouldBe 0L
+  }
+}

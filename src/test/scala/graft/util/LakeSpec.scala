@@ -183,6 +183,71 @@ class LakeSpec extends SparkSuite with Matchers {
     candidates.toDouble / nFiles should be < 0.5
   }
 
+  test("file-stats skipping: correct rows AND whole files pruned from the scan") {
+    val n = 600000L
+    val df = spark.range(n).select(
+      pmod(hash(col("id")), lit(10000)).cast("long").as("a"),
+      hash(col("id") + 11).cast("long").as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("lake-fstats").toString
+    df.write.mode("overwrite").parquet(dir)
+    Lake.compactClustered(spark, dir, Seq("a"), targetFileMB = 1)
+    val nFiles = Lake.buildFileStats(spark, dir, Seq("a"))
+    nFiles should be > 1L
+    val got = Lake.readSkipping(spark, dir, "a", lit(0L), lit(100L))
+    // answer equality vs the plain filter
+    val want = spark.read.parquet(dir).filter(col("a") >= 0 && col("a") <= 100)
+    got.count() shouldBe want.count()
+    got.agg(sum("a"), sum("payload")).collect() shouldBe
+      want.agg(sum("a"), sum("payload")).collect()
+    // the skipping reader's plan scans FEWER files than the table has:
+    // provenance of the surviving scan shows only covering files
+    import spark.implicits._
+    val scanned = got.select(col("_metadata.file_path")).distinct().count()
+    // relation file count, not distinct-in-result: read the plan's input
+    val inputFiles = got.inputFiles.length.toLong
+    inputFiles should be < nFiles
+    scanned should be <= inputFiles
+  }
+
+  test("file-stats skipping: empty survivor set still answers (zero rows)") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-fstats-empty").toString
+    spark.range(1000).select(col("id").as("a"))
+      .write.mode("overwrite").parquet(dir)
+    Lake.buildFileStats(spark, dir, Seq("a"))
+    Lake.readSkipping(spark, dir, "a", lit(5000L), lit(6000L)).count() shouldBe 0L
+  }
+
+  test("file-stats skipping refuses a stale manifest after an append") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-fstats-stale").toString
+    spark.range(1000).select(col("id").as("a"))
+      .write.mode("overwrite").parquet(dir)
+    Lake.buildFileStats(spark, dir, Seq("a"))
+    // an append the manifest does not know about must fail LOUDLY, not
+    // silently drop the appended rows from range reads
+    spark.range(1000, 2000).select(col("id").as("a"))
+      .write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Lake.readSkipping(spark, dir, "a", lit(0L), lit(5000L)).count()
+    }
+    e.getMessage should include("STALE")
+    // rebuild heals it and the appended rows are served
+    Lake.buildFileStats(spark, dir, Seq("a"))
+    Lake.readSkipping(spark, dir, "a", lit(0L), lit(5000L)).count() shouldBe 2000L
+  }
+
+  test("file-stats skipping prunes all-null files; null rows never match ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lake-fstats-null").toString
+    // file 1: real values; file 2: all-null stats column
+    Seq(1L, 2L, 3L).toDF("a").coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq.fill(3)(null.asInstanceOf[java.lang.Long]).toDF("a")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Lake.buildFileStats(spark, dir, Seq("a"))
+    val got = Lake.readSkipping(spark, dir, "a", lit(1L), lit(10L))
+    got.count() shouldBe 3L
+    got.inputFiles.length shouldBe 1 // the all-null file never opens
+  }
+
   test("compactClustered tolerates null and constant cluster columns") {
     val df = spark.range(10000).select(
       col("id"),
