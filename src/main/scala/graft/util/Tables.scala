@@ -15,17 +15,29 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long
-    * (legacy conf) and convert ns→µs with integer division (the ns epoch
-    * exceeds 2^53, so float division would lose precision). The driver
-    * data is µs-aligned, so this is lossless and matches DuckDB's
+  /** `events.ts` has shipped in two parquet layouts across driver
+    * rounds: TIMESTAMP(NANOS) (rounds ≤8), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as a raw long
+    * via the legacy conf and converted ns→µs with integer division
+    * (the ns epoch exceeds 2^53, so float division would lose
+    * precision); and plain TIMESTAMP(MICROS) without UTC adjustment
+    * (round 9+), which Spark reads natively as TIMESTAMP_NTZ. Branch
+    * on the inferred type so both layouts land on the same session-UTC
+    * TIMESTAMP column — lossless either way, matching DuckDB's
     * CAST(ts AS TIMESTAMP).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
