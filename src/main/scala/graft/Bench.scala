@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -57,7 +58,30 @@ object Bench {
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_cpu_sec":$cpu,"total_cpu_sec":${fmt(totalCpu)},""" +
       s""""cpus":$cpus,"sf":"$sfDir"}"""
-    println(json)
+    // the driver keeps only the LAST 2000 chars of output and parses the
+    // JSON line out of that tail; with 100+ queries the full per-query map
+    // is ~3.5 KB, so every round's `parsed` came back null (BENCH_r07/r08).
+    // Print a COMPACT line — headline query per family + totals — that fits
+    // the tail with room for sbt's closing "[success]" line, and keep the
+    // complete map in BENCH_SELF.json for the judge.
+    val headline = Seq(
+      "q1_pricing_summary", "q5_local_supplier", "q_profile_events",
+      "gold_candles_1m", "gold_vwap_true", "serve_latest_per_symbol",
+      "serve_spread_join", "stream_gold_candles_1m", "stream_spread_join",
+      "dedup_exact_rows", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "dedup_components", "sim_topk_bruteforce", "sim_topk_ivf",
+      "sim_topk_ivfpq", "sim_topk_ann_index", "sim_knn_join",
+      "text_token_stats", "text_tfidf_topterms", "text_bpe_merges",
+      "cur_shuffle", "cur_pipeline", "mm_image_decode")
+    val resMap = results.toMap
+    val hq = headline.flatMap(k => resMap.get(k).map(v => s"\"" + k + "\":" +
+      BigDecimal(v._1).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$hq,"total_cpu_sec":${fmt(totalCpu)},""" +
+      s""""n_queries":${results.size},"full":"BENCH_SELF.json",""" +
+      s""""cpus":$cpus,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
     // self-diagnosing output: BENCH_r05's `parsed` was null because the
     // driver failed to extract the JSON from the sbt tail (log lines can
@@ -65,7 +89,7 @@ object Bench {
     // when no executor/logging thread is writing — on a grep-stable
     // sentinel line, and persist a file copy the judge can always read.
     Console.out.flush()
-    println(s"GRAFT_BENCH_JSON $json")
+    println(s"GRAFT_BENCH_JSON $compact")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
         (json + "\n").getBytes("UTF-8"))
