@@ -44,13 +44,15 @@ object Pca {
     }
   }
 
-  /** Distributed one-pass covariance: per-partition partials of
-    * `[Σv (d), Σ v⊗v (d·d upper)]` — one fixed-size double array per
-    * partition whatever the row count — combined on the driver in
-    * partition-index order (deterministic for a fixed input layout).
-    * Returns (n, mean, population covariance).
+  /** Raw corpus moments `(n, acc)` with `acc = [Σv (d) | Σ v⊗v (d·d,
+    * upper triangle filled)]` — the MERGEABLE summary the whole PCA
+    * family reduces to: per-partition partials are one fixed-size
+    * double array each whatever the row count, combined on the driver
+    * in partition-index order (deterministic for a fixed input
+    * layout), and two corpora's moments combine by plain addition —
+    * which is what the incremental store exploits.
     */
-  private def covariance(emb: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
+  private def rawMoments(emb: DataFrame, vecCol: String): (Long, Int, Array[Double]) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(vecCol)).as[Array[Float]]
@@ -76,26 +78,32 @@ object Pca {
     require(partials.nonEmpty, "cannot fit PCA on an empty table")
     val d = partials.head._3
     val n = partials.map(_._2).sum
-    val sum = new Array[Double](d)
-    val prod = Array.ofDim[Double](d, d)
-    partials.foreach { case (_, _, pd, acc) =>
+    val acc = new Array[Double](d + d * d)
+    partials.foreach { case (_, _, pd, pacc) =>
       require(pd == d, "ragged embedding width across partitions")
       var i = 0
-      while (i < d) {
-        sum(i) += acc(i)
-        var j = i
-        while (j < d) { prod(i)(j) += acc(d + i * d + j); j += 1 }
-        i += 1
-      }
+      while (i < acc.length) { acc(i) += pacc(i); i += 1 }
     }
-    val mean = sum.map(_ / n)
+    (n, d, acc)
+  }
+
+  /** (n, mean, population covariance) from raw moments. */
+  private def momentsToCov(n: Long, d: Int,
+                           acc: Array[Double]): (Long, Array[Double], Array[Array[Double]]) = {
+    val mean = Array.tabulate(d)(i => acc(i) / n)
     // population covariance: C = E[v vᵀ] − mean meanᵀ, symmetrized
     val cov = Array.ofDim[Double](d, d)
     for (i <- 0 until d; j <- i until d) {
-      val c = prod(i)(j) / n - mean(i) * mean(j)
+      val c = acc(d + i * d + j) / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c
     }
     (n, mean, cov)
+  }
+
+  /** Distributed one-pass covariance — see [[rawMoments]]. */
+  private def covariance(emb: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
+    val (n, d, acc) = rawMoments(emb, vecCol)
+    momentsToCov(n, d, acc)
   }
 
   /** One-pass covariance fit + driver-side Jacobi eigendecomposition.
@@ -340,5 +348,128 @@ object Pca {
       java.util.List.of(Row(eigenOk, orthoOk, descOk, traceOk, losslessOk, ratioOk)),
       StructType(Seq("eigen_ok", "orthonormal_ok", "descending_ok", "trace_ok",
         "lossless_ok", "ratio_ok").map(StructField(_, BooleanType, nullable = false))))
+  }
+
+  // ── incremental moment store ────────────────────────────────────────
+  //
+  // PCA's sufficient statistics (n, Σv, Σv⊗v) are additive, so the
+  // model has the same build-once/fold-in-shards lifecycle as the
+  // vocab/NB/HLL stores: each shard contributes ONE moment row
+  // (d + d² doubles — bytes, not rows), re-delivery is a ledgered
+  // no-op, and refitting after an append is a driver-side
+  // eigendecomposition — the corpus is never rescanned.
+  //
+  //   <path>/moments/   (shard_id, n, d, acc array<double>)
+  //   <path>/_applied/  shard ledger (graft.util.Lake)
+
+  private def momentsPath(p: String) = s"$p/moments"
+
+  private def writeMomentShard(emb: DataFrame, path: String, shardId: String,
+                               vecCol: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (n, d, acc) = rawMoments(emb, vecCol)
+    Seq((shardId, n, d, acc.toSeq)).toDF("shard_id", "n", "d", "acc")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(momentsPath(path))
+  }
+
+  /** Initialize the moment store from the first corpus tranche. */
+  def buildMomentStore(emb: DataFrame, path: String,
+                       vecCol: String = "embedding"): Unit =
+    writeMomentShard(emb, path, "_base", vecCol)
+
+  /** Fold a new shard's moments into the store — one scan of the SHARD
+    * only (the indexed corpus is never re-read), one appended row.
+    * `shardId` makes a retried re-application a no-op instead of
+    * double-counted moments silently rotating every axis.
+    */
+  def extendMomentStore(emb: DataFrame, path: String,
+                        shardId: Option[String] = None,
+                        vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
+    writeMomentShard(emb, path, shardId.getOrElse("_anon"), vecCol)
+    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+  }
+
+  /** Combined store moments, shard rows summed in shard_id order —
+    * deterministic for a given shard SET, independent of append order
+    * or read partitioning. Returns (nShards, n, d, acc).
+    */
+  private def loadMoments(spark: SparkSession, path: String): (Int, Long, Int, Array[Double]) = {
+    val rows = spark.read.parquet(momentsPath(path)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getSeq[Double](3).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty moment store")
+    val d = rows.head._3
+    require(rows.forall(_._3 == d), "ragged embedding width across shards")
+    val acc = new Array[Double](d + d * d)
+    rows.foreach { case (_, _, _, a) =>
+      var i = 0
+      while (i < acc.length) { acc(i) += a(i); i += 1 }
+    }
+    (rows.length, rows.map(_._2).sum, d, acc)
+  }
+
+  /** Fit the PCA model from the stored moments alone — the refit a
+    * serving pipeline runs after each append: a d×d driver-side
+    * eigendecomposition, zero jobs over the corpus.
+    */
+  def fitFromStore(spark: SparkSession, path: String, k: Int): PcaModel = {
+    val (_, n, d, acc) = loadMoments(spark, path)
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val (_, mean, cov) = momentsToCov(n, d, acc)
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(i => (-values(i), i))
+    PcaModel(mean, order.take(k).map(i => vectors(i)).toArray,
+      order.map(values(_)).toArray, d)
+  }
+
+  /** Driver-visible contract of the incremental lifecycle, ONE row:
+    *
+    *  - `moments_match`: the store's combined (n, Σv, Σv⊗v) equal a
+    *    fresh full-corpus moment pass — n exactly, sums to 1e-9
+    *    relative (shard-wise and partition-wise float addition may
+    *    associate differently; the bound is ~1e3 ULPs, while a
+    *    double-counted or dropped shard is off by whole rows);
+    *  - `eigen_ok`: every axis of the store-fitted model satisfies
+    *    `C·w = λw` to 1e-6 against the covariance REBUILT from the
+    *    full corpus — the store-fit solves the corpus's eigenproblem,
+    *    not some drifted one;
+    *  - `orthonormal_ok`: max |WᵀW − I| ≤ 1e-8;
+    *  - `shards_ok`: the store holds exactly `expectShards` moment
+    *    rows — the re-delivered shard appended NOTHING (ledger
+    *    no-op), nothing was lost.
+    */
+  def incrementalCheck(emb: DataFrame, path: String, k: Int,
+                       expectShards: Int,
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val (nShards, n, d, acc) = loadMoments(spark, path)
+    val (fn, fd, facc) = rawMoments(emb, vecCol)
+    def rel(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(1d, math.max(math.abs(a), math.abs(b)))
+    val momentsMatch = n == fn && d == fd && acc.indices.forall(i => rel(acc(i), facc(i)))
+    val model = fitFromStore(spark, path, k)
+    val (_, _, cov) = momentsToCov(fn, fd, facc)
+    val eigenOk = model.components.zip(model.eigenvalues).forall { case (w, l) =>
+      (0 until d).map { i =>
+        math.abs((0 until d).map(j => cov(i)(j) * w(j)).sum - l * w(i))
+      }.max <= 1e-6
+    }
+    val orthoOk = {
+      var worst = 0d
+      for (a <- model.components.indices; b <- model.components.indices) {
+        val dot = (0 until d).map(i => model.components(a)(i) * model.components(b)(i)).sum
+        worst = math.max(worst, math.abs(dot - (if (a == b) 1d else 0d)))
+      }
+      worst <= 1e-8
+    }
+    spark.createDataFrame(
+      java.util.List.of(Row(momentsMatch, eigenOk, orthoOk, nShards == expectShards)),
+      StructType(Seq("moments_match", "eigen_ok", "orthonormal_ok", "shards_ok")
+        .map(StructField(_, BooleanType, nullable = false))))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -286,6 +286,13 @@ object TextOps {
   private def bpeMergesPath(p: String) = s"$p/merges"
   private def bpeWordsPath(p: String) = s"$p/words"
   private def bpeStatsPath(p: String) = s"$p/stats"
+
+  /** The stored segmentation cache `(word, n_seg)` — exposed so a gate
+    * harness can hand the trained model to an external oracle (the
+    * apply-side join is then independently recomputable outside Spark).
+    */
+  def bpeSegmentation(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(bpeWordsPath(path))
 
   /** One trained merge: `rank` is training order, `pair_count` the
     * (overlap-naive, standard) adjacent-pair count that won the argmax,

@@ -393,6 +393,73 @@ object StreamedBatch {
     }
   }
 
+  /** Replay an embeddings table as a file stream folding each
+    * micro-batch's PCA sufficient statistics into a persisted
+    * [[graft.operators.Pca]] moment store — continuous dimensionality-
+    * reduction maintenance: batch 0 initializes, later batches append
+    * their own (batch-id-ledgered) moment rows, so a Spark retry is a
+    * no-op instead of double-counted moments rotating every axis.
+    * Moments are additive, so refitting from the streamed store solves
+    * the same eigenproblem as a one-shot fit over everything streamed
+    * (gate-checked via [[graft.operators.Pca.incrementalCheck]]).
+    */
+  def replayIntoMomentStore(spark: SparkSession, input: DataFrame,
+                            orderCol: String, tieCol: String, storePath: String,
+                            chunks: Int = 3,
+                            stageKey: Option[String] = None): Unit = {
+    import graft.operators.Pca
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0) Pca.buildMomentStore(batch, storePath)
+          else Pca.extendMomentStore(batch, storePath,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
+  /** Replay `input` as a file stream folding each micro-batch's
+    * rank-spaced quantile summary into a persisted
+    * [[graft.operators.Quantiles]] store — continuous percentile
+    * maintenance: batch 0 initializes, later batches append their own
+    * (batch-id-ledgered) summary rows, so a Spark retry is a no-op
+    * instead of doubled weight shifting every served rank. Summaries
+    * merge by union, so serving from the streamed store carries the
+    * same Σrᵢ rank-error contract as the batch lifecycle
+    * ([[graft.operators.Quantiles.quantileCheck]]).
+    */
+  def replayIntoQuantileStore(spark: SparkSession, input: DataFrame,
+                              orderCol: String, tieCol: String,
+                              valueCol: String, storePath: String,
+                              chunks: Int = 3, eps: Double = 0.01,
+                              stageKey: Option[String] = None): Unit = {
+    import graft.operators.Quantiles
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0) Quantiles.buildQuantileStore(batch, valueCol, storePath, eps)
+          else Quantiles.extendQuantileStore(batch, valueCol, storePath,
+            shardId = Some(s"replay-batch-$id"), eps = eps)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —

@@ -20,11 +20,13 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
   test("registered gate count matches the declared coverage") {
     // bump alongside SURVEY.md §8 when adding gates — a mismatch means
     // either a silently-shadowed duplicate key or a stale coverage map
-    SparkEntry.queries.size shouldBe 122
-    // one fewer: text_bpe_apply serves a TRAINED tokenizer's
-    // segmentation — no SQL oracle can re-derive the merge table, so
-    // the driver records its documented rows-only check
-    SparkEntry.oracleSql.size shouldBe 121
+    SparkEntry.queries.size shouldBe 132
+    // text_bpe_apply's oracle embeds the TRAINED segmentation cache,
+    // so it exists only after a gate run trains the model in this JVM
+    // (Verify's dump order guarantees that); every other query must
+    // always carry an oracle
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    unoracled should (be(empty) or be(Set("text_bpe_apply")))
   }
 
   test("oracle SQL mentions only tables the testdata provides") {

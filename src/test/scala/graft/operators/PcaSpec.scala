@@ -106,4 +106,39 @@ class PcaSpec extends SparkSuite with Matchers {
     Pca.project(emb, Pca.fit(emb, k = 8)).head()
       .getSeq[Float](1).length shouldBe 8
   }
+
+  test("incremental moment store: lifecycle contract + ledger no-op") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("pca-spec-").toString
+    val t = pmod(col("vec_id"), lit(3))
+    Pca.buildMomentStore(emb.filter(t === 0), store)
+    Pca.extendMomentStore(emb.filter(t === 1), store, Some("t1"))
+    Pca.extendMomentStore(emb.filter(t === 2), store, Some("t2"))
+    Pca.extendMomentStore(emb.filter(t === 1), store, Some("t1")) // ledgered no-op
+    val row = Pca.incrementalCheck(emb, store, k = 16, expectShards = 3).head()
+    for (i <- 0 until 4) withClue(s"flag $i:") {
+      row.getBoolean(i) shouldBe true
+    }
+    // the store-fitted model matches the one-shot fit axis by axis up
+    // to sign (shard-wise float association differs only in last bits)
+    val fromStore = Pca.fitFromStore(spark, store, k = 4)
+    val oneShot = Pca.fit(emb, k = 4)
+    fromStore.components.zip(oneShot.components).foreach { case (a, b) =>
+      val dot = math.abs(a.zip(b).map { case (x, y) => x * y }.sum)
+      dot shouldBe 1d +- 1e-6
+    }
+  }
+
+  test("incremental store: non-vacuous — an unledgered double apply breaks the contract") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("pca-spec-").toString
+    val t = pmod(col("vec_id"), lit(2))
+    Pca.buildMomentStore(emb.filter(t === 0), store)
+    // a retry that BYPASSES the ledger double-counts the shard's
+    // moments — weight reconciliation must catch it
+    Pca.extendMomentStore(emb.filter(t === 1), store)
+    Pca.extendMomentStore(emb.filter(t === 1), store)
+    val row = Pca.incrementalCheck(emb, store, k = 4, expectShards = 3).head()
+    row.getBoolean(0) shouldBe false // moments_match
+  }
 }
