@@ -1332,6 +1332,14 @@ object SparkEntry {
     // half the budget — the gate is non-vacuous about the projection.
     "sim_topk_pca" -> ((s, dir) =>
       Pca.pcaSearchCheck(s.read.parquet(clusteredGateCorpus(s, dir)))),
+    // the at-scale composition: candidates from the trained-IVF cell
+    // equi-join in the 16-dim REDUCED space (distances d/k× cheaper,
+    // each query reading only its probed cells), exact full-space
+    // rerank — recall and rerank exactness gated on the clustered
+    // corpus, where both the projection and the trained quantizer
+    // have something real to preserve
+    "sim_topk_pca_ivf" -> ((s, dir) =>
+      Pca.pcaIvfCheck(s.read.parquet(clusteredGateCorpus(s, dir)))),
     // the INCREMENTAL PCA lifecycle: moment store built on tranche 1,
     // tranches 2-3 folded in as ledgered shard rows (re-delivered t1 a
     // no-op), model refit from the store with ZERO corpus rescans —
@@ -1359,6 +1367,16 @@ object SparkEntry {
     "sim_knn_join" -> ((s, dir) =>
       Similarity.knnJoin(Tables.embeddings(s, dir), 0.4, k = 3,
         numPlanes = 32, bands = 16)),
+    // cross-set kNN JOIN (new queries vs a frozen corpus — different
+    // tables on the two sides) at the same recall-1.0 config the
+    // within-set gates prove exact on this corpus
+    "sim_knn_cross" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnJoinCross(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        threshold = 0.4, k = 3, numPlanes = 32, bands = 16)
+    }),
     // the kNN join on MULTI-PROBE candidates at the strained half-width
     // config (16 planes × 8 bands, where single-probe provably thins
     // neighbor lists — spec-measured): distance-1 probing restores the
@@ -2848,6 +2866,10 @@ object SparkEntry {
     // brute-force reference)
     "sim_topk_pca" ->
       """SELECT true AS recall_ok, true AS cosines_exact""",
+    // the composed at-scale path (projection -> trained-IVF probe in
+    // reduced space -> exact full-space rerank): same contract shape
+    "sim_topk_pca_ivf" ->
+      """SELECT true AS recall_ok, true AS cosines_exact""",
     // IVF-PQ search contract: invariants when cell probing at nprobe=4
     // keeps recall >= 0.5 and the exact rerank holds (computed vs the
     // all-cells exact reference in-engine)
@@ -2904,6 +2926,23 @@ object SparkEntry {
     // pairs) and verification keeps precision exact — the same
     // exact-pairs SQL is the oracle with half the hyperplane budget
     "sim_lsh_multiprobe" -> exactCosinePairsSql,
+    // cross-set kNN at the recall-1.0 LSH config: the oracle is the
+    // exact query×corpus cosine ranking (queries = vec_id%5==0,
+    // corpus = the rest)
+    "sim_knn_cross" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
+               6) AS cos
+           FROM e a JOIN e b ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0)
+         SELECT query_id, neighbor_id, cos FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rn
+           FROM p WHERE cos >= 0.4)
+         WHERE rn <= 3""",
   ) ++ bpeApplyOracle
 
   /** DuckDB oracle for `text_bpe_apply`, built AFTER the queries run

@@ -236,12 +236,26 @@ object Pca {
     val top = cand.withColumn("r", row_number().over(w))
       .filter(col("r") <= mult * k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerankExact(top, emb, queries, k)
+  }
+
+  /** Exact full-space rerank of (query_id, neighbor_id) candidate
+    * pairs: fetch both sides' float vectors (candidate side keyed,
+    * query side broadcast), score exact cosine, keep the top k per
+    * query. Shared tail of every reduced-space candidate generator —
+    * emitted cosines are exact by construction, whatever produced the
+    * candidates.
+    */
+  private def rerankExact(cand: DataFrame, emb: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
     val full = emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("c_nrm"))
     val qs = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       VectorFunctions.norm(col("embedding")).as("q_nrm"))
-    val reranked = top.join(full, "neighbor_id").join(broadcast(qs), "query_id")
+    val reranked = cand.join(full, "neighbor_id").join(broadcast(qs), "query_id")
       .withColumn("cos", round(
         VectorFunctions.dot(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("c_nrm")), 6))
@@ -250,6 +264,68 @@ object Pca {
     reranked.withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** ANN through the reduction AT SCALE — the composition [[pcaTopK]]'s
+    * doc promises: project corpus and queries to `model.k` dims
+    * (map-only with broadcast components), bound candidate generation
+    * with [[Similarity.ivfTopK]]'s cell equi-join in REDUCED space —
+    * each probed distance is d/k× cheaper AND each query reads only its
+    * nprobe/nlist cell share, so the candidate stage is doubly bounded
+    * — then rerank the `mult·k` reduced-space survivors per query by
+    * exact FULL-space cosine. Emitted cosines are exact; only the
+    * candidate SET is approximate (projection loss × probe loss, both
+    * gated by [[pcaIvfCheck]]).
+    */
+  def pcaIvfTopK(emb: DataFrame, queries: DataFrame, model: PcaModel, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4, coarseIters: Int = 3,
+                 mult: Int = 8): DataFrame = {
+    val projAll = project(emb, model, projCol = "embedding")
+    val projQ = project(queries, model, projCol = "embedding")
+    val cand = Similarity.ivfTopK(projAll, projQ, mult * k,
+        nlist = nlist, nprobe = nprobe, coarseIters = coarseIters)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(cand, emb, queries, k)
+  }
+
+  /** Search-quality contract of [[pcaIvfTopK]] on a corpus, ONE
+    * invariant row mirroring [[pcaSearchCheck]]: recall@k against the
+    * exact full-space reference ≥ `minRecall` AND every emitted cosine
+    * equals the reference's — the composed pipeline (projection →
+    * trained-IVF probe → exact rerank) keeps the neighborhood, and the
+    * rerank really is exact.
+    *
+    * The probe budget is wider than full-space IVF's (nprobe 8/16 vs
+    * 4/16): the composition stacks projection loss on probe loss, and
+    * the reduced-space cell ranking is itself computed on projections.
+    * Defaults are calibrated on the clustered gate corpus at the
+    * verification scale (recall 0.96 at sf0.01, 1.0 at mult=16) — like
+    * `sim_topk_ivf`, the contract is a fixed-config empirical bar, and
+    * the at-scale remedy for a denser corpus is the same knob a real
+    * deployment turns: more probes or a larger rerank budget.
+    */
+  def pcaIvfCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
+                  nlist: Int = 16, nprobe: Int = 8, coarseIters: Int = 3,
+                  mult: Int = 8, minRecall: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = fit(emb, kDims)
+    val approx = pcaIvfTopK(emb, queries, model, k, nlist, nprobe, coarseIters, mult)
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+    val total = exact.count()
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+    val mismatches = approx.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+          col("cos").as("ref_cos")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("ref_cos")).count()
+    spark.createDataFrame(
+      java.util.List.of(Row(hits.toDouble >= minRecall * total, mismatches == 0L)),
+      StructType(Seq(
+        StructField("recall_ok", BooleanType, nullable = false),
+        StructField("cosines_exact", BooleanType, nullable = false))))
   }
 
   /** Search-quality contract of [[pcaTopK]] as ONE invariant row:

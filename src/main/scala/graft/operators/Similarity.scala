@@ -543,6 +543,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Cross-set kNN JOIN over the near-match band: for every LEFT
+    * vector, its k most similar RIGHT neighbors among pairs with
+    * cosine ≥ `threshold` — the serving shape of retrieval against a
+    * frozen corpus (new queries vs yesterday's index) where the two
+    * sides are different tables, in contrast to [[knnJoin]]'s
+    * self-join. Candidates come from [[crossMatches]]' lean
+    * (band, bucket) equi-join — never a query×corpus scan — and
+    * ranking is a per-query window over verified exact cosines (ties
+    * break by neighbor id). A query with no neighbor above the band
+    * emits nothing: "nearest near-matches", the same contract as
+    * [[knnJoin]].
+    */
+  def knnJoinCross(left: DataFrame, right: DataFrame, threshold: Double,
+                   k: Int, numPlanes: Int = 32, bands: Int = 16,
+                   dim: Int = 64): DataFrame = {
+    val pairs = crossMatches(left, right, threshold, numPlanes, bands, dim)
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
+        col("cos"))
+  }
+
   private def verifyCosine(cand: DataFrame, vecs: DataFrame,
                            threshold: Double): DataFrame = {
     val v = vecs.select(col("vec_id"), col("embedding"), col("nrm"))

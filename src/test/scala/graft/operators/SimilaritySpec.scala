@@ -90,6 +90,32 @@ class SimilaritySpec extends SparkSuite with Matchers {
     multi.exceptAll(exact).count() shouldBe 0
   }
 
+  test("knnJoinCross == exact cross ranking at the recall-1.0 config") {
+    val left = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val right = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val got = Similarity.knnJoinCross(left, right, threshold = 0.4, k = 3,
+        numPlanes = 32, bands = 16)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    // exact reference: every cross pair ≥ threshold, ranked per query
+    import graft.functions.VectorFunctions
+    val pairs = left.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), VectorFunctions.norm(col("embedding")).as("qn"))
+      .crossJoin(right.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), VectorFunctions.norm(col("embedding")).as("cn")))
+      .withColumn("cos", round(VectorFunctions.dot(col("qe"), col("ce")) /
+        (col("qn") * col("cn")), 6))
+      .filter(col("cos") >= 0.4)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val want = pairs.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (-r._3, r._2)).take(3)
+    }.toSet
+    got shouldBe want
+    // sides really are disjoint tables: no self pairs possible
+    got.foreach { case (q, nb, _) => q % 5 shouldBe 0L; nb % 5 should not be 0L }
+  }
+
   test("lshSignature rejects more than 64 planes (bits pack into one long)") {
     an[IllegalArgumentException] should be thrownBy
       Similarity.lshPairs(emb, 0.4, numPlanes = 96, bands = 24)
