@@ -1106,6 +1106,13 @@ object SparkEntry {
     // reference.
     "text_bpe_apply" -> ((s, dir) =>
       TextOps.applyBpe(Tables.documents(s, dir), bpeGateModel(s, dir))),
+    // exact top-20 bigrams through the bounded-memory sketch-then-
+    // recount two-pass: the 768-counter sketch EVICTS on this corpus
+    // (916 distinct bigrams at sf0.01) yet the completeness bound
+    // (k-th count > N/769) guarantees the exact answer — which is why
+    // the plain GROUP-BY oracle can hash-match a sketch-fed result
+    "text_heavy_ngrams" -> ((s, dir) =>
+      TextOps.heavyNgrams(Tables.documents(s, dir))),
     // inverted text index (term → postings, build + 2 ledgered
     // extends): searches read the stored posting lists only, never the
     // corpus text. The AND search's distinct-term count must reproduce
@@ -2574,6 +2581,12 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE list_contains(string_split(text, ' '), 'vector')
             OR list_contains(string_split(text, ' '), 'spark')""",
+    "text_heavy_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT toks[i] || ' ' || toks[i+1] AS ngram
+               FROM t, unnest(range(1, len(toks))) AS u(i)),
+         c AS (SELECT ngram, count(*) AS cnt FROM b GROUP BY ngram)
+         SELECT ngram, cnt FROM c ORDER BY cnt DESC, ngram LIMIT 20""",
     "text_token_bpe" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,

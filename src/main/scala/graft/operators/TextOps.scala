@@ -294,6 +294,44 @@ object TextOps {
   def bpeSegmentation(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(bpeWordsPath(path))
 
+  /** EXACT top-k most frequent n-grams via the sketch-then-recount
+    * two-pass — the shape that answers "what are the corpus's dominant
+    * phrases" over 100 TB without shuffling every distinct n-gram:
+    *
+    *  1. one [[FreqSketch.MisraGries]] pass with `capacity` counters —
+    *     only capacity-entry maps cross the (single-key) shuffle, and
+    *     the mergeable-summaries bound guarantees every n-gram with
+    *     true count > N/(capacity+1) survives as a candidate whatever
+    *     partition order the partials merged in;
+    *  2. one exact recount of the ≤ capacity candidates (an `isin`
+    *     pushdown filter, then a tiny groupBy) and a k-row take.
+    *
+    * The result is provably the exact top-k whenever the k-th true
+    * count exceeds N/(capacity+1) — on corpora where it doesn't, the
+    * remedy is a larger capacity, not a rescan (the spec asserts the
+    * condition holds at gate scale AND that the sketch really evicts,
+    * i.e. capacity < distinct n-grams — the claim is about the sketch,
+    * not a disguised exact groupBy). Ties at the k-th count break by
+    * n-gram text, deterministically.
+    */
+  def heavyNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
+                  capacity: Int = 768): DataFrame = {
+    require(n >= 1 && k >= 1 && capacity >= k)
+    val toks = split(col("text"), " ")
+    val grams = docs.select(explode_outer(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      ).as("ngram"))
+      .filter(col("ngram").isNotNull)
+    val mg = udaf(new FreqSketch.MisraGries(capacity))
+    val cands = grams.agg(mg(col("ngram")).as("sk")).head()
+      .getMap[String, Long](0).keys.toSeq
+    grams.filter(col("ngram").isin(cands: _*))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(k)
+  }
+
   /** One trained merge: `rank` is training order, `pair_count` the
     * (overlap-naive, standard) adjacent-pair count that won the argmax,
     * `applied_count` how many merges actually applied corpus-wide

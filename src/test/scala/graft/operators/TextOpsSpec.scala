@@ -332,4 +332,34 @@ class TextOpsSpec extends SparkSuite with Matchers {
     // 6 bigrams, each unique
     r(1) shouldBe ((2L, 6L, 1L, 0.166667, 1.0))
   }
+
+  test("heavyNgrams: sketch-then-recount equals the exact top-k, and the " +
+      "gate config is a REAL sketch with a holding completeness bound") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = corpus.select(explode(expr(
+        "transform(sequence(1, size(split(text,' ')) - 1)," +
+          " i -> concat_ws(' ', element_at(split(text,' '), i)," +
+          " element_at(split(text,' '), i + 1)))")).as("ngram"))
+    val exact = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    val nDistinct = exact.count()
+    val total = grams.count()
+    val want = exact.orderBy(col("cnt").desc, col("ngram")).limit(20)
+      .as[(String, Long)].collect().toSeq
+    // same capacity the gate uses: it must really evict at this scale
+    val capacity = 768
+    withClue("config must exercise eviction (capacity < distinct): ") {
+      assert(capacity < nDistinct)
+    }
+    withClue("completeness bound must hold (kth count > N/(cap+1)): ") {
+      assert(want.last._2 > total.toDouble / (capacity + 1))
+    }
+    val got = TextOps.heavyNgrams(corpus, n = 2, k = 20, capacity = capacity)
+      .as[(String, Long)].collect().toSeq
+    got shouldBe want
+    // partition-layout invariance of the FINAL answer (candidate sets
+    // may differ; the completeness bound makes the top-k stable)
+    val got2 = TextOps.heavyNgrams(corpus.repartition(13), n = 2, k = 20,
+      capacity = capacity).as[(String, Long)].collect().toSeq
+    got2 shouldBe want
+  }
 }
