@@ -1106,6 +1106,20 @@ object SparkEntry {
     // reference.
     "text_bpe_apply" -> ((s, dir) =>
       TextOps.applyBpe(Tables.documents(s, dir), bpeGateModel(s, dir))),
+    // the shipped artifact of an LLM data pipeline: per document, the
+    // ordered token-id array under the trained model (segmentation
+    // cache join + vocabulary join; order rebuilt by a grouped
+    // array_sort, never a global window). The oracle re-derives the
+    // whole encoding in DuckDB from the dumped model artifacts; the
+    // gate projects the sequence as a CSV string + length because the
+    // comparator's hashing is proven on scalars, not array columns —
+    // the digest pins identical order and content
+    "text_bpe_encode" -> ((s, dir) =>
+      TextOps.encodeBpe(Tables.documents(s, dir), bpeGateModel(s, dir))
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("token_ids"), i => i.cast("string")))
+            .as("token_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))),
     // exact top-20 bigrams through the bounded-memory sketch-then-
     // recount two-pass: the 768-counter sketch EVICTS on this corpus
     // (916 distinct bigrams at sf0.01) yet the completeness bound
@@ -2956,49 +2970,89 @@ object SparkEntry {
                        ORDER BY cos DESC, neighbor_id) AS rn
            FROM p WHERE cos >= 0.4)
          WHERE rn <= 3""",
-  ) ++ bpeApplyOracle
+  ) ++ bpeOracles
 
-  /** DuckDB oracle for `text_bpe_apply`, built AFTER the queries run
-    * (Verify dumps `oracleSql` last, while the session is still up):
-    * the trained segmentation cache — the model artifact the serving
-    * join reads — is embedded as a VALUES table, and DuckDB then
-    * independently pre-tokenizes `documents` with the same (RE2-safe)
-    * regex, joins the cache, and aggregates per doc. Non-vacuous: the
-    * oracle recomputes the whole APPLY computation from raw text; only
-    * the model itself is taken as input (its training is separately
-    * gated by `text_bpe_merges`' reconciliation invariants and the
-    * sequential-reference spec). Empty when no model was trained in
-    * this JVM — the driver then falls back to its rows-only check,
-    * exactly the pre-oracle behavior.
+  /** DuckDB oracles for `text_bpe_apply`/`text_bpe_encode`, built
+    * AFTER the queries run (Verify dumps `oracleSql` last, while the
+    * session is still up): the trained model's artifacts — the
+    * segmentation cache and the serving vocabulary, exactly what the
+    * serving joins read — are embedded as VALUES tables, and DuckDB
+    * then independently pre-tokenizes `documents` with the same
+    * (RE2-safe) regex, joins them, and rebuilds the per-doc answers.
+    * Non-vacuous: the oracles recompute the whole APPLY/ENCODE
+    * computations from raw text; only the model itself is taken as
+    * input (its training is separately gated by `text_bpe_merges`'
+    * reconciliation invariants and the sequential-reference spec).
+    * Empty when no model was trained in this JVM — the driver then
+    * falls back to its rows-only checks, exactly the pre-oracle
+    * behavior.
     */
-  private def bpeApplyOracle: Map[String, String] =
+  private def bpeOracles: Map[String, String] =
     (for {
       path <- { val it = bpeMemo.values().iterator()
                 if (it.hasNext) Some(it.next()) else None }
       spark <- SparkSession.getActiveSession
         .orElse(SparkSession.getDefaultSession)
       rows <- scala.util.Try(
-        TextOps.bpeSegmentation(spark, path).collect()
-          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+        TextOps.bpeSegmentation(spark, path)
+          .select("word", "n_seg", "segs").collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            r.getSeq[String](2).toSeq)).sortBy(_._1).toSeq
       ).toOption
-      if rows.nonEmpty
+      vocab <- scala.util.Try(
+        TextOps.bpeVocab(spark, path).collect()
+          .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2).toSeq
+      ).toOption
+      if rows.nonEmpty && vocab.nonEmpty
     } yield {
-      val values = rows.map { case (w, n) =>
-        s"('${w.replace("'", "''")}', $n)"
+      def q(s: String) = s"'${s.replace("'", "''")}'"
+      val applyValues = rows.map { case (w, n, _) => s"(${q(w)}, $n)" }
+        .mkString(", ")
+      val segValues = rows.map { case (w, _, sg) =>
+        s"(${q(w)}, [${sg.map(q).mkString(", ")}])"
       }.mkString(", ")
-      Map("text_bpe_apply" ->
-        s"""WITH cache(word, n_seg) AS (VALUES $values),
-           tok AS (SELECT doc_id,
-                     unnest(regexp_extract_all(text, '${TextOps.bpePattern}')) AS word
-                   FROM documents),
-           agg AS (SELECT t.doc_id,
-                     sum(coalesce(c.n_seg, length(t.word))) AS nb,
-                     count(*) AS np
-                   FROM tok t LEFT JOIN cache c USING (word)
-                   GROUP BY t.doc_id)
-           SELECT d.doc_id,
-             CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bpe_tokens,
-             CAST(coalesce(a.np, 0) AS BIGINT) AS n_pretokens
-           FROM documents d LEFT JOIN agg a USING (doc_id)""")
+      val vocabValues = vocab.map { case (s, i) => s"(${q(s)}, $i)" }
+        .mkString(", ")
+      val pat = TextOps.bpePattern
+      Map(
+        "text_bpe_apply" ->
+          s"""WITH cache(word, n_seg) AS (VALUES $applyValues),
+             tok AS (SELECT doc_id,
+                       unnest(regexp_extract_all(text, '$pat')) AS word
+                     FROM documents),
+             agg AS (SELECT t.doc_id,
+                       sum(coalesce(c.n_seg, length(t.word))) AS nb,
+                       count(*) AS np
+                     FROM tok t LEFT JOIN cache c USING (word)
+                     GROUP BY t.doc_id)
+             SELECT d.doc_id,
+               CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bpe_tokens,
+               CAST(coalesce(a.np, 0) AS BIGINT) AS n_pretokens
+             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "text_bpe_encode" ->
+          s"""WITH cache(word, segs) AS (VALUES $segValues),
+             vocab(symbol, id) AS (VALUES $vocabValues),
+             tok AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS ws
+                     FROM documents),
+             pre AS (SELECT doc_id, i AS pos, ws[i] AS word
+                     FROM tok, unnest(range(1, len(ws)+1)) AS u(i)),
+             wseg AS (SELECT doc_id, pos,
+                        coalesce(c.segs,
+                          list_transform(range(1, length(word)+1),
+                            i -> word[i:i])) AS sgs
+                      FROM pre LEFT JOIN cache c USING (word)),
+             seg AS (SELECT doc_id, pos, j AS idx, sgs[j] AS symbol
+                     FROM wseg, unnest(range(1, len(sgs)+1)) AS v(j)),
+             ids AS (SELECT doc_id, pos, idx,
+                       CAST(coalesce(vc.id, -1) AS INT) AS tid
+                     FROM seg LEFT JOIN vocab vc USING (symbol)),
+             agg AS (SELECT doc_id, list(tid ORDER BY pos, idx) AS token_ids
+                     FROM ids GROUP BY doc_id)
+             SELECT d.doc_id,
+               coalesce(array_to_string(
+                 list_transform(a.token_ids, x -> CAST(x AS VARCHAR)), ','),
+                 '') AS token_csv,
+               CAST(coalesce(len(a.token_ids), 0) AS BIGINT) AS n_tokens
+             FROM documents d LEFT JOIN agg a USING (doc_id)""")
     }).getOrElse(Map.empty)
 }

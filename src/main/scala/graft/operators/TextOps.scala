@@ -286,13 +286,59 @@ object TextOps {
   private def bpeMergesPath(p: String) = s"$p/merges"
   private def bpeWordsPath(p: String) = s"$p/words"
   private def bpeStatsPath(p: String) = s"$p/stats"
+  private def bpeVocabPath(p: String) = s"$p/vocab"
 
-  /** The stored segmentation cache `(word, n_seg)` — exposed so a gate
-    * harness can hand the trained model to an external oracle (the
-    * apply-side join is then independently recomputable outside Spark).
+  /** The stored segmentation cache `(word, n_seg, segs)` — exposed so
+    * a gate harness can hand the trained model to an external oracle
+    * (the apply/encode joins are then independently recomputable
+    * outside Spark).
     */
   def bpeSegmentation(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(bpeWordsPath(path))
+
+  /** The stored serving vocabulary `(symbol, id)` — dense lexicographic
+    * ids over the trained model's final segments.
+    */
+  def bpeVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(bpeVocabPath(path))
+
+  /** Tokenize `docs` to TRAINING TOKEN IDS with the trained model —
+    * the artifact an LLM data pipeline actually ships: per document,
+    * the ordered `array<int>` of vocabulary ids. Plan shape mirrors
+    * [[applyBpe]] (pre-token equi-join against the segmentation cache;
+    * old text never re-segmented) plus a symbol→id join against the
+    * stored vocabulary; token order is recovered with an
+    * `array_sort(struct(pre-token pos, segment idx, id))` per document
+    * — a grouped aggregation, never a global window.
+    *
+    * Unseen words fall back to per-character symbols ([[applyBpe]]'s
+    * contract); characters outside the vocabulary encode as id −1
+    * (documented OOV sentinel — a real deployment grows the vocab or
+    * byte-fallbacks; the sentinel keeps the encoding total and
+    * deterministic). Documents with no pre-tokens emit an empty array.
+    */
+  def encodeBpe(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val segs = spark.read.parquet(bpeWordsPath(path)).select("word", "segs")
+    val vocab = bpeVocab(spark, path)
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    val pre = docs.select(col("doc_id"),
+      posexplode_outer(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .as(Seq("pos", "word")))
+    val toks = pre.join(segs, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        posexplode(coalesce(col("segs"), chars)).as(Seq("idx", "symbol")))
+    val ids = toks.join(vocab, Seq("symbol"), "left")
+      .select(col("doc_id"), col("pos"), col("idx"),
+        coalesce(col("id"), lit(-1)).cast("int").as("tid"))
+    val agg = ids.groupBy("doc_id").agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("idx"), col("tid")))),
+        s => s.getField("tid")).as("token_ids"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"))
+  }
 
   /** EXACT top-k most frequent n-grams via the sketch-then-recount
     * two-pass — the shape that answers "what are the corpus's dominant
@@ -413,9 +459,21 @@ object TextOps {
     merges.toSeq.toDF()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(bpeMergesPath(path))
-    words.select(col("word"), size(col("seg")).cast("long").as("n_seg"))
+    // the cache keeps the final segment ARRAYS, not just their counts:
+    // [[applyBpe]] reads n_seg; [[encodeBpe]] needs the symbols
+    words.select(col("word"), size(col("seg")).cast("long").as("n_seg"),
+        col("seg").as("segs"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(bpeWordsPath(path))
+    // serving vocabulary: every final segment symbol with a dense id in
+    // lexicographic order — a deterministic function of the trained
+    // cache, so re-training reproduces identical ids. Bounded driver
+    // state: distinct final segments (≤ alphabet + merges).
+    val symbols = words.select(explode(col("seg")).as("symbol")).distinct()
+      .collect().map(_.getString(0)).sorted
+    symbols.zipWithIndex.toSeq.toDF("symbol", "id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bpeVocabPath(path))
     Seq(initialSymbols).toDF("initial_symbols")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(bpeStatsPath(path))

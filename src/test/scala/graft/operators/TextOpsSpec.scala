@@ -266,10 +266,42 @@ class TextOpsSpec extends SparkSuite with Matchers {
       .orderBy("rank")
       .as[(Int, String, String, String, Long, Long)].collect()
     stored.toSeq shouldBe exp
-    // stored segmentation cache equals the reference's final segment counts
+    // stored segmentation cache equals the reference's final segment
+    // counts AND arrays
     val words = spark.read.parquet(s"$path/words")
-      .as[(String, Long)].collect().toMap
+      .select("word", "n_seg").as[(String, Long)].collect().toMap
     words shouldBe expSegs.map { case (w, s) => w -> s.length.toLong }
+    val arrays = spark.read.parquet(s"$path/words")
+      .select("word", "segs").as[(String, Seq[String])].collect().toMap
+    arrays shouldBe expSegs.map { case (w, s) => w -> s.toSeq }
+  }
+
+  test("encodeBpe emits ordered vocabulary ids; unseen chars encode as -1") {
+    val texts = Seq("ab ab ab cd cd", "ab cd ab", "abab cdcd")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val path = tmpModelDir()
+    TextOps.trainBpe(d, path, nMerges = 4)
+    val (_, segs) = seqBpe(texts, 4, 2)
+    // the stored vocabulary: dense lexicographic ids over final segments
+    val symbols = segs.values.flatten.toSeq.distinct.sorted
+    val vocabIds = symbols.zipWithIndex.toMap
+    spark.read.parquet(s"$path/vocab").as[(String, Int)].collect()
+      .toMap shouldBe vocabIds
+    val got = TextOps.encodeBpe(d, path).orderBy("doc_id")
+      .as[(Long, Seq[Int])].collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = seqPreTokens(t).flatMap(w => segs(w)).map(vocabIds)
+      got(i) shouldBe ((i.toLong, want))
+    }
+    // unseen word: char fallback, and chars outside the vocab are -1
+    val unseen = Seq((9L, "zb")).toDF("doc_id", "text")
+    val ids = TextOps.encodeBpe(unseen, path).as[(Long, Seq[Int])].head()._2
+    ids.length shouldBe 2
+    ids.head shouldBe -1 // 'z' never seen
+    ids(1) shouldBe vocabIds.getOrElse("b", -1)
+    // empty doc: empty array, not a dropped row
+    TextOps.encodeBpe(Seq((7L, "")).toDF("doc_id", "text"), path)
+      .as[(Long, Seq[Int])].head() shouldBe ((7L, Seq.empty[Int]))
   }
 
   test("applyBpe: per-doc counts match the reference; unseen words fall back to chars") {

@@ -22,6 +22,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         if str(df[c].dtype) in ("float32",):
             df[c] = df[c].astype("float64")
+        if str(df[c].dtype) == "object":
+            # array cells (numpy arrays / lists) are unhashable and break
+            # sort_values; freeze them to tuples
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                and not isinstance(v, (str, bytes)) else
+                (tuple(v) if isinstance(v, list) else v))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
