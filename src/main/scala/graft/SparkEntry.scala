@@ -1120,6 +1120,19 @@ object SparkEntry {
           concat_ws(",", transform(col("token_ids"), i => i.cast("string")))
             .as("token_csv"),
           size(col("token_ids")).cast("long").as("n_tokens"))),
+    // the END of the LLM-data assembly line: raw text -> trained
+    // tokenizer -> ordered ids -> fixed-length training sequences
+    // (docs in doc_id order, -2 separators, 128-id chunks, last
+    // partial kept). Global positions via the two-phase enumeration,
+    // never a one-task window; the oracle rebuilds the identical
+    // stream in DuckDB from the dumped model artifacts.
+    "text_pack_ids" -> ((s, dir) =>
+      TextOps.packTokenIds(Tables.documents(s, dir), bpeGateModel(s, dir),
+          seqLen = 128)
+        .select(col("seq_id"),
+          concat_ws(",", transform(col("token_ids"), i => i.cast("string")))
+            .as("token_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))),
     // exact top-20 bigrams through the bounded-memory sketch-then-
     // recount two-pass: the 768-counter sketch EVICTS on this corpus
     // (916 distinct bigrams at sf0.01) yet the completeness bound
@@ -3053,6 +3066,42 @@ object SparkEntry {
                  list_transform(a.token_ids, x -> CAST(x AS VARCHAR)), ','),
                  '') AS token_csv,
                CAST(coalesce(len(a.token_ids), 0) AS BIGINT) AS n_tokens
-             FROM documents d LEFT JOIN agg a USING (doc_id)""")
+             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "text_pack_ids" ->
+          s"""WITH cache(word, segs) AS (VALUES $segValues),
+             vocab(symbol, id) AS (VALUES $vocabValues),
+             tok AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS ws
+                     FROM documents),
+             pre AS (SELECT doc_id, i AS pos, ws[i] AS word
+                     FROM tok, unnest(range(1, len(ws)+1)) AS u(i)),
+             wseg AS (SELECT doc_id, pos,
+                        coalesce(c.segs,
+                          list_transform(range(1, length(word)+1),
+                            i -> word[i:i])) AS sgs
+                      FROM pre LEFT JOIN cache c USING (word)),
+             seg AS (SELECT doc_id, pos, j AS idx, sgs[j] AS symbol
+                     FROM wseg, unnest(range(1, len(sgs)+1)) AS v(j)),
+             idt AS (SELECT doc_id, pos, idx,
+                       CAST(coalesce(vc.id, -1) AS INT) AS tid
+                     FROM seg LEFT JOIN vocab vc USING (symbol)),
+             agg AS (SELECT doc_id, list(tid ORDER BY pos, idx) AS token_ids
+                     FROM idt GROUP BY doc_id),
+             withsep AS (SELECT d.doc_id,
+                        coalesce(a.token_ids, CAST([] AS INT[]))
+                          || [CAST(-2 AS INT)] AS ids
+                      FROM documents d LEFT JOIN agg a USING (doc_id)),
+             flat AS (SELECT doc_id, j, ids[j] AS tid
+                      FROM withsep, unnest(range(1, len(ids)+1)) AS w(j)),
+             ordered AS (SELECT tid,
+                        row_number() OVER (ORDER BY doc_id, j) - 1 AS gpos
+                      FROM flat),
+             seqs AS (SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+                        list(tid ORDER BY gpos) AS s
+                      FROM ordered GROUP BY 1)
+             SELECT seq_id,
+               array_to_string(list_transform(s, x -> CAST(x AS VARCHAR)), ',')
+                 AS token_csv,
+               CAST(len(s) AS BIGINT) AS n_tokens
+             FROM seqs""")
     }).getOrElse(Map.empty)
 }

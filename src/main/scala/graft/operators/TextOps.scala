@@ -340,6 +340,61 @@ object TextOps {
         coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"))
   }
 
+  /** Pack the encoded corpus into fixed-length TRAINING SEQUENCES —
+    * the artifact that actually feeds a trainer: documents in
+    * deterministic doc_id order, each document's [[encodeBpe]] ids
+    * followed by `sepId` (distinct from the −1 OOV sentinel), the
+    * whole token stream chunked into `seqLen`-id sequences with the
+    * final partial kept. Returns `(seq_id, token_ids array<int>)`.
+    *
+    * Scale shape: global token positions come from the two-phase
+    * range-exchange enumeration (per-partition token counts → driver
+    * prefix → map), NEVER a one-task global window — the
+    * [[graft.operators.Curation.shufflePositions]] discipline. The
+    * one full-stream exchange is the `groupBy(seq_id)` that assembles
+    * sequences — inherent to repacking (every token changes container)
+    * — and per-group state is bounded by `seqLen`.
+    */
+  def packTokenIds(docs: DataFrame, path: String, seqLen: Int,
+                   sepId: Int = -2): DataFrame = {
+    require(seqLen >= 2, "seqLen must be at least 2")
+    val spark = docs.sparkSession
+    val enc = encodeBpe(docs, path).select(col("doc_id"),
+      concat(col("token_ids"), array(lit(sepId).cast("int"))).as("ids"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // ONE .rdd materialization: the range exchange's bounds are sampled
+    // once inside this RDD's shuffle dependency and its map output is
+    // reused by both actions below, so the count pass and the emit pass
+    // see identical partitioning (the shufflePositions correctness
+    // argument)
+    val rdd = enc.repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id").rdd
+    // bounded driver data: one long per partition (token counts)
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var t = 0L
+      while (it.hasNext) { t += it.next().getSeq[Int](1).size.toLong }
+      Iterator((i, t))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val tokRows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var pos = offsets(i)
+      it.flatMap { r =>
+        r.getSeq[Int](1).iterator.map { id =>
+          val p = pos; pos += 1
+          org.apache.spark.sql.Row(p / seqLen, p % seqLen, id)
+        }
+      }
+    }
+    import org.apache.spark.sql.types._
+    val flat = spark.createDataFrame(tokRows, StructType(Seq(
+      StructField("seq_id", LongType, nullable = false),
+      StructField("off", LongType, nullable = false),
+      StructField("tid", IntegerType, nullable = false))))
+    flat.groupBy("seq_id").agg(
+      transform(array_sort(collect_list(struct(col("off"), col("tid")))),
+        s => s.getField("tid")).as("token_ids"))
+  }
+
   /** EXACT top-k most frequent n-grams via the sketch-then-recount
     * two-pass — the shape that answers "what are the corpus's dominant
     * phrases" over 100 TB without shuffling every distinct n-gram:

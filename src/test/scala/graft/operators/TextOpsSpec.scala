@@ -304,6 +304,31 @@ class TextOpsSpec extends SparkSuite with Matchers {
       .as[(Long, Seq[Int])].head() shouldBe ((7L, Seq.empty[Int]))
   }
 
+  test("packTokenIds chunks the separated id stream; partial tail kept; " +
+      "layout-invariant") {
+    val texts = Seq("ab ab ab cd cd", "ab cd ab", "abab cdcd", "cd")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val path = tmpModelDir()
+    TextOps.trainBpe(d, path, nMerges = 4)
+    // the reference stream: per-doc encoded ids + the -2 separator,
+    // docs in doc_id order, chunked to seqLen
+    val encoded = TextOps.encodeBpe(d, path).orderBy("doc_id")
+      .as[(Long, Seq[Int])].collect()
+    val stream = encoded.flatMap { case (_, ids) => ids :+ -2 }
+    val seqLen = 5
+    val want = stream.grouped(seqLen).zipWithIndex
+      .map { case (s, i) => (i.toLong, s.toSeq) }.toSeq
+    val got = TextOps.packTokenIds(d, path, seqLen).orderBy("seq_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    got shouldBe want
+    // last sequence is the partial tail unless the stream divides evenly
+    got.last._2.length shouldBe (stream.length - 1) % seqLen + 1
+    // deterministic under a different input layout
+    val got2 = TextOps.packTokenIds(d.repartition(7), path, seqLen)
+      .orderBy("seq_id").as[(Long, Seq[Int])].collect().toSeq
+    got2 shouldBe want
+  }
+
   test("applyBpe: per-doc counts match the reference; unseen words fall back to chars") {
     val texts = Seq("ab ab ab cd cd", "ab cd ab", "abab cdcd")
     val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
