@@ -306,10 +306,11 @@ object Pca {
     */
   def pcaIvfCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
                   nlist: Int = 16, nprobe: Int = 8, coarseIters: Int = 3,
-                  mult: Int = 8, minRecall: Double = 0.9): DataFrame = {
+                  mult: Int = 8, minRecall: Double = 0.9,
+                  modelOpt: Option[PcaModel] = None): DataFrame = {
     val spark = emb.sparkSession
     val queries = emb.filter(col("vec_id") < 5)
-    val model = fit(emb, kDims)
+    val model = modelOpt.getOrElse(fit(emb, kDims))
     val approx = pcaIvfTopK(emb, queries, model, k, nlist, nprobe, coarseIters, mult)
     val exact = Similarity.bruteForceTopK(emb, queries, k)
     val total = exact.count()
@@ -336,10 +337,11 @@ object Pca {
     * approximate). Driver state: two counts.
     */
   def pcaSearchCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
-                     mult: Int = 8, minRecall: Double = 0.9): DataFrame = {
+                     mult: Int = 8, minRecall: Double = 0.9,
+                     modelOpt: Option[PcaModel] = None): DataFrame = {
     val spark = emb.sparkSession
     val queries = emb.filter(col("vec_id") < 5)
-    val model = fit(emb, kDims)
+    val model = modelOpt.getOrElse(fit(emb, kDims))
     val approx = pcaTopK(emb, queries, model, k, mult)
     val exact = Similarity.bruteForceTopK(emb, queries, k)
     val total = exact.count()
