@@ -80,6 +80,32 @@ class QuantilesSpec extends SparkSuite with Matchers {
     assert(!row.getBoolean(0), "weights_ok must fail on doubled weight")
   }
 
+  test("store maintenance composes: Lake.compact consolidates shard files, " +
+      "answers and ledger unchanged") {
+    val df = corpus(3000)
+    val store = tempStore()
+    Quantiles.buildQuantileStore(df.filter($"id" % 3 === 0), "value", store)
+    Quantiles.extendQuantileStore(df.filter($"id" % 3 === 1), "value", store, Some("t1"))
+    Quantiles.extendQuantileStore(df.filter($"id" % 3 === 2), "value", store, Some("t2"))
+    def served() = Quantiles.quantilesFromStore(spark, store, Seq(0.25, 0.5, 0.75))
+      .select($"q", $"value").as[(Double, Double)].collect().toMap
+    val before = served()
+    def files() = new java.io.File(s"$store/summary").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    files() should be >= 3 // one file per shard accretes
+    // daily-cadence maintenance: compact the summary dir in place
+    graft.util.Lake.compact(spark, s"$store/summary", targetFileMB = 128)
+    files() shouldBe 1
+    served() shouldBe before
+    val row = Quantiles.quantileCheck(df, "value", store,
+      qs = Seq(0.01, 0.5, 0.99), expectShards = 3).head()
+    (0 until 4).foreach(i => assert(row.getBoolean(i), s"flag $i"))
+    // the ledger survives compaction: a re-delivered shard is still a no-op
+    Quantiles.extendQuantileStore(df.filter($"id" % 3 === 1), "value", store, Some("t1"))
+    Quantiles.quantileCheck(df, "value", store, qs = Seq(0.5), expectShards = 3)
+      .head().getBoolean(0) shouldBe true
+  }
+
   test("summary size is bounded by ~1/eps per shard, not by rows") {
     val df = corpus(4000)
     val store = tempStore()
