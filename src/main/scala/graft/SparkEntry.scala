@@ -432,6 +432,13 @@ object SparkEntry {
     // to that tranche
     "gold_candles_time_travel" -> ((s, dir) =>
       Candles.candlesFromStore(s, candleGateStore(s, dir), asOf = Some(0))),
+    // change data feed between store generations (Delta table_changes
+    // analog): generation 0 holds tranche 1, the newest holds 1∪2, so
+    // the oracle recomputes both states from events and diffs them —
+    // inserts (windows born in tranche 2) and updates (windows tranche
+    // 2 touched), with full before/after values
+    "gold_candles_cdf" -> ((s, dir) =>
+      Candles.candleStoreChanges(s, candleGateStore(s, dir), fromGen = 0)),
     "gold_vwap_typed" -> ((s, dir) => {
       val vwap = udaf(VwapAggregator)
       val ev = Tables.events(s, dir)
@@ -1735,6 +1742,35 @@ object SparkEntry {
     // generation-0 snapshot == candles over the build tranche only
     "gold_candles_time_travel" ->
       goldCandlesSqlOver("(SELECT * FROM events WHERE event_id % 3 = 1)"),
+    // the change feed between generation 0 (tranche 1) and the newest
+    // (tranches 1∪2): both states recomputed from events, full-outer
+    // diffed on the candle key with null-safe field comparison —
+    // exactly the engine's construction
+    "gold_candles_cdf" -> {
+      val a = goldCandlesSqlOver("(SELECT * FROM events WHERE event_id % 3 = 1)")
+      val b = goldCandlesSqlOver("(SELECT * FROM events WHERE event_id % 3 IN (1, 2))")
+      s"""WITH a AS ($a), b AS ($b)
+         SELECT coalesce(a.window_start, b.window_start) AS window_start,
+           coalesce(a.symbol, b.symbol) AS symbol,
+           CASE WHEN a.trade_count IS NULL THEN 'insert'
+                WHEN b.trade_count IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           a.open AS before_open, a.high AS before_high,
+           a.low AS before_low, a.close AS before_close,
+           a.trade_count AS before_trade_count, a.vwap AS before_vwap,
+           b.open AS after_open, b.high AS after_high,
+           b.low AS after_low, b.close AS after_close,
+           b.trade_count AS after_trade_count, b.vwap AS after_vwap
+         FROM a FULL JOIN b
+           ON a.window_start = b.window_start AND a.symbol = b.symbol
+         WHERE a.trade_count IS NULL OR b.trade_count IS NULL
+            OR a.open IS DISTINCT FROM b.open
+            OR a.high IS DISTINCT FROM b.high
+            OR a.low IS DISTINCT FROM b.low
+            OR a.close IS DISTINCT FROM b.close
+            OR a.trade_count IS DISTINCT FROM b.trade_count
+            OR a.vwap IS DISTINCT FROM b.vwap"""
+    },
     // and so must the update-mode upsert lifecycle — live windows
     // included, hence no watermark-finalization filter
     "stream_candles_update" -> goldCandlesSql,

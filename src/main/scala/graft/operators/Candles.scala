@@ -437,6 +437,40 @@ object Candles {
     finalizeCandles(
       storedPartials(spark, path, readState(spark, path, asOf), None).drop("p_date"))
 
+  /** Change data feed between two committed store generations — the
+    * Delta `table_changes()` analog on the manifest-generation store:
+    * one row per (window_start, symbol) whose candle DIFFERS between
+    * `fromGen` and `toGen` (newest when None), typed
+    * insert/update/delete with flattened before/after values. A
+    * downstream consumer replays exactly the deltas instead of
+    * re-reading the table — the incremental-consumption contract CDC
+    * exists for.
+    *
+    * Plan shape: two generation reads (each partition-pruned by its
+    * manifest), one full-outer join on the candle key, a null-safe
+    * field comparison — no window, no collect. Unchanged keys drop
+    * out; `fromGen` newer than `toGen` yields the reverse feed
+    * (inserts become deletes), which is what a rollback replays.
+    */
+  def candleStoreChanges(spark: org.apache.spark.sql.SparkSession,
+                         path: String, fromGen: Int,
+                         toGen: Option[Int] = None): DataFrame = {
+    val vals = Seq("open", "high", "low", "close", "trade_count", "vwap")
+    def side(g: Option[Int], p: String) =
+      candlesFromStore(spark, path, g).select(
+        Seq(col("window_start"), col("symbol")) ++
+          vals.map(c => col(c).as(s"${p}_$c")): _*)
+    val joined = side(Some(fromGen), "before")
+      .join(side(toGen, "after"), Seq("window_start", "symbol"), "full_outer")
+    val changed = vals.map(c =>
+      not(col(s"before_$c") <=> col(s"after_$c"))).reduce(_ || _)
+    joined.withColumn("change_type",
+        when(col("before_trade_count").isNull, lit("insert"))
+          .when(col("after_trade_count").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+  }
+
   /** Read-only merge view: candles over store ∪ an unapplied shard —
     * what a serving query returns between shard arrivals and store
     * updates. Untouched dates stream map-only through finalize (union

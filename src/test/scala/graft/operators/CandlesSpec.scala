@@ -267,6 +267,35 @@ class CandlesSpec extends SparkSuite with Matchers {
       Candles.candlesFromStore(spark, store, asOf = Some(0)).collect()
   }
 
+  test("candleStoreChanges: typed insert/update feed between generations; " +
+      "reverse diff flips inserts to deletes; unchanged keys drop out") {
+    val store = java.nio.file.Files.createTempDirectory("candle-cdf").toString
+    def shard(rows: (Long, String, String, Double)*) =
+      rows.map { case (id, t, sym, p) => (id, ts(t), sym, p) }
+        .toDF("event_id", "ts", "event_type", "value")
+    // gen 0: BTC 10:00 and ETH 10:00
+    Candles.buildCandleStore(shard(
+      (1L, "2026-01-01 10:00:05", "BTC", 100.0),
+      (2L, "2026-01-01 10:00:15", "ETH", 10.0)), store)
+    // gen 1: touches BTC 10:00 (update) and creates BTC 10:01 (insert);
+    // ETH untouched — must NOT appear in the feed
+    Candles.updateCandleStore(shard(
+      (3L, "2026-01-01 10:00:40", "BTC", 104.0),
+      (4L, "2026-01-01 10:01:10", "BTC", 110.0)), store)
+    val feed = Candles.candleStoreChanges(spark, store, fromGen = 0)
+      .select("symbol", "window_start", "change_type",
+        "before_trade_count", "after_trade_count")
+      .as[(String, java.sql.Timestamp, String, Option[Long], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2.getTime)).toSeq
+    feed.map(r => (r._1, r._3, r._4, r._5)) shouldBe Seq(
+      ("BTC", "update", Some(1L), Some(2L)),
+      ("BTC", "insert", None, Some(1L)))
+    // rollback direction: the reverse feed mirrors the forward one
+    val rev = Candles.candleStoreChanges(spark, store, fromGen = 1, toGen = Some(0))
+      .select("change_type").as[String].collect().sorted.toSeq
+    rev shouldBe Seq("delete", "update")
+  }
+
   test("vwapTrue weights by volume") {
     val df = Seq(
       (ts("2026-01-01 10:00:05"), "BTC", 100.0, 1.0),
