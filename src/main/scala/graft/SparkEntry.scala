@@ -1081,6 +1081,23 @@ object SparkEntry {
     // formulation — the scalable plan must reproduce it exactly
     "cur_length_batches" -> ((s, dir) =>
       Curation.lengthBatches(Tables.documents(s, dir))),
+    // the END-TO-END product: semantic decontamination + length floor,
+    // then the surviving docs encode with the trained tokenizer and
+    // pack into 128-id training sequences — curation and tokenization
+    // composed in one plan, the whole chain re-derived in DuckDB
+    "cur_pipeline4" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val kept = Curation.semanticDecontaminate(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), 0.45)
+        .filter(col("n_chars") >= 400)
+      TextOps.packTokenIds(kept, bpeGateModel(s, dir), seqLen = 128)
+        .select(col("seq_id"),
+          concat_ws(",", transform(col("token_ids"), i => i.cast("string")))
+            .as("token_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+    }),
     // the learned-filter pipeline: a Naive Bayes model trained on the
     // labeled split classifies the WHOLE corpus; docs whose prediction
     // disagrees with their recorded label (or agrees without
@@ -3170,38 +3187,68 @@ object SparkEntry {
         "text_pack_ids" ->
           s"""WITH cache(word, segs) AS (VALUES $segValues),
              vocab(symbol, id) AS (VALUES $vocabValues),
-             tok AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS ws
-                     FROM documents),
-             pre AS (SELECT doc_id, i AS pos, ws[i] AS word
-                     FROM tok, unnest(range(1, len(ws)+1)) AS u(i)),
-             wseg AS (SELECT doc_id, pos,
-                        coalesce(c.segs,
-                          list_transform(range(1, length(word)+1),
-                            i -> word[i:i])) AS sgs
-                      FROM pre LEFT JOIN cache c USING (word)),
-             seg AS (SELECT doc_id, pos, j AS idx, sgs[j] AS symbol
-                     FROM wseg, unnest(range(1, len(sgs)+1)) AS v(j)),
-             idt AS (SELECT doc_id, pos, idx,
-                       CAST(coalesce(vc.id, -1) AS INT) AS tid
-                     FROM seg LEFT JOIN vocab vc USING (symbol)),
-             agg AS (SELECT doc_id, list(tid ORDER BY pos, idx) AS token_ids
-                     FROM idt GROUP BY doc_id),
-             withsep AS (SELECT d.doc_id,
-                        coalesce(a.token_ids, CAST([] AS INT[]))
-                          || [CAST(-2 AS INT)] AS ids
-                      FROM documents d LEFT JOIN agg a USING (doc_id)),
-             flat AS (SELECT doc_id, j, ids[j] AS tid
-                      FROM withsep, unnest(range(1, len(ids)+1)) AS w(j)),
-             ordered AS (SELECT tid,
-                        row_number() OVER (ORDER BY doc_id, j) - 1 AS gpos
-                      FROM flat),
-             seqs AS (SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
-                        list(tid ORDER BY gpos) AS s
-                      FROM ordered GROUP BY 1)
-             SELECT seq_id,
-               array_to_string(list_transform(s, x -> CAST(x AS VARCHAR)), ',')
-                 AS token_csv,
-               CAST(len(s) AS BIGINT) AS n_tokens
-             FROM seqs""")
+             ${packChainSql("documents")}""",
+        // the END-TO-END curation+tokenization pipeline: semantic
+        // decontamination (exact cross-cosine — the LSH path's proven
+        // oracle) + a length floor, then the SAME encode+pack chain
+        // over the surviving docs
+        "cur_pipeline4" ->
+          s"""WITH cache(word, segs) AS (VALUES $segValues),
+             vocab(symbol, id) AS (VALUES $vocabValues),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             bench AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+             corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+             dirty AS (
+               SELECT DISTINCT c.vec_id AS doc_id
+               FROM corp c JOIN bench b ON
+                 round(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * b.v[i]))
+                   / (sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i])))
+                    * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
+                   6) >= 0.45),
+             kept AS (SELECT d.doc_id, d.text
+                      FROM documents d
+                      WHERE d.doc_id % 10 <> 0 AND d.n_chars >= 400
+                        AND d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+             ${packChainSql("kept")}""")
     }).getOrElse(Map.empty)
+
+  /** The encode→separate→enumerate→chunk oracle chain over a given
+    * document source CTE/table — shared by `text_pack_ids` (whole
+    * corpus) and `cur_pipeline4` (the curated subset). Assumes `cache`
+    * and `vocab` CTEs are already in scope.
+    */
+  private def packChainSql(src: String): String =
+    s"""tok AS (SELECT doc_id, regexp_extract_all(text, '${TextOps.bpePattern}') AS ws
+                 FROM $src),
+       pre AS (SELECT doc_id, i AS pos, ws[i] AS word
+               FROM tok, unnest(range(1, len(ws)+1)) AS u(i)),
+       wseg AS (SELECT doc_id, pos,
+                  coalesce(c.segs,
+                    list_transform(range(1, length(word)+1),
+                      i -> word[i:i])) AS sgs
+                FROM pre LEFT JOIN cache c USING (word)),
+       seg AS (SELECT doc_id, pos, j AS idx, sgs[j] AS symbol
+               FROM wseg, unnest(range(1, len(sgs)+1)) AS v(j)),
+       idt AS (SELECT doc_id, pos, idx,
+                 CAST(coalesce(vc.id, -1) AS INT) AS tid
+               FROM seg LEFT JOIN vocab vc USING (symbol)),
+       agg AS (SELECT doc_id, list(tid ORDER BY pos, idx) AS token_ids
+               FROM idt GROUP BY doc_id),
+       withsep AS (SELECT d.doc_id,
+                  coalesce(a.token_ids, CAST([] AS INT[]))
+                    || [CAST(-2 AS INT)] AS ids
+                FROM $src d LEFT JOIN agg a USING (doc_id)),
+       flat AS (SELECT doc_id, j, ids[j] AS tid
+                FROM withsep, unnest(range(1, len(ids)+1)) AS w(j)),
+       ordered AS (SELECT tid,
+                  row_number() OVER (ORDER BY doc_id, j) - 1 AS gpos
+                FROM flat),
+       seqs AS (SELECT CAST(gpos // 128 AS BIGINT) AS seq_id,
+                  list(tid ORDER BY gpos) AS s
+                FROM ordered GROUP BY 1)
+       SELECT seq_id,
+         array_to_string(list_transform(s, x -> CAST(x AS VARCHAR)), ',')
+           AS token_csv,
+         CAST(len(s) AS BIGINT) AS n_tokens
+       FROM seqs"""
 }

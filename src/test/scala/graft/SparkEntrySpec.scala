@@ -20,14 +20,15 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
   test("registered gate count matches the declared coverage") {
     // bump alongside SURVEY.md §8 when adding gates — a mismatch means
     // either a silently-shadowed duplicate key or a stale coverage map
-    SparkEntry.queries.size shouldBe 139
-    // the text_bpe_apply/encode/pack oracles embed the TRAINED model
+    SparkEntry.queries.size shouldBe 140
+    // the BPE-model-dependent oracles embed the TRAINED model
     // artifacts, so they exist only after a gate run trains the model
     // in this JVM (Verify's dump order guarantees that); every other
     // query must always carry an oracle
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     unoracled should (be(empty) or
-      be(Set("text_bpe_apply", "text_bpe_encode", "text_pack_ids")))
+      be(Set("text_bpe_apply", "text_bpe_encode", "text_pack_ids",
+        "cur_pipeline4")))
   }
 
   test("oracle SQL mentions only tables the testdata provides") {
