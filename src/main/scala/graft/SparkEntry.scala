@@ -794,6 +794,12 @@ object SparkEntry {
     "serve_spread_join" -> ((s, dir) =>
       Serving.spreadJoin(Candles.ohlcv(Tables.events(s, dir), "1 day",
         tieCol = Some("event_id")), "click", "purchase")),
+    // the title feature end to end: spreads filtered to actionable
+    // opportunities (≥ 3000 bps of mid) with the buy side called out
+    "serve_arbitrage_ops" -> ((s, dir) =>
+      Serving.arbitrageOpportunities(Candles.ohlcv(Tables.events(s, dir),
+        "1 day", tieCol = Some("event_id")), "click", "purchase",
+        minBps = 3000)),
     // custom whole-operator: sort-free top-k per key (logical node +
     // strategy + two bounded-heap physical phases)
     "serve_topk_per_key" -> ((s, dir) =>
@@ -2001,6 +2007,28 @@ object SparkEntry {
            round(a.close - b.close, 6) AS spread
          FROM c a JOIN c b ON a.window_start = b.window_start
          WHERE a.symbol = 'click' AND b.symbol = 'purchase'""",
+    // same join, opportunity-filtered with the relative magnitude and
+    // the cheaper (buy) side — the reference's headline answer
+    "serve_arbitrage_ops" ->
+      """WITH e AS (
+           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,
+                  row_number() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP)), event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM events),
+         c AS (
+           SELECT ws AS window_start, event_type AS symbol,
+                  max(CASE WHEN rn_z = 1 THEN value END) AS close
+           FROM e GROUP BY 1, 2),
+         s AS (
+           SELECT a.window_start AS window_start, a.close AS close_a,
+             b.close AS close_b, round(a.close - b.close, 6) AS spread,
+             round(abs(round(a.close - b.close, 6))
+               / ((a.close + b.close) / 2) * 10000, 6) AS spread_bps
+           FROM c a JOIN c b ON a.window_start = b.window_start
+           WHERE a.symbol = 'click' AND b.symbol = 'purchase')
+         SELECT window_start, close_a, close_b, spread, spread_bps,
+           CASE WHEN close_a < close_b THEN 'click' ELSE 'purchase' END AS buy_side
+         FROM s WHERE spread_bps >= 3000""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -204,4 +204,23 @@ object Serving {
       .select(col("window_start"), col("close_a"), col("close_b"),
         round(col("close_a") - col("close_b"), 6).as("spread"))
   }
+
+  /** The reference's TITLE computation as a first-class serving
+    * operator: actionable arbitrage opportunities — aligned-window
+    * cross-venue spreads whose relative magnitude clears `minBps`
+    * basis points of the mid price — with the buy side called out
+    * (buy where it's cheaper). One window-aligned equi-join
+    * ([[spreadJoin]]) plus a map-only filter; at scale both sides
+    * shuffle once on window_start and everything after is narrow.
+    */
+  def arbitrageOpportunities(candles: DataFrame, symbolA: String,
+                             symbolB: String, minBps: Double): DataFrame =
+    spreadJoin(candles, symbolA, symbolB)
+      .withColumn("spread_bps",
+        round(abs(col("spread")) / ((col("close_a") + col("close_b")) / 2) * 10000, 6))
+      .filter(col("spread_bps") >= minBps)
+      .withColumn("buy_side",
+        when(col("close_a") < col("close_b"), lit(symbolA)).otherwise(lit(symbolB)))
+      .select(col("window_start"), col("close_a"), col("close_b"),
+        col("spread"), col("spread_bps"), col("buy_side"))
 }
