@@ -666,6 +666,29 @@ object SparkEntry {
           graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1))
             .withColumn("spread", round(col("spread"), 6))
         }, stageKey = Some(s"$dir:events"))),
+    // the title feature LIVE: the same stream-stream band join with the
+    // opportunity filter (≥ 3000 bps of mid) and buy side applied to
+    // each matched pair as it emits — a map-only stage after the join,
+    // so the streaming state story is unchanged
+    "stream_arbitrage_ops" -> ((s, dir) =>
+      graft.streaming.StreamedBatch.replayJoin(s, Tables.events(s, dir),
+        "ts", "event_id",
+        (ra, rb) => {
+          def typed(df: DataFrame, parity: Int) = df
+            .filter(col("event_type").isin("click", "purchase", "view") &&
+              pmod(col("event_id"), lit(2)) === parity)
+            .select(col("event_type").as("symbol"),
+              col("value").cast(DecimalType(18, 8)).cast("double").as("price"),
+              col("ts").as("trade_timestamp"))
+          graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1))
+            .withColumn("spread", round(col("spread"), 6))
+            .withColumn("spread_bps", round(abs(col("spread")) /
+              ((col("price_a") + col("price_b")) / 2) * 10000, 6))
+            .filter(col("spread_bps") >= 3000)
+            .withColumn("buy_side",
+              when(col("price_a") < col("price_b"), col("symbol_a"))
+                .otherwise(col("symbol_b")))
+        }, stageKey = Some(s"$dir:events"))),
     // the LEFT OUTER stream-stream band join: unmatched A-trades emit
     // null-extended only once the watermark proves no future B can
     // band-match them. Spark delays outer-null emission by the
@@ -1861,6 +1884,25 @@ object SparkEntry {
          FROM t a JOIN t b ON a.symbol = b.symbol
            AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
            AND b.tts BETWEEN a.tts - INTERVAL 60 SECOND AND a.tts""",
+    // the streamed matches under the opportunity filter — the batch
+    // band join + the same bps/buy-side math is the exact oracle
+    "stream_arbitrage_ops" ->
+      """WITH t AS (SELECT event_id, event_type AS symbol,
+             CAST(CAST(value AS DECIMAL(18,8)) AS DOUBLE) AS price,
+             CAST(ts AS TIMESTAMP) AS tts
+           FROM events WHERE event_type IN ('click','purchase','view')),
+         s AS (
+           SELECT a.symbol AS base, a.tts AS ts_a, a.symbol AS symbol_a,
+             a.price AS price_a, b.tts AS ts_b, b.symbol AS symbol_b,
+             b.price AS price_b, round(a.price - b.price, 6) AS spread,
+             round(abs(round(a.price - b.price, 6))
+               / ((a.price + b.price) / 2) * 10000, 6) AS spread_bps
+           FROM t a JOIN t b ON a.symbol = b.symbol
+             AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+             AND b.tts BETWEEN a.tts - INTERVAL 60 SECOND AND a.tts)
+         SELECT *, CASE WHEN price_a < price_b THEN symbol_a
+                        ELSE symbol_b END AS buy_side
+         FROM s WHERE spread_bps >= 3000""",
     "gold_candles_sliding" -> goldSlidingSql,
     // streaming emission rule on the same overlapping-window set
     "stream_candles_sliding" ->
