@@ -1200,6 +1200,20 @@ object SparkEntry {
           concat_ws(",", transform(col("token_ids"), i => i.cast("string")))
             .as("token_csv"),
           size(col("token_ids")).cast("long").as("n_tokens"))),
+    // the dataset-card summary: per predicted language, corpus volume,
+    // token mass, length, and exact-duplicate excess — the one-stop
+    // profile a corpus release ships, composed from gated parts
+    // (language ID + token stats + exact dedup) in one plan
+    "text_corpus_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.join(TextOps.langId(docs).select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          (count(lit(1)) - countDistinct(col("text"))).cast("long").as("dup_excess"),
+          count(when(col("pred_lang") === col("lang"), 1)).as("n_pred_match"))
+    }),
     // the END of the LLM-data assembly line: raw text -> trained
     // tokenizer -> ordered ids -> fixed-length training sequences
     // (docs in doc_id order, -2 separators, 128-id chunks, last
@@ -2683,6 +2697,31 @@ object SparkEntry {
            CASE WHEN score_de > score_en AND score_de > score_es THEN 'de'
                 WHEN score_es > score_en THEN 'es' ELSE 'en' END AS pred_lang
          FROM s""",
+    // the dataset-card rows: language mix from the langid oracle's own
+    // prediction rule, token mass, mean length, exact-dup excess
+    "text_corpus_report" ->
+      """WITH t AS (SELECT doc_id,
+                    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','fast','slow','small','big'], x))) AS score_en,
+           len(list_filter(toks, x -> list_contains(
+             ['el','la','de','y','datos','tabla','fila','columna'], x))) AS score_es,
+           len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','zu','daten','zeile','spalte'], x))) AS score_de
+           FROM t),
+         p AS (SELECT doc_id,
+           CASE WHEN score_de > score_en AND score_de > score_es THEN 'de'
+                WHEN score_es > score_en THEN 'es' ELSE 'en' END AS pred_lang
+           FROM s)
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(d.n_chars), 6) AS avg_chars,
+           CAST(count(*) - count(DISTINCT d.text) AS BIGINT) AS dup_excess,
+           CAST(count(CASE WHEN p.pred_lang = d.lang THEN 1 END) AS BIGINT)
+             AS n_pred_match
+         FROM documents d JOIN p USING (doc_id)
+         GROUP BY d.lang""",
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(
            list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
