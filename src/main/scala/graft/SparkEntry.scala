@@ -286,6 +286,21 @@ object SparkEntry {
       store
     })
 
+  /** Per-(JVM, sfDir) memo of the `lake_orc_roundtrip` /
+    * `lake_csv_roundtrip` gates' tables: one events slice written in
+    * each alternative format. Column-pruned ORC scans and schema'd CSV
+    * reads are the format-breadth claim; the oracle is the plain
+    * parquet-sourced SQL, so the round trip must be lossless.
+    */
+  private val formatMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def formatGateTable(s: SparkSession, dir: String, fmt: String): String =
+    formatMemo.computeIfAbsent(s"$dir#$fmt", _ => {
+      val t = tempIndexDir(s"graft-$fmt")
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+        .write.format(fmt).option("header", "true").mode("overwrite").save(t)
+      t
+    })
+
   /** Per-(JVM, sfDir) memo of the `lake_stats_skipping` gate's table:
     * the Z-ordered events slice (same layout as `lake_zorder_roundtrip`
     * — clustering is what makes per-file ranges narrow) plus its
@@ -871,6 +886,14 @@ object SparkEntry {
       Quantiles.quantileCheck(Tables.events(s, dir), "value",
         quantileGateStore(s, dir),
         qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99), expectShards = 3)),
+    // format breadth: the same slice written as ORC / schema'd CSV and
+    // read back must hash-equal the parquet-sourced oracle — source
+    // and sink coverage beyond parquet, losslessly
+    "lake_orc_roundtrip" -> ((s, dir) =>
+      s.read.orc(formatGateTable(s, dir, "orc"))),
+    "lake_csv_roundtrip" -> ((s, dir) =>
+      s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(formatGateTable(s, dir, "csv"))),
     // the pre-promotion constraint layer (Delta Live Tables EXPECT
     // analogue): each check is one aggregate/anti-join row; the
     // discount-range check is deliberately violated so the gate proves
@@ -3093,6 +3116,12 @@ object SparkEntry {
     "q_quantile_store" ->
       """SELECT true AS weights_ok, true AS bound_ok,
            true AS shards_ok, true AS ends_exact""",
+    // both alternative-format round trips must reproduce the
+    // parquet-sourced projection exactly
+    "lake_orc_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "lake_csv_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     // every expectation's violation count re-derived exactly ("constraint"
     // quoted: DuckDB reserved word)
     "q_expectations" ->
