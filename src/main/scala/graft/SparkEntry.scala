@@ -681,6 +681,20 @@ object SparkEntry {
           graft.streaming.Medallion.streamSpreadBucketed(typed(ra, 0), typed(rb, 1))
             .withColumn("spread", round(col("spread"), 6))
         }, stageKey = Some(s"$dir:events"))),
+    // stream-STATIC enrichment: the live stream broadcast-joined to a
+    // batch-side dimension (per-type average) — the stateless
+    // reference-data join every silver layer runs; append mode emits
+    // each enriched row exactly once, so the batch join is the oracle
+    "stream_static_enrich" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy("event_type")
+        .agg(round(avg("value"), 6).as("type_avg"))
+      graft.streaming.StreamedBatch.replayAggregate(s, ev, "ts", "event_id",
+        st => st.select(col("event_id"), col("event_type"), col("value"))
+          .join(broadcast(dim), "event_type")
+          .withColumn("rel_value", round(col("value") / col("type_avg"), 6)),
+        stageKey = Some(s"$dir:events"))
+    }),
     // the title feature LIVE: the same stream-stream band join with the
     // opportunity filter (≥ 3000 bps of mid) and buy side applied to
     // each matched pair as it emits — a map-only stage after the join,
@@ -1921,6 +1935,13 @@ object SparkEntry {
          FROM t a JOIN t b ON a.symbol = b.symbol
            AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
            AND b.tts BETWEEN a.tts - INTERVAL 60 SECOND AND a.tts""",
+    // the streamed enrichment equals the batch join row for row
+    "stream_static_enrich" ->
+      """WITH d AS (SELECT event_type, round(avg(value), 6) AS type_avg
+                    FROM events GROUP BY 1)
+         SELECT e.event_type, e.event_id, e.value, d.type_avg,
+           round(e.value / d.type_avg, 6) AS rel_value
+         FROM events e JOIN d USING (event_type)""",
     // the streamed matches under the opportunity filter — the batch
     // band join + the same bps/buy-side math is the exact oracle
     "stream_arbitrage_ops" ->
