@@ -106,18 +106,27 @@ object Pca {
     momentsToCov(n, d, acc)
   }
 
+  /** The shared eigendecomposition tail: Jacobi on the covariance,
+    * descending eigenvalue order with deterministic index tiebreak,
+    * k-truncated components — ONE copy, so every fit path (one-shot,
+    * store refit, invariants) derives models identically.
+    */
+  private def eigenModel(mean: Array[Double], cov: Array[Array[Double]],
+                         k: Int): PcaModel = {
+    val d = mean.length
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.indices.sortBy(i => (-values(i), i))
+    PcaModel(mean, order.take(k).map(i => vectors(i)).toArray,
+      order.map(values(_)).toArray, d)
+  }
+
   /** One-pass covariance fit + driver-side Jacobi eigendecomposition.
     * `k` is the number of components to keep (1 ≤ k ≤ d).
     */
   def fit(emb: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
     val (_, mean, cov) = covariance(emb, vecCol)
-    val d = mean.length
-    require(k >= 1 && k <= d, s"k must be in [1, $d]")
-    val (values, vectors) = jacobiEigen(cov)
-    // descending eigenvalue order; deterministic index tiebreak
-    val order = values.indices.sortBy(i => (-values(i), i))
-    PcaModel(mean, order.take(k).map(i => vectors(i)).toArray,
-      order.map(values(_)).toArray, d)
+    eigenModel(mean, cov, k)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotate
@@ -384,10 +393,7 @@ object Pca {
     // residual check — never a corpus-sized collect
     val (_, mean, cov) = covariance(emb, vecCol)
     val d = mean.length
-    val (values, vectors) = jacobiEigen(cov)
-    val order = values.indices.sortBy(i => (-values(i), i))
-    val full = PcaModel(mean, order.map(i => vectors(i)).toArray,
-      order.map(values(_)).toArray, d)
+    val full = eigenModel(mean, cov, d)
     val reduced = PcaModel(mean, full.components.take(k), full.eigenvalues, d)
     def residual(w: Array[Double], lambda: Double): Double =
       (0 until d).map { i =>
@@ -443,19 +449,26 @@ object Pca {
   private def momentsPath(p: String) = s"$p/moments"
 
   private def writeMomentShard(emb: DataFrame, path: String, shardId: String,
-                               vecCol: String): Unit = {
+                               vecCol: String,
+                               mode: org.apache.spark.sql.SaveMode): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val (n, d, acc) = rawMoments(emb, vecCol)
     Seq((shardId, n, d, acc.toSeq)).toDF("shard_id", "n", "d", "acc")
       .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(momentsPath(path))
+      .write.mode(mode).parquet(momentsPath(path))
   }
 
-  /** Initialize the moment store from the first corpus tranche. */
+  /** Initialize the moment store from the first corpus tranche.
+    * OVERWRITE semantics (the idiom every other store build uses): a
+    * re-run — a Structured Streaming batch-0 retry in
+    * [[graft.streaming.StreamedBatch.replayIntoMomentStore]] —
+    * rewrites the base moments instead of double-counting them.
+    */
   def buildMomentStore(emb: DataFrame, path: String,
                        vecCol: String = "embedding"): Unit =
-    writeMomentShard(emb, path, "_base", vecCol)
+    writeMomentShard(emb, path, "_base", vecCol,
+      org.apache.spark.sql.SaveMode.Overwrite)
 
   /** Fold a new shard's moments into the store — one scan of the SHARD
     * only (the indexed corpus is never re-read), one appended row.
@@ -467,7 +480,8 @@ object Pca {
                         vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
     if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    writeMomentShard(emb, path, shardId.getOrElse("_anon"), vecCol)
+    writeMomentShard(emb, path, shardId.getOrElse("_anon"), vecCol,
+      org.apache.spark.sql.SaveMode.Append)
     shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
   }
 
@@ -497,12 +511,8 @@ object Pca {
     */
   def fitFromStore(spark: SparkSession, path: String, k: Int): PcaModel = {
     val (_, n, d, acc) = loadMoments(spark, path)
-    require(k >= 1 && k <= d, s"k must be in [1, $d]")
     val (_, mean, cov) = momentsToCov(n, d, acc)
-    val (values, vectors) = jacobiEigen(cov)
-    val order = values.indices.sortBy(i => (-values(i), i))
-    PcaModel(mean, order.take(k).map(i => vectors(i)).toArray,
-      order.map(values(_)).toArray, d)
+    eigenModel(mean, cov, k)
   }
 
   /** Driver-visible contract of the incremental lifecycle, ONE row:
@@ -530,7 +540,10 @@ object Pca {
     def rel(a: Double, b: Double) =
       math.abs(a - b) <= 1e-9 * math.max(1d, math.max(math.abs(a), math.abs(b)))
     val momentsMatch = n == fn && d == fd && acc.indices.forall(i => rel(acc(i), facc(i)))
-    val model = fitFromStore(spark, path, k)
+    // refit from the moments already in hand — same derivation as
+    // fitFromStore (shared eigenModel), one store read total
+    val model = { val (_, mean, cov) = momentsToCov(n, d, acc)
+                  eigenModel(mean, cov, k) }
     val (_, _, cov) = momentsToCov(fn, fd, facc)
     val eigenOk = model.components.zip(model.eigenvalues).forall { case (w, l) =>
       (0 until d).map { i =>

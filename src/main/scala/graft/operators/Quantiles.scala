@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   * re-delivery appends nothing), streaming maintenance via
   * [[graft.streaming.StreamedBatch.replayIntoQuantileStore]].
   *
-  *   <path>/summary/   (shard_id, value, weight, shard_n, r)
+  *   <path>/summary/   (shard_id, shard_uid, value, weight, shard_n, r)
   *   <path>/_applied/  shard ledger (graft.util.Lake)
   */
 object Quantiles {
@@ -86,20 +86,30 @@ object Quantiles {
   }
 
   private def writeShard(df: DataFrame, valueCol: String, path: String,
-                         shardId: String, eps: Double): Unit = {
+                         shardId: String, eps: Double, mode: SaveMode): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val (n, r, rows) = shardSummary(df, valueCol, eps)
-    rows.toSeq.map { case (v, w) => (shardId, v, w, n, r) }
-      .toDF("shard_id", "value", "weight", "shard_n", "r")
+    // shard_uid keeps anonymous shards distinct in the bound math: the
+    // ledgered path's id is already unique, the no-ledger fallback gets
+    // a fresh uid per physical write (not exposed in any served answer)
+    val uid = if (shardId == "_anon")
+      s"_anon-${java.util.UUID.randomUUID()}" else shardId
+    rows.toSeq.map { case (v, w) => (shardId, uid, v, w, n, r) }
+      .toDF("shard_id", "shard_uid", "value", "weight", "shard_n", "r")
       .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(summaryPath(path))
+      .write.mode(mode).parquet(summaryPath(path))
   }
 
-  /** Initialize the store from the first corpus tranche. */
+  /** Initialize the store from the first corpus tranche. OVERWRITE
+    * semantics (the idiom every other store build uses): re-running the
+    * build — a Structured Streaming batch-0 retry in
+    * [[graft.streaming.StreamedBatch.replayIntoQuantileStore]] —
+    * rewrites the base summary instead of double-counting it.
+    */
   def buildQuantileStore(df: DataFrame, valueCol: String, path: String,
                          eps: Double = 0.01): Unit =
-    writeShard(df, valueCol, path, "_base", eps)
+    writeShard(df, valueCol, path, "_base", eps, SaveMode.Overwrite)
 
   /** Fold a new shard's summary into the store — one sort of the SHARD
     * only; the indexed corpus is never re-read. `shardId` makes a
@@ -111,7 +121,8 @@ object Quantiles {
                           eps: Double = 0.01): Unit = {
     val spark = df.sparkSession
     if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    writeShard(df, valueCol, path, shardId.getOrElse("_anon"), eps)
+    writeShard(df, valueCol, path, shardId.getOrElse("_anon"), eps,
+      SaveMode.Append)
     shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
   }
 
@@ -123,12 +134,27 @@ object Quantiles {
   private def loadSummary(spark: SparkSession,
                           path: String): (Array[(Double, Long)], Long, Long, Int) = {
     val rows = spark.read.parquet(summaryPath(path))
-      .select("shard_id", "value", "weight", "r").collect()
+      .select("shard_uid", "value", "weight", "r").collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // per-UID grouping: distinct anonymous shards stay distinct, so R
+    // and the shard count never undercount
     val byShard = rows.groupBy(_._1)
     val bigR = byShard.values.map(_.head._4).sum
     val sorted = rows.map(r => (r._2, r._3)).sortBy(identity)
     (sorted, rows.map(_._3).sum, bigR, byShard.size)
+  }
+
+  /** The serving rule — the smallest summary value whose cumulative
+    * weight reaches ⌈q·N⌉ — in ONE place, so the contract check
+    * validates the path that actually serves. Returns (value, target
+    * rank).
+    */
+  private def servedAt(sorted: Array[(Double, Long)], cum: Array[Long],
+                       n: Long, q: Double): (Double, Long) = {
+    require(q >= 0d && q <= 1d, s"quantile out of range: $q")
+    val target = math.max(1L, math.ceil(q * n).toLong)
+    val idx = cum.indexWhere(_ >= target)
+    (sorted(if (idx < 0) sorted.length - 1 else idx)._1, target)
   }
 
   /** Serve quantiles from the store alone — zero corpus jobs: the
@@ -140,12 +166,7 @@ object Quantiles {
                          qs: Seq[Double]): DataFrame = {
     val (sorted, n, bigR, _) = loadSummary(spark, path)
     val cum = sorted.scanLeft(0L)(_ + _._2).tail
-    val out = qs.map { q =>
-      require(q >= 0d && q <= 1d, s"quantile out of range: $q")
-      val target = math.max(1L, math.ceil(q * n).toLong)
-      val idx = cum.indexWhere(_ >= target)
-      Row(q, sorted(if (idx < 0) sorted.length - 1 else idx)._1, n, bigR)
-    }
+    val out = qs.map { q => Row(q, servedAt(sorted, cum, n, q)._1, n, bigR) }
     spark.createDataFrame(
       java.util.Arrays.asList(out: _*),
       StructType(Seq(StructField("q", DoubleType, nullable = false),
@@ -174,9 +195,8 @@ object Quantiles {
     val (sorted, n, bigR, nShards) = loadSummary(spark, path)
     val cum = sorted.scanLeft(0L)(_ + _._2).tail
     val served = qs.map { q =>
-      val target = math.max(1L, math.ceil(q * n).toLong)
-      val idx = cum.indexWhere(_ >= target)
-      (q, sorted(if (idx < 0) sorted.length - 1 else idx)._1, target)
+      val (v, target) = servedAt(sorted, cum, n, q)
+      (q, v, target)
     }
     val vals = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)

@@ -112,6 +112,9 @@ class PcaSpec extends SparkSuite with Matchers {
     val store = java.nio.file.Files.createTempDirectory("pca-spec-").toString
     val t = pmod(col("vec_id"), lit(3))
     Pca.buildMomentStore(emb.filter(t === 0), store)
+    // a re-run build (streaming batch-0 retry) overwrites, never
+    // double-counts
+    Pca.buildMomentStore(emb.filter(t === 0), store)
     Pca.extendMomentStore(emb.filter(t === 1), store, Some("t1"))
     Pca.extendMomentStore(emb.filter(t === 2), store, Some("t2"))
     Pca.extendMomentStore(emb.filter(t === 1), store, Some("t1")) // ledgered no-op

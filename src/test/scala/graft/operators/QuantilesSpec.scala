@@ -31,6 +31,9 @@ class QuantilesSpec extends SparkSuite with Matchers {
     val df = corpus(3000)
     val store = tempStore()
     Quantiles.buildQuantileStore(df.filter($"id" % 3 === 0), "value", store)
+    // a re-run build (streaming batch-0 retry) overwrites, never
+    // double-counts — the same idempotency idiom as the other stores
+    Quantiles.buildQuantileStore(df.filter($"id" % 3 === 0), "value", store)
     Quantiles.extendQuantileStore(df.filter($"id" % 3 === 1), "value", store, Some("t1"))
     Quantiles.extendQuantileStore(df.filter($"id" % 3 === 2), "value", store, Some("t2"))
     // ledgered no-op: the re-delivered shard must append nothing
@@ -78,6 +81,9 @@ class QuantilesSpec extends SparkSuite with Matchers {
     val row = Quantiles.quantileCheck(df, "value", store,
       qs = Seq(0.5), expectShards = 3).head()
     assert(!row.getBoolean(0), "weights_ok must fail on doubled weight")
+    // ... and the two anonymous shards count as TWO in the shard tally
+    // and the rank-error bound (distinct uids), not one
+    assert(row.getBoolean(2), "shards_ok: base + 2 distinct anon shards = 3")
   }
 
   test("store maintenance composes: Lake.compact consolidates shard files, " +

@@ -23,12 +23,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype) in ("float32",):
             df[c] = df[c].astype("float64")
         if str(df[c].dtype) == "object":
-            # array cells (numpy arrays / lists) are unhashable and break
-            # sort_values; freeze them to tuples
-            df[c] = df[c].map(
-                lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                and not isinstance(v, (str, bytes)) else
-                (tuple(v) if isinstance(v, list) else v))
+            # array cells (numpy arrays / lists, possibly nested) are
+            # unhashable and break sort_values; freeze them to tuples at
+            # every nesting level
+            def freeze(v):
+                if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+                    v = v.tolist()
+                if isinstance(v, list):
+                    return tuple(freeze(x) for x in v)
+                return v
+            df[c] = df[c].map(freeze)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
