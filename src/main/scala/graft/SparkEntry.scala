@@ -264,6 +264,27 @@ object SparkEntry {
       store
     })
 
+  /** Per-(JVM, sfDir) memo of the `text_heavy_store` gate's
+    * heavy-hitter sketch store: per-tercile Misra-Gries bigram
+    * summaries (capacity 768 — each shard's sketch really evicts on
+    * this corpus), ledgered appends including a deliberate re-delivery
+    * of shard `t1`, which must no-op (doubled sketch counts would
+    * promote t1's items in the merged candidate set).
+    */
+  private val heavyStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def heavyGateStore(s: SparkSession, dir: String): String =
+    heavyStoreMemo.computeIfAbsent(dir, _ => {
+      val store = tempIndexDir("graft-heavy-store")
+      val docs = Tables.documents(s, dir)
+      val t = pmod(col("doc_id"), lit(3))
+      def grams(tr: Int) = TextOps.ngrams(docs.filter(t === tr), 2)
+      FreqSketch.buildHeavyStore(grams(0), "ngram", store)
+      FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"))
+      FreqSketch.extendHeavyStore(grams(2), "ngram", store, Some("t2"))
+      FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"))
+      store
+    })
+
   /** Per-(JVM, sfDir) memo of the `q_quantile_store` gate's summary
     * store: rank-spaced weighted samples of `events.value` built on the
     * first event_id tercile, the other two folded in as ledgered
@@ -1271,6 +1292,25 @@ object SparkEntry {
     // the plain GROUP-BY oracle can hash-match a sketch-fed result
     "text_heavy_ngrams" -> ((s, dir) =>
       TextOps.heavyNgrams(Tables.documents(s, dir))),
+    // the PERSISTED heavy-hitter lifecycle: per-tercile MG summaries
+    // merged with the error-additive rule, re-delivered shard a
+    // ledgered no-op, exact top-20 served via candidates + one bounded
+    // recount — same plain GROUP-BY oracle as the one-shot gate
+    "text_heavy_store" -> ((s, dir) =>
+      FreqSketch.heavyTopKExact(
+        TextOps.ngrams(Tables.documents(s, dir), 2), "ngram",
+        heavyGateStore(s, dir), k = 20)),
+    // streaming maintenance of the heavy-hitter store: batch 0 builds,
+    // later micro-batches append their batch-id-ledgered summaries.
+    // Fresh store per invocation so repeat runs do the full
+    // maintenance work.
+    "stream_heavy_extend" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = tempIndexDir("graft-stream-heavy")
+      graft.streaming.StreamedBatch.replayIntoHeavyStore(s, docs,
+        "doc_id", "doc_id", store, stageKey = Some(s"$dir:documents"))
+      FreqSketch.heavyTopKExact(TextOps.ngrams(docs, 2), "ngram", store, k = 20)
+    }),
     // inverted text index (term → postings, build + 2 ledgered
     // extends): searches read the stored posting lists only, never the
     // corpus text. The AND search's distinct-term count must reproduce
@@ -1778,6 +1818,17 @@ object SparkEntry {
        FROM r GROUP BY 1, 2, 3"""
 
   private val goldCandlesSql = goldCandlesSqlOver("events")
+
+  /** Exact top-20 corpus bigrams with the (count desc, text) tiebreak —
+    * shared by the one-shot two-pass, the persisted store, and its
+    * streamed twin.
+    */
+  private val heavyBigramsSql =
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       b AS (SELECT toks[i] || ' ' || toks[i+1] AS ngram
+             FROM t, unnest(range(1, len(toks))) AS u(i)),
+       c AS (SELECT ngram, count(*) AS cnt FROM b GROUP BY ngram)
+       SELECT ngram, cnt FROM c ORDER BY cnt DESC, ngram LIMIT 20"""
 
   /** Overlapping 2-minute/1-minute-slide candles — shared by the batch
     * gate and (with the watermark-finalization filter) the streaming
@@ -2847,12 +2898,12 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE list_contains(string_split(text, ' '), 'vector')
             OR list_contains(string_split(text, ' '), 'spark')""",
-    "text_heavy_ngrams" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
-         b AS (SELECT toks[i] || ' ' || toks[i+1] AS ngram
-               FROM t, unnest(range(1, len(toks))) AS u(i)),
-         c AS (SELECT ngram, count(*) AS cnt FROM b GROUP BY ngram)
-         SELECT ngram, cnt FROM c ORDER BY cnt DESC, ngram LIMIT 20""",
+    "text_heavy_ngrams" -> heavyBigramsSql,
+    // the store lifecycle and its streamed twin serve the same exact
+    // answer (candidates + recount under the merged completeness
+    // condition), so the plain GROUP-BY oracle is shared verbatim
+    "text_heavy_store" -> heavyBigramsSql,
+    "stream_heavy_extend" -> heavyBigramsSql,
     "text_token_bpe" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,

@@ -68,4 +68,101 @@ object FreqSketch {
     override def outputEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
   }
+
+  // ── persisted heavy-hitter store ────────────────────────────────────
+  //
+  // The sketch's shard-ledger lifecycle (the HLL/quantile/moment store
+  // shape): each data shard contributes its capacity-bounded MG summary
+  // as rows, shards merge with the error-additive mergeable-summaries
+  // rule on read (bounded: shards × capacity entries), and re-delivery
+  // is a ledgered no-op. Serving exact top-k = merged candidates + one
+  // exact recount of that bounded set — provably complete whenever the
+  // k-th true count exceeds Σᵢ Nᵢ/(capᵢ+1), the same bar the one-shot
+  // two-pass ([[graft.operators.TextOps.heavyNgrams]]) gates.
+  //
+  //   <path>/sketch/    (shard_id, item, cnt, shard_n, capacity)
+  //   <path>/_applied/  shard ledger (graft.util.Lake)
+
+  import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  private def sketchPath(p: String) = s"$p/sketch"
+
+  private def writeShard(items: DataFrame, itemCol: String, path: String,
+                         shardId: String, capacity: Int,
+                         mode: SaveMode): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val mg = udaf(new MisraGries(capacity))
+    val row = items.agg(count(lit(1)).as("n"), mg(col(itemCol)).as("sk")).head()
+    val n = row.getLong(0)
+    row.getMap[String, Long](1).toSeq
+      .map { case (item, c) => (shardId, item, c, n, capacity) }
+      .toDF("shard_id", "item", "cnt", "shard_n", "capacity")
+      .coalesce(1)
+      .write.mode(mode).parquet(sketchPath(path))
+  }
+
+  /** Initialize the store from the first shard's items. OVERWRITE
+    * semantics: a re-run build (streaming batch-0 retry) rewrites the
+    * base summary instead of double-counting it.
+    */
+  def buildHeavyStore(items: DataFrame, itemCol: String, path: String,
+                      capacity: Int = 768): Unit =
+    writeShard(items, itemCol, path, "_base", capacity, SaveMode.Overwrite)
+
+  /** Fold a new shard's summary in — one sketch pass over the SHARD
+    * only; `shardId` makes a retried re-application a ledgered no-op
+    * (doubled sketch counts would promote the re-run shard's items).
+    */
+  def extendHeavyStore(items: DataFrame, itemCol: String, path: String,
+                       shardId: Option[String] = None,
+                       capacity: Int = 768): Unit = {
+    val spark = items.sparkSession
+    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
+    writeShard(items, itemCol, path, shardId.getOrElse("_anon"), capacity,
+      SaveMode.Append)
+    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+  }
+
+  /** The merged store summary: shard maps folded with the MG merge rule
+    * in shard_id order (deterministic for a shard set; the rule itself
+    * is associative and error-additive). Returns (candidate map,
+    * N = Σ shard_n, error bound Σᵢ Nᵢ/(capᵢ+1)).
+    */
+  def mergedSketch(spark: SparkSession,
+                   path: String): (Map[String, Long], Long, Double) = {
+    val rows = spark.read.parquet(sketchPath(path))
+      .select("shard_id", "item", "cnt", "shard_n", "capacity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    require(rows.nonEmpty, "empty heavy-hitter store")
+    val byShard = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val minCap = byShard.map(_._2.head._5).min
+    val merger = new MisraGries(minCap)
+    val merged = byShard.map(_._2.map(r => r._2 -> r._3).toMap)
+      .reduce(merger.merge)
+    val n = byShard.map(_._2.head._4).sum
+    val bound = byShard.map { case (_, rs) =>
+      rs.head._4.toDouble / (rs.head._5 + 1)
+    }.sum
+    (merged, n, bound)
+  }
+
+  /** EXACT top-k from the store + one recount: candidates come from
+    * the merged sketch (≤ capacity items — the corpus-sized shuffle a
+    * plain GROUP BY would pay never happens), their counts recount
+    * exactly over `items`, and the answer is provably the true top-k
+    * whenever the k-th count clears the merged error bound (the spec
+    * asserts the condition at gate scale; ties break by item text).
+    */
+  def heavyTopKExact(items: DataFrame, itemCol: String, path: String,
+                     k: Int): DataFrame = {
+    val spark = items.sparkSession
+    val (merged, _, _) = mergedSketch(spark, path)
+    val cands = merged.keys.toSeq
+    items.filter(col(itemCol).isin(cands: _*))
+      .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(itemCol)).limit(k)
+  }
 }

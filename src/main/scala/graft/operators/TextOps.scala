@@ -415,16 +415,25 @@ object TextOps {
     * not a disguised exact groupBy). Ties at the k-th count break by
     * n-gram text, deterministically.
     */
-  def heavyNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
-                  capacity: Int = 768): DataFrame = {
-    require(n >= 1 && k >= 1 && capacity >= k)
+  /** The corpus's word n-grams as one `ngram` column (whitespace
+    * tokenization, space-joined) — the item stream the heavy-hitter
+    * operators and stores consume.
+    */
+  def ngrams(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1)
     val toks = split(col("text"), " ")
-    val grams = docs.select(explode_outer(
+    docs.select(explode_outer(
         when(size(toks) >= n,
           transform(sequence(lit(1), size(toks) - (n - 1)),
             i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
       ).as("ngram"))
       .filter(col("ngram").isNotNull)
+  }
+
+  def heavyNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
+                  capacity: Int = 768): DataFrame = {
+    require(k >= 1 && capacity >= k)
+    val grams = ngrams(docs, n)
     val mg = udaf(new FreqSketch.MisraGries(capacity))
     val cands = grams.agg(mg(col("ngram")).as("sk")).head()
       .getMap[String, Long](0).keys.toSeq

@@ -460,6 +460,41 @@ object StreamedBatch {
     }
   }
 
+  /** Replay a documents table as a file stream folding each
+    * micro-batch's n-gram Misra-Gries summary into a persisted
+    * [[graft.operators.FreqSketch]] heavy-hitter store — continuous
+    * dominant-phrase tracking: batch 0 initializes, later batches
+    * append their own (batch-id-ledgered) summary rows, so a Spark
+    * retry is a no-op instead of doubled counts promoting the re-run
+    * shard's items. Summaries merge with the error-additive MG rule,
+    * so exact serving from the streamed store carries the same
+    * completeness condition as the batch lifecycle.
+    */
+  def replayIntoHeavyStore(spark: SparkSession, input: DataFrame,
+                           orderCol: String, tieCol: String,
+                           storePath: String, n: Int = 2,
+                           capacity: Int = 768, chunks: Int = 3,
+                           stageKey: Option[String] = None): Unit = {
+    import graft.operators.{FreqSketch, TextOps}
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val grams = TextOps.ngrams(batch, n)
+          if (id == 0) FreqSketch.buildHeavyStore(grams, "ngram", storePath, capacity)
+          else FreqSketch.extendHeavyStore(grams, "ngram", storePath,
+            shardId = Some(s"replay-batch-$id"), capacity = capacity)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —

@@ -304,6 +304,32 @@ class TextOpsSpec extends SparkSuite with Matchers {
       .as[(Long, Seq[Int])].head() shouldBe ((7L, Seq.empty[Int]))
   }
 
+  test("heavy-hitter store: tercile lifecycle + ledger no-op serves the " +
+      "exact one-shot answer, and the merged completeness bound holds") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("heavy-spec-").toString
+    val t = pmod(col("doc_id"), lit(3))
+    def grams(tr: Int) = TextOps.ngrams(corpus.filter(t === tr), 2)
+    FreqSketch.buildHeavyStore(grams(0), "ngram", store)
+    // build retry: overwrite, never double-count
+    FreqSketch.buildHeavyStore(grams(0), "ngram", store)
+    FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"))
+    FreqSketch.extendHeavyStore(grams(2), "ngram", store, Some("t2"))
+    FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1")) // no-op
+    val all = TextOps.ngrams(corpus, 2)
+    val got = FreqSketch.heavyTopKExact(all, "ngram", store, k = 20)
+      .as[(String, Long)].collect().toSeq
+    val want = TextOps.heavyNgrams(corpus, n = 2, k = 20, capacity = 768)
+      .as[(String, Long)].collect().toSeq
+    got shouldBe want
+    // the merged bound really covers the kth count (non-vacuous), and
+    // the total reconciles with the corpus (ledger held)
+    val (_, n, bound) = FreqSketch.mergedSketch(spark, store)
+    n shouldBe all.count()
+    assert(want.last._2 > bound,
+      s"completeness: kth=${want.last._2} must clear merged bound $bound")
+  }
+
   test("packTokenIds chunks the separated id stream; partial tail kept; " +
       "layout-invariant") {
     val texts = Seq("ab ab ab cd cd", "ab cd ab", "abab cdcd", "cd")
