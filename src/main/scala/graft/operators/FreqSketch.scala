@@ -77,10 +77,11 @@ object FreqSketch {
   // rule on read (bounded: shards × capacity entries), and re-delivery
   // is a ledgered no-op. Serving exact top-k = merged candidates + one
   // exact recount of that bounded set — provably complete whenever the
-  // k-th true count exceeds Σᵢ Nᵢ/(capᵢ+1), the same bar the one-shot
-  // two-pass ([[graft.operators.TextOps.heavyNgrams]]) gates.
+  // k-th true count exceeds Σᵢ Nᵢ/(minCap+1) (the merge compacts at
+  // the smallest shard capacity), the same bar the one-shot two-pass
+  // ([[graft.operators.TextOps.heavyNgrams]]) gates.
   //
-  //   <path>/sketch/    (shard_id, item, cnt, shard_n, capacity)
+  //   <path>/sketch/    (shard_id, shard_uid, item, cnt, shard_n, capacity)
   //   <path>/_applied/  shard ledger (graft.util.Lake)
 
   import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -96,9 +97,14 @@ object FreqSketch {
     val mg = udaf(new MisraGries(capacity))
     val row = items.agg(count(lit(1)).as("n"), mg(col(itemCol)).as("sk")).head()
     val n = row.getLong(0)
+    // shard_uid keeps anonymous shards distinct in the merge and the
+    // bound math (the Quantiles-store idiom): ledgered ids are already
+    // unique, the no-ledger fallback gets a fresh uid per write
+    val uid = if (shardId == "_anon")
+      s"_anon-${java.util.UUID.randomUUID()}" else shardId
     row.getMap[String, Long](1).toSeq
-      .map { case (item, c) => (shardId, item, c, n, capacity) }
-      .toDF("shard_id", "item", "cnt", "shard_n", "capacity")
+      .map { case (item, c) => (shardId, uid, item, c, n, capacity) }
+      .toDF("shard_id", "shard_uid", "item", "cnt", "shard_n", "capacity")
       .coalesce(1)
       .write.mode(mode).parquet(sketchPath(path))
   }
@@ -108,8 +114,13 @@ object FreqSketch {
     * base summary instead of double-counting it.
     */
   def buildHeavyStore(items: DataFrame, itemCol: String, path: String,
-                      capacity: Int = 768): Unit =
+                      capacity: Int = 768): Unit = {
+    // a REBUILD starts a new epoch: clear the ledger so the new
+    // epoch's extends (a replayed stream re-numbers batches from 0)
+    // are not silently no-opped by the previous epoch's ids
+    graft.util.Lake.clearApplied(items.sparkSession, path)
     writeShard(items, itemCol, path, "_base", capacity, SaveMode.Overwrite)
+  }
 
   /** Fold a new shard's summary in — one sketch pass over the SHARD
     * only; `shardId` makes a retried re-application a ledgered no-op
@@ -126,14 +137,14 @@ object FreqSketch {
   }
 
   /** The merged store summary: shard maps folded with the MG merge rule
-    * in shard_id order (deterministic for a shard set; the rule itself
-    * is associative and error-additive). Returns (candidate map,
-    * N = Σ shard_n, error bound Σᵢ Nᵢ/(capᵢ+1)).
+    * in shard-uid order (deterministic for a shard set; the rule
+    * itself is associative and error-additive). Returns (candidate
+    * map, N = Σ shard_n, error bound Σᵢ Nᵢ/(minCap+1)).
     */
   def mergedSketch(spark: SparkSession,
                    path: String): (Map[String, Long], Long, Double) = {
     val rows = spark.read.parquet(sketchPath(path))
-      .select("shard_id", "item", "cnt", "shard_n", "capacity").collect()
+      .select("shard_uid", "item", "cnt", "shard_n", "capacity").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getInt(4)))
     require(rows.nonEmpty, "empty heavy-hitter store")
@@ -143,9 +154,11 @@ object FreqSketch {
     val merged = byShard.map(_._2.map(r => r._2 -> r._3).toMap)
       .reduce(merger.merge)
     val n = byShard.map(_._2.head._4).sum
-    val bound = byShard.map { case (_, rs) =>
-      rs.head._4.toDouble / (rs.head._5 + 1)
-    }.sum
+    // the merge compacts at minCap, so every shard's contribution to
+    // the post-merge error is bounded by Nᵢ/(minCap+1) — using each
+    // shard's OWN capacity would understate the bound when capacities
+    // differ and let the completeness condition pass vacuously
+    val bound = byShard.map(_._2.head._4.toDouble / (minCap + 1)).sum
     (merged, n, bound)
   }
 

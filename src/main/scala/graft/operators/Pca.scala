@@ -466,9 +466,13 @@ object Pca {
     * rewrites the base moments instead of double-counting them.
     */
   def buildMomentStore(emb: DataFrame, path: String,
-                       vecCol: String = "embedding"): Unit =
+                       vecCol: String = "embedding"): Unit = {
+    // a rebuild starts a new epoch: the old ledger must not no-op the
+    // new epoch's extends (batch ids restart at 0 on a replayed stream)
+    graft.util.Lake.clearApplied(emb.sparkSession, path)
     writeMomentShard(emb, path, "_base", vecCol,
       org.apache.spark.sql.SaveMode.Overwrite)
+  }
 
   /** Fold a new shard's moments into the store — one scan of the SHARD
     * only (the indexed corpus is never re-read), one appended row.

@@ -108,8 +108,12 @@ object Quantiles {
     * rewrites the base summary instead of double-counting it.
     */
   def buildQuantileStore(df: DataFrame, valueCol: String, path: String,
-                         eps: Double = 0.01): Unit =
+                         eps: Double = 0.01): Unit = {
+    // a rebuild starts a new epoch: the old ledger must not no-op the
+    // new epoch's extends (batch ids restart at 0 on a replayed stream)
+    graft.util.Lake.clearApplied(df.sparkSession, path)
     writeShard(df, valueCol, path, "_base", eps, SaveMode.Overwrite)
+  }
 
   /** Fold a new shard's summary into the store — one sort of the SHARD
     * only; the indexed corpus is never re-read. `shardId` makes a

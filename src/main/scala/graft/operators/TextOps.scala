@@ -395,6 +395,21 @@ object TextOps {
         s => s.getField("tid")).as("token_ids"))
   }
 
+  /** The corpus's word n-grams as one `ngram` column (whitespace
+    * tokenization, space-joined) — the item stream the heavy-hitter
+    * operators and stores consume.
+    */
+  def ngrams(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1)
+    val toks = split(col("text"), " ")
+    docs.select(explode_outer(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      ).as("ngram"))
+      .filter(col("ngram").isNotNull)
+  }
+
   /** EXACT top-k most frequent n-grams via the sketch-then-recount
     * two-pass — the shape that answers "what are the corpus's dominant
     * phrases" over 100 TB without shuffling every distinct n-gram:
@@ -415,21 +430,6 @@ object TextOps {
     * not a disguised exact groupBy). Ties at the k-th count break by
     * n-gram text, deterministically.
     */
-  /** The corpus's word n-grams as one `ngram` column (whitespace
-    * tokenization, space-joined) — the item stream the heavy-hitter
-    * operators and stores consume.
-    */
-  def ngrams(docs: DataFrame, n: Int): DataFrame = {
-    require(n >= 1)
-    val toks = split(col("text"), " ")
-    docs.select(explode_outer(
-        when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
-      ).as("ngram"))
-      .filter(col("ngram").isNotNull)
-  }
-
   def heavyNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
                   capacity: Int = 768): DataFrame = {
     require(k >= 1 && capacity >= k)

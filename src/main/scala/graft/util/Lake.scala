@@ -382,6 +382,17 @@ object Lake {
     else spark.read.parquet(appliedPath(path)).collect().map(_.getString(0)).toSet
   }
 
+  /** Drop the ledger — a store REBUILD starts a new epoch: the old
+    * ledger's batch/shard ids must not turn the new epoch's extends
+    * into silent no-ops (a replayed stream re-numbers its batches from
+    * 0, and a rebuilt store owes every one of them a write).
+    */
+  def clearApplied(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(appliedPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** Record one applied shard id (parquet append of one tiny file). */
   def recordApplied(spark: SparkSession, path: String, shardId: String): Unit = {
     import spark.implicits._
