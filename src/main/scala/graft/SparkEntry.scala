@@ -204,6 +204,17 @@ object SparkEntry {
       TextOps.buildVocab(docs.filter(t === 0), idx)
       TextOps.extendVocab(docs.filter(t === 1), idx, shardId = Some("t1"))
       TextOps.extendVocab(docs.filter(t === 2), idx, shardId = Some("t2"))
+      // simulate a crash MID-extend: count rows (with wildly inflated
+      // counts, so any leak would flip every score) land in vocab/
+      // with no manifest commit. Readers must keep resolving the last
+      // committed generation — text_unigram_incremental's full-corpus
+      // oracle and text_vocab_asof's generation-1 oracle both now
+      // prove torn-file invisibility, the snapshot-isolation half of
+      // the Manifest protocol's contract.
+      docs.filter(t === 0)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg((count(lit(1)) * 1000).as("c"))
+        .coalesce(1).write.mode("append").parquet(s"$idx/vocab")
       idx
     })
 
@@ -282,6 +293,31 @@ object SparkEntry {
       FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"))
       FreqSketch.extendHeavyStore(grams(2), "ngram", store, Some("t2"))
       FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"))
+      store
+    })
+
+  /** Per-(JVM, sfDir) memo of the `q_bloom_store` gate's membership
+    * store: Bloom filters over the BUILDING-segment customer keys,
+    * built on the first custkey tercile and extended with the other
+    * two — including a deliberate RE-delivery of shard `t1`, which the
+    * manifest ledger must no-op (the union would absorb it, but the
+    * store must not accrete re-delivered rows). Geometry is fixed at
+    * build; the gate then serves the semi-join reduction from the
+    * merged stored filter and must match the plain unfiltered join
+    * bit-for-bit.
+    */
+  private val bloomStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bloomGateStore(s: SparkSession, dir: String): String =
+    bloomStoreMemo.computeIfAbsent(dir, _ => {
+      val store = tempIndexDir("graft-bloom-store")
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val t = pmod(col("c_custkey"), lit(3))
+      Bloom.buildBloomStore(dim.filter(t === 0), "c_custkey", store,
+        expectedKeys = 100000L)
+      Bloom.extendBloomStore(dim.filter(t === 1), "c_custkey", store, Some("t1"))
+      Bloom.extendBloomStore(dim.filter(t === 2), "c_custkey", store, Some("t2"))
+      Bloom.extendBloomStore(dim.filter(t === 1), "c_custkey", store, Some("t1"))
       store
     })
 
@@ -969,6 +1005,34 @@ object SparkEntry {
           "o_custkey", "c_custkey")
         .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
     }),
+    // the same semi-join reduction served from the PERSISTED membership
+    // store (build + 2 extends + a re-delivered shard): the merged
+    // stored filter covers every dim key, so the result is bit-identical
+    // to the plain unfiltered join — same oracle as q_bloom_join
+    "q_bloom_store" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      Bloom.bloomStoreJoin(Tables.orders(s, dir), dim,
+          "o_custkey", "c_custkey", bloomGateStore(s, dir))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+    }),
+    // streaming maintenance of the membership store: batch 0 fixes the
+    // geometry and builds, later micro-batches fold their keys in as
+    // batch-id-ledgered shard filters. Fresh store per invocation so
+    // repeat runs do the full maintenance work.
+    "stream_bloom_extend" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val store = tempIndexDir("graft-stream-bloom")
+      graft.streaming.StreamedBatch.replayIntoBloomStore(
+        s, dim, "c_custkey", "c_custkey", store, "c_custkey",
+        expectedKeys = 100000L)
+      Bloom.bloomStoreJoin(Tables.orders(s, dir), dim,
+          "o_custkey", "c_custkey", store)
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+    }),
     // heavy hitters via the bounded-memory Misra-Gries sketch: k=64
     // counters exceed the column's true cardinality, so no decrement
     // fires and the sketch counts are EXACT — hash-equal to the
@@ -1220,6 +1284,13 @@ object SparkEntry {
     "text_unigram_incremental" -> ((s, dir) =>
       TextOps.scoreAgainstVocab(Tables.documents(s, dir),
         vocabGateStore(s, dir))),
+    // time travel on the manifest-generation vocab store: score the
+    // corpus against generation 1 (build + first extend) while the
+    // store has since advanced to generation 2 AND carries a torn
+    // uncommitted append — the reader resolves exactly the t0∪t1 LM
+    "text_vocab_asof" -> ((s, dir) =>
+      TextOps.scoreAgainstVocab(Tables.documents(s, dir),
+        vocabGateStore(s, dir), asOf = Some(1))),
     // the unigram filter's next model class up: conditional
     // probability under corpus bigram statistics — catches
     // common-tokens-in-impossible-order docs the unigram gate passes
@@ -1300,6 +1371,17 @@ object SparkEntry {
       FreqSketch.heavyTopKExact(
         TextOps.ngrams(Tables.documents(s, dir), 2), "ngram",
         heavyGateStore(s, dir), k = 20)),
+    // store-vs-corpus contract row: the merged sketch's total N must
+    // equal the exact corpus bigram count — un-ledgered double
+    // application (an anonymous retry re-writing its summary under a
+    // fresh uid) inflates sketch_n and flips n_ok false. The
+    // deliberately re-delivered ledgered t1 shard in the gate store
+    // makes this non-vacuous: the ledger no-op is what keeps n_ok true.
+    "text_heavy_check" -> ((s, dir) =>
+      FreqSketch.heavyStoreCheck(
+        TextOps.ngrams(Tables.documents(s, dir), 2), "ngram",
+        heavyGateStore(s, dir))
+        .select(col("sketch_n"), col("corpus_n"), col("n_ok"))),
     // streaming maintenance of the heavy-hitter store: batch 0 builds,
     // later micro-batches append their batch-id-ledgered summaries.
     // Fresh store per invocation so repeat runs do the full
@@ -2293,6 +2375,17 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'""",
+    // the stored-filter and streamed-store serving paths are exact by
+    // the one-sided-error argument, so all three share the plain-join
+    // oracle verbatim
+    "q_bloom_store" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'""",
+    "stream_bloom_extend" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'""",
     "q_salted_join" ->
       """WITH d AS (SELECT event_type, round(avg(value), 6) AS type_avg
                     FROM events GROUP BY 1)
@@ -2874,6 +2967,18 @@ object SparkEntry {
          SELECT doc_id, round(avg(-ln(c / (SELECT t FROM tot))), 6) AS avg_neg_logprob,
            count(*) AS n_tokens
          FROM tok JOIN vocab USING (w) GROUP BY doc_id""",
+    // generation 1 = terciles 0∪1 of the vocabulary, scoring the WHOLE
+    // corpus (tokens outside the gen-1 vocab drop via the inner join)
+    "text_vocab_asof" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         vtok AS (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents WHERE doc_id % 3 < 2),
+         vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM vtok GROUP BY w),
+         tot AS (SELECT sum(c) AS t FROM vocab)
+         SELECT doc_id, round(avg(-ln(c / (SELECT t FROM tot))), 6) AS avg_neg_logprob,
+           count(*) AS n_tokens
+         FROM tok JOIN vocab USING (w) GROUP BY doc_id""",
     // the Naive Bayes model is closed-form in the training counts
     // (add-one smoothing, ln-sum scores, round-6dp argmax with
     // ascending-label tiebreak), so the oracle re-trains and re-scores
@@ -2903,6 +3008,14 @@ object SparkEntry {
     // answer (candidates + recount under the merged completeness
     // condition), so the plain GROUP-BY oracle is shared verbatim
     "text_heavy_store" -> heavyBigramsSql,
+    // the sketch's total N is exact by construction (shard_n is a
+    // plain count), so the contract row is fully SQL-expressible
+    "text_heavy_check" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT toks[i] || ' ' || toks[i+1] AS ngram
+               FROM t, unnest(range(1, len(toks))) AS u(i))
+         SELECT count(*) AS sketch_n, count(*) AS corpus_n,
+           true AS n_ok FROM b""",
     "stream_heavy_extend" -> heavyBigramsSql,
     "text_token_bpe" ->
       """SELECT doc_id,

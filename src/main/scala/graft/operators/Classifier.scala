@@ -142,45 +142,52 @@ object Classifier {
   private def countsPath(path: String) = s"$path/counts"
   private def totalsPath(path: String) = s"$path/totals"
 
-  /** Initialize the model store with `labeled`'s counts. */
+  /** Initialize the model store with `labeled`'s counts as manifest
+    * generation 0 (a previous epoch at `path` is cleared).
+    */
   def buildNbModel(labeled: DataFrame, path: String, labelCol: String,
-                   unicode: Boolean = false): Unit = {
-    classTokenCounts(labeled, labelCol, unicode)
-      .write.mode(SaveMode.Overwrite).parquet(countsPath(path))
-    classTotals(labeled, labelCol, unicode)
-      .write.mode(SaveMode.Overwrite).parquet(totalsPath(path))
-  }
+                   unicode: Boolean = false): Unit =
+    graft.util.Manifest.init(labeled.sparkSession, path) {
+      classTokenCounts(labeled, labelCol, unicode)
+        .write.mode(SaveMode.Overwrite).parquet(countsPath(path))
+      classTotals(labeled, labelCol, unicode)
+        .write.mode(SaveMode.Overwrite).parquet(totalsPath(path))
+    }
 
-  /** Fold a labeled shard into the model — append-only, ledgered
-    * (`shardId` makes a retried re-application a no-op; doubled count
-    * rows would bias every later prediction toward the shard's
-    * classes). The two appends are not one atomic commit — the ledger
-    * guards RE-DELIVERY of completed extends, same contract as
-    * [[TextOps.extendVocab]].
+  /** Fold a labeled shard into the model — append-only, committed as
+    * one manifest generation covering BOTH the counts and totals
+    * appends: the two writes become one atomic commit (readers can
+    * never see a shard's counts without its totals), a re-delivered
+    * `shardId` is a no-op (doubled count rows would bias every later
+    * prediction toward the shard's classes), and a crash between the
+    * appends and the commit leaves only unreferenced files the blind
+    * retry supersedes.
     */
   def extendNbModel(labeled: DataFrame, path: String, labelCol: String,
                     unicode: Boolean = false,
                     shardId: Option[String] = None): Unit = {
-    val spark = labeled.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    classTokenCounts(labeled, labelCol, unicode)
-      .write.mode(SaveMode.Append).parquet(countsPath(path))
-    classTotals(labeled, labelCol, unicode)
-      .write.mode(SaveMode.Append).parquet(totalsPath(path))
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    graft.util.Manifest.extend(labeled.sparkSession, path, shardId) {
+      classTokenCounts(labeled, labelCol, unicode)
+        .write.mode(SaveMode.Append).parquet(countsPath(path))
+      classTotals(labeled, labelCol, unicode)
+        .write.mode(SaveMode.Append).parquet(totalsPath(path))
+    }
+    ()
   }
 
   /** Classify against the STORED model: old training text is never
     * re-tokenized; shard count rows merge by summation on read
     * (vocabulary-sized aggregations). Equals [[naiveBayes]] trained
-    * from scratch on everything folded in.
+    * from scratch on everything folded in. `asOf` classifies with a
+    * retained earlier generation of the model.
     */
   def classifyWithModel(docs: DataFrame, path: String,
-                        unicode: Boolean = false): DataFrame = {
+                        unicode: Boolean = false,
+                        asOf: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
-    val counts = spark.read.parquet(countsPath(path))
+    val counts = graft.util.Manifest.read(spark, path, "counts", asOf)
       .groupBy(col("y"), col("w")).agg(sum(col("c")).as("c"))
-    val totals = spark.read.parquet(totalsPath(path))
+    val totals = graft.util.Manifest.read(spark, path, "totals", asOf)
       .groupBy(col("y"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     classify(docs, counts, totals, unicode)

@@ -107,8 +107,10 @@ object Dedup {
     */
   def buildSpanIndex(docs: DataFrame, path: String, spanTokens: Int = 16): DataFrame = {
     val kept = electFirst(spanRows(docs, spanTokens))
-    kept.select(col("h")).distinct()
-      .write.mode(SaveMode.Overwrite).parquet(spansPath(path))
+    graft.util.Manifest.init(docs.sparkSession, path) {
+      kept.select(col("h")).distinct()
+        .write.mode(SaveMode.Overwrite).parquet(spansPath(path))
+    }
     reassembleSpans(docs, kept)
   }
 
@@ -120,7 +122,7 @@ object Dedup {
   def dedupSpansIncremental(newDocs: DataFrame, path: String,
                             spanTokens: Int = 16): DataFrame = {
     val spark = newDocs.sparkSession
-    val seen = spark.read.parquet(spansPath(path))
+    val seen = graft.util.Manifest.read(spark, path, "spans")
     val fresh = spanRows(newDocs, spanTokens).join(seen, Seq("h"), "left_anti")
     reassembleSpans(newDocs, electFirst(fresh))
   }
@@ -128,27 +130,33 @@ object Dedup {
   /** Fold a checked shard's new spans into the index (append-only —
     * a shard's kept spans are by construction disjoint from the
     * stored set). `shardId` (when given) makes a retried re-application
-    * a no-op via the [[graft.util.Lake.appliedShards]] ledger —
+    * a no-op via the manifest ledger ([[graft.util.Manifest.extend]]) —
     * duplicate span hashes would not change dedup answers (the anti
-    * join is membership), but they bloat the stored set for nothing.
+    * join is membership), but they bloat the stored set for nothing;
+    * the commit also makes the append atomically visible (a racing
+    * reader keeps the previous generation) and a mid-append crash
+    * retryable.
     */
   def extendSpanIndex(newDocs: DataFrame, path: String,
                       spanTokens: Int = 16,
                       shardId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    val seen = spark.read.parquet(spansPath(path))
+    val seen = graft.util.Manifest.read(spark, path, "spans")
     // materialize the delta FIRST, then append it in a separate job:
     // appending to the same directory the anti join is scanning would
     // lean on the eager file-listing snapshot — unspecified behavior
-    // Spark only explicitly rejects for overwrite mode
-    val (delta, deltaPath) = writeThroughAt(
-      spanRows(newDocs, spanTokens)
-        .select(col("h")).distinct()
-        .join(seen, Seq("h"), "left_anti"))
-    delta.write.mode(SaveMode.Append).parquet(spansPath(path))
-    dropSnapshot(spark, deltaPath)
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    // Spark only explicitly rejects for overwrite mode. (The manifest
+    // read pins an explicit file list, but the delta still must not
+    // observe its own append.)
+    graft.util.Manifest.extend(spark, path, shardId) {
+      val (delta, deltaPath) = writeThroughAt(
+        spanRows(newDocs, spanTokens)
+          .select(col("h")).distinct()
+          .join(seen, Seq("h"), "left_anti"))
+      delta.write.mode(SaveMode.Append).parquet(spansPath(path))
+      dropSnapshot(spark, deltaPath)
+    }
+    ()
   }
 
   /** First-occurrence election: keep each distinct span's earliest
@@ -785,18 +793,20 @@ object Dedup {
                         threshold: Double = 0.5, numHashes: Int = 32,
                         bands: Int = 16, multiProbe: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val sets = hashedShingles(docs, n)
-    sets.write.mode(SaveMode.Overwrite).parquet(setsPath(path))
-    // banding reads the PERSISTED sets (one parquet scan) rather than
-    // re-running the shingle kernel a second time
-    val storedSets = spark.read.parquet(setsPath(path))
-    kernelBuckets(storedSets, numHashes, bands, probes = multiProbe)
-      .write.mode(SaveMode.Overwrite).parquet(bucketsPath(path))
-    val ext = spark.read.parquet(bucketsPath(path))
-    val cand = bucketCandidates(ext, ext.filter(col("is_base"))).distinct()
-    verifyJaccard(cand, storedSets, threshold)
-      .write.mode(SaveMode.Overwrite).parquet(pairsPath(path))
-    spark.read.parquet(pairsPath(path))
+    graft.util.Manifest.init(spark, path) {
+      val sets = hashedShingles(docs, n)
+      sets.write.mode(SaveMode.Overwrite).parquet(setsPath(path))
+      // banding reads the PERSISTED sets (one parquet scan) rather than
+      // re-running the shingle kernel a second time
+      val storedSets = spark.read.parquet(setsPath(path))
+      kernelBuckets(storedSets, numHashes, bands, probes = multiProbe)
+        .write.mode(SaveMode.Overwrite).parquet(bucketsPath(path))
+      val ext = spark.read.parquet(bucketsPath(path))
+      val cand = bucketCandidates(ext, ext.filter(col("is_base"))).distinct()
+      verifyJaccard(cand, storedSets, threshold)
+        .write.mode(SaveMode.Overwrite).parquet(pairsPath(path))
+    }
+    graft.util.Manifest.read(spark, path, "pairs")
   }
 
   /** Read a stored buckets table, tolerating the pre-probe schema
@@ -805,7 +815,7 @@ object Dedup {
     */
   private def storedBuckets(spark: org.apache.spark.sql.SparkSession,
                             path: String): DataFrame = {
-    val b = spark.read.parquet(bucketsPath(path))
+    val b = graft.util.Manifest.read(spark, path, "buckets")
     if (b.columns.contains("is_base")) b else b.withColumn("is_base", lit(true))
   }
 
@@ -865,7 +875,7 @@ object Dedup {
       else bucketCandidates(newExt, oldBase)
     // new-vs-new: the shard may carry internal near-dups too
     val cand = crossCand.union(bucketCandidates(newExt, newBase)).distinct()
-    val sets = spark.read.parquet(setsPath(path)).union(newSets)
+    val sets = graft.util.Manifest.read(spark, path, "sets").union(newSets)
     verifyJaccard(cand, sets, threshold)
   }
 
@@ -877,7 +887,9 @@ object Dedup {
     * appends only — nothing existing is rewritten.
     *
     * `shardId` (when given) makes a retried re-application a no-op via
-    * the [[graft.util.Lake.appliedShards]] ledger. This matters more
+    * the manifest ledger, and the three appends commit as ONE
+    * generation — readers can never see a shard's sets without its
+    * buckets and pairs. This matters more
     * here than for the span index: a doubled `sets/` row fans out BOTH
     * verification joins (duplicate pair rows — wrong answers, not just
     * wasted space), so production extends should always carry an id.
@@ -887,21 +899,23 @@ object Dedup {
                   multiProbe: Boolean = false,
                   shardId: Option[String] = None): Unit = {
     val spark = newDocs.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    val newSets = hashedShingles(newDocs, n)
-    newSets.write.mode(SaveMode.Append).parquet(setsPath(path))
-    kernelBuckets(newSets, numHashes, bands, probes = multiProbe)
-      .write.mode(SaveMode.Append).parquet(bucketsPath(path))
-    newPairs.write.mode(SaveMode.Append).parquet(pairsPath(path))
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    graft.util.Manifest.extend(spark, path, shardId) {
+      val newSets = hashedShingles(newDocs, n)
+      newSets.write.mode(SaveMode.Append).parquet(setsPath(path))
+      kernelBuckets(newSets, numHashes, bands, probes = multiProbe)
+        .write.mode(SaveMode.Append).parquet(bucketsPath(path))
+      newPairs.write.mode(SaveMode.Append).parquet(pairsPath(path))
+    }
+    ()
   }
 
   /** All verified near-dup pairs the index knows (`pairs/`): after
     * build + k extends, exactly the from-scratch [[minhashLsh]] pair
     * frame over everything indexed.
     */
-  def indexedPairs(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(pairsPath(path))
+  def indexedPairs(spark: org.apache.spark.sql.SparkSession, path: String,
+                   asOf: Option[Int] = None): DataFrame =
+    graft.util.Manifest.read(spark, path, "pairs", asOf)
 
   // ── incremental connected components ──────────────────────────────
   //
@@ -930,16 +944,23 @@ object Dedup {
   /** Initialize the component store: [[dupComponents]] of `pairs`
     * persisted at `path/labels`.
     */
-  def buildComponents(pairs: DataFrame, path: String): Unit =
-    dupComponents(pairs)
-      .write.mode(SaveMode.Overwrite).parquet(labelsPath(path))
+  def buildComponents(pairs: DataFrame, path: String): Unit = {
+    val spark = pairs.sparkSession
+    graft.util.Manifest.init(spark, path) {
+      dupComponents(pairs)
+        .write.mode(SaveMode.Overwrite).parquet(s"${labelsPath(path)}/lv=0")
+    }
+  }
 
   /** The stored labels frame — after build + k extends, exactly
-    * [[dupComponents]] over every pair folded in.
+    * [[dupComponents]] over every pair folded in. Label versions live
+    * in `labels/lv=N/` dirs; one committed generation references
+    * exactly one version, so the read is never a mix.
     */
   def indexedComponents(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame =
-    spark.read.parquet(labelsPath(path))
+                        path: String,
+                        asOf: Option[Int] = None): DataFrame =
+    graft.util.Manifest.read(spark, path, "labels", asOf).drop("lv")
 
   /** Read-only merged view: component labels over stored ∪ `newPairs`
     * WITHOUT mutating the store — what a serving query uses between a
@@ -993,47 +1014,28 @@ object Dedup {
   }
 
   /** Fold a shard's pairs into the stored labels — the write side of
-    * [[mergedComponents]]. The updated label table stages to a sibling
-    * dir, then swaps in with two renames. Each rename is atomic, but
-    * between them the labels path briefly does not exist — a
-    * concurrent reader can hit PATH_NOT_FOUND (never a half-written
-    * table); serialize updates against reads, same contract as
-    * [[graft.util.Lake.compact]]. A stale `.update-old` from a crash
-    * mid-swap is cleared up front, and each rename's result is
-    * CHECKED: a false return would otherwise silently discard the
-    * shard's merge (the old labels stay in place, the staged update is
-    * deleted as "backup") — corruption with no error. Cost: the
+    * [[mergedComponents]]. The updated label table lands in a FRESH
+    * `labels/lv=N/` version dir and commits through
+    * [[graft.util.Manifest.replace]]: readers resolve the old or the
+    * new version atomically (the rename-swap idiom this replaces had a
+    * window where the labels path did not exist at all), a crash
+    * before the commit leaves only an unreferenced version dir, and a
+    * `shardId` makes a retried re-application a no-op — re-merging the
+    * same pairs is idempotent on the labels, but the retry would burn
+    * a closure run and a table rewrite for nothing. Cost: the
     * contracted closure plus one map-only rewrite of the label table —
     * the full-graph recompute never runs again.
     */
-  def extendComponents(newPairs: DataFrame, path: String): Unit = {
+  def extendComponents(newPairs: DataFrame, path: String,
+                       shardId: Option[String] = None): Unit = {
     val spark = newPairs.sparkSession
+    val snap = graft.util.Manifest.snapshot(spark, path)
+    if (shardId.exists(snap.applied)) return
     val merged = mergedComponents(spark, path, newPairs)
-    val labels = labelsPath(path)
-    val stage = labels + ".update-stage"
-    merged.write.mode(SaveMode.Overwrite).parquet(stage)
-    val fs = new org.apache.hadoop.fs.Path(labels)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val labelsP = new org.apache.hadoop.fs.Path(labels)
-    val stageP = new org.apache.hadoop.fs.Path(stage)
-    val old = new org.apache.hadoop.fs.Path(labels + ".update-old")
-    // a prior crash between the two renames leaves old behind (and may
-    // have lost labels/); recover: restore the backup if labels is
-    // gone, else drop the stale backup so the rename below can't fail
-    if (fs.exists(old)) {
-      if (!fs.exists(labelsP)) {
-        if (!fs.rename(old, labelsP))
-          sys.error(s"extendComponents: failed to restore $old to $labelsP")
-      } else if (!fs.delete(old, true))
-        sys.error(s"extendComponents: failed to clear stale $old")
+    graft.util.Manifest.replace(spark, path, "labels", shardId) {
+      merged.write.mode(SaveMode.Overwrite)
+        .parquet(s"${labelsPath(path)}/lv=${snap.gen + 1}")
     }
-    if (!fs.rename(labelsP, old))
-      sys.error(s"extendComponents: failed to rename $labelsP aside")
-    if (!fs.rename(stageP, labelsP)) {
-      // put the store back before failing — leave no missing-labels gap
-      fs.rename(old, labelsP)
-      sys.error(s"extendComponents: failed to swap $stageP into $labelsP")
-    }
-    fs.delete(old, true)
+    ()
   }
 }

@@ -82,7 +82,8 @@ object FreqSketch {
   // ([[graft.operators.TextOps.heavyNgrams]]) gates.
   //
   //   <path>/sketch/    (shard_id, shard_uid, item, cnt, shard_n, capacity)
-  //   <path>/_applied/  shard ledger (graft.util.Lake)
+  //   <path>/_meta/     generation manifests (graft.util.Manifest):
+  //                     atomic shard commits + ledger + time travel
 
   import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   import org.apache.spark.sql.functions._
@@ -114,26 +115,29 @@ object FreqSketch {
     * base summary instead of double-counting it.
     */
   def buildHeavyStore(items: DataFrame, itemCol: String, path: String,
-                      capacity: Int = 768): Unit = {
-    // a REBUILD starts a new epoch: clear the ledger so the new
-    // epoch's extends (a replayed stream re-numbers batches from 0)
-    // are not silently no-opped by the previous epoch's ids
-    graft.util.Lake.clearApplied(items.sparkSession, path)
-    writeShard(items, itemCol, path, "_base", capacity, SaveMode.Overwrite)
-  }
+                      capacity: Int = 768): Unit =
+    // Manifest.init clears the previous epoch wholesale — ledger
+    // included, so a replayed stream re-numbering its batches from 0
+    // is not silently no-opped by pre-rebuild ids
+    graft.util.Manifest.init(items.sparkSession, path) {
+      writeShard(items, itemCol, path, "_base", capacity, SaveMode.Overwrite)
+    }
 
   /** Fold a new shard's summary in — one sketch pass over the SHARD
-    * only; `shardId` makes a retried re-application a ledgered no-op
-    * (doubled sketch counts would promote the re-run shard's items).
+    * only, committed as the next manifest generation: a re-delivered
+    * `shardId` is a no-op (doubled sketch counts would promote the
+    * re-run shard's items), a racing reader keeps the previous
+    * generation, and a crash before the commit leaves only
+    * unreferenced files.
     */
   def extendHeavyStore(items: DataFrame, itemCol: String, path: String,
                        shardId: Option[String] = None,
                        capacity: Int = 768): Unit = {
-    val spark = items.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    writeShard(items, itemCol, path, shardId.getOrElse("_anon"), capacity,
-      SaveMode.Append)
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    graft.util.Manifest.extend(items.sparkSession, path, shardId) {
+      writeShard(items, itemCol, path, shardId.getOrElse("_anon"), capacity,
+        SaveMode.Append)
+    }
+    ()
   }
 
   /** The merged store summary: shard maps folded with the MG merge rule
@@ -141,9 +145,9 @@ object FreqSketch {
     * itself is associative and error-additive). Returns (candidate
     * map, N = Σ shard_n, error bound Σᵢ Nᵢ/(minCap+1)).
     */
-  def mergedSketch(spark: SparkSession,
-                   path: String): (Map[String, Long], Long, Double) = {
-    val rows = spark.read.parquet(sketchPath(path))
+  def mergedSketch(spark: SparkSession, path: String,
+                   asOf: Option[Int] = None): (Map[String, Long], Long, Double) = {
+    val rows = graft.util.Manifest.read(spark, path, "sketch", asOf)
       .select("shard_uid", "item", "cnt", "shard_n", "capacity").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getInt(4)))
@@ -166,16 +170,52 @@ object FreqSketch {
     * the merged sketch (≤ capacity items — the corpus-sized shuffle a
     * plain GROUP BY would pay never happens), their counts recount
     * exactly over `items`, and the answer is provably the true top-k
-    * whenever the k-th count clears the merged error bound (the spec
-    * asserts the condition at gate scale; ties break by item text).
+    * whenever the k-th count clears the merged error bound. That
+    * condition is ENFORCED, not assumed: the recounted k-th count is
+    * compared against the bound and a shortfall throws — a sketch
+    * whose capacity is too small for the corpus must fail loudly, not
+    * return a silently incomplete "exact" answer (at gate scale the
+    * margin is also spec-asserted; ties break by item text).
     */
   def heavyTopKExact(items: DataFrame, itemCol: String, path: String,
                      k: Int): DataFrame = {
     val spark = items.sparkSession
-    val (merged, _, _) = mergedSketch(spark, path)
+    val (merged, _, bound) = mergedSketch(spark, path)
     val cands = merged.keys.toSeq
-    items.filter(col(itemCol).isin(cands: _*))
+    val top = items.filter(col(itemCol).isin(cands: _*))
       .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(itemCol)).limit(k)
+    // completeness: every item with true count > bound survives in the
+    // merged sketch, so if the recounted k-th candidate clears the
+    // bound, no non-candidate can out-count it — the top-k is the true
+    // top-k. k-th below the bound means candidates may be missing.
+    val kth = top.collect().lastOption.map(_.getLong(1))
+    kth.filter(_.toDouble <= bound).foreach { c =>
+      throw new IllegalStateException(
+        s"heavyTopKExact: k-th recounted count $c does not clear the " +
+          f"merged sketch error bound $bound%.1f — the candidate set may " +
+          "be missing true heavy hitters; raise the sketch capacity or " +
+          "lower k")
+    }
+    // the collect is ≤ k rows; re-materialize as a frame for the caller
+    import spark.implicits._
+    top.as[(String, Long)].collect().toSeq.toDF(itemCol, "cnt")
+  }
+
+  /** Contract-check row of the store vs the corpus — the quantile
+    * store's `weights_ok` idiom for the heavy-hitter family: compares
+    * the merged sketch's total N (Σ shard_n) against an exact corpus
+    * count. Un-ledgered double application (an anonymous retried
+    * extend re-writing its summary under a fresh uid) inflates N and
+    * flips `n_ok` false — detectable here without any ledger.
+    */
+  def heavyStoreCheck(items: DataFrame, itemCol: String,
+                      path: String): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val (_, n, bound) = mergedSketch(spark, path)
+    val exact = items.filter(col(itemCol).isNotNull).count()
+    Seq((n, exact, n == exact, math.round(bound)))
+      .toDF("sketch_n", "corpus_n", "n_ok", "error_bound")
   }
 }

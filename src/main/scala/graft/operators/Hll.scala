@@ -25,9 +25,9 @@ import org.apache.spark.sql.functions._
   *
   * Store layout mirrors the unigram vocab store
   * ([[TextOps.extendVocab]]): `data/` parquet rows
-  * `(key..., hll binary)`, one row per (shard × key); the
-  * [[graft.util.Lake]] applied-shard ledger makes re-delivered extends
-  * a no-op. Reference analogy: the dashboard's per-symbol distinct
+  * `(key..., hll binary)`, one row per (shard × key); commits ride
+  * [[graft.util.Manifest]] generations (atomic visibility, crash-safe
+  * retries, re-delivered extends are no-ops, time travel). Reference analogy: the dashboard's per-symbol distinct
   * counts (`dashboard/app.py` aggregations) recomputed per page load —
   * here they are served from sketches.
   */
@@ -47,8 +47,10 @@ object Hll {
   /** Initialize the store from a first corpus tranche. */
   def buildDistinctStore(df: DataFrame, keyCols: Seq[String], valueCol: String,
                          path: String, lgK: Int = 12): Unit =
-    keySketches(df, keyCols, valueCol, lgK)
-      .write.mode(SaveMode.Overwrite).parquet(dataPath(path))
+    graft.util.Manifest.init(df.sparkSession, path) {
+      keySketches(df, keyCols, valueCol, lgK)
+        .write.mode(SaveMode.Overwrite).parquet(dataPath(path))
+    }
 
   /** Fold a shard in: append the SHARD'S sketches (nothing existing is
     * rewritten). `shardId` dedups re-delivery via the ledger — a
@@ -60,11 +62,11 @@ object Hll {
                           valueCol: String, path: String,
                           shardId: Option[String] = None,
                           lgK: Int = 12): Unit = {
-    val spark = shard.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    keySketches(shard, keyCols, valueCol, lgK)
-      .write.mode(SaveMode.Append).parquet(dataPath(path))
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    graft.util.Manifest.extend(shard.sparkSession, path, shardId) {
+      keySketches(shard, keyCols, valueCol, lgK)
+        .write.mode(SaveMode.Append).parquet(dataPath(path))
+    }
+    ()
   }
 
   /** Serve per-key distinct estimates from the store: union the
@@ -72,8 +74,9 @@ object Hll {
     * Never touches the corpus.
     */
   def distinctCounts(spark: SparkSession, path: String,
-                     keyCols: Seq[String]): DataFrame =
-    spark.read.parquet(dataPath(path))
+                     keyCols: Seq[String],
+                     asOf: Option[Int] = None): DataFrame =
+    graft.util.Manifest.read(spark, path, "data", asOf)
       .groupBy(keyCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_distinct"))
 

@@ -444,7 +444,7 @@ object Pca {
   // eigendecomposition — the corpus is never rescanned.
   //
   //   <path>/moments/   (shard_id, n, d, acc array<double>)
-  //   <path>/_applied/  shard ledger (graft.util.Lake)
+  //   <path>/_meta/     generation manifests (graft.util.Manifest)
 
   private def momentsPath(p: String) = s"$p/moments"
 
@@ -466,13 +466,13 @@ object Pca {
     * rewrites the base moments instead of double-counting them.
     */
   def buildMomentStore(emb: DataFrame, path: String,
-                       vecCol: String = "embedding"): Unit = {
-    // a rebuild starts a new epoch: the old ledger must not no-op the
-    // new epoch's extends (batch ids restart at 0 on a replayed stream)
-    graft.util.Lake.clearApplied(emb.sparkSession, path)
-    writeMomentShard(emb, path, "_base", vecCol,
-      org.apache.spark.sql.SaveMode.Overwrite)
-  }
+                       vecCol: String = "embedding"): Unit =
+    // Manifest.init clears the previous epoch — ledger included, so
+    // the old epoch's batch ids cannot no-op the new epoch's extends
+    graft.util.Manifest.init(emb.sparkSession, path) {
+      writeMomentShard(emb, path, "_base", vecCol,
+        org.apache.spark.sql.SaveMode.Overwrite)
+    }
 
   /** Fold a new shard's moments into the store — one scan of the SHARD
     * only (the indexed corpus is never re-read), one appended row.
@@ -482,19 +482,20 @@ object Pca {
   def extendMomentStore(emb: DataFrame, path: String,
                         shardId: Option[String] = None,
                         vecCol: String = "embedding"): Unit = {
-    val spark = emb.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    writeMomentShard(emb, path, shardId.getOrElse("_anon"), vecCol,
-      org.apache.spark.sql.SaveMode.Append)
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    graft.util.Manifest.extend(emb.sparkSession, path, shardId) {
+      writeMomentShard(emb, path, shardId.getOrElse("_anon"), vecCol,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    ()
   }
 
   /** Combined store moments, shard rows summed in shard_id order —
     * deterministic for a given shard SET, independent of append order
     * or read partitioning. Returns (nShards, n, d, acc).
     */
-  private def loadMoments(spark: SparkSession, path: String): (Int, Long, Int, Array[Double]) = {
-    val rows = spark.read.parquet(momentsPath(path)).collect()
+  private def loadMoments(spark: SparkSession, path: String,
+                          asOf: Option[Int] = None): (Int, Long, Int, Array[Double]) = {
+    val rows = graft.util.Manifest.read(spark, path, "moments", asOf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
         r.getSeq[Double](3).toArray))
       .sortBy(_._1)
@@ -513,8 +514,9 @@ object Pca {
     * serving pipeline runs after each append: a d×d driver-side
     * eigendecomposition, zero jobs over the corpus.
     */
-  def fitFromStore(spark: SparkSession, path: String, k: Int): PcaModel = {
-    val (_, n, d, acc) = loadMoments(spark, path)
+  def fitFromStore(spark: SparkSession, path: String, k: Int,
+                   asOf: Option[Int] = None): PcaModel = {
+    val (_, n, d, acc) = loadMoments(spark, path, asOf)
     val (_, mean, cov) = momentsToCov(n, d, acc)
     eigenModel(mean, cov, k)
   }

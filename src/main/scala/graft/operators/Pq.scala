@@ -456,17 +456,19 @@ object Pq {
       Similarity.coarseCentroids(embeddings, nlist, coarseIters))
     val books = booksOpt.getOrElse(
       trainedBooks(embeddings, m, numCentroids, dim, kmeansIters))
-    Seq((nlist, m, numCentroids, dim, kmeansIters, coarseIters))
-      .toDF("nlist", "m", "num_centroids", "dim", "kmeans_iters", "coarse_iters")
-      .write.mode(SaveMode.Overwrite).parquet(paramsPath(path))
-    cents.toSeq.map { case (cid, v, _) => (cid, v.toSeq) }
-      .toDF("cid", "vec")
-      .write.mode(SaveMode.Overwrite).parquet(centsPath(path))
-    books.zipWithIndex.flatMap { case (bs, s) =>
-      bs.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
-    }.toSeq.toDF("s", "c", "vec")
-      .write.mode(SaveMode.Overwrite).parquet(booksPath(path))
-    writeCodes(embeddings, cents, books, path, SaveMode.Overwrite)
+    graft.util.Manifest.init(spark, path) {
+      Seq((nlist, m, numCentroids, dim, kmeansIters, coarseIters))
+        .toDF("nlist", "m", "num_centroids", "dim", "kmeans_iters", "coarse_iters")
+        .write.mode(SaveMode.Overwrite).parquet(paramsPath(path))
+      cents.toSeq.map { case (cid, v, _) => (cid, v.toSeq) }
+        .toDF("cid", "vec")
+        .write.mode(SaveMode.Overwrite).parquet(centsPath(path))
+      books.zipWithIndex.flatMap { case (bs, s) =>
+        bs.zipWithIndex.map { case (cv, c) => (s, c, cv.toSeq) }
+      }.toSeq.toDF("s", "c", "vec")
+        .write.mode(SaveMode.Overwrite).parquet(booksPath(path))
+      writeCodes(embeddings, cents, books, path, SaveMode.Overwrite)
+    }
   }
 
   /** Assign + encode + write the cell-partitioned code table. The
@@ -533,13 +535,17 @@ object Pq {
     val spark = newEmbeddings.sparkSession
     // retried re-application would append DUPLICATE code rows for the
     // shard's vec_ids — every ADC scan then scores them twice and the
-    // rerank fetches doubled candidates; the ledger makes it a no-op
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    val p = spark.read.parquet(paramsPath(path)).collect().head
-    val cents = loadCents(spark, path)
-    val books = loadBooks(spark, path, p.getInt(1), p.getInt(2))
-    writeCodes(newEmbeddings, cents, books, path, SaveMode.Append)
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    // rerank fetches doubled candidates; the manifest ledger makes it
+    // a no-op, and the generation commit makes the whole shard append
+    // atomically visible (a racing search keeps the previous
+    // generation's code files)
+    graft.util.Manifest.extend(spark, path, shardId) {
+      val p = spark.read.parquet(paramsPath(path)).collect().head
+      val cents = loadCents(spark, path)
+      val books = loadBooks(spark, path, p.getInt(1), p.getInt(2))
+      writeCodes(newEmbeddings, cents, books, path, SaveMode.Append)
+    }
+    ()
   }
 
   /** Search the stored index: the serving-loop path. Driver-side work
@@ -555,7 +561,8 @@ object Pq {
     * float corpus stays in the lake; the index carries codes.
     */
   def annTopK(embeddings: DataFrame, queries: DataFrame, path: String, k: Int,
-              nprobe: Int = 4, oversample: Int = 12): DataFrame = {
+              nprobe: Int = 4, oversample: Int = 12,
+              asOf: Option[Int] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val p = spark.read.parquet(paramsPath(path)).collect().head
     val (nlist, m) = (p.getInt(0), p.getInt(1))
@@ -570,7 +577,22 @@ object Pq {
       cents, nprobe)
       .withColumnRenamed("embedding", "q_emb")
     val probed = q.select("probe_cell").distinct().collect().map(_.getInt(0))
-    val codes = spark.read.parquet(codesPath(path))
+    // manifest-resolved file list pruned to the probed cells by PATH
+    // (cell= partition dirs) — same file-level pruning as before, now
+    // also generation-pinned: an extend committing mid-search cannot
+    // splice its files into the scan
+    val probedSet = probed.toSet
+    val snap = graft.util.Manifest.snapshot(spark, path, asOf)
+    val cellOf = "codes/cell=(\\d+)/".r
+    val codeFiles = snap.files.filter { f =>
+      f.startsWith("codes/") && cellOf.findFirstMatchIn(f)
+        .exists(m => probedSet(m.group(1).toInt))
+    }.map(f => s"$path/$f")
+    val codes = (if (codeFiles.isEmpty)
+      spark.read.option("basePath", codesPath(path)).parquet(codesPath(path))
+        .filter(lit(false))
+    else
+      spark.read.option("basePath", codesPath(path)).parquet(codeFiles: _*))
       .filter(col("cell").isin(probed.toSeq: _*))
     val scored = codes.join(broadcast(q),
         col("cell") === col("probe_cell") && col("query_id") =!= col("vec_id"))

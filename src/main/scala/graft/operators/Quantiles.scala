@@ -26,13 +26,14 @@ import org.apache.spark.sql.types._
   * statistics) — asserted per query in [[quantileCheck]] against exact
   * ranks recomputed from the corpus.
   *
-  * The store follows the repo's shard-ledger lifecycle (vocab / NB /
-  * HLL / moments): one build, ledgered extends (a retried shard
-  * re-delivery appends nothing), streaming maintenance via
-  * [[graft.streaming.StreamedBatch.replayIntoQuantileStore]].
+  * The store follows the repo's shard lifecycle (vocab / NB / HLL /
+  * moments): one build, shard extends, streaming maintenance via
+  * [[graft.streaming.StreamedBatch.replayIntoQuantileStore]] — all
+  * committed through [[graft.util.Manifest]] generations (atomic
+  * visibility, crash-safe retries, ledgered re-delivery, time travel).
   *
   *   <path>/summary/   (shard_id, shard_uid, value, weight, shard_n, r)
-  *   <path>/_applied/  shard ledger (graft.util.Lake)
+  *   <path>/_meta/     generation manifests (graft.util.Manifest)
   */
 object Quantiles {
 
@@ -89,6 +90,11 @@ object Quantiles {
                          shardId: String, eps: Double, mode: SaveMode): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // empty shard (a streaming micro-batch with no non-null values):
+    // contribute nothing — the manifest commit still records the shard
+    // id, matching the heavy-hitter/PCA stores' tolerance instead of
+    // crashing the maintenance loop on a quiet batch
+    if (df.select(col(valueCol)).filter(col(valueCol).isNotNull).isEmpty) return
     val (n, r, rows) = shardSummary(df, valueCol, eps)
     // shard_uid keeps anonymous shards distinct in the bound math: the
     // ledgered path's id is already unique, the no-ledger fallback gets
@@ -108,26 +114,29 @@ object Quantiles {
     * rewrites the base summary instead of double-counting it.
     */
   def buildQuantileStore(df: DataFrame, valueCol: String, path: String,
-                         eps: Double = 0.01): Unit = {
-    // a rebuild starts a new epoch: the old ledger must not no-op the
-    // new epoch's extends (batch ids restart at 0 on a replayed stream)
-    graft.util.Lake.clearApplied(df.sparkSession, path)
-    writeShard(df, valueCol, path, "_base", eps, SaveMode.Overwrite)
-  }
+                         eps: Double = 0.01): Unit =
+    // Manifest.init clears the previous epoch — ledger included, so
+    // the old epoch's batch ids cannot no-op the new epoch's extends
+    // (batch ids restart at 0 on a replayed stream)
+    graft.util.Manifest.init(df.sparkSession, path) {
+      writeShard(df, valueCol, path, "_base", eps, SaveMode.Overwrite)
+    }
 
   /** Fold a new shard's summary into the store — one sort of the SHARD
-    * only; the indexed corpus is never re-read. `shardId` makes a
-    * retried re-application a ledgered no-op (doubled summary weight
-    * would shift every served rank by a whole shard).
+    * only; the indexed corpus is never re-read. Committed as the next
+    * manifest generation: a re-delivered `shardId` is a no-op (doubled
+    * summary weight would shift every served rank by a whole shard), a
+    * racing reader keeps the previous generation, and an EMPTY shard
+    * commits its ledger id without contributing rows.
     */
   def extendQuantileStore(df: DataFrame, valueCol: String, path: String,
                           shardId: Option[String] = None,
                           eps: Double = 0.01): Unit = {
-    val spark = df.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    writeShard(df, valueCol, path, shardId.getOrElse("_anon"), eps,
-      SaveMode.Append)
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    graft.util.Manifest.extend(df.sparkSession, path, shardId) {
+      writeShard(df, valueCol, path, shardId.getOrElse("_anon"), eps,
+        SaveMode.Append)
+    }
+    ()
   }
 
   /** The merged summary, collected and value-sorted — bounded by
@@ -135,9 +144,10 @@ object Quantiles {
     * Returns (rows sorted by (value, weight), N = Σ weight,
     * R = Σ per-shard r, nShards).
     */
-  private def loadSummary(spark: SparkSession,
-                          path: String): (Array[(Double, Long)], Long, Long, Int) = {
-    val rows = spark.read.parquet(summaryPath(path))
+  private def loadSummary(spark: SparkSession, path: String,
+                          asOf: Option[Int] = None)
+      : (Array[(Double, Long)], Long, Long, Int) = {
+    val rows = graft.util.Manifest.read(spark, path, "summary", asOf)
       .select("shard_uid", "value", "weight", "r").collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
     // per-UID grouping: distinct anonymous shards stay distinct, so R
@@ -167,8 +177,9 @@ object Quantiles {
     * set). Returns one row per q: (q, value, n, rank_error_bound).
     */
   def quantilesFromStore(spark: SparkSession, path: String,
-                         qs: Seq[Double]): DataFrame = {
-    val (sorted, n, bigR, _) = loadSummary(spark, path)
+                         qs: Seq[Double],
+                         asOf: Option[Int] = None): DataFrame = {
+    val (sorted, n, bigR, _) = loadSummary(spark, path, asOf)
     val cum = sorted.scanLeft(0L)(_ + _._2).tail
     val out = qs.map { q => Row(q, servedAt(sorted, cum, n, q)._1, n, bigR) }
     spark.createDataFrame(

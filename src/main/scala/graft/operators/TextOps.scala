@@ -81,7 +81,10 @@ object TextOps {
   // stored vocabulary by summation, so the corpus LM maintains
   // incrementally while scoring stays a read-only join against the
   // store. Same lifecycle shape as the dedup/ANN/candle stores:
-  // build → extend per shard (append-only, ledgered) → score many.
+  // build → extend per shard (append-only) → score many — committed
+  // through [[graft.util.Manifest]] generations, so extends are
+  // crash-safe and atomically visible, re-delivered shards are no-ops,
+  // and any retained generation scores as-of (`VERSION AS OF`).
 
   private def vocabPath(path: String) = s"$path/vocab"
 
@@ -89,31 +92,41 @@ object TextOps {
   private def tokenCounts(docs: DataFrame, unicode: Boolean): DataFrame =
     docTokens(docs, unicode).groupBy(col("w")).agg(count(lit(1)).as("c"))
 
-  /** Initialize the vocabulary store with `docs`' token counts. */
+  /** Initialize the vocabulary store with `docs`' token counts as
+    * generation 0 (any previous epoch at `path` is cleared — its
+    * ledger must not no-op the new epoch's shards).
+    */
   def buildVocab(docs: DataFrame, path: String, unicode: Boolean = false): Unit =
-    tokenCounts(docs, unicode)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(vocabPath(path))
+    graft.util.Manifest.init(docs.sparkSession, path) {
+      tokenCounts(docs, unicode)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(vocabPath(path))
+    }
 
   /** Fold a shard's token counts into the store — a parquet APPEND of
     * the shard's own count rows (readers merge by summation, so
-    * nothing existing is rewritten; compact the dir with
-    * [[graft.util.Lake.compact]] when shard files accrete). `shardId`
-    * makes a retried re-application a no-op via the ledger — doubled
-    * count rows would silently skew every later score.
+    * nothing existing is rewritten), committed as the next manifest
+    * generation: readers racing the extend keep resolving the previous
+    * generation, a crash mid-append leaves only unreferenced files,
+    * and a `shardId` already in the ledger makes the whole call a
+    * no-op — doubled count rows would silently skew every later score.
     */
   def extendVocab(newDocs: DataFrame, path: String, unicode: Boolean = false,
                   shardId: Option[String] = None): Unit = {
-    val spark = newDocs.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    tokenCounts(newDocs, unicode)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(vocabPath(path))
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    graft.util.Manifest.extend(newDocs.sparkSession, path, shardId) {
+      tokenCounts(newDocs, unicode)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(vocabPath(path))
+    }
+    ()
   }
 
-  /** The store's merged vocabulary: `(w, c)` summed across shards. */
-  def vocabCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(vocabPath(path))
+  /** The store's merged vocabulary: `(w, c)` summed across the shard
+    * files of one committed generation (the newest when `asOf` is
+    * None).
+    */
+  def vocabCounts(spark: org.apache.spark.sql.SparkSession, path: String,
+                  asOf: Option[Int] = None): DataFrame =
+    graft.util.Manifest.read(spark, path, "vocab", asOf)
       .groupBy(col("w")).agg(sum(col("c")).cast("double").as("c"))
 
   /** Score docs against the STORED corpus LM — the serving side of the
@@ -123,12 +136,15 @@ object TextOps {
     * extends this equals [[unigramLogprob]] over everything folded in
     * (counts are additive — gate- and spec-verified). Tokens absent
     * from the vocabulary drop from a doc's mean (inner join), exactly
-    * as they would in the from-scratch form.
+    * as they would in the from-scratch form. `asOf` scores against a
+    * retained earlier generation — yesterday's LM, unperturbed by
+    * today's in-flight extend.
     */
   def scoreAgainstVocab(docs: DataFrame, path: String,
-                        unicode: Boolean = false): DataFrame = {
+                        unicode: Boolean = false,
+                        asOf: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
-    val vocab = vocabCounts(spark, path)
+    val vocab = vocabCounts(spark, path, asOf)
     val t = vocab.agg(sum(col("c"))).head().getDouble(0)
     scoreTokens(docTokens(docs, unicode), vocab, t)
   }

@@ -495,6 +495,43 @@ object StreamedBatch {
     }
   }
 
+  /** Replay a dimension table as a file stream folding each
+    * micro-batch's keys into a persisted [[graft.operators.Bloom]]
+    * membership store — the allow-list/dimension-key maintenance loop
+    * as a live stream: batch 0 fixes the filter geometry and builds,
+    * later batches append their own (batch-id-ledgered) shard filters.
+    * Bloom union is an OR over fixed geometry, so the streamed store's
+    * merged filter equals a one-shot build over everything streamed,
+    * and a Spark retry is a manifest-ledgered no-op. The gate serves
+    * the semi-join reduction against the streamed store and must be
+    * bit-identical to the plain unfiltered join.
+    */
+  def replayIntoBloomStore(spark: SparkSession, dim: DataFrame,
+                           orderCol: String, tieCol: String,
+                           storePath: String, keyCol: String,
+                           expectedKeys: Long = 1000000L,
+                           fpp: Double = 0.03, chunks: Int = 3,
+                           stageKey: Option[String] = None): Unit = {
+    import graft.operators.Bloom
+    val in = stagedIn(dim, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(dim.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0)
+            Bloom.buildBloomStore(batch, keyCol, storePath, expectedKeys, fpp)
+          else Bloom.extendBloomStore(batch, keyCol, storePath,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —

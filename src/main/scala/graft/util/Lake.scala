@@ -192,6 +192,17 @@ object Lake {
     }
     val dir = new File(path)
     require(dir.isDirectory, s"compact: not a table directory: $path")
+    // a manifest-managed store references its data files BY NAME in
+    // committed generations; rewriting them in place severs every
+    // manifest (readers hit PATH_NOT_FOUND) — that maintenance pass is
+    // Manifest.compactSub, which appends the rewrite and swaps the
+    // file list in a new commit instead
+    require(!new File(dir.getParentFile, "_meta").exists() &&
+        !new File(dir, "_meta").exists(),
+      s"compact: $path belongs to a manifest-managed store (_meta " +
+        "present); use graft.util.Manifest.compactSub, which compacts " +
+        "through a generation commit instead of rewriting referenced " +
+        "files in place")
     require(!new File(dir, "_spark_metadata").exists(),
       s"compact: $path is a streaming file-sink table (_spark_metadata " +
         "present); compacting it would drop the sink manifest and a " +

@@ -223,11 +223,12 @@ class PqSpec extends SparkSuite with Matchers {
       .orderBy("query_id", "rank").collect() shouldBe once
   }
 
-  test("ANN index maintenance: Lake.compact on appended codes/ preserves results") {
+  test("ANN index maintenance: Manifest.compactSub on appended codes/ preserves results") {
     // three shard appends fragment every cell dir; the maintenance pass
-    // is the generic partitioned-layout compact, and search must be
-    // bit-identical across it (cells are a partition column, codes are
-    // data — the rewrite preserves both)
+    // is the manifest-aware compaction (a generation commit swapping
+    // the live file list — in-flight readers and time travel survive),
+    // and search must be bit-identical across it (cells are a partition
+    // column, codes are data — the rewrite preserves both)
     val path = java.nio.file.Files.createTempDirectory("ann-cmp").toString
     val queries = emb.filter(col("vec_id") < 5)
     val mx = emb.agg(max("vec_id")).head.getLong(0)
@@ -237,7 +238,7 @@ class PqSpec extends SparkSuite with Matchers {
     val before = Pq.annTopK(emb, queries, path, k = 10, nprobe = 4)
       .orderBy("query_id", "rank").collect()
     val (nBefore, nAfter) =
-      graft.util.Lake.compact(spark, s"$path/codes", targetFileMB = 128)
+      graft.util.Manifest.compactSub(spark, path, "codes", targetFileMB = 128)
     nAfter should be < nBefore
     val after = Pq.annTopK(emb, queries, path, k = 10, nprobe = 4)
     after.orderBy("query_id", "rank").collect() shouldBe before

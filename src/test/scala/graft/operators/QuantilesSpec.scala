@@ -86,8 +86,8 @@ class QuantilesSpec extends SparkSuite with Matchers {
     assert(row.getBoolean(2), "shards_ok: base + 2 distinct anon shards = 3")
   }
 
-  test("store maintenance composes: Lake.compact consolidates shard files, " +
-      "answers and ledger unchanged") {
+  test("store maintenance composes: Manifest.compactSub consolidates shard " +
+      "files, answers and ledger unchanged") {
     val df = corpus(3000)
     val store = tempStore()
     Quantiles.buildQuantileStore(df.filter($"id" % 3 === 0), "value", store)
@@ -96,12 +96,16 @@ class QuantilesSpec extends SparkSuite with Matchers {
     def served() = Quantiles.quantilesFromStore(spark, store, Seq(0.25, 0.5, 0.75))
       .select($"q", $"value").as[(Double, Double)].collect().toMap
     val before = served()
-    def files() = new java.io.File(s"$store/summary").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    files() should be >= 3 // one file per shard accretes
-    // daily-cadence maintenance: compact the summary dir in place
-    graft.util.Lake.compact(spark, s"$store/summary", targetFileMB = 128)
-    files() shouldBe 1
+    def liveFiles() = graft.util.Manifest.snapshot(spark, store)
+      .files.count(_.startsWith("summary/"))
+    liveFiles() should be >= 3 // one file per shard accretes
+    // daily-cadence maintenance: the manifest-aware compaction (the
+    // in-place Lake.compact now REFUSES manifest-managed stores)
+    intercept[IllegalArgumentException] {
+      graft.util.Lake.compact(spark, s"$store/summary", targetFileMB = 128)
+    }
+    graft.util.Manifest.compactSub(spark, store, "summary", targetFileMB = 128)
+    liveFiles() shouldBe 1
     served() shouldBe before
     val row = Quantiles.quantileCheck(df, "value", store,
       qs = Seq(0.01, 0.5, 0.99), expectShards = 3).head()

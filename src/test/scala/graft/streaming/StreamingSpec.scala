@@ -249,7 +249,7 @@ class StreamingSpec extends SparkSuite with Matchers {
     StreamedBatch.replayIntoAnnIndex(spark, emb, "vec_id", "vec_id", idx,
       chunks = 4)
     // batch 0 built, batches 1..3 appended through the ledger
-    graft.util.Lake.appliedShards(spark, idx) shouldBe
+    graft.util.Manifest.applied(spark, idx) shouldBe
       Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
     // searching the streamed index == recomputing over the whole corpus
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
@@ -269,7 +269,7 @@ class StreamingSpec extends SparkSuite with Matchers {
     val idx = java.nio.file.Files.createTempDirectory("stream-neardup").toString
     StreamedBatch.replayIntoNearDupIndex(spark, docs, "doc_id", "doc_id", idx,
       chunks = 4)
-    graft.util.Lake.appliedShards(spark, idx) shouldBe
+    graft.util.Manifest.applied(spark, idx) shouldBe
       Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
     // per-doc artifacts are deterministic, so the streamed index's
     // stored pairs == one-shot minhashLsh over everything streamed
@@ -292,7 +292,7 @@ class StreamingSpec extends SparkSuite with Matchers {
     val store = java.nio.file.Files.createTempDirectory("stream-vocab").toString
     StreamedBatch.replayIntoVocab(spark, docs, "doc_id", "doc_id", store,
       chunks = 4)
-    graft.util.Lake.appliedShards(spark, store) shouldBe
+    graft.util.Manifest.applied(spark, store) shouldBe
       Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
     // counts merge by summation: streamed store == from-scratch LM
     val served = TextOps.scoreAgainstVocab(docs, store)
@@ -314,7 +314,7 @@ class StreamingSpec extends SparkSuite with Matchers {
     val store = java.nio.file.Files.createTempDirectory("stream-nb").toString
     StreamedBatch.replayIntoNbModel(spark, train, "doc_id", "doc_id", store,
       "lang", chunks = 4)
-    graft.util.Lake.appliedShards(spark, store) shouldBe
+    graft.util.Manifest.applied(spark, store) shouldBe
       Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
     // per-class counts merge by summation: streamed model == scratch
     val served = Classifier.classifyWithModel(test, store)
