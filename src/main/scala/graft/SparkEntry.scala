@@ -247,12 +247,19 @@ object SparkEntry {
     * equal to a sequential reference implementation.
     */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def bpeGateModel(s: SparkSession, dir: String): String =
+  /** The sfDir of the most recent BPE-gate run in this JVM — oracle
+    * construction must use THIS dir's model, not an arbitrary memo
+    * entry, when one JVM verifies more than one sfDir (dev loop).
+    */
+  private val bpeLastDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def bpeGateModel(s: SparkSession, dir: String): String = {
+    bpeLastDir.set(dir)
     bpeMemo.computeIfAbsent(dir, _ => {
       val path = tempIndexDir("graft-bpe")
       TextOps.trainBpe(Tables.documents(s, dir), path, nMerges = 12)
       path
     })
+  }
 
   /** Per-(JVM, sfDir) memo of the `pca_incremental` gate's moment
     * store: PCA sufficient statistics built on the first vec_id mod-3
@@ -1405,6 +1412,10 @@ object SparkEntry {
       TextIndex.searchAny(s, textIndexGateStore(s, dir),
         Seq("vector", "spark"))),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
+    // the complete ORDERED trigram stream of every doc as one string —
+    // full array content (elements AND positions) under the hash gate
+    "text_ngram_digest" -> ((s, dir) =>
+      TextOps.ngramDigest(Tables.documents(s, dir), n = 3)),
     "text_quality_flags" -> ((s, dir) => TextOps.qualityFlags(Tables.documents(s, dir))),
     // trained multinomial Naive Bayes (the fastText-style model filter
     // every production pipeline runs): train on the doc_id%5!=0 split
@@ -1482,6 +1493,25 @@ object SparkEntry {
     // re-derives by enumerating the same (frame, pixel) grid.
     "mm_video_frames" -> ((s, dir) =>
       Multimodal.videoFrameStats(Multimodal.asAvTable(Tables.documents(s, dir)), 5)),
+    // ── full-array-content digests (the driver comparator is unproven
+    // on array columns, so array-valued operators digest the WHOLE
+    // ordered array into one string the hash compare fully covers) ──
+    // the complete 16-dim pixel-statistics feature vector of every
+    // decodable image, each float32 element scaled to an integer at
+    // 1e-6 resolution (integers render identically in both engines;
+    // the oracle replays the double→float32→double conversion with
+    // CAST(x AS FLOAT) before scaling)
+    "mm_features_digest" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asImageTable(Tables.documents(s, dir)))
+        .filter(col("media_type") === "image")
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("feature"),
+            f => round(f.cast("double") * 1e6).cast("long").cast("string")))
+            .as("feature_csv"))),
+    // the ordered sampled-frame index array, whole, one string per clip
+    "mm_frame_digest" -> ((s, dir) =>
+      Multimodal.sampleFrameDigest(
+        Multimodal.asMediaTable(Tables.documents(s, dir)), 30)),
     // ── training-data extensions: similarity search
     // distributed PCA over the embedding column (the ANN family's
     // dimensionality-reduction stage): eigenvectors have no external
@@ -1652,7 +1682,12 @@ object SparkEntry {
     // 16 bands × 2-bit buckets is the high-recall configuration: it
     // finds every ≥0.4 pair on this corpus (recall 1.0, spec-measured),
     // so the exact-pairs SQL is a valid oracle; verification already
-    // makes precision exact at any setting.
+    // makes precision exact at any setting. The recall-1.0 margin is
+    // RE-DERIVED on every driver run, not a calibrated constant: the
+    // oracle is the exact pair set, so if a testdata regeneration ever
+    // drops recall below 1.0 at this config, the missing pair fails
+    // the hash compare loudly (same argument for every gate whose
+    // oracle claims exactness through a recall-1.0 config).
     "sim_lsh_pairs" -> ((s, dir) =>
       Similarity.lshPairs(Tables.embeddings(s, dir), 0.4, numPlanes = 32, bands = 16)),
     // kNN JOIN (every vector's top-3 near-dup neighbors) at the same
@@ -2540,6 +2575,18 @@ object SparkEntry {
            round(max(cnt) * 1.0 / sum(cnt), 6) AS top_fraction,
            round(count(*) * 1.0 / sum(cnt), 6) AS distinct_fraction
          FROM c GROUP BY doc_id""",
+    // the ordered trigram stream, whole: every element and its
+    // position is inside the compared string (corpus alphabet is
+    // [a-z ], so '|' cannot occur in a gram)
+    "text_ngram_digest" ->
+      """SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN array_to_string(
+             list_transform(range(1, len(ws) - 1), i ->
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), '|')
+           ELSE '' END AS gram_csv,
+         CAST(CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS BIGINT)
+           AS n_grams
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""",
     "text_quality_flags" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
          base AS (SELECT doc_id,
@@ -3234,6 +3281,63 @@ object SparkEntry {
          round(list_avg(list_transform(string_split_regex(text, ''), c -> ord(c))), 6)
            AS byte_mean
          FROM documents""",
+    // the full 16-dim feature vector re-derived from the closed-form
+    // pixel grid: [mean, std, min, max, 4 quadrant means, 8 histogram
+    // shares] (all /255 or /n), double→float32→double replayed with
+    // CAST(AS FLOAT) then scaled to integers at 1e-6 — DuckDB and the
+    // JVM both round half-away-from-zero on the (possible: 1/128-grid
+    // shares) exact .5 ties, and integers render identically
+    "mm_features_digest" ->
+      """WITH g AS (SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS iw,
+                      CAST(doc_id % 18 + 8 AS INT) AS ih
+               FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, iw, ih,
+             flatten(list_transform(range(0, ih), y ->
+               list_transform(range(0, iw), x ->
+                 (x*7 + y*13 + doc_id*31) % 256))) AS p
+           FROM g),
+         st AS (SELECT doc_id, iw, ih, p,
+             CAST(iw AS DOUBLE) * ih AS n,
+             CAST(list_sum(p) AS DOUBLE) AS s,
+             CAST(list_sum(list_transform(p, v -> v*v)) AS DOUBLE) AS ss,
+             list_min(p) AS mn, list_max(p) AS mx
+           FROM px),
+         qd AS (SELECT doc_id,
+             [list_sum(flatten(list_transform(range(0, ih//2), y ->
+                list_transform(range(0, iw//2), x -> (x*7+y*13+doc_id*31)%256)))),
+              list_sum(flatten(list_transform(range(0, ih//2), y ->
+                list_transform(range(iw//2, iw), x -> (x*7+y*13+doc_id*31)%256)))),
+              list_sum(flatten(list_transform(range(ih//2, ih), y ->
+                list_transform(range(0, iw//2), x -> (x*7+y*13+doc_id*31)%256)))),
+              list_sum(flatten(list_transform(range(ih//2, ih), y ->
+                list_transform(range(iw//2, iw), x -> (x*7+y*13+doc_id*31)%256))))] AS qs,
+             [CAST(ih//2 AS DOUBLE)*(iw//2), CAST(ih//2 AS DOUBLE)*(iw-iw//2),
+              CAST(ih-ih//2 AS DOUBLE)*(iw//2),
+              CAST(ih-ih//2 AS DOUBLE)*(iw-iw//2)] AS qn
+           FROM g),
+         ft AS (SELECT st.doc_id,
+             list_concat(list_concat(
+               [(st.s/st.n)/255.0,
+                sqrt(greatest(st.ss/st.n - (st.s/st.n)*(st.s/st.n), 0))/255.0,
+                CAST(st.mn AS DOUBLE)/255.0,
+                CAST(st.mx AS DOUBLE)/255.0],
+               list_transform(range(1, 5), k ->
+                 (CAST(qd.qs[k] AS DOUBLE)/qd.qn[k])/255.0)),
+               list_transform(range(0, 8), b ->
+                 CAST(len(list_filter(st.p, v -> v // 32 = b)) AS DOUBLE)/st.n)
+             ) AS f
+           FROM st JOIN qd USING (doc_id))
+         SELECT doc_id,
+           array_to_string(list_transform(f, v ->
+             CAST(CAST(round(CAST(CAST(v AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)
+               AS VARCHAR)), ',') AS feature_csv
+         FROM ft""",
+    // the whole ordered sampled-frame array per clip, comma-joined
+    "mm_frame_digest" ->
+      """SELECT doc_id, CAST(doc_id % 300 + 1 AS INT) AS n_frames,
+         array_to_string(list_transform(range(0, doc_id % 300 + 1, 30),
+           x -> CAST(x AS VARCHAR)), ',') AS frame_csv
+         FROM documents WHERE doc_id % 3 = 2""",
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3442,8 +3546,9 @@ object SparkEntry {
     */
   private def bpeOracles: Map[String, String] =
     (for {
-      path <- { val it = bpeMemo.values().iterator()
-                if (it.hasNext) Some(it.next()) else None }
+      path <- Option(bpeLastDir.get).flatMap(d => Option(bpeMemo.get(d)))
+                .orElse { val it = bpeMemo.values().iterator()
+                          if (it.hasNext) Some(it.next()) else None }
       spark <- SparkSession.getActiveSession
         .orElse(SparkSession.getDefaultSession)
       rows <- scala.util.Try(

@@ -588,8 +588,13 @@ object Dedup {
     // even stringify. The write-through gives every round a
     // constant-size parquet-scan base instead.
     val (p, pPath) = writeThroughAt(pairs.select(col("doc_a"), col("doc_b")))
-    val edges = p.select(col("doc_a").as("s"), col("doc_b").as("d"))
+    val edgesUnion = p.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(p.select(col("doc_b").as("s"), col("doc_a").as("d")))
+    // The symmetrized edge relation is round-invariant: materialize it
+    // ONCE (in its final cold/hot-split shape, below) so no round
+    // re-runs the union or the hot-key isin filters — each round then
+    // starts from a plain parquet scan of exactly the rows it joins.
+    val edges = edgesUnion
     // Every round's labels are snapshotted to parquet (writeThrough),
     // NOT persist()ed: persist materializes data but leaves the full
     // lineage in the LOGICAL plan, and this loop's plan tree would
@@ -625,10 +630,19 @@ object Dedup {
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= hotDegree).select("s")
       .collect().map(_.getLong(0))
-    val (edgesCold, edgesHot) =
-      if (hotKeys.isEmpty) (edges, None)
-      else (edges.filter(!col("s").isin(hotKeys.toIndexedSeq: _*)),
-        Some(edges.filter(col("s").isin(hotKeys.toIndexedSeq: _*))))
+    val (edgesCold, coldPath, edgesHot, hotPath) =
+      if (hotKeys.isEmpty) {
+        val (c, cp) = writeThroughAt(edges)
+        (c, cp, None, None)
+      } else {
+        val (c, cp) = writeThroughAt(
+          edges.filter(!col("s").isin(hotKeys.toIndexedSeq: _*)))
+        val (h, hp) = writeThroughAt(
+          edges.filter(col("s").isin(hotKeys.toIndexedSeq: _*)))
+        (c, cp, Some(h), Some(hp))
+      }
+    // the pair snapshot fed only the edge materialization — retire it
+    dropSnapshot(spark, pPath)
     var converged = false
     while (!converged) {
       // candidate label for d: the smallest label among its neighbors
@@ -643,8 +657,11 @@ object Dedup {
       val viaNeighbors = joined
         .groupBy(col("d").as("doc_id"))
         .agg(min(col("nl")).as("neighbor_min"))
+      // `prev` (this round's starting label) rides along into the
+      // snapshot so convergence is a partial-agg'd FILTER COUNT over
+      // the snapshot scan — no per-round labels⋈snapshot join
       val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("component_id").as("prev"),
           least(col("component_id"), coalesce(col("neighbor_min"), col("component_id")))
             .as("component_id"))
       // shortcut: label ← label(label). Every label IS a node of the
@@ -673,19 +690,19 @@ object Dedup {
               .join(broadcast(parentSide.filter(col("component_id").isin(hs: _*))),
                 Seq("component_id"), "left"))
         }
-      val next = resolved.select(col("doc_id"),
+      val next = resolved.select(col("doc_id"), col("prev"),
         coalesce(col("parent"), col("component_id")).as("component_id"))
       val (snapped, snappedPath) = writeThroughAt(next)
-      val changed = snapped.join(labels.withColumnRenamed("component_id", "prev"), "doc_id")
-        .filter(col("component_id") =!= col("prev")).count()
-      // the convergence count was the last reader of the previous
-      // round's snapshot — retire it now rather than at JVM exit
+      // early-exit check: a column-pruned scan of the snapshot just
+      // written (counts partial-aggregate map-side; zero joins)
+      val changed = snapped.filter(col("component_id") =!= col("prev")).count()
       dropSnapshot(spark, labelsPath)
-      labels = snapped
+      labels = snapped.select("doc_id", "component_id")
       labelsPath = snappedPath
       converged = changed == 0
     }
-    dropSnapshot(spark, pPath)
+    dropSnapshot(spark, coldPath)
+    hotPath.foreach(dropSnapshot(spark, _))
     labels
   }
 

@@ -856,6 +856,19 @@ object Multimodal {
         explode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(math.max(stride, 1)))).as("frame_idx"))
 
+  /** [[sampleFrames]] with the sampled-index ARRAY kept whole and
+    * digested to one comma-joined string per clip — the ordered array
+    * content reaches the gate comparator intact (explode covers the
+    * elements but not their per-doc grouping/order as one value).
+    * Map-only, no explode, no shuffle.
+    */
+  def sampleFrameDigest(media: DataFrame, stride: Int): DataFrame =
+    media.filter(col("meta.media_type") === "video")
+      .select(col("doc_id"), col("meta.n_frames"),
+        concat_ws(",", transform(
+          sequence(lit(0), col("meta.n_frames") - 1, lit(math.max(stride, 1))),
+          i => i.cast("string"))).as("frame_csv"))
+
   /** Pure-relational binary statistics (no stub involved): payload
     * sizes and content hashes straight off the binary column — the
     * pushdown-friendly half of the multimodal surface.

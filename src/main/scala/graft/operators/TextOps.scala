@@ -449,13 +449,35 @@ object TextOps {
   def heavyNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
                   capacity: Int = 768): DataFrame = {
     require(k >= 1 && capacity >= k)
+    val spark = docs.sparkSession
+    import spark.implicits._
     val grams = ngrams(docs, n)
     val mg = udaf(new FreqSketch.MisraGries(capacity))
-    val cands = grams.agg(mg(col("ngram")).as("sk")).head()
-      .getMap[String, Long](0).keys.toSeq
-    grams.filter(col("ngram").isin(cands: _*))
+    // N and the sketch come from the SAME pass; the Misra-Gries error
+    // bound (N − Σ retained counts)/(capacity+1) is then derived from
+    // THIS corpus, at whatever scale the caller runs — not a constant
+    // calibrated against any particular testdata generation.
+    val row = grams.agg(mg(col("ngram")).as("sk"),
+      count(lit(1)).as("n")).head()
+    val sk = row.getMap[String, Long](0)
+    val total = row.getLong(1)
+    val bound = (total - sk.valuesIterator.sum).toDouble / (capacity + 1)
+    val top = grams.filter(col("ngram").isin(sk.keys.toSeq: _*))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram")).limit(k)
+      .as[(String, Long)].collect()
+    // fail fast instead of silently returning an incomplete "exact"
+    // top-k: every item with true count > bound survives the sketch,
+    // so a k-th recount clearing the bound proves completeness — a
+    // k-th at or under it means candidates may be missing
+    // (heavyTopKExact's contract, held on the single-pass path too).
+    top.lastOption.map(_._2).filter(_.toDouble <= bound).foreach { c =>
+      throw new IllegalStateException(
+        s"heavyNgrams: k-th recounted count $c does not clear the sketch " +
+          f"error bound $bound%.1f on this corpus — the candidate set may " +
+          "be missing true heavy hitters; raise capacity or lower k")
+    }
+    top.toSeq.toDF("ngram", "cnt")
   }
 
   /** One trained merge: `rank` is training order, `pair_count` the
@@ -768,5 +790,30 @@ object TextOps {
         max(col("cnt")).as("top_gram_count"),
         round(max(col("cnt")) * lit(1.0) / sum(col("cnt")), 6).as("top_fraction"),
         round(count(lit(1)) * lit(1.0) / sum(col("cnt")), 6).as("distinct_fraction"))
+  }
+
+  /** The full ORDERED n-gram stream of every document, digested to one
+    * delimiter-joined string per doc (plus the gram count). Unlike
+    * [[repetition]] — which hashes grams and keeps only aggregate
+    * shape — this emits the complete array content, ordered, so the
+    * gate's comparator covers every element and its position (the
+    * array-column comparator is unproven; a string digest is not).
+    *
+    * Map-only: one split per row, one `transform` over an attribute
+    * (never an inlined `split` per lambda element — that re-evaluates
+    * the tokenizer O(tokens²) per doc), no shuffle, no explode. Docs
+    * shorter than `n` tokens digest to the empty string.
+    */
+  def ngramDigest(docs: DataFrame, n: Int = 3, sep: String = "|"): DataFrame = {
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    toked
+      .withColumn("grams", when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n), i =>
+          concat_ws(" ", (0 until n).map(j =>
+            element_at(col("toks"), (i + j + 1).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        concat_ws(sep, col("grams")).as("gram_csv"),
+        size(col("grams")).cast("long").as("n_grams"))
   }
 }

@@ -62,6 +62,19 @@ class MultimodalSpec extends SparkSuite with Matchers {
     out.filter(col("frame_idx") >= col("n_frames")).count() shouldBe 0
   }
 
+  test("sampleFrameDigest joins exactly the strided indices, in order") {
+    val dig = Multimodal.sampleFrameDigest(media, 30)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    val exploded = Multimodal.sampleFrames(media, 30)
+      .orderBy("doc_id", "frame_idx")
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    dig.keySet shouldBe exploded.keySet
+    for ((id, (_, nf, csv)) <- dig) {
+      csv shouldBe exploded(id).map(_._3).mkString(",")
+      nf shouldBe exploded(id).head._2
+    }
+  }
+
   // ── real image codec (javax.imageio) ──────────────────────────────
 
   test("ImageCodec: synthesize -> decode round-trips the closed-form pixels exactly") {

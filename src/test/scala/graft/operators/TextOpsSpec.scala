@@ -416,6 +416,20 @@ class TextOpsSpec extends SparkSuite with Matchers {
     r(1) shouldBe ((2L, 6L, 1L, 0.166667, 1.0))
   }
 
+  test("ngramDigest emits the complete ordered gram stream per doc") {
+    val d = Seq(
+      (1L, "a b c d"),                  // trigrams: "a b c", "b c d"
+      (2L, "x y"),                      // < 3 tokens → empty digest
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val r = TextOps.ngramDigest(d, n = 3).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    r shouldBe Array(
+      (1L, "a b c|b c d", 2L),
+      (2L, "", 0L),
+      (3L, "p q r", 1L))
+  }
+
   test("heavyNgrams: sketch-then-recount equals the exact top-k, and the " +
       "gate config is a REAL sketch with a holding completeness bound") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
