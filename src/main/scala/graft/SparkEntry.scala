@@ -328,6 +328,61 @@ object SparkEntry {
       store
     })
 
+  /** Per-(JVM, sfDir) memo of the `q_merge_upsert` gate's
+    * manifest-managed merge table: `orders` initialized range-laid-out
+    * by key (so the stats funnel can actually prune files), then ONE
+    * ledgered MERGE applying updates (every `o_orderkey % 10 == 3` row
+    * re-statused) and inserts (every `% 100 == 7` key shifted past the
+    * key space) — with the same shard id RE-delivered, which the
+    * manifest ledger must no-op (a double-applied merge would
+    * double-insert and fail the oracle's row count).
+    */
+  private val mergeStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergeGateStore(s: SparkSession, dir: String): String =
+    mergeStoreMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-merge-table")
+      val orders = Tables.orders(s, dir)
+      graft.util.Lake.mergeInit(s, path,
+        orders.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_orderpriority", lit("MERGED"))
+        .unionByName(orders.filter(pmod(col("o_orderkey"), lit(100)) === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("o_orderstatus", lit("I"))
+          .withColumn("o_orderpriority", lit("INSERTED")))
+      graft.util.Lake.merge(s, path, upd, Seq("o_orderkey"),
+        shardId = Some("m1"))
+      graft.util.Lake.merge(s, path, upd, Seq("o_orderkey"),
+        shardId = Some("m1"))
+      path
+    })
+
+  /** Per-(JVM, sfDir) memo of the DML gates' table: `orders`
+    * initialized (gen 0), then `DELETE WHERE` (gen 1), then
+    * `UPDATE SET .. WHERE` (gen 2) — the rest of Delta's DML triad on
+    * the same stats-pruned file-rewrite machinery as MERGE. The two
+    * gates read generations 1 and 2 of the SAME store, so DML time
+    * travel is gated too (a delete that leaked into gen 2's update
+    * output, or vice versa, hash-fails its generation's oracle).
+    */
+  private val dmlStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dmlGateStore(s: SparkSession, dir: String): String =
+    dmlStoreMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-dml-table")
+      graft.util.Lake.mergeInit(s, path,
+        Tables.orders(s, dir).repartitionByRange(8, col("o_orderkey")),
+        Seq("o_orderkey"))
+      graft.util.Lake.deleteWhere(s, path,
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000,
+        Seq("o_orderkey"), shardId = Some("d1"))
+      graft.util.Lake.updateWhere(s, path,
+        col("o_totalprice") > 400000,
+        Map("o_orderpriority" -> lit("1-URGENT-XL")),
+        Seq("o_orderkey"), shardId = Some("u1"))
+      path
+    })
+
   /** Per-(JVM, sfDir) memo of the `q_quantile_store` gate's summary
     * store: rank-spaced weighted samples of `events.value` built on the
     * first event_id tercile, the other two folded in as ledgered
@@ -1040,7 +1095,32 @@ object SparkEntry {
           "o_custkey", "c_custkey", store)
         .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
     }),
-    // heavy hitters via the bounded-memory Misra-Gries sketch: k=64
+    // MERGE INTO (Delta's keyed upsert, the reference's silver write
+    // mode) on plain parquet: stats-pruned file-level rewrite through
+    // one atomic manifest generation — the gate reads the table AFTER
+    // an update+insert merge whose re-delivery was ledger-no-op'ed
+    "q_merge_upsert" -> ((s, dir) =>
+      graft.util.Lake.mergeRead(s, mergeGateStore(s, dir))),
+    // the streaming MERGE sink (foreachBatch + MERGE INTO, Delta's
+    // CDC-upsert recipe): a chronological replay of events upserted
+    // into the merge table keyed by user_id — batch 0 initializes,
+    // later batches ledger-merge, and the final table must equal the
+    // global latest-row-per-key (fresh store per invocation so repeat
+    // runs do the full maintenance work)
+    "stream_merge_upsert" -> ((s, dir) => {
+      val store = tempIndexDir("graft-stream-merge")
+      graft.streaming.StreamedBatch.replayIntoMergeTable(s,
+        Tables.events(s, dir), "ts", "event_id", store, Seq("user_id"))
+      graft.util.Lake.mergeRead(s, store)
+    }),
+    // DELETE FROM ... WHERE as a file-pruned rewrite: read at the
+    // post-delete generation of the shared DML store (the later update
+    // must NOT leak back into this snapshot)
+    "q_delete_where" -> ((s, dir) =>
+      graft.util.Lake.mergeRead(s, dmlGateStore(s, dir), asOf = Some(1))),
+    // UPDATE ... SET ... WHERE on the same store's head generation
+    "q_update_where" -> ((s, dir) =>
+      graft.util.Lake.mergeRead(s, dmlGateStore(s, dir))),
     // counters exceed the column's true cardinality, so no decrement
     // fires and the sketch counts are EXACT — hash-equal to the
     // GROUP BY oracle. (The under-cardinality compaction path and its
@@ -2421,6 +2501,47 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'""",
+    // the upsert re-expressed relationally: surviving target rows are
+    // the anti-join against the update keys; the updates (modified +
+    // inserted) append whole. Same updates derivation as the gate.
+    "q_merge_upsert" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+                  o_totalprice, o_orderdate, 'MERGED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, 'I',
+                  o_totalprice, o_orderdate, 'INSERTED'
+           FROM orders WHERE o_orderkey % 100 = 7)
+         SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+                o.o_totalprice, o.o_orderdate, o.o_orderpriority
+         FROM orders o ANTI JOIN upd u ON o.o_orderkey = u.o_orderkey
+         UNION ALL
+         SELECT * FROM upd""",
+    // chronological upsert replay resolves to the global latest row
+    // per key, the same claim the serving latest-per-key gate makes
+    "stream_merge_upsert" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                value, props
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
+    // the post-delete generation: rows matching the delete predicate
+    // are gone, nothing else changed (the later update is NOT visible)
+    "q_delete_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)""",
+    // head generation: delete applied, then the priority rewrite on
+    // every surviving high-value order
+    "q_update_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate,
+                CASE WHEN o_totalprice > 400000 THEN '1-URGENT-XL'
+                     ELSE o_orderpriority END AS o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)""",
     "q_salted_join" ->
       """WITH d AS (SELECT event_type, round(avg(value), 6) AS type_avg
                     FROM events GROUP BY 1)

@@ -60,7 +60,8 @@ object Medallion {
     */
   def streamSpread(silverA: DataFrame, silverB: DataFrame,
                    watermarkDelay: String = "10 minutes",
-                   bandSeconds: Int = 60): DataFrame = {
+                   bandSeconds: Int = 60,
+                   joinType: String = "inner"): DataFrame = {
     // equi-key on the base asset (the part before '-'): stream-stream
     // joins require an equality predicate — which is also what keeps
     // the join state partitionable at scale (state shards by base)
@@ -75,7 +76,7 @@ object Medallion {
         col("symbol").as("symbol_b"), col("trade_timestamp").as("ts_b"),
         col("price").as("price_b"))
     a.join(b, col("base") === col("base_b") && expr(
-      s"ts_b BETWEEN ts_a - INTERVAL $bandSeconds SECONDS AND ts_a"))
+      s"ts_b BETWEEN ts_a - INTERVAL $bandSeconds SECONDS AND ts_a"), joinType)
       .select(col("base"), col("ts_a"), col("symbol_a"), col("price_a"),
         col("ts_b"), col("symbol_b"), col("price_b"),
         (col("price_a") - col("price_b")).as("spread"))

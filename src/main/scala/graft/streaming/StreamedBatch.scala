@@ -532,6 +532,59 @@ object StreamedBatch {
     }
   }
 
+  /** Replay `input` as a keyed CHANGE stream maintained into a
+    * [[graft.util.Lake.merge]] table — Delta's streaming MERGE sink
+    * (`foreachBatch` + `MERGE INTO`, the canonical CDC-upsert recipe)
+    * on the plain-parquet merge table: batch 0 initializes the table
+    * (range-laid-out by key so later merges can stats-prune files),
+    * every later micro-batch upserts its rows with a batch-id-ledgered
+    * merge, so a Spark retry re-delivers into a manifest no-op instead
+    * of double-applying.
+    *
+    * Each micro-batch is first resolved to its latest row per key
+    * (merge requires key-unique sources); with the chronological
+    * replay, later batches then overwrite earlier ones, so the final
+    * table is exactly the global latest-row-per-key of the input —
+    * the oracle's window-rank query. The per-batch dedup window
+    * partitions by key (never a global one-task window).
+    */
+  def replayIntoMergeTable(spark: SparkSession, input: DataFrame,
+                           orderCol: String, tieCol: String,
+                           storePath: String, keys: Seq[String],
+                           chunks: Int = 3,
+                           stageKey: Option[String] = None): Unit = {
+    import graft.util.Lake
+    import org.apache.spark.sql.expressions.Window
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    def latestPerKey(batch: DataFrame): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(orderCol).desc, col(tieCol).desc)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0)
+            Lake.mergeInit(spark, storePath,
+              latestPerKey(batch).repartitionByRange(4, keys.map(col): _*),
+              keys)
+          else {
+            Lake.merge(spark, storePath, latestPerKey(batch), keys,
+              shardId = Some(s"replay-batch-$id"))
+            ()
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` as TWO independent file streams over the same
     * chronological chunks and run a stream-STREAM query built by
     * `join` (each side gets its own source, watermark, and state) —

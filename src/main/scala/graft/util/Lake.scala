@@ -424,4 +424,250 @@ object Lake {
       .sortBy(keyCols.head, keyCols.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
+
+  // ── MERGE INTO: keyed upsert on a manifest-managed table ──────────
+  //
+  // Delta's `MERGE INTO target USING updates ON keys WHEN MATCHED THEN
+  // UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (the reference's
+  // silver write mode, `process_silver.py` — the one named Delta
+  // capability previously only reachable through the update-mode
+  // streaming sink), implemented Delta's way on plain parquet:
+  // only the FILES that contain matched keys are rewritten, everything
+  // else survives the commit untouched on disk, and the swap is one
+  // atomic [[Manifest]] generation (snapshot isolation + time travel
+  // included). Matched-file discovery is two-stage, exactly the
+  // data-skipping shape a 100 TB merge needs:
+  //  1. per-file key min/max stats (committed WITH the data in the
+  //     same generation — no stale-stats window) prune to candidate
+  //     files whose range overlaps the updates' key range;
+  //  2. an exact key semi-join, column-pruned to the key columns,
+  //     over ONLY the candidate files yields the touched set.
+  // A merge whose updates land in a narrow key range therefore scans
+  // the key column of a few files and rewrites only those — never the
+  // table.
+  //
+  // Contracts: single writer (Manifest's rule); `updates` must be
+  // key-unique (Delta's multiple-source-rows error, enforced);
+  // the target stays key-unique provided [[mergeInit]]'s input was.
+
+  private val MergeDataSub = "data"
+  private val MergeStatsSub = "stats"
+
+  /** Outcome of one [[merge]]: row counts and the file-pruning
+    * funnel (`filesLive` ≥ `filesCandidate` ≥ `filesRewritten`).
+    */
+  case class MergeResult(matched: Long, inserted: Long,
+                         filesRewritten: Int, filesCandidate: Int,
+                         filesLive: Int, applied: Boolean)
+
+  private def mergeStatsFor(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val aggs = keys.flatMap { k =>
+      Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))
+    }
+    df.groupBy(col("_metadata.file_name").as("file_name"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def dataFileNames(spark: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MergeDataSub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSet
+  }
+
+  /** Create the merge-managed table at `path` from `df` (generation 0:
+    * data + its per-file key stats in one commit). `df` should be
+    * key-unique on `keys` — merges preserve that invariant, they don't
+    * create it.
+    */
+  def mergeInit(spark: SparkSession, path: String, df: DataFrame,
+                keys: Seq[String]): Unit = {
+    require(keys.nonEmpty && keys.forall(df.columns.contains),
+      s"mergeInit: keys ${keys.mkString(",")} must exist in the frame")
+    Manifest.init(spark, path) {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$path/$MergeDataSub")
+      mergeStatsFor(spark.read.parquet(s"$path/$MergeDataSub"), keys)
+        .coalesce(1).write.mode(SaveMode.Append)
+        .parquet(s"$path/$MergeStatsSub")
+    }
+  }
+
+  /** The table's current (or `asOf`) committed rows. */
+  def mergeRead(spark: SparkSession, path: String,
+                asOf: Option[Int] = None): DataFrame =
+    Manifest.read(spark, path, MergeDataSub, asOf)
+
+  /** Upsert `updates` into the table at `path` by `keys` (see section
+    * comment for semantics and the two-stage file pruning). `shardId`
+    * makes re-delivery a no-op through the manifest ledger. Returns
+    * the [[MergeResult]] funnel; `applied = false` is the ledger
+    * no-op (nothing was computed or written).
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keys: Seq[String], shardId: Option[String] = None,
+            retain: Int = 3): MergeResult = {
+    val snap = Manifest.snapshot(spark, path)
+    if (shardId.exists(snap.applied))
+      return MergeResult(0, 0, 0, 0,
+        snap.files.count(_.startsWith(s"$MergeDataSub/")), applied = false)
+    val target = mergeRead(spark, path)
+    require(updates.columns.sorted.sameElements(target.columns.sorted),
+      s"merge: updates schema ${updates.columns.sorted.mkString(",")} != " +
+        s"target ${target.columns.sorted.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(updates.columns.contains),
+      s"merge: keys ${keys.mkString(",")} must exist in updates")
+    val nUpd = updates.count()
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+    if (updKeys.count() != nUpd)
+      throw new IllegalArgumentException(
+        "merge: updates carry multiple rows for the same key — ambiguous " +
+          "upsert (Delta's multiple-source-rows error); dedup the source first")
+    val liveData = snap.files.filter(_.startsWith(s"$MergeDataSub/"))
+    val liveStats = snap.files.filter(_.startsWith(s"$MergeStatsSub/"))
+    // stage 1: candidates by stats-range overlap (driver state: two
+    // scalars per key column + one boolean per live file)
+    val rangeAggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val rangeRow = updates.agg(rangeAggs.head, rangeAggs.tail: _*).head()
+    val overlap = keys.zipWithIndex.map { case (k, i) =>
+      val (lo, hi) = (rangeRow.get(2 * i), rangeRow.get(2 * i + 1))
+      if (lo == null) lit(false)
+      else !(col(s"max_$k") < lit(lo) || col(s"min_$k") > lit(hi))
+    }.reduce(_ && _)
+    val candNames = Manifest.read(spark, path, MergeStatsSub)
+      .filter(overlap).select("file_name")
+      .collect().map(_.getString(0)).toSet
+    val candRel = liveData.filter(f => candNames.contains(f.split('/').last))
+    // stage 2: exact touch test, column-pruned to the keys, candidate
+    // files only
+    def readFiles(rel: Seq[String]): DataFrame =
+      spark.read.option("basePath", s"$path/$MergeDataSub")
+        .parquet(rel.map(f => s"$path/$f"): _*)
+    val touchedNames: Set[String] =
+      if (candRel.isEmpty) Set.empty
+      else readFiles(candRel)
+        .select(col("_metadata.file_name").as("__file") +: keys.map(col): _*)
+        .join(updKeys, keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+    val touchedRel = liveData.filter(f => touchedNames.contains(f.split('/').last))
+    var matched = 0L
+    Manifest.rewriteFiles(spark, path,
+      drop = (touchedRel ++ liveStats).toSet, shardId, retain) {
+      val touchedRows =
+        if (touchedRel.isEmpty) target.filter(lit(false)) else readFiles(touchedRel)
+      matched = touchedRows.join(updKeys, keys, "left_semi").count()
+      val survivors = touchedRows.select(target.columns.map(col): _*)
+        .join(updKeys, keys, "left_anti")
+      val before = dataFileNames(spark, path)
+      survivors.unionByName(updates.select(target.columns.map(col): _*))
+        .write.mode(SaveMode.Append).parquet(s"$path/$MergeDataSub")
+      // stats for the NEW generation, committed with it: carried-over
+      // rows for untouched files + a fresh pass over just-written ones
+      val freshNames = dataFileNames(spark, path) -- before
+      val keptStats = Manifest.read(spark, path, MergeStatsSub)
+        .filter(!col("file_name").isin(touchedNames.toSeq: _*))
+      val freshStats =
+        if (freshNames.isEmpty) keptStats.filter(lit(false))
+        else mergeStatsFor(
+          spark.read.option("basePath", s"$path/$MergeDataSub")
+            .parquet(freshNames.toSeq.map(n => s"$path/$MergeDataSub/$n"): _*),
+          keys)
+      keptStats.unionByName(freshStats).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
+    }
+    MergeResult(matched, nUpd - matched, touchedRel.length,
+      candRel.length, liveData.length, applied = true)
+  }
+
+  // ── DELETE / UPDATE WHERE: the rest of the Delta DML triad ────────
+  //
+  // Same execution shape as [[merge]]: find the files that contain any
+  // predicate-matching row (a column-pruned scan — only the predicate's
+  // columns are read), rewrite ONLY those (dropping or transforming the
+  // matching rows), commit atomically as one manifest generation with
+  // regenerated stats for the fresh files. Untouched files — at 100 TB,
+  // almost all of them for a selective predicate — never rewrite.
+
+  /** Outcome of one [[deleteWhere]]/[[updateWhere]]: affected row
+    * count and the file funnel.
+    */
+  case class DmlResult(affected: Long, filesRewritten: Int, filesLive: Int,
+                       applied: Boolean)
+
+  /** Delete every row matching `predicate` from the merge-managed
+    * table at `path` (Delta `DELETE FROM ... WHERE`). `keys` are the
+    * table's stats columns (as at [[mergeInit]]) so the rewritten
+    * files' stats regenerate consistently.
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+                  keys: Seq[String], shardId: Option[String] = None,
+                  retain: Int = 3): DmlResult =
+    dmlRewrite(spark, path, predicate, keys, shardId, retain)(
+      touched => touched.filter(!coalesce(predicate, lit(false))))
+
+  /** Update `set` columns on every row matching `predicate` (Delta
+    * `UPDATE ... SET ... WHERE`); non-matching rows in touched files
+    * are rewritten byte-identical, untouched files not at all.
+    */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+                  set: Map[String, Column], keys: Seq[String],
+                  shardId: Option[String] = None,
+                  retain: Int = 3): DmlResult = {
+    val cond = coalesce(predicate, lit(false))
+    dmlRewrite(spark, path, predicate, keys, shardId, retain)(touched =>
+      touched.select(touched.columns.map { c =>
+        set.get(c).map(v => when(cond, v).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*))
+  }
+
+  /** Shared DELETE/UPDATE core: `transform` maps the touched files'
+    * rows to their rewritten form.
+    */
+  private def dmlRewrite(spark: SparkSession, path: String,
+                         predicate: Column, keys: Seq[String],
+                         shardId: Option[String], retain: Int)
+                        (transform: DataFrame => DataFrame): DmlResult = {
+    val snap = Manifest.snapshot(spark, path)
+    if (shardId.exists(snap.applied))
+      return DmlResult(0, 0,
+        snap.files.count(_.startsWith(s"$MergeDataSub/")), applied = false)
+    val liveData = snap.files.filter(_.startsWith(s"$MergeDataSub/"))
+    val liveStats = snap.files.filter(_.startsWith(s"$MergeStatsSub/"))
+    def readFiles(rel: Seq[String]): DataFrame =
+      spark.read.option("basePath", s"$path/$MergeDataSub")
+        .parquet(rel.map(f => s"$path/$f"): _*)
+    // touched files: any predicate-matching row (scan reads only the
+    // predicate's columns + the file name)
+    val touchedNames: Set[String] =
+      if (liveData.isEmpty) Set.empty
+      else readFiles(liveData).filter(predicate)
+        .select(col("_metadata.file_name").as("__file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val touchedRel = liveData.filter(f => touchedNames.contains(f.split('/').last))
+    var affected = 0L
+    Manifest.rewriteFiles(spark, path,
+      drop = (touchedRel ++ liveStats).toSet, shardId, retain) {
+      val target = mergeRead(spark, path)
+      val touchedRows =
+        if (touchedRel.isEmpty) target.filter(lit(false)) else readFiles(touchedRel)
+      affected = touchedRows.filter(predicate).count()
+      val before = dataFileNames(spark, path)
+      transform(touchedRows.select(target.columns.map(col): _*))
+        .write.mode(SaveMode.Append).parquet(s"$path/$MergeDataSub")
+      val freshNames = dataFileNames(spark, path) -- before
+      val keptStats = Manifest.read(spark, path, MergeStatsSub)
+        .filter(!col("file_name").isin(touchedNames.toSeq: _*))
+      val freshStats =
+        if (freshNames.isEmpty) keptStats.filter(lit(false))
+        else mergeStatsFor(
+          spark.read.option("basePath", s"$path/$MergeDataSub")
+            .parquet(freshNames.toSeq.map(n => s"$path/$MergeDataSub/$n"): _*),
+          keys)
+      keptStats.unionByName(freshStats).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
+    }
+    DmlResult(affected, touchedRel.length, liveData.length, applied = true)
+  }
 }

@@ -221,6 +221,32 @@ object Manifest {
     true
   }
 
+  /** [[replace]] at FILE granularity: the commit carries forward every
+    * previous file except the explicit `drop` set (root-relative
+    * paths), plus whatever `write` produced. The primitive behind
+    * [[Lake.merge]]'s Delta-style upsert — only the files that contain
+    * matched keys leave the live set, every other file survives the
+    * commit untouched on disk. Dropped files stay physically present
+    * until no retained manifest references them ([[retire]]), so
+    * in-flight readers and `asOf` time travel keep resolving them.
+    */
+  def rewriteFiles(spark: SparkSession, path: String, drop: Set[String],
+                   shardId: Option[String] = None, retain: Int = 3)
+                  (write: => Unit): Boolean = {
+    require(retain >= 2,
+      "retain must be >= 2 (current + the in-flight-reader grace generation)")
+    val prev = snapshot(spark, path)
+    if (shardId.exists(prev.applied)) return false
+    val before = listData(spark, path)
+    write
+    val fresh = (listData(spark, path) -- before).toSeq.sorted
+    val kept = prev.files.filterNot(drop)
+    val n = prev.gen + 1
+    commit(spark, path, n, kept ++ fresh, prev.applied ++ shardId)
+    retire(spark, path, n, retain)
+    true
+  }
+
   /** The files of one generation that live under `path/sub`, read with
     * `basePath = path/sub` so partition directories (`cell=N`, ...)
     * still surface as columns. `schemaFrom` supplies the frame when the

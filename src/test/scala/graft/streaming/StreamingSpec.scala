@@ -172,6 +172,89 @@ class StreamingSpec extends SparkSuite with Matchers {
     q.stop()
   }
 
+  test("left-outer bucketed spread: matches emit live; an unmatched A-trade " +
+      "emits null-extended only once the watermark proves no B can band-match") {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[(Timestamp, String, Double)]
+    val inB = MemoryStream[(Timestamp, String, Double)]
+    def silverShaped(m: MemoryStream[(Timestamp, String, Double)]) =
+      m.toDF().toDF("trade_timestamp", "symbol", "price")
+    val joined = Medallion.streamSpreadBucketed(
+      silverShaped(inA), silverShaped(inB), bandSeconds = 60,
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("spread_left_spec")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    inA.addData(
+      (ts("2026-01-01 10:01:00"), "BTC-COINBASE", 100.0), // pairs with B
+      (ts("2026-01-01 10:05:00"), "ETH-COINBASE", 50.0))  // no B in band
+    inB.addData((ts("2026-01-01 10:00:30"), "BTC-BINANCE", 98.0))
+    q.processAllAvailable()
+    // the unmatched row must NOT null-emit while a band-matching B is
+    // still possible (watermark below ts_a)
+    spark.table("spread_left_spec")
+      .filter(col("symbol_b").isNull).count() shouldBe 0
+    // far-future sentinels on BOTH sides advance the watermark past all
+    // real rows; their bases (ZZA/ZZB) can never pair with anything
+    inA.addData((ts("2030-01-01 00:00:00"), "ZZA-X", 0.0))
+    inB.addData((ts("2030-01-01 00:00:00"), "ZZB-X", 0.0))
+    q.processAllAvailable()
+    inB.addData((ts("2030-01-01 00:00:10"), "ZZB-X", 0.0))
+    q.processAllAvailable()
+    val real = spark.table("spread_left_spec")
+      .filter(!col("base").startsWith("ZZ"))
+      .select("base", "symbol_b", "price_b").as[(String, String, Option[Double])]
+      .collect().sortBy(_._1)
+    real.map(_._1).toSeq shouldBe Seq("BTC", "ETH")
+    real(0)._2 shouldBe "BTC-BINANCE"
+    real(1)._2 shouldBe null      // the proved-unmatched null extension
+    real(1)._3 shouldBe None
+    q.stop()
+  }
+
+  test("bucketed spread shards join state by (base, bucket) at a bounded " +
+      "~2x row cost over the plain-key variant") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(i: Int) = new Timestamp(Timestamp.valueOf("2026-01-01 10:00:00")
+      .getTime + i * 1000L)
+    val rowsA = (0 until 100).map(i => (ts(i), "BTC-COINBASE", 100.0 + i))
+    val rowsB = (0 until 100).map(i => (ts(i), "BTC-BINANCE", 90.0 + i))
+    def run(bucketed: Boolean): (Long, Long, String) = {
+      val inA = MemoryStream[(Timestamp, String, Double)]
+      val inB = MemoryStream[(Timestamp, String, Double)]
+      def shaped(m: MemoryStream[(Timestamp, String, Double)]) =
+        m.toDF().toDF("trade_timestamp", "symbol", "price")
+      val joined =
+        if (bucketed) Medallion.streamSpreadBucketed(shaped(inA), shaped(inB),
+          bandSeconds = 60, joinType = "left_outer")
+        else Medallion.streamSpread(shaped(inA), shaped(inB),
+          bandSeconds = 60, joinType = "left_outer")
+      val name = if (bucketed) "spread_state_b" else "spread_state_p"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      inA.addData(rowsA: _*); inB.addData(rowsB: _*)
+      q.processAllAvailable()
+      val state = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      val emitted = spark.table(name).count()
+      q.stop()
+      (state, emitted, joined.queryExecution.analyzed.toString)
+    }
+    val (statePlain, emittedPlain, planPlain) = run(bucketed = false)
+    val (stateBucketed, emittedBucketed, planBucketed) = run(bucketed = true)
+    // identical emitted pair set (the equivalence the bucketing claims)
+    emittedBucketed shouldBe emittedPlain
+    // the sharding claim: the bucketed join's equi-key includes the
+    // time bucket — state hash-distributes over (base, bucket) instead
+    // of piling every row of a base onto one state key
+    planBucketed should include("bucket")
+    (planPlain should not).include("bucket")
+    // the cost claim: the B side doubles (own + next bucket), nothing
+    // else grows — total state stays within ~2x of the plain key's
+    statePlain should be > 0L
+    stateBucketed should be <= (2 * statePlain)
+  }
+
   test("replayJoin: streamed band-join emitted set == batch band join") {
     // the stream_spread_join gate's claim: inner stream-stream join
     // emission is not watermark-gated and the chronological replay
@@ -204,6 +287,28 @@ class StreamingSpec extends SparkSuite with Matchers {
     streamed.count() should be > 0L
     streamed.exceptAll(batch).count() shouldBe 0
     batch.exceptAll(streamed).count() shouldBe 0
+  }
+
+  test("replayIntoMergeTable: streamed CDC upsert == global latest row per key, " +
+      "and the manifest tracked one generation per micro-batch") {
+    val events = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("stream-merge").toString
+    StreamedBatch.replayIntoMergeTable(spark, events, "ts", "event_id",
+      store, Seq("user_id"), chunks = 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // align by name: physical column order on the store is not contractual
+    val got = graft.util.Lake.mergeRead(spark, store)
+      .select(want.columns.map(col): _*)
+    got.count() shouldBe want.count()
+    got.exceptAll(want).count() shouldBe 0
+    want.exceptAll(got).count() shouldBe 0
+    // 4 chunks → init (gen 0) + 3 ledgered merges; the applied set
+    // carries the replayed batch ids
+    graft.util.Manifest.applied(spark, store) shouldBe
+      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
   }
 
   test("replayUpdate: upsert resolution returns the last update per key == batch agg") {

@@ -291,4 +291,139 @@ class LakeSpec extends SparkSuite with Matchers {
       spark.sql("DROP TABLE IF EXISTS lake_users_bkt")
     }
   }
+
+  // ── MERGE INTO (keyed upsert) ─────────────────────────────────────
+
+  private def mergeFixture(): (String, org.apache.spark.sql.DataFrame) = {
+    val path = Files.createTempDirectory("lake-merge-").toFile.getAbsolutePath
+    // range-laid-out by key: each of the 8 files owns a narrow key
+    // band, so a narrow update range CAN prune files (hash layout
+    // scatters every key everywhere and nothing could prune)
+    val base = spark.range(0, 800).select(col("id").as("k"),
+      (col("id") * 10).as("v"), lit("base").as("tag"))
+      .repartitionByRange(8, col("k"))
+    Lake.mergeInit(spark, path, base, Seq("k"))
+    (path, base)
+  }
+
+  test("merge: upsert semantics — updated rows replaced, new keys appended, " +
+      "others untouched") {
+    val (path, _) = mergeFixture()
+    val updates = Seq((5L, -1L, "upd"), (7L, -2L, "upd"), (900L, -3L, "new"))
+      .toDF("k", "v", "tag")
+    val r = Lake.merge(spark, path, updates, Seq("k"))
+    r.matched shouldBe 2L
+    r.inserted shouldBe 1L
+    r.applied shouldBe true
+    val out = Lake.mergeRead(spark, path)
+    out.count() shouldBe 801L
+    out.filter(col("tag") === "upd").select("k").as[Long].collect().sorted shouldBe
+      Array(5L, 7L)
+    out.filter(col("k") === 900L).select("tag").as[String].head() shouldBe "new"
+    out.filter(col("k") === 6L).select("v").as[Long].head() shouldBe 60L
+  }
+
+  test("merge: file pruning funnel — a narrow update range rewrites a " +
+      "strict subset of files, via stats candidates") {
+    val (path, _) = mergeFixture()
+    // keys 0-99 live in the first range file(s) only
+    val updates = Seq((1L, -1L, "upd"), (2L, -2L, "upd")).toDF("k", "v", "tag")
+    val r = Lake.merge(spark, path, updates, Seq("k"))
+    r.filesLive shouldBe 8
+    r.filesCandidate should be < r.filesLive
+    r.filesRewritten should be <= r.filesCandidate
+    r.filesRewritten should be >= 1
+    // untouched files are carried over physically identical
+    Lake.mergeRead(spark, path).count() shouldBe 800L
+  }
+
+  test("merge: second merge uses the stats committed by the first " +
+      "(no stale-stats window), and still prunes") {
+    val (path, _) = mergeFixture()
+    Lake.merge(spark, path, Seq((901L, -1L, "new")).toDF("k", "v", "tag"), Seq("k"))
+    // 901 now lives in a fresh file; updating it must find that file
+    // through the REGENERATED stats
+    val r2 = Lake.merge(spark, path,
+      Seq((901L, -2L, "upd2")).toDF("k", "v", "tag"), Seq("k"))
+    r2.matched shouldBe 1L
+    r2.inserted shouldBe 0L
+    r2.filesCandidate should be < r2.filesLive
+    Lake.mergeRead(spark, path).filter(col("k") === 901L)
+      .select("tag").as[String].head() shouldBe "upd2"
+  }
+
+  test("merge: ledgered re-delivery is a no-op; time travel resolves the " +
+      "pre-merge generation") {
+    val (path, _) = mergeFixture()
+    val updates = Seq((5L, -1L, "upd")).toDF("k", "v", "tag")
+    Lake.merge(spark, path, updates, Seq("k"), shardId = Some("b1"))
+      .applied shouldBe true
+    val replay = Lake.merge(spark, path, updates, Seq("k"), shardId = Some("b1"))
+    replay.applied shouldBe false
+    Lake.mergeRead(spark, path).count() shouldBe 800L
+    // generation 0 still shows the pre-merge value
+    Lake.mergeRead(spark, path, asOf = Some(0))
+      .filter(col("k") === 5L).select("tag").as[String].head() shouldBe "base"
+    Lake.mergeRead(spark, path)
+      .filter(col("k") === 5L).select("tag").as[String].head() shouldBe "upd"
+  }
+
+  test("merge: duplicate source keys are refused; schema drift is refused") {
+    val (path, _) = mergeFixture()
+    val dup = Seq((5L, -1L, "a"), (5L, -2L, "b")).toDF("k", "v", "tag")
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path, dup, Seq("k"))
+    val drifted = Seq((5L, -1L)).toDF("k", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path, drifted, Seq("k"))
+  }
+
+  test("deleteWhere/updateWhere: row semantics, file pruning, generation " +
+      "isolation, ledger no-op") {
+    val (path, _) = mergeFixture()
+    // delete a narrow key band: only its range file(s) rewrite
+    val del = Lake.deleteWhere(spark, path,
+      col("k") >= 10 && col("k") < 20, Seq("k"), shardId = Some("d1"))
+    del.affected shouldBe 10L
+    del.filesRewritten should be >= 1
+    del.filesRewritten should be < del.filesLive
+    Lake.mergeRead(spark, path).count() shouldBe 790L
+    // update a disjoint band; deleted rows must not resurrect
+    val upd = Lake.updateWhere(spark, path, col("k") >= 700,
+      Map("tag" -> lit("hot"), "v" -> (col("v") + 1)), Seq("k"),
+      shardId = Some("u1"))
+    upd.affected shouldBe 100L
+    upd.filesRewritten should be < upd.filesLive
+    val head = Lake.mergeRead(spark, path)
+    head.count() shouldBe 790L
+    head.filter(col("tag") === "hot").count() shouldBe 100L
+    head.filter(col("k") === 750L).select("v").as[Long].head() shouldBe 7501L
+    // untouched row is byte-identical
+    head.filter(col("k") === 5L).select("v", "tag").as[(Long, String)]
+      .head() shouldBe ((50L, "base"))
+    // generation isolation: the post-delete snapshot shows no update
+    Lake.mergeRead(spark, path, asOf = Some(1))
+      .filter(col("tag") === "hot").count() shouldBe 0L
+    // re-delivery is a manifest no-op
+    Lake.deleteWhere(spark, path, lit(true), Seq("k"), shardId = Some("d1"))
+      .applied shouldBe false
+    Lake.mergeRead(spark, path).count() shouldBe 790L
+    // a merge AFTER dml still prunes through the regenerated stats
+    val m = Lake.merge(spark, path,
+      Seq((5L, -1L, "upd")).toDF("k", "v", "tag"), Seq("k"))
+    m.matched shouldBe 1L
+    m.filesCandidate should be < m.filesLive
+  }
+
+  test("merge: empty updates commit the ledger id and change nothing") {
+    val (path, base) = mergeFixture()
+    val empty = base.filter(lit(false))
+    val r = Lake.merge(spark, path, empty, Seq("k"), shardId = Some("e0"))
+    r.applied shouldBe true
+    (r.matched, r.inserted, r.filesRewritten) shouldBe ((0L, 0L, 0))
+    Lake.mergeRead(spark, path).count() shouldBe 800L
+    // the id is remembered
+    Lake.merge(spark, path, empty, Seq("k"), shardId = Some("e0"))
+      .applied shouldBe false
+  }
 }
