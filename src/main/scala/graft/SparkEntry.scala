@@ -383,6 +383,30 @@ object SparkEntry {
       path
     })
 
+  /** Per-(JVM, sfDir) memo of the `q_restore_table` gate's store: a
+    * destructive DELETE rolled back with [[graft.util.Manifest.restore]]
+    * — the head generation re-commits generation 0's file list, so the
+    * table must read back exactly as the untouched original (and a
+    * replayed DML shard id must STILL no-op: restore rewinds data, not
+    * writer-idempotency history).
+    */
+  private val restoreStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def restoreGateStore(s: SparkSession, dir: String): String =
+    restoreStoreMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-restore-table")
+      graft.util.Lake.mergeInit(s, path,
+        Tables.orders(s, dir).repartitionByRange(8, col("o_orderkey")),
+        Seq("o_orderkey"))
+      graft.util.Lake.deleteWhere(s, path, col("o_totalprice") < 250000,
+        Seq("o_orderkey"), shardId = Some("oops"))
+      graft.util.Manifest.restore(s, path, gen = 0)
+      // the rewound table still remembers the shard id
+      val replay = graft.util.Lake.deleteWhere(s, path, lit(true),
+        Seq("o_orderkey"), shardId = Some("oops"))
+      require(!replay.applied, "restore must not reset the shard ledger")
+      path
+    })
+
   /** Per-(JVM, sfDir) memo of the `q_quantile_store` gate's summary
     * store: rank-spaced weighted samples of `events.value` built on the
     * first event_id tercile, the other two folded in as ledgered
@@ -1121,6 +1145,27 @@ object SparkEntry {
     // UPDATE ... SET ... WHERE on the same store's head generation
     "q_update_where" -> ((s, dir) =>
       graft.util.Lake.mergeRead(s, dmlGateStore(s, dir))),
+    // Delta data skipping on the READ path: a key-range read through
+    // the generation's committed stats (no stale-stats window — the
+    // manifest commit IS the stats rebuild). File-level pruning is
+    // spec-asserted where counts are visible; the gate pins row
+    // correctness on the same DML head state
+    "q_merge_read_range" -> ((s, dir) =>
+      graft.util.Lake.mergeReadRange(s, dmlGateStore(s, dir),
+        "o_orderkey", lit(3000L), lit(6000L))),
+    // change data feed between the DML store's generations (Delta
+    // table_changes): gen 1 (post-delete) → gen 2 (post-update) is
+    // exactly the typed update set of the priority rewrite
+    "q_merge_cdf" -> ((s, dir) =>
+      graft.util.Lake.mergeChanges(s, dmlGateStore(s, dir),
+          Seq("o_orderkey"), fromGen = 1, toGen = Some(2))
+        .select(col("o_orderkey"), col("before_o_orderpriority"),
+          col("after_o_orderpriority"), col("change_type"))),
+    // RESTORE TABLE ... VERSION AS OF: a delete rolled back by
+    // committing generation 0's file list as the new head — the table
+    // must read back exactly as the original
+    "q_restore_table" -> ((s, dir) =>
+      graft.util.Lake.mergeRead(s, restoreGateStore(s, dir))),
     // counters exceed the column's true cardinality, so no decrement
     // fires and the sketch counts are EXACT — hash-equal to the
     // GROUP BY oracle. (The under-cardinality compaction path and its
@@ -1268,6 +1313,20 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("lang"), col("doc_id"), col("quality_score"))
       Curation.percentileCutoff(scored, "lang", "quality_score", pct = 0.4)
+    }),
+    // PERPLEXITY filter (the CCNet/Gopher-style LM quality gate): score
+    // every doc by mean negative log-prob under the corpus unigram LM,
+    // keep each language's most-fluent 70% (cutoffs = one percentile
+    // agg row per stratum broadcast back, never a per-stratum window)
+    "cur_perplexity_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextOps.unigramLogprob(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"), col("doc_id"), col("avg_neg_logprob"),
+          negate(col("avg_neg_logprob")).as("score"))
+      Curation.percentileCutoff(scored, "lang", "score", pct = 0.3)
+        .select(col("lang"), col("doc_id"), col("avg_neg_logprob"),
+          col("cutoff"))
     }),
     // the end-to-end curation chain as ONE declarative plan: scrub →
     // exact dedup (min-id survivor) → token-length quality floor →
@@ -2542,6 +2601,31 @@ object SparkEntry {
                      ELSE o_orderpriority END AS o_orderpriority
          FROM orders
          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)""",
+    // the DML head state restricted to the probed key range — the
+    // stats-pruned read must change WHICH files open, never the rows
+    "q_merge_read_range" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate,
+                CASE WHEN o_totalprice > 400000 THEN '1-URGENT-XL'
+                     ELSE o_orderpriority END AS o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+           AND o_orderkey BETWEEN 3000 AND 6000""",
+    // gen 1 → gen 2 changed exactly the surviving high-value orders
+    // whose priority actually differed from the new value
+    "q_merge_cdf" ->
+      """SELECT o_orderkey, o_orderpriority AS before_o_orderpriority,
+                '1-URGENT-XL' AS after_o_orderpriority,
+                'update' AS change_type
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+           AND o_totalprice > 400000
+           AND o_orderpriority <> '1-URGENT-XL'""",
+    // restore rewinds the delete completely: the table IS the original
+    "q_restore_table" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders""",
     "q_salted_join" ->
       """WITH d AS (SELECT event_type, round(avg(value), 6) AS type_avg
                     FROM events GROUP BY 1)
@@ -2990,6 +3074,23 @@ object SparkEntry {
     // quality_score inputs are 6dp-rounded on both engines, the filter
     // compares the RAW interpolated quantile (display-only rounding on
     // `cutoff`) — see Curation.percentileCutoff's portability note
+    // same portability rules as cur_quality_cutoff: 6dp-rounded scores
+    // into a raw interpolated quantile, display-rounded cutoff
+    "cur_perplexity_filter" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         vocab AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+         tot AS (SELECT sum(c) AS t FROM vocab),
+         lp AS (SELECT doc_id,
+                  round(avg(-ln(c / (SELECT t FROM tot))), 6) AS avg_neg_logprob
+                FROM tok JOIN vocab USING (w) GROUP BY doc_id),
+         sc AS (SELECT d.lang, lp.doc_id, lp.avg_neg_logprob,
+                  -lp.avg_neg_logprob AS score
+                FROM lp JOIN documents d USING (doc_id)),
+         cut AS (SELECT lang, quantile_cont(score, 0.3) AS c
+                 FROM sc GROUP BY 1)
+         SELECT sc.lang, sc.doc_id, sc.avg_neg_logprob, round(cut.c, 6) AS cutoff
+         FROM sc JOIN cut USING (lang) WHERE sc.score >= cut.c""",
     "cur_quality_cutoff" ->
       """WITH q AS (SELECT doc_id, lang,
            round(len(list_filter(string_split(text, ' '),

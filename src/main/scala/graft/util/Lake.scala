@@ -580,6 +580,57 @@ object Lake {
       candRel.length, liveData.length, applied = true)
   }
 
+  /** [[mergeRead]] restricted to `lo <= keyCol <= hi`, pruning whole
+    * files through the stats committed WITH the generation — Delta
+    * data skipping on the READ path, with no stale-stats window by
+    * construction (unlike [[readSkipping]]'s rebuild-after-append
+    * contract, the manifest commit is the rebuild). Files whose
+    * `[min, max]` range misses the bounds are never opened; the
+    * residual predicate still applies row-level.
+    */
+  def mergeReadRange(spark: SparkSession, path: String, keyCol: String,
+                     lo: Column, hi: Column,
+                     asOf: Option[Int] = None): DataFrame = {
+    val snap = Manifest.snapshot(spark, path, asOf)
+    val keep = !(col(s"max_$keyCol") < lo || col(s"min_$keyCol") > hi)
+    val candNames = Manifest.read(spark, path, MergeStatsSub, asOf)
+      .filter(keep).select("file_name")
+      .collect().map(_.getString(0)).toSet
+    val liveData = snap.files.filter(_.startsWith(s"$MergeDataSub/"))
+    val cand = liveData.filter(f => candNames.contains(f.split('/').last))
+    val pred = col(keyCol) >= lo && col(keyCol) <= hi
+    if (cand.isEmpty) mergeRead(spark, path, asOf).filter(pred).filter(lit(false))
+    else spark.read.option("basePath", s"$path/$MergeDataSub")
+      .parquet(cand.map(f => s"$path/$f"): _*).filter(pred)
+  }
+
+  /** Change data feed between two generations of a merge-managed
+    * table (Delta `table_changes` on the DML surface): one row per key
+    * whose row changed between `fromGen` and `toGen` (head when None),
+    * typed `insert` / `update` / `delete`, with full before/after
+    * images. A full-outer key join of two generation-pinned reads —
+    * both sides prune columns and the join shuffles by key once.
+    */
+  def mergeChanges(spark: SparkSession, path: String, keys: Seq[String],
+                   fromGen: Int, toGen: Option[Int] = None): DataFrame = {
+    val valueCols = mergeRead(spark, path).columns.filterNot(keys.contains).toSeq
+    def side(g: Option[Int], p: String) =
+      mergeRead(spark, path, g).select(
+        keys.map(col) ++ valueCols.map(c => col(c).as(s"${p}_$c")): _*)
+    val joined = side(Some(fromGen), "before")
+      .withColumn("__in_before", lit(true))
+      .join(side(toGen, "after").withColumn("__in_after", lit(true)),
+        keys, "full_outer")
+    val changed = valueCols.map(c =>
+      not(col(s"before_$c") <=> col(s"after_$c"))).reduce(_ || _)
+    joined.withColumn("change_type",
+        when(col("__in_before").isNull, lit("insert"))
+          .when(col("__in_after").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .drop("__in_before", "__in_after")
+  }
+
   // ── DELETE / UPDATE WHERE: the rest of the Delta DML triad ────────
   //
   // Same execution shape as [[merge]]: find the files that contain any

@@ -271,6 +271,25 @@ object Manifest {
       spark.read.option("basePath", s"$path/$sub").parquet(files: _*)
   }
 
+  /** Delta's `RESTORE TABLE ... VERSION AS OF` — roll the store back
+    * to a retained generation by committing a NEW head whose file list
+    * is the target generation's (no data moves; the rollback itself is
+    * time-travelable and vacuum-safe because every referenced file is
+    * now live again under the new head). The applied-shard ledger
+    * keeps the CURRENT head's ids — like Delta, restore rewinds data,
+    * not writer-idempotency history (a replayed shard id after a
+    * restore must still no-op). Returns the new head generation.
+    */
+  def restore(spark: SparkSession, path: String, gen: Int,
+              retain: Int = 3): Int = {
+    val target = snapshot(spark, path, Some(gen))
+    val head = snapshot(spark, path)
+    val n = head.gen + 1
+    commit(spark, path, n, target.files, head.applied)
+    retire(spark, path, n, retain)
+    n
+  }
+
   /** Drop manifests older than the newest `retain` generations and
     * every data file only they reference. The retained window is both
     * the in-flight-reader grace period and the time-travel horizon.

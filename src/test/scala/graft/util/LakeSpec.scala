@@ -415,6 +415,61 @@ class LakeSpec extends SparkSuite with Matchers {
     m.filesCandidate should be < m.filesLive
   }
 
+  test("mergeReadRange: stats-pruned key-range read opens a strict subset " +
+      "of files and returns exactly the plain-filter rows") {
+    val (path, _) = mergeFixture()
+    val ranged = Lake.mergeReadRange(spark, path, "k", lit(100L), lit(199L))
+    val plain = Lake.mergeRead(spark, path)
+      .filter(col("k").between(100L, 199L))
+    ranged.count() shouldBe 100L
+    ranged.exceptAll(plain.select(ranged.columns.map(col): _*))
+      .count() shouldBe 0
+    // pruning really fires: the ranged scan opens fewer files
+    val openedRanged = ranged.select(input_file_name()).distinct().count()
+    val openedPlain = Lake.mergeRead(spark, path)
+      .select(input_file_name()).distinct().count()
+    openedRanged should be < openedPlain
+    // empty survivor set still answers
+    Lake.mergeReadRange(spark, path, "k", lit(5000L), lit(6000L))
+      .count() shouldBe 0L
+  }
+
+  test("mergeChanges: typed insert/update/delete feed between generations " +
+      "with before/after images; unchanged keys never appear") {
+    val (path, _) = mergeFixture()                       // gen 0
+    Lake.merge(spark, path,                              // gen 1: 1 update + 1 insert
+      Seq((5L, -1L, "upd"), (900L, -2L, "new")).toDF("k", "v", "tag"), Seq("k"))
+    Lake.deleteWhere(spark, path, col("k") === 7L, Seq("k"))  // gen 2: 1 delete
+    val feed = Lake.mergeChanges(spark, path, Seq("k"), fromGen = 0)
+      .select("k", "change_type", "before_tag", "after_tag")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    feed.map(r => (r._1, r._2)).toSeq shouldBe
+      Seq((5L, "update"), (7L, "delete"), (900L, "insert"))
+    feed(0)._3 shouldBe "base"; feed(0)._4 shouldBe "upd"
+    feed(1)._4 shouldBe null   // delete has no after image
+    feed(2)._3 shouldBe null   // insert has no before image
+    // the reverse span (gen1 → gen2) sees only the delete
+    Lake.mergeChanges(spark, path, Seq("k"), fromGen = 1)
+      .select("change_type").as[String].collect().toSeq shouldBe Seq("delete")
+  }
+
+  test("Manifest.restore: rollback to a retained generation re-reads the " +
+      "original; the shard ledger survives the rewind") {
+    val (path, _) = mergeFixture()
+    Lake.deleteWhere(spark, path, col("k") < 400L, Seq("k"),
+      shardId = Some("bad-batch"))
+    Lake.mergeRead(spark, path).count() shouldBe 400L
+    val newHead = Manifest.restore(spark, path, gen = 0)
+    newHead shouldBe 2
+    Lake.mergeRead(spark, path).count() shouldBe 800L
+    // data rewound, idempotency history not: the id still no-ops
+    Lake.deleteWhere(spark, path, lit(true), Seq("k"),
+      shardId = Some("bad-batch")).applied shouldBe false
+    // and the rollback itself is time-travelable: gen 1 still shows
+    // the deleted state
+    Lake.mergeRead(spark, path, asOf = Some(1)).count() shouldBe 400L
+  }
+
   test("merge: empty updates commit the ledger id and change nothing") {
     val (path, base) = mergeFixture()
     val empty = base.filter(lit(false))
