@@ -383,6 +383,32 @@ object SparkEntry {
       path
     })
 
+  /** Per-(JVM, sfDir) memo of the `q_merge_optimize` gate's store:
+    * `orders` fragmented by three narrow merges, then OPTIMIZE'd
+    * ([[graft.util.Lake.mergeCompact]], range-clustered by key) — the
+    * compaction must shrink the file count (asserted here) while the
+    * gate's stats-pruned range read over the REGENERATED stats returns
+    * exactly the merged rows (compaction invisible in the answer).
+    */
+  private val optimizeStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def optimizeGateStore(s: SparkSession, dir: String): String =
+    optimizeStoreMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-optimize-table")
+      val orders = Tables.orders(s, dir)
+      graft.util.Lake.mergeInit(s, path,
+        orders.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+      for (m <- Seq(1L, 2L, 3L))
+        graft.util.Lake.merge(s, path,
+          orders.filter(pmod(col("o_orderkey"), lit(1000)) === m)
+            .withColumn("o_orderpriority", lit("OPT")),
+          Seq("o_orderkey"), shardId = Some(s"opt-$m"))
+      val (before, after) = graft.util.Lake.mergeCompact(s, path,
+        Seq("o_orderkey"), clusterBy = Seq("o_orderkey"))
+      require(after < before,
+        s"mergeCompact must shrink the file count ($before -> $after)")
+      path
+    })
+
   /** Per-(JVM, sfDir) memo of the `q_restore_table` gate's store: a
     * destructive DELETE rolled back with [[graft.util.Manifest.restore]]
     * — the head generation re-commits generation 0's file list, so the
@@ -1166,6 +1192,12 @@ object SparkEntry {
     // must read back exactly as the original
     "q_restore_table" -> ((s, dir) =>
       graft.util.Lake.mergeRead(s, restoreGateStore(s, dir))),
+    // OPTIMIZE (range-clustered compaction) is invisible in the
+    // answer: a stats-pruned range read over the compacted store's
+    // REGENERATED stats returns exactly the merged rows
+    "q_merge_optimize" -> ((s, dir) =>
+      graft.util.Lake.mergeReadRange(s, optimizeGateStore(s, dir),
+        "o_orderkey", lit(1L), lit(7500L))),
     // counters exceed the column's true cardinality, so no decrement
     // fires and the sketch counts are EXACT — hash-equal to the
     // GROUP BY oracle. (The under-cardinality compaction path and its
@@ -2626,6 +2658,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority
          FROM orders""",
+    // compaction changed the physical layout only: merged rows, ranged
+    "q_merge_optimize" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate,
+                CASE WHEN o_orderkey % 1000 IN (1, 2, 3) THEN 'OPT'
+                     ELSE o_orderpriority END AS o_orderpriority
+         FROM orders WHERE o_orderkey BETWEEN 1 AND 7500""",
     "q_salted_join" ->
       """WITH d AS (SELECT event_type, round(avg(value), 6) AS type_avg
                     FROM events GROUP BY 1)

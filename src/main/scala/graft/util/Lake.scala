@@ -534,7 +534,7 @@ object Lake {
       if (lo == null) lit(false)
       else !(col(s"max_$k") < lit(lo) || col(s"min_$k") > lit(hi))
     }.reduce(_ && _)
-    val candNames = Manifest.read(spark, path, MergeStatsSub)
+    val candNames = statsCovering(spark, path, liveData, None)
       .filter(overlap).select("file_name")
       .collect().map(_.getString(0)).toSet
     val candRel = liveData.filter(f => candNames.contains(f.split('/').last))
@@ -580,6 +580,71 @@ object Lake {
       candRel.length, liveData.length, applied = true)
   }
 
+  /** The generation's stats frame, VERIFIED to cover every live data
+    * file — the stage-1 pruning contract. Uncovered files would be
+    * silently invisible to candidate selection (a pruned-away file
+    * that actually holds matching keys = wrong answers), so any
+    * coverage gap — e.g. someone ran raw [[Manifest.compactSub]] on
+    * the data sub instead of [[mergeCompact]] — fails loudly here.
+    */
+  private def statsCovering(spark: SparkSession, path: String,
+                            liveData: Seq[String],
+                            asOf: Option[Int]): DataFrame = {
+    val stats = Manifest.read(spark, path, MergeStatsSub, asOf)
+    val covered = stats.select("file_name").collect().map(_.getString(0)).toSet
+    val missing = liveData.map(_.split('/').last).filterNot(covered)
+    require(missing.isEmpty,
+      s"merge table at $path: stats do not cover ${missing.length} live data " +
+        s"file(s) (e.g. ${missing.headOption.getOrElse("")}) — the table was " +
+        "modified outside the merge/DML/mergeCompact surface; rebuild with " +
+        "mergeInit or compact with mergeCompact")
+    stats
+  }
+
+  /** `OPTIMIZE [ZORDER BY]` for a merge-managed table: rewrite the
+    * data sub as ~`targetFileMB` files — range-clustered by
+    * `clusterBy` when given, so each file owns a narrow key band and
+    * [[mergeReadRange]]/[[merge]] stage-1 pruning gets sharper — and
+    * regenerate the per-file stats in the SAME commit (raw
+    * [[Manifest.compactSub]] would orphan them; [[statsCovering]]
+    * refuses such a table). Old files stay until their last
+    * referencing manifest retires, so time travel and in-flight
+    * readers survive. Returns (filesBefore, filesAfter).
+    */
+  def mergeCompact(spark: SparkSession, path: String, keys: Seq[String],
+                   targetFileMB: Int = 128,
+                   clusterBy: Seq[String] = Seq.empty,
+                   retain: Int = 3): (Int, Int) = {
+    val snap = Manifest.snapshot(spark, path)
+    val liveData = snap.files.filter(_.startsWith(s"$MergeDataSub/"))
+    val liveStats = snap.files.filter(_.startsWith(s"$MergeStatsSub/"))
+    if (liveData.isEmpty) return (0, 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalMB = math.max(liveData.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$f")).getLen)
+      .sum / (1024.0 * 1024.0), 0.001)
+    val nFiles = math.max(1, math.ceil(totalMB / targetFileMB).toInt)
+    val df = mergeRead(spark, path)
+    val shaped =
+      if (clusterBy.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+    var after = 0
+    Manifest.rewriteFiles(spark, path,
+      drop = (liveData ++ liveStats).toSet, retain = retain) {
+      val before = dataFileNames(spark, path)
+      shaped.write.mode(SaveMode.Append).parquet(s"$path/$MergeDataSub")
+      val freshNames = dataFileNames(spark, path) -- before
+      after = freshNames.size
+      mergeStatsFor(
+        spark.read.option("basePath", s"$path/$MergeDataSub")
+          .parquet(freshNames.toSeq.map(n => s"$path/$MergeDataSub/$n"): _*),
+        keys)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
+    }
+    (liveData.length, after)
+  }
+
   /** [[mergeRead]] restricted to `lo <= keyCol <= hi`, pruning whole
     * files through the stats committed WITH the generation — Delta
     * data skipping on the READ path, with no stale-stats window by
@@ -592,11 +657,11 @@ object Lake {
                      lo: Column, hi: Column,
                      asOf: Option[Int] = None): DataFrame = {
     val snap = Manifest.snapshot(spark, path, asOf)
+    val liveData = snap.files.filter(_.startsWith(s"$MergeDataSub/"))
     val keep = !(col(s"max_$keyCol") < lo || col(s"min_$keyCol") > hi)
-    val candNames = Manifest.read(spark, path, MergeStatsSub, asOf)
+    val candNames = statsCovering(spark, path, liveData, asOf)
       .filter(keep).select("file_name")
       .collect().map(_.getString(0)).toSet
-    val liveData = snap.files.filter(_.startsWith(s"$MergeDataSub/"))
     val cand = liveData.filter(f => candNames.contains(f.split('/').last))
     val pred = col(keyCol) >= lo && col(keyCol) <= hi
     if (cand.isEmpty) mergeRead(spark, path, asOf).filter(pred).filter(lit(false))

@@ -470,6 +470,37 @@ class LakeSpec extends SparkSuite with Matchers {
     Lake.mergeRead(spark, path, asOf = Some(1)).count() shouldBe 400L
   }
 
+  test("mergeCompact: clustered OPTIMIZE shrinks the file count, keeps " +
+      "stats covering (pruning still fires), survives time travel; raw " +
+      "compactSub on the data sub is caught by the coverage guard") {
+    val (path, _) = mergeFixture()
+    // fragment the table: three narrow merges append three small files
+    for (k <- Seq(900L, 901L, 902L))
+      Lake.merge(spark, path, Seq((k, -k, "new")).toDF("k", "v", "tag"), Seq("k"))
+    val genBefore = Manifest.snapshot(spark, path).gen
+    val (before, after) = Lake.mergeCompact(spark, path, Seq("k"),
+      targetFileMB = 128, clusterBy = Seq("k"))
+    before shouldBe 11          // 8 range files + 3 merge appends
+    after should be < before
+    Lake.mergeRead(spark, path).count() shouldBe 803L
+    // stats regenerated in the same commit: ranged read still prunes
+    // (and the coverage guard passes)
+    Lake.mergeReadRange(spark, path, "k", lit(0L), lit(49L))
+      .count() shouldBe 50L
+    // merging after the compaction works and the funnel is intact
+    val m = Lake.merge(spark, path,
+      Seq((901L, -1L, "upd")).toDF("k", "v", "tag"), Seq("k"))
+    m.matched shouldBe 1L
+    // the pre-compaction generation still resolves (time travel)
+    Lake.mergeRead(spark, path, asOf = Some(genBefore)).count() shouldBe 803L
+    // a raw compactSub on the data sub orphans the stats — the next
+    // stats-dependent op must fail loudly, not answer wrong
+    Manifest.compactSub(spark, path, "data")
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path,
+        Seq((1L, -1L, "x")).toDF("k", "v", "tag"), Seq("k"))
+  }
+
   test("merge: empty updates commit the ledger id and change nothing") {
     val (path, base) = mergeFixture()
     val empty = base.filter(lit(false))
