@@ -1163,6 +1163,20 @@ object SparkEntry {
         Tables.events(s, dir), "ts", "event_id", store, Seq("user_id"))
       graft.util.Lake.mergeRead(s, store)
     }),
+    // the CDC form of the streaming MERGE sink (DLT's APPLY CHANGES
+    // INTO): every 'purchase' event is a delete marker for its user,
+    // everything else upserts — the table converges to the latest row
+    // per user UNLESS that latest change was a delete, then the key is
+    // absent. Upsert and delete halves of each micro-batch commit as
+    // ONE generation.
+    "stream_apply_changes" -> ((s, dir) => {
+      val store = tempIndexDir("graft-stream-cdc")
+      val changes = Tables.events(s, dir).withColumn("op",
+        when(col("event_type") === "purchase", lit("D")).otherwise(lit("U")))
+      graft.streaming.StreamedBatch.replayIntoMergeTable(s, changes,
+        "ts", "event_id", store, Seq("user_id"), opCol = Some("op"))
+      graft.util.Lake.mergeRead(s, store)
+    }),
     // DELETE FROM ... WHERE as a file-pruned rewrite: read at the
     // post-delete generation of the shared DML store (the later update
     // must NOT leak back into this snapshot)
@@ -2617,6 +2631,15 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
+    // CDC replay: latest change per user wins; a winning delete marker
+    // ('purchase') leaves the key absent
+    "stream_apply_changes" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                value, props
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'purchase'""",
     // the post-delete generation: rows matching the delete predicate
     // are gone, nothing else changed (the later update is NOT visible)
     "q_delete_where" ->

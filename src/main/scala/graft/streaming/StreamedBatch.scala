@@ -552,7 +552,9 @@ object StreamedBatch {
                            orderCol: String, tieCol: String,
                            storePath: String, keys: Seq[String],
                            chunks: Int = 3,
-                           stageKey: Option[String] = None): Unit = {
+                           stageKey: Option[String] = None,
+                           opCol: Option[String] = None,
+                           deleteOp: String = "D"): Unit = {
     import graft.util.Lake
     import org.apache.spark.sql.expressions.Window
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
@@ -570,14 +572,24 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (id == 0)
-            Lake.mergeInit(spark, storePath,
-              latestPerKey(batch).repartitionByRange(4, keys.map(col): _*),
-              keys)
-          else {
-            Lake.merge(spark, storePath, latestPerKey(batch), keys,
-              shardId = Some(s"replay-batch-$id"))
-            ()
+          val latest = latestPerKey(batch)
+          (id, opCol) match {
+            case (0, None) =>
+              Lake.mergeInit(spark, storePath,
+                latest.repartitionByRange(4, keys.map(col): _*), keys)
+            case (0, Some(op)) =>
+              // a key whose LATEST batch-0 change is a delete starts absent
+              Lake.mergeInit(spark, storePath,
+                latest.filter(col(op) =!= deleteOp).drop(op)
+                  .repartitionByRange(4, keys.map(col): _*), keys)
+            case (_, None) =>
+              Lake.merge(spark, storePath, latest, keys,
+                shardId = Some(s"replay-batch-$id")); ()
+            case (_, Some(op)) =>
+              // the CDC path: latest-per-key resolution guarantees one
+              // operation per key per batch — applyChanges' contract
+              Lake.applyChanges(spark, storePath, latest, keys, op,
+                deleteOp, shardId = Some(s"replay-batch-$id")); ()
           }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

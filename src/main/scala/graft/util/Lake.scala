@@ -458,14 +458,28 @@ object Lake {
     */
   case class MergeResult(matched: Long, inserted: Long,
                          filesRewritten: Int, filesCandidate: Int,
-                         filesLive: Int, applied: Boolean)
+                         filesLive: Int, deleted: Long = 0L,
+                         applied: Boolean)
 
-  private def mergeStatsFor(df: DataFrame, keys: Seq[String]): DataFrame = {
+  /** Per-file key min/max stats for EXACTLY `names` (data-sub file
+    * names): the explicit list left-joins the aggregated mins/maxes,
+    * so a ZERO-ROW file (an empty write partition — skewed
+    * repartitions produce them) still gets a covering row with null
+    * stats. Null stats are correct: the overlap predicate evaluates
+    * null → the file is never a candidate (no key can match), yet the
+    * coverage guard holds.
+    */
+  private def mergeStatsFor(spark: SparkSession, path: String,
+                            names: Set[String], keys: Seq[String]): DataFrame = {
+    import spark.implicits._
     val aggs = keys.flatMap { k =>
       Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))
     }
-    df.groupBy(col("_metadata.file_name").as("file_name"))
+    val agg = spark.read.option("basePath", s"$path/$MergeDataSub")
+      .parquet(names.toSeq.map(n => s"$path/$MergeDataSub/$n"): _*)
+      .groupBy(col("_metadata.file_name").as("file_name"))
       .agg(aggs.head, aggs.tail: _*)
+    names.toSeq.toDF("file_name").join(agg, Seq("file_name"), "left")
   }
 
   private def dataFileNames(spark: SparkSession, path: String): Set[String] = {
@@ -487,7 +501,7 @@ object Lake {
       s"mergeInit: keys ${keys.mkString(",")} must exist in the frame")
     Manifest.init(spark, path) {
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/$MergeDataSub")
-      mergeStatsFor(spark.read.parquet(s"$path/$MergeDataSub"), keys)
+      mergeStatsFor(spark, path, dataFileNames(spark, path), keys)
         .coalesce(1).write.mode(SaveMode.Append)
         .parquet(s"$path/$MergeStatsSub")
     }
@@ -506,7 +520,37 @@ object Lake {
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keys: Seq[String], shardId: Option[String] = None,
-            retain: Int = 3): MergeResult = {
+            retain: Int = 3): MergeResult =
+    upsertCore(spark, path, updates, None, keys, shardId, retain)
+
+  /** Delta Live Tables' `APPLY CHANGES INTO`: one keyed change batch
+    * with an operation column — rows whose `opCol` equals `deleteOp`
+    * REMOVE their key, every other row upserts — applied as ONE atomic
+    * generation (a CDC feed's delete and upsert halves never tear).
+    * The batch must be key-unique across BOTH halves (one operation
+    * per key per batch — resolve op precedence upstream). Same
+    * two-stage file pruning as [[merge]]; `deleted` in the result
+    * counts target rows actually removed.
+    */
+  def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+                   keys: Seq[String], opCol: String, deleteOp: String = "D",
+                   shardId: Option[String] = None,
+                   retain: Int = 3): MergeResult = {
+    require(changes.columns.contains(opCol),
+      s"applyChanges: operation column $opCol missing from the batch")
+    val ups = changes.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val delKeys = changes.filter(col(opCol) === deleteOp)
+      .select(keys.map(col): _*).distinct()
+    upsertCore(spark, path, ups, Some(delKeys), keys, shardId, retain)
+  }
+
+  /** Shared MERGE/APPLY-CHANGES core: upsert `updates` and (when
+    * given) remove `delKeysOpt`'s keys, as one commit.
+    */
+  private def upsertCore(spark: SparkSession, path: String,
+                         updates: DataFrame, delKeysOpt: Option[DataFrame],
+                         keys: Seq[String], shardId: Option[String],
+                         retain: Int): MergeResult = {
     val snap = Manifest.snapshot(spark, path)
     if (shardId.exists(snap.applied))
       return MergeResult(0, 0, 0, 0,
@@ -523,12 +567,23 @@ object Lake {
       throw new IllegalArgumentException(
         "merge: updates carry multiple rows for the same key — ambiguous " +
           "upsert (Delta's multiple-source-rows error); dedup the source first")
+    // ALL keys whose target rows leave their files: upserted + deleted.
+    // A key in both halves is ambiguous (which op wins?) — refuse.
+    val allKeys = delKeysOpt match {
+      case None => updKeys
+      case Some(d) =>
+        if (updKeys.join(d, keys, "left_semi").count() > 0)
+          throw new IllegalArgumentException(
+            "applyChanges: a key carries both an upsert and a delete in one " +
+              "batch — resolve operation precedence upstream")
+        updKeys.unionByName(d).distinct()
+    }
     val liveData = snap.files.filter(_.startsWith(s"$MergeDataSub/"))
     val liveStats = snap.files.filter(_.startsWith(s"$MergeStatsSub/"))
     // stage 1: candidates by stats-range overlap (driver state: two
     // scalars per key column + one boolean per live file)
     val rangeAggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
-    val rangeRow = updates.agg(rangeAggs.head, rangeAggs.tail: _*).head()
+    val rangeRow = allKeys.agg(rangeAggs.head, rangeAggs.tail: _*).head()
     val overlap = keys.zipWithIndex.map { case (k, i) =>
       val (lo, hi) = (rangeRow.get(2 * i), rangeRow.get(2 * i + 1))
       if (lo == null) lit(false)
@@ -547,18 +602,21 @@ object Lake {
       if (candRel.isEmpty) Set.empty
       else readFiles(candRel)
         .select(col("_metadata.file_name").as("__file") +: keys.map(col): _*)
-        .join(updKeys, keys, "left_semi")
+        .join(allKeys, keys, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
     val touchedRel = liveData.filter(f => touchedNames.contains(f.split('/').last))
     var matched = 0L
+    var deleted = 0L
     Manifest.rewriteFiles(spark, path,
       drop = (touchedRel ++ liveStats).toSet, shardId, retain) {
       val touchedRows =
         if (touchedRel.isEmpty) target.filter(lit(false)) else readFiles(touchedRel)
       matched = touchedRows.join(updKeys, keys, "left_semi").count()
+      deleted = delKeysOpt.fold(0L)(d =>
+        touchedRows.join(d, keys, "left_semi").count())
       val survivors = touchedRows.select(target.columns.map(col): _*)
-        .join(updKeys, keys, "left_anti")
+        .join(allKeys, keys, "left_anti")
       val before = dataFileNames(spark, path)
       survivors.unionByName(updates.select(target.columns.map(col): _*))
         .write.mode(SaveMode.Append).parquet(s"$path/$MergeDataSub")
@@ -569,15 +627,12 @@ object Lake {
         .filter(!col("file_name").isin(touchedNames.toSeq: _*))
       val freshStats =
         if (freshNames.isEmpty) keptStats.filter(lit(false))
-        else mergeStatsFor(
-          spark.read.option("basePath", s"$path/$MergeDataSub")
-            .parquet(freshNames.toSeq.map(n => s"$path/$MergeDataSub/$n"): _*),
-          keys)
+        else mergeStatsFor(spark, path, freshNames, keys)
       keptStats.unionByName(freshStats).coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
     }
     MergeResult(matched, nUpd - matched, touchedRel.length,
-      candRel.length, liveData.length, applied = true)
+      candRel.length, liveData.length, deleted, applied = true)
   }
 
   /** The generation's stats frame, VERIFIED to cover every live data
@@ -636,10 +691,7 @@ object Lake {
       shaped.write.mode(SaveMode.Append).parquet(s"$path/$MergeDataSub")
       val freshNames = dataFileNames(spark, path) -- before
       after = freshNames.size
-      mergeStatsFor(
-        spark.read.option("basePath", s"$path/$MergeDataSub")
-          .parquet(freshNames.toSeq.map(n => s"$path/$MergeDataSub/$n"): _*),
-        keys)
+      mergeStatsFor(spark, path, freshNames, keys)
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
     }
     (liveData.length, after)
@@ -777,10 +829,7 @@ object Lake {
         .filter(!col("file_name").isin(touchedNames.toSeq: _*))
       val freshStats =
         if (freshNames.isEmpty) keptStats.filter(lit(false))
-        else mergeStatsFor(
-          spark.read.option("basePath", s"$path/$MergeDataSub")
-            .parquet(freshNames.toSeq.map(n => s"$path/$MergeDataSub/$n"): _*),
-          keys)
+        else mergeStatsFor(spark, path, freshNames, keys)
       keptStats.unionByName(freshStats).coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
     }

@@ -501,6 +501,37 @@ class LakeSpec extends SparkSuite with Matchers {
         Seq((1L, -1L, "x")).toDF("k", "v", "tag"), Seq("k"))
   }
 
+  test("applyChanges: one batch's upserts and deletes land as ONE atomic " +
+      "generation; a key with both ops is refused") {
+    val (path, _) = mergeFixture()
+    val genBefore = Manifest.snapshot(spark, path).gen
+    val batch = Seq(
+      (5L, -1L, "upd", "U"),     // update
+      (900L, -2L, "new", "U"),   // insert
+      (7L, 0L, "", "D"),         // delete existing
+      (901L, 0L, "", "D")        // delete absent key: no-op
+    ).toDF("k", "v", "tag", "op")
+    val r = Lake.applyChanges(spark, path, batch, Seq("k"), "op",
+      shardId = Some("cdc-1"))
+    (r.matched, r.inserted, r.deleted) shouldBe ((1L, 1L, 1L))
+    // exactly one generation advanced — never an upsert commit plus a
+    // separate delete commit
+    Manifest.snapshot(spark, path).gen shouldBe genBefore + 1
+    val out = Lake.mergeRead(spark, path)
+    out.count() shouldBe 800L            // 800 - 1 del + 1 ins
+    out.filter(col("k") === 7L).count() shouldBe 0L
+    out.filter(col("k") === 900L).select("tag").as[String].head() shouldBe "new"
+    out.filter(col("k") === 5L).select("tag").as[String].head() shouldBe "upd"
+    // re-delivery no-ops
+    Lake.applyChanges(spark, path, batch, Seq("k"), "op",
+      shardId = Some("cdc-1")).applied shouldBe false
+    // both ops on one key in one batch: ambiguous, refused
+    val dup = Seq((5L, -1L, "x", "U"), (5L, 0L, "", "D"))
+      .toDF("k", "v", "tag", "op")
+    an[IllegalArgumentException] should be thrownBy
+      Lake.applyChanges(spark, path, dup, Seq("k"), "op")
+  }
+
   test("merge: empty updates commit the ledger id and change nothing") {
     val (path, base) = mergeFixture()
     val empty = base.filter(lit(false))
