@@ -556,6 +556,20 @@ object SparkEntry {
   private def trainedCentsMemo(key: String, train: => Similarity.Cents): Similarity.Cents =
     centsMemo.computeIfAbsent(key, _ => train)
 
+  /** The `cur_semantic_prototypes` gate's trained centroids, per
+    * (JVM, sfDir) — 16 cells × 2 Lloyd rounds over the whole
+    * embeddings table (bit-deterministic training). The most recent
+    * dir is tracked so the late-bound oracle (see [[semOracles]])
+    * embeds THIS dir's model.
+    */
+  private val semCentsLastDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def semGateCents(s: SparkSession, dir: String): Similarity.Cents = {
+    semCentsLastDir.set(dir)
+    trainedCentsMemo(s"$dir#sem16x2",
+      Similarity.coarseCentroids(Tables.embeddings(s, dir), nlist = 16, iters = 2))
+  }
+
   private val booksMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
   private def trainedBooksMemo(key: String,
@@ -1360,6 +1374,16 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("quality_score"))
       Curation.percentileCutoff(scored, "lang", "quality_score", pct = 0.4)
     }),
+    // SemDeDup-style semantic diversity selection: nearest-centroid
+    // assignment (trained, bit-deterministic) + per-cluster prototype
+    // quota — near-duplicate embeddings compete for their cluster's
+    // quota instead of all surviving. Oracle is LATE-BOUND (the
+    // trained centroids embed as VALUES after the gate run, BPE-gate
+    // pattern); DuckDB then re-derives assignment, ranking, and
+    // selection from the raw embeddings independently.
+    "cur_semantic_prototypes" -> ((s, dir) =>
+      Curation.semanticPrototypes(Tables.embeddings(s, dir),
+        semGateCents(s, dir), perCluster = 10)),
     // PERPLEXITY filter (the CCNet/Gopher-style LM quality gate): score
     // every doc by mean negative log-prob under the corpus unigram LM,
     // keep each language's most-fluent 70% (cutoffs = one percentile
@@ -3811,7 +3835,53 @@ object SparkEntry {
                        ORDER BY cos DESC, neighbor_id) AS rn
            FROM p WHERE cos >= 0.4)
          WHERE rn <= 3""",
-  ) ++ bpeOracles
+  ) ++ bpeOracles ++ semOracles
+
+  /** Late-bound oracle for `cur_semantic_prototypes` (the BPE-oracle
+    * pattern: built AFTER the gate run trains the model in this JVM):
+    * the trained centroid vectors embed as VALUES — restored to
+    * float32 with `CAST(x AS FLOAT)` exactly as the engine holds
+    * them — and DuckDB independently re-derives every vector's
+    * cosine-argmax assignment, the per-cluster prototype ranking, and
+    * the quota cut from the raw embeddings table. Only the model is
+    * taken as input; its training is bit-deterministic and
+    * spec-verified. Empty when no model was trained in this JVM → the
+    * driver's rows-only fallback.
+    */
+  private def semOracles: Map[String, String] =
+    (for {
+      dir <- Option(semCentsLastDir.get)
+      cents <- Option(centsMemo.get(s"$dir#sem16x2"))
+    } yield {
+      val values = cents.map { case (cid, v, _) =>
+        s"($cid, [${v.map(_.toString).mkString(", ")}])"
+      }.mkString(", ")
+      Map("cur_semantic_prototypes" ->
+        s"""WITH craw(cid, rv) AS (VALUES $values),
+           c AS (SELECT cid,
+                   list_transform(rv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS v
+                 FROM craw),
+           cn AS (SELECT cid, v,
+                   sqrt(list_sum(list_transform(v, x -> x*x))) AS n FROM c),
+           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+           en AS (SELECT vec_id, ev,
+                   CASE WHEN sqrt(list_sum(list_transform(ev, x -> x*x))) = 0
+                        THEN 1.0
+                        ELSE sqrt(list_sum(list_transform(ev, x -> x*x))) END AS rn
+                 FROM e),
+           s AS (SELECT en.vec_id, cn.cid,
+                   list_sum(list_transform(range(1, len(en.ev)+1),
+                     i -> en.ev[i] * cn.v[i])) / (cn.n * en.rn) AS cos
+                 FROM en CROSS JOIN cn),
+           a AS (SELECT vec_id, cid, cos, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rc FROM s),
+           best AS (SELECT vec_id, cid AS cluster, cos FROM a WHERE rc = 1)
+           SELECT cluster, vec_id, round(cos, 6) AS sim, rank FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY cluster ORDER BY cos DESC, vec_id) AS rank
+             FROM best)
+           WHERE rank <= 10""")
+    }).getOrElse(Map.empty)
 
   /** DuckDB oracles for `text_bpe_apply`/`text_bpe_encode`, built
     * AFTER the queries run (Verify dumps `oracleSql` last, while the

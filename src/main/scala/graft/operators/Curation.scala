@@ -420,4 +420,46 @@ object Curation {
             regexp_replace(col("text"), EmailRe, "<EMAIL>"),
             PhoneRe, "<PHONE>"),
           Ipv4Re, "<IP>"))
+
+  /** SemDeDup-style semantic diversity selection: assign every
+    * embedding to its nearest trained centroid (cosine argmax — one
+    * map-only pass, nlist codegen'd dots per row) and keep each
+    * cluster's `perCluster` most PROTOTYPICAL vectors (highest cosine
+    * to the centroid, vec_id tie-break) — the cluster-quota sampler
+    * that bounds semantic redundancy in a pretraining corpus: near-
+    * duplicate embeddings share a cluster and compete for its quota
+    * instead of all surviving.
+    *
+    * Scale shape: the ranking window partitions BY cluster (never a
+    * global sort); at 100 TB vectors stream map-side through the
+    * assignment and only the per-cluster top-k survives the one
+    * key-sharded exchange. Determinism: centroid training is
+    * bit-deterministic ([[Similarity.trainCentroids]]), the assignment
+    * tie-breaks by cluster id, the rank by vec_id.
+    *
+    * Output: (cluster, vec_id, sim, rank) with `sim` the cosine to the
+    * assigned centroid, rounded 6dp for engine portability (ranking
+    * uses the RAW cosine).
+    */
+  def semanticPrototypes(emb: DataFrame, cents: Similarity.Cents,
+                         perCluster: Int): DataFrame = {
+    require(perCluster >= 1, "perCluster must be >= 1")
+    val nrm = VectorFunctions.norm(col("embedding"))
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      when(nrm === 0.0, lit(1.0)).otherwise(nrm).as("__rn"))
+    // least() over (negated cosine, cid) structs: ties pick smaller cid
+    val best = least(cents.toIndexedSeq.map { c =>
+      struct((-VectorFunctions.dot(col("embedding"), lit(c._2)) /
+        (lit(c._3) * col("__rn"))).as("s"), lit(c._1).as("cid"))
+    }: _*)
+    val assigned = withNorm.select(col("vec_id"),
+      best.getField("cid").as("cluster"),
+      negate(best.getField("s")).as("__cos"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__cos").desc, col("vec_id"))
+    assigned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster"), col("vec_id"),
+        round(col("__cos"), 6).as("sim"), col("rank"))
+  }
 }

@@ -20,15 +20,19 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
   test("registered gate count matches the declared coverage") {
     // bump alongside SURVEY.md §8 when adding gates — a mismatch means
     // either a silently-shadowed duplicate key or a stale coverage map
-    SparkEntry.queries.size shouldBe 165
+    SparkEntry.queries.size shouldBe 166
     // the BPE-model-dependent oracles embed the TRAINED model
     // artifacts, so they exist only after a gate run trains the model
     // in this JVM (Verify's dump order guarantees that); every other
     // query must always carry an oracle
+    // model-dependent late-bound oracles (BPE chain + trained-centroid
+    // prototypes) exist only after a gate run trains the model here
+    val lateBound = Set("text_bpe_apply", "text_bpe_encode", "text_pack_ids",
+      "cur_pipeline4", "cur_semantic_prototypes")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    unoracled should (be(empty) or
-      be(Set("text_bpe_apply", "text_bpe_encode", "text_pack_ids",
-        "cur_pipeline4")))
+    withClue(s"non-late-bound queries missing oracles: ") {
+      (unoracled -- lateBound) shouldBe empty
+    }
   }
 
   test("oracle SQL mentions only tables the testdata provides") {

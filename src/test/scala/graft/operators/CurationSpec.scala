@@ -253,6 +253,45 @@ class CurationSpec extends SparkSuite with Matchers {
     sizes.values.max should be <= 8
   }
 
+  test("semanticPrototypes: per-cluster quota, nearest-centroid assignment, " +
+      "partition-layout invariance") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.coarseCentroids(emb, nlist = 4, iters = 2)
+    val out = Curation.semanticPrototypes(emb, cents, perCluster = 5)
+    val rows = out.as[(Int, Long, Double, Int)].collect()
+    // quota: at most 5 per cluster, ranks are 1..k per cluster
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      g.length should be <= 5
+      g.map(_._4).sorted shouldBe (1 to g.length).toArray
+    }
+    // ranking: within a cluster, sim is non-increasing with rank
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      g.sortBy(_._4).map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => a should be >= b; case _ =>
+      }
+    }
+    // assignment is truly the argmax: every kept vector's sim to its
+    // cluster beats (or ties) its sim to every other centroid
+    val byId = rows.map(r => r._2 -> (r._1, r._3)).toMap
+    val vecs = emb.filter(col("vec_id").isin(byId.keys.toSeq: _*))
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(v: Array[Float], c: (Int, Array[Float], Double)): Double = {
+      val d = v.zip(c._2).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val rn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      d / (c._3 * rn)
+    }
+    byId.foreach { case (id, (cl, sim)) =>
+      val sims = cents.map(c => c._1 -> cos(vecs(id), c)).toMap
+      sims(cl) shouldBe sims.values.max +- 1e-9
+      sim shouldBe (math.rint(sims(cl) * 1e6) / 1e6 +- 1e-9)
+    }
+    // layout invariance: a repartitioned input selects the same set
+    val out2 = Curation.semanticPrototypes(emb.repartition(13), cents, 5)
+    out.exceptAll(out2).count() shouldBe 0
+    out2.exceptAll(out).count() shouldBe 0
+  }
+
   test("percentileCutoff at pct=0 keeps everything; tied boundary scores are kept") {
     val in = Seq(
       ("A", 1L, 5.0), ("A", 2L, 5.0), ("A", 3L, 5.0), ("A", 4L, 9.0)
