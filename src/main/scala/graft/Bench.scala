@@ -72,7 +72,9 @@ object Bench {
       "dedup_components", "sim_topk_bruteforce", "sim_topk_ivf",
       "sim_topk_ivfpq", "sim_topk_ann_index", "sim_knn_join",
       "text_token_stats", "text_tfidf_topterms", "text_bpe_merges",
-      "cur_shuffle", "cur_pipeline", "mm_image_decode")
+      "cur_shuffle", "cur_pipeline", "mm_image_decode",
+      "q_merge_upsert", "q_merge_read_range", "stream_apply_changes",
+      "cur_semantic_prototypes")
     val resMap = results.toMap
     val hq = headline.flatMap(k => resMap.get(k).map(v => s"\"" + k + "\":" +
       BigDecimal(v._1).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
