@@ -1620,6 +1620,14 @@ object SparkEntry {
     "text_search_any" -> ((s, dir) =>
       TextIndex.searchAny(s, textIndexGateStore(s, dir),
         Seq("vector", "spark"))),
+    // BM25-ranked retrieval served ENTIRELY from the stored index
+    // (tf-bearing postings + doc-length table, built across build +
+    // two ledgered extends): the oracle recomputes Lucene-BM25 from
+    // the raw corpus, so the index lifecycle must preserve every tf,
+    // df, and doc length exactly
+    "text_bm25_topk" -> ((s, dir) =>
+      TextIndex.bm25TopK(s, textIndexGateStore(s, dir),
+        Seq("vector", "spark", "merge"), k = 10)),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
     // the complete ORDERED trigram stream of every doc as one string —
     // full array content (elements AND positions) under the hash gate
@@ -3354,6 +3362,27 @@ object SparkEntry {
            AND list_contains(string_split(text, ' '), 'spark')
            AND list_contains(string_split(text, ' '), 'window')
            AND list_contains(string_split(text, ' '), 'merge')""",
+    // Lucene BM25 recomputed from raw text (k1=1.2, b=0.75); integer
+    // tf/df/dl/N make the corpus statistics bit-identical across
+    // engines, ln/divisions are deterministic on identical inputs, and
+    // the <=3-term score sum rounds to 6dp before ranking
+    "text_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                WHERE term IN ('vector', 'spark', 'merge') GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+         st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+                 ln(1.0 + ((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5)) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                     (SELECT avgdl FROM st))) AS c
+               FROM tf JOIN df USING (term) JOIN dl USING (doc_id))
+         SELECT doc_id, round(sum(c), 6) AS score FROM c GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 10""",
     "text_search_any" ->
       """SELECT doc_id FROM documents
          WHERE list_contains(string_split(text, ' '), 'vector')

@@ -30,27 +30,44 @@ import org.apache.spark.sql.functions._
 object TextIndex {
 
   private def dataPath(path: String) = s"$path/data"
+  private def lenPath(path: String) = s"$path/doclen"
 
-  /** Distinct `(term, doc_id)` postings of a corpus tranche. Distinct
-    * BEFORE the exchange (map-side combine on the explode output):
-    * a term repeated in one doc contributes one posting.
+  /** `(term, doc_id, tf)` postings of a corpus tranche — tf is the
+    * in-doc term count, the ranked-retrieval payload BM25 needs (one
+    * grouped agg with map-side combine on the explode output; a
+    * membership search just ignores the column).
     */
   def postings(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+        explode(TextOps.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-      .distinct()
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
 
-  /** Initialize the index: postings range-laid-out by term. `nFiles`
-    * bounds the vocabulary slices; at corpus scale set it so one
-    * slice's postings fit a ~128 MB file.
+  /** `(doc_id, dl)` — each doc's non-empty token count, the BM25
+    * length normalizer. Derived exactly as the postings' token stream
+    * (docs whose every token is empty carry no row, matching the
+    * postings' view of the corpus).
+    */
+  def docLengths(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+
+  /** Initialize the index: postings range-laid-out by term, plus the
+    * doc-length table. `nFiles` bounds the vocabulary slices; at
+    * corpus scale set it so one slice's postings fit a ~128 MB file.
     */
   def buildTextIndex(docs: DataFrame, path: String, nFiles: Int = 8): Unit = {
     postings(docs)
       .repartitionByRange(nFiles, col("term"), col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(dataPath(path))
+    docLengths(docs).write.mode(SaveMode.Overwrite).parquet(lenPath(path))
     graft.util.Lake.buildFileStats(docs.sparkSession, dataPath(path), Seq("term"))
   }
 
@@ -71,6 +88,7 @@ object TextIndex {
       .repartitionByRange(nFiles, col("term"), col("doc_id"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode(SaveMode.Append).parquet(dataPath(path))
+    docLengths(newDocs).write.mode(SaveMode.Append).parquet(lenPath(path))
     // refresh the file-stats manifest: one postings-table scan, the
     // price of keeping term lookups file-pruned after the append
     graft.util.Lake.buildFileStats(spark, dataPath(path), Seq("term"))
@@ -111,5 +129,39 @@ object TextIndex {
                 terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAny: no terms")
     matched(spark, path, terms).select("doc_id").distinct()
+  }
+
+  /** BM25-ranked top-k retrieval served ENTIRELY from the stored
+    * index — Lucene's scoring function over the tf-bearing postings
+    * and the doc-length table:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Data touched: the probed terms' postings (file-pruned, as every
+    * search), the doc-length table (corpus-bounded, one narrow
+    * scan for N/avgdl + a key join on the matched docs), nothing
+    * else. df comes from the matched postings themselves. The final
+    * per-doc sum spans at most |terms| values, so the 6-dp rounded
+    * score is stable across partitionings; ranking uses the ROUNDED
+    * score with a doc_id tie-break — deterministic in both engines.
+    */
+  def bm25TopK(spark: SparkSession, path: String, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "bm25TopK: no terms or k < 1")
+    val lens = spark.read.parquet(lenPath(path))
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
+    val (n, avgdl) = (stats.getLong(0), stats.getDouble(1))
+    val m = matched(spark, path, terms).distinct()
+    val df = m.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = m.join(broadcast(df), "term").join(lens, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+    contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 }

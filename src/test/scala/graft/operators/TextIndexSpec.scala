@@ -64,6 +64,38 @@ class TextIndexSpec extends SparkSuite with Matchers {
     probed should be >= 1
   }
 
+  test("bm25TopK: hand-computed scores on a tiny corpus; extended index " +
+      "ranks identically to a from-scratch build") {
+    // 3 docs, query 'cat': tf = (2, 1, 0), dl = (4, 2, 3), df = 2, N = 3
+    val tiny = Seq(
+      (1L, "cat cat dog bird"),
+      (2L, "cat fish"),
+      (3L, "dog bird fish")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("tidx-bm25").toString
+    TextIndex.buildTextIndex(tiny, idx)
+    val got = TextIndex.bm25TopK(spark, idx, Seq("cat"), k = 3)
+      .as[(Long, Double)].collect()
+    val (n, avgdl) = (3.0, 3.0)
+    val idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      math.rint(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * 1e6) / 1e6
+    got.map(_._1).toSeq shouldBe Seq(1L, 2L)   // higher tf ranks first
+    got(0)._2 shouldBe s(2, 4) +- 1e-9
+    got(1)._2 shouldBe s(1, 2) +- 1e-9
+    // lifecycle invariance on the real corpus: build+extends == one-shot
+    val once = java.nio.file.Files.createTempDirectory("tidx-bm25-a").toString
+    TextIndex.buildTextIndex(docs, once)
+    val inc = java.nio.file.Files.createTempDirectory("tidx-bm25-b").toString
+    val t = pmod(col("doc_id"), lit(3))
+    TextIndex.buildTextIndex(docs.filter(t === 0), inc)
+    TextIndex.extendTextIndex(docs.filter(t === 1), inc, Some("s1"))
+    TextIndex.extendTextIndex(docs.filter(t === 2), inc, Some("s2"))
+    val terms = Seq("spark", "merge", "vector")
+    TextIndex.bm25TopK(spark, once, terms, 20).collect().toSeq shouldBe
+      TextIndex.bm25TopK(spark, inc, terms, 20).collect().toSeq
+  }
+
   test("empty postings for unknown terms answer zero rows, zero matches") {
     val idx = java.nio.file.Files.createTempDirectory("tidx-miss").toString
     TextIndex.buildTextIndex(docs, idx)
