@@ -1628,6 +1628,12 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, dir) =>
       TextIndex.bm25TopK(s, textIndexGateStore(s, dir),
         Seq("vector", "spark", "merge"), k = 10)),
+    // hybrid retrieval: Reciprocal Rank Fusion of the BM25 and
+    // query-TF-IDF rankings from the SAME stored index — both rank
+    // lists and the fusion re-derived independently in SQL
+    "text_hybrid_rrf" -> ((s, dir) =>
+      TextIndex.hybridRrfTopK(s, textIndexGateStore(s, dir),
+        Seq("vector", "spark", "merge"), k = 10, pool = 50)),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
     // the complete ORDERED trigram stream of every doc as one string —
     // full array content (elements AND positions) under the hash gate
@@ -3383,6 +3389,40 @@ object SparkEntry {
                FROM tf JOIN df USING (term) JOIN dl USING (doc_id))
          SELECT doc_id, round(sum(c), 6) AS score FROM c GROUP BY doc_id
          ORDER BY score DESC, doc_id LIMIT 10""",
+    // both rank lists (rounded-score desc, doc_id — deterministic in
+    // both engines) and the 1/(60+rank) fusion, re-derived end to end
+    "text_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                WHERE term IN ('vector', 'spark', 'merge') GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+         st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         bc AS (SELECT tf.doc_id,
+                 ln(1.0 + ((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5)) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                     (SELECT avgdl FROM st))) AS c
+               FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
+         bs AS (SELECT doc_id, round(sum(c), 6) AS score FROM bc GROUP BY 1),
+         br AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY score DESC, doc_id) AS r FROM bs),
+         tc AS (SELECT tf.doc_id,
+                 tf.tf * ln((SELECT n FROM st) / df.df) AS c
+               FROM tf JOIN df USING (term)),
+         ts AS (SELECT doc_id, round(sum(c), 6) AS score FROM tc GROUP BY 1),
+         tr AS (SELECT doc_id, row_number() OVER
+                  (ORDER BY score DESC, doc_id) AS r FROM ts),
+         f AS (SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60 + b.r), 0) + COALESCE(1.0 / (60 + t.r), 0)
+                   AS rrf
+               FROM (SELECT * FROM br WHERE r <= 50) b
+               FULL JOIN (SELECT * FROM tr WHERE r <= 50) t
+                 ON b.doc_id = t.doc_id)
+         SELECT doc_id, round(rrf, 6) AS rrf_score FROM f
+         ORDER BY rrf_score DESC, doc_id LIMIT 10""",
     "text_search_any" ->
       """SELECT doc_id FROM documents
          WHERE list_contains(string_split(text, ' '), 'vector')

@@ -164,4 +164,52 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Query-TF-IDF top-k from the stored index: per matched doc,
+    * `Σ_t tf·ln(N/df)` over the probed terms — the second,
+    * lexically-flavored ranking the RRF fusion combines with BM25.
+    * Same data touched as [[bm25TopK]] minus the length table scan
+    * (only N is needed).
+    */
+  def tfidfQueryTopK(spark: SparkSession, path: String, terms: Seq[String],
+                     k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1, "tfidfQueryTopK: no terms or k < 1")
+    val n = spark.read.parquet(lenPath(path)).count()
+    val m = matched(spark, path, terms).distinct()
+    val df = m.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    m.join(broadcast(df), "term")
+      .withColumn("c", col("tf") * log(lit(n) / col("df")))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval: Reciprocal Rank Fusion of the BM25 and
+    * query-TF-IDF rankings over the same probed terms —
+    * `rrf(d) = Σ_lists 1/(c + rank_d)` (rank from 1; absent from a
+    * list contributes nothing), the standard fusion for combining
+    * heterogeneous rankers without score calibration.
+    *
+    * The fusion itself runs driver-side over the two BOUNDED top-`pool`
+    * lists (≤ 2·pool rows by construction — the same bounded-collect
+    * contract as the centroid/codebook collects), which IS the scale
+    * shape: rank lists are small no matter the corpus. Ranks are
+    * deterministic in both engines (rounded score desc, doc_id).
+    */
+  def hybridRrfTopK(spark: SparkSession, path: String, terms: Seq[String],
+                    k: Int = 10, pool: Int = 50, c: Int = 60): DataFrame = {
+    import spark.implicits._
+    def ranks(df: DataFrame): Map[Long, Int] =
+      df.collect().map(_.getLong(0)).zipWithIndex
+        .map { case (d, i) => d -> (i + 1) }.toMap
+    val rb = ranks(bm25TopK(spark, path, terms, pool))
+    val rt = ranks(tfidfQueryTopK(spark, path, terms, pool))
+    val fused = (rb.keySet ++ rt.keySet).toSeq.map { d =>
+      val s = rb.get(d).map(r => 1.0 / (c + r)).getOrElse(0.0) +
+        rt.get(d).map(r => 1.0 / (c + r)).getOrElse(0.0)
+      (d, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (d, s) => (-s, d) }.take(k)
+    fused.toDF("doc_id", "rrf_score")
+  }
 }

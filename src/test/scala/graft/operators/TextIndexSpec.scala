@@ -96,6 +96,24 @@ class TextIndexSpec extends SparkSuite with Matchers {
       TextIndex.bm25TopK(spark, inc, terms, 20).collect().toSeq
   }
 
+  test("hybridRrfTopK fuses the two rank lists with 1/(c+rank); a doc on " +
+      "both lists outranks equal singles") {
+    val idx = java.nio.file.Files.createTempDirectory("tidx-rrf").toString
+    TextIndex.buildTextIndex(docs, idx)
+    val terms = Seq("vector", "spark", "merge")
+    val bm = TextIndex.bm25TopK(spark, idx, terms, 50)
+      .as[(Long, Double)].collect().map(_._1)
+    val tf = TextIndex.tfidfQueryTopK(spark, idx, terms, 50)
+      .as[(Long, Double)].collect().map(_._1)
+    val want = (bm.toSet ++ tf.toSet).toSeq.map { d =>
+      val s = bm.indexOf(d) match { case -1 => 0.0; case i => 1.0 / (60 + i + 1) }
+      val t = tf.indexOf(d) match { case -1 => 0.0; case i => 1.0 / (60 + i + 1) }
+      d -> BigDecimal(s + t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (d, v) => (-v, d) }.take(10)
+    TextIndex.hybridRrfTopK(spark, idx, terms, k = 10, pool = 50)
+      .as[(Long, Double)].collect().toSeq shouldBe want
+  }
+
   test("empty postings for unknown terms answer zero rows, zero matches") {
     val idx = java.nio.file.Files.createTempDirectory("tidx-miss").toString
     TextIndex.buildTextIndex(docs, idx)
