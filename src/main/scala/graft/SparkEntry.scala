@@ -1634,6 +1634,18 @@ object SparkEntry {
     "text_hybrid_rrf" -> ((s, dir) =>
       TextIndex.hybridRrfTopK(s, textIndexGateStore(s, dir),
         Seq("vector", "spark", "merge"), k = 10, pool = 50)),
+    // streaming maintenance of the search index (the last store family
+    // without one): batch 0 builds, later micro-batches append their
+    // ledgered postings/lengths — BM25 served from the streamed index
+    // must equal the raw-corpus recomputation (fresh store per
+    // invocation so repeat runs do the full maintenance work)
+    "stream_text_extend" -> ((s, dir) => {
+      val idx = tempIndexDir("graft-stream-tidx")
+      graft.streaming.StreamedBatch.replayIntoTextIndex(s,
+        Tables.documents(s, dir), "doc_id", "doc_id", idx,
+        stageKey = Some(s"$dir:documents"))
+      TextIndex.bm25TopK(s, idx, Seq("vector", "spark", "merge"), k = 10)
+    }),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),
     // the complete ORDERED trigram stream of every doc as one string —
     // full array content (elements AND positions) under the hash gate
@@ -2004,6 +2016,28 @@ object SparkEntry {
               round(b.ns - a.ns, 6) AS margin
        FROM ranked a JOIN ranked b
          ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2"""
+
+  /** Lucene BM25 recomputed from raw text — shared by the one-shot
+    * index gate and the streamed-maintenance gate, whose accretion
+    * strategy must serve the identical ranking.
+    */
+  private val bm25OracleSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+       tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+              WHERE term IN ('vector', 'spark', 'merge') GROUP BY 1, 2),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+       st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       c AS (SELECT tf.doc_id,
+               ln(1.0 + ((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5)) *
+                 (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                   (SELECT avgdl FROM st))) AS c
+             FROM tf JOIN df USING (term) JOIN dl USING (doc_id))
+       SELECT doc_id, round(sum(c), 6) AS score FROM c GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT 10"""
 
   /** Transitive closure over the exact-Jaccard pair graph as a
     * recursive CTE — shared by the one-shot closure gate and the
@@ -3372,23 +3406,10 @@ object SparkEntry {
     // tf/df/dl/N make the corpus statistics bit-identical across
     // engines, ln/divisions are deterministic on identical inputs, and
     // the <=3-term score sum rounds to 6dp before ranking
-    "text_bm25_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                      FROM documents),
-         tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
-                WHERE term IN ('vector', 'spark', 'merge') GROUP BY 1, 2),
-         dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
-         st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-         c AS (SELECT tf.doc_id,
-                 ln(1.0 + ((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5)) *
-                   (tf.tf * 2.2) /
-                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
-                     (SELECT avgdl FROM st))) AS c
-               FROM tf JOIN df USING (term) JOIN dl USING (doc_id))
-         SELECT doc_id, round(sum(c), 6) AS score FROM c GROUP BY doc_id
-         ORDER BY score DESC, doc_id LIMIT 10""",
+    "text_bm25_topk" -> bm25OracleSql,
+    // the STREAMED index must serve the identical ranking (postings,
+    // lengths, and df accreted across micro-batches)
+    "stream_text_extend" -> bm25OracleSql,
     // both rank lists (rounded-score desc, doc_id — deterministic in
     // both engines) and the 1/(60+rank) fusion, re-derived end to end
     "text_hybrid_rrf" ->

@@ -317,6 +317,40 @@ object StreamedBatch {
     }
   }
 
+  /** Replay a documents table as a file stream folding each
+    * micro-batch into the persisted inverted
+    * [[graft.operators.TextIndex]] — search-index maintenance as a
+    * live stream: batch 0 builds (postings + doc-length table +
+    * file-stats manifest), later batches append their shard's
+    * postings/lengths with the batch id as the ledgered shard id (a
+    * Spark retry re-delivers into a no-op; doubled postings would
+    * double BM25's df/tf). Serving afterwards — membership or
+    * BM25/RRF ranking — must equal the same query against a one-shot
+    * build over everything streamed.
+    */
+  def replayIntoTextIndex(spark: SparkSession, input: DataFrame,
+                          orderCol: String, tieCol: String, indexPath: String,
+                          chunks: Int = 3,
+                          stageKey: Option[String] = None): Unit = {
+    import graft.operators.TextIndex
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0) TextIndex.buildTextIndex(batch, indexPath)
+          else TextIndex.extendTextIndex(batch, indexPath,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` (a documents table) as a file stream folding each
     * micro-batch's token counts into a persisted
     * [[graft.operators.TextOps]] vocabulary store — the corpus-LM
