@@ -991,6 +991,11 @@ object SparkEntry {
     // ── serving layer (SURVEY §2.3 P9, §2.5, §2.6)
     "serve_latest_per_symbol" -> ((s, dir) =>
       Serving.latestPerKey(Tables.events(s, dir), "event_type", "ts", "event_id")),
+    // ordered-funnel conversion counts (view -> click -> purchase,
+    // each stage strictly after the user's earliest prior stage)
+    "serve_funnel" -> ((s, dir) =>
+      Serving.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
     "serve_rolling_stats" -> ((s, dir) =>
       Serving.rollingStats(Tables.events(s, dir))),
     "serve_prev_close_delta" -> ((s, dir) =>
@@ -2440,6 +2445,24 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
+    // per-stage earliest-completion thresholds chained with strict
+    // ordering; stage counts are counts of non-null thresholds
+    "serve_funnel" ->
+      """WITH s0 AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+           FROM events GROUP BY 1),
+         s1 AS (SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > s0.t0
+                      THEN e.ts END) AS t1
+           FROM events e JOIN s0 USING (user_id) GROUP BY 1),
+         s2 AS (SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.t1
+                      THEN e.ts END) AS t2
+           FROM events e JOIN s1 USING (user_id) GROUP BY 1)
+         SELECT 1 AS stage_idx, 'view' AS stage,
+                (SELECT count(t0) FROM s0) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(t1) FROM s1)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(t2) FROM s2)""",
     // both engines select RANGE-frame peers by integer milliseconds
     // (unix_millis / epoch_ms), so burst ties resolve identically
     "serve_rolling_stats" ->

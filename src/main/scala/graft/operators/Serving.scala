@@ -223,4 +223,44 @@ object Serving {
         when(col("close_a") < col("close_b"), lit(symbolA)).otherwise(lit(symbolB)))
       .select(col("window_start"), col("close_a"), col("close_b"),
         col("spread"), col("spread_bps"), col("buy_side"))
+
+  /** Funnel analysis — how many users complete each ORDERED prefix of
+    * `stages` (stage i+1 counts only events strictly AFTER the user's
+    * earliest completion of stage i; the classic conversion query).
+    * Returns one row per stage: `(stage_idx, stage, n_users)` with
+    * `n_users` monotonically non-increasing by construction.
+    *
+    * Shape: one grouped conditional-min per stage, each keyed by the
+    * user — N stages = N user-keyed aggregations over the events table
+    * (the per-stage thresholds are functional on the user and ride the
+    * grouping key, so no window and no per-user sort materializes;
+    * every agg partial-aggregates map-side). At corpus scale the
+    * events scan per stage is the cost — pre-filtering to
+    * `typeCol IN stages` is pushed to the scan, and a persisted
+    * user-bucketed layout removes the per-stage exchange.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: no stages")
+    val relevant = events.filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol), col(typeCol), col(tsCol))
+    var g = relevant.groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as("t0"))
+    for (i <- 1 until stages.length) {
+      val prev = (0 until i).map(j => s"t$j")
+      g = relevant.join(g, userCol)
+        .groupBy((userCol +: prev).map(col): _*)
+        .agg(min(when(col(typeCol) === stages(i) &&
+          col(tsCol) > col(s"t${i - 1}"), col(tsCol))).as(s"t$i"))
+    }
+    val counts = g.agg(
+      count(col("t0")).as("c0"),
+      (1 until stages.length).map(i => count(col(s"t$i")).as(s"c$i")): _*
+    ).head()
+    val spark = events.sparkSession
+    import spark.implicits._
+    stages.zipWithIndex.map { case (st, i) =>
+      (i + 1, st, counts.getLong(i))
+    }.toDF("stage_idx", "stage", "n_users")
+  }
 }

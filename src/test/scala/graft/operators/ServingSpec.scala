@@ -127,4 +127,40 @@ class ServingSpec extends SparkSuite with Matchers {
     out.length shouldBe 1
     out(0).getAs[Double]("spread") shouldBe 10.0
   }
+
+  test("funnel: strict stage ordering — out-of-order and same-timestamp " +
+      "completions do not convert") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", ts("2026-01-01 10:00:00")),
+      (1L, "click", ts("2026-01-01 10:01:00")),
+      (1L, "purchase", ts("2026-01-01 10:02:00")),
+      // u2: clicked BEFORE viewing — stage 2 not completed
+      (2L, "click", ts("2026-01-01 09:00:00")),
+      (2L, "view", ts("2026-01-01 10:00:00")),
+      (2L, "purchase", ts("2026-01-01 11:00:00")),
+      // u3: click at the SAME instant as view — strict > rejects it
+      (3L, "view", ts("2026-01-01 10:00:00")),
+      (3L, "click", ts("2026-01-01 10:00:00")),
+      // u4: view only
+      (4L, "view", ts("2026-01-01 10:00:00")),
+      // u5: no view at all — never enters the funnel
+      (5L, "purchase", ts("2026-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Serving.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").as[(Int, String, Long)].collect()
+    out shouldBe Array(
+      (1, "view", 4L),       // u1-u4
+      (2, "click", 1L),      // only u1's ordered click
+      (3, "purchase", 1L))   // only u1
+    // a later re-view does not resurrect u2's click (threshold is the
+    // EARLIEST view)
+    val ev2 = ev.union(Seq((2L, "click", ts("2026-01-01 10:30:00")))
+      .toDF("user_id", "event_type", "ts"))
+    Serving.funnel(ev2, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .filter(col("stage_idx") === 2).select("n_users").as[Long]
+      .head() shouldBe 2L    // the post-view click converts
+  }
 }
