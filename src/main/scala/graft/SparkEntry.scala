@@ -996,6 +996,13 @@ object SparkEntry {
     "serve_funnel" -> ((s, dir) =>
       Serving.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
+    // cohort retention: users by first-active date x return-day offset
+    // (the DATE renders as an ISO string — the comparator's date dtype
+    // handling differs between parquet and DuckDB outputs)
+    "serve_retention" -> ((s, dir) =>
+      Serving.retention(Tables.events(s, dir), "user_id", "ts")
+        .withColumn("cohort_date",
+          date_format(col("cohort_date"), "yyyy-MM-dd"))),
     "serve_rolling_stats" -> ((s, dir) =>
       Serving.rollingStats(Tables.events(s, dir))),
     "serve_prev_close_delta" -> ((s, dir) =>
@@ -2445,6 +2452,15 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
+    // distinct active-days -> per-user min date -> offset counts; both
+    // engines compute dates in the UTC session zone
+    "serve_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         c AS (SELECT user_id, min(d) AS cohort_date FROM d GROUP BY 1)
+         SELECT strftime(c.cohort_date, '%Y-%m-%d') AS cohort_date,
+                CAST(date_diff('day', c.cohort_date, d.d) AS BIGINT) AS day_offset,
+                count(*) AS n_users
+         FROM d JOIN c USING (user_id) GROUP BY 1, 2""",
     // per-stage earliest-completion thresholds chained with strict
     // ordering; stage counts are counts of non-null thresholds
     "serve_funnel" ->

@@ -263,4 +263,26 @@ object Serving {
       (i + 1, st, counts.getLong(i))
     }.toDF("stage_idx", "stage", "n_users")
   }
+
+  /** Cohort retention — users grouped by their FIRST active date, and
+    * for each cohort, how many return on each later day:
+    * `(cohort_date, day_offset, n_users)` (offset 0 row = cohort
+    * size). The other classic product-analytics table next to
+    * [[funnel]].
+    *
+    * Shape: distinct (user, date) first (collapses event volume to
+    * active-days — the 100 TB saver), one user-keyed min for cohorts,
+    * one key join back, one grouped count. `n_users` counts rows of an
+    * already-distinct frame, so no countDistinct shuffle.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val active = events
+      .select(col(userCol), to_date(col(tsCol)).as("d")).distinct()
+    val cohort = active.groupBy(col(userCol))
+      .agg(min(col("d")).as("cohort_date"))
+    active.join(cohort, userCol)
+      .withColumn("day_offset", datediff(col("d"), col("cohort_date")))
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
