@@ -1003,6 +1003,15 @@ object SparkEntry {
       Serving.retention(Tables.events(s, dir), "user_id", "ts")
         .withColumn("cohort_date",
           date_format(col("cohort_date"), "yyyy-MM-dd"))),
+    // user-journey transition matrix (consecutive event pairs per
+    // user, tie-broken by event_id)
+    "serve_transitions" -> ((s, dir) =>
+      Serving.eventTransitions(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")),
+    // per-symbol z-score anomaly flags (|z| > 3 on the rounded score)
+    "serve_outliers" -> ((s, dir) =>
+      Serving.outlierZscores(Tables.events(s, dir), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))),
     "serve_rolling_stats" -> ((s, dir) =>
       Serving.rollingStats(Tables.events(s, dir))),
     "serve_prev_close_delta" -> ((s, dir) =>
@@ -2452,6 +2461,26 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1""",
+    // consecutive-pair lead over (user, ts, event_id) — deterministic
+    // ordering makes the transition counts exact
+    "serve_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events)
+         SELECT event_type AS from_type, next_type AS to_type,
+                count(*) AS n
+         FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+    // sample stddev on both engines; z rounds to 6dp BEFORE the
+    // threshold compare so the cut lands on the identical number
+    "serve_outliers" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+             stddev_samp(value) AS sd
+           FROM events GROUP BY 1)
+         SELECT event_id, event_type, value,
+                round((value - mu) / sd, 6) AS z
+         FROM events JOIN st USING (event_type)
+         WHERE abs(round((value - mu) / sd, 6)) > 3""",
     // distinct active-days -> per-user min date -> offset counts; both
     // engines compute dates in the UTC session zone
     "serve_retention" ->

@@ -285,4 +285,37 @@ object Serving {
       .groupBy(col("cohort_date"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Event-flow transition matrix — for every consecutive pair of a
+    * user's events (chronological, `tieCol` breaks equal timestamps
+    * deterministically), count the `(from_type, to_type)` transition:
+    * the Sankey/next-step table behind user-journey analytics. One
+    * user-partitioned `lead` window (sharded by user — never global)
+    * plus one grouped count.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events.select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-key z-score outliers: rows whose value sits more than
+    * `zMax` sample standard deviations from their key's mean. Keyed
+    * stats are one grouped agg broadcast back; the flagging filter is
+    * map-only. z is ROUNDED (6dp) before the threshold compare, so
+    * both engines cut on the identical number.
+    */
+  def outlierZscores(events: DataFrame, keyCol: String, valCol: String,
+                     zMax: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col(keyCol))
+      .agg(avg(col(valCol)).as("__mu"), stddev_samp(col(valCol)).as("__sd"))
+    events.join(broadcast(stats), keyCol)
+      .withColumn("z", round((col(valCol) - col("__mu")) / col("__sd"), 6))
+      .filter(abs(col("z")) > zMax)
+      .drop("__mu", "__sd")
+  }
 }
