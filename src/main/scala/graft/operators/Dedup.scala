@@ -588,13 +588,12 @@ object Dedup {
     // even stringify. The write-through gives every round a
     // constant-size parquet-scan base instead.
     val (p, pPath) = writeThroughAt(pairs.select(col("doc_a"), col("doc_b")))
-    val edgesUnion = p.select(col("doc_a").as("s"), col("doc_b").as("d"))
+    // The symmetrized edge relation is round-invariant: it is
+    // materialized ONCE below (in its final cold/hot-split shape) so
+    // no round re-runs the union or the hot-key isin filters — each
+    // round starts from a plain parquet scan of exactly its rows.
+    val edges = p.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(p.select(col("doc_b").as("s"), col("doc_a").as("d")))
-    // The symmetrized edge relation is round-invariant: materialize it
-    // ONCE (in its final cold/hot-split shape, below) so no round
-    // re-runs the union or the hot-key isin filters — each round then
-    // starts from a plain parquet scan of exactly the rows it joins.
-    val edges = edgesUnion
     // Every round's labels are snapshotted to parquet (writeThrough),
     // NOT persist()ed: persist materializes data but leaves the full
     // lineage in the LOGICAL plan, and this loop's plan tree would

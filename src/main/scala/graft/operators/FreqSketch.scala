@@ -182,24 +182,26 @@ object FreqSketch {
     val spark = items.sparkSession
     val (merged, _, bound) = mergedSketch(spark, path)
     val cands = merged.keys.toSeq
+    import spark.implicits._
+    // ONE corpus recount (collect ≤ k rows) serves both the bound
+    // check and the returned frame — a second .collect() would re-run
+    // the whole isin-filter + groupBy scan
     val top = items.filter(col(itemCol).isin(cands: _*))
       .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(itemCol)).limit(k)
+      .as[(String, Long)].collect()
     // completeness: every item with true count > bound survives in the
     // merged sketch, so if the recounted k-th candidate clears the
     // bound, no non-candidate can out-count it — the top-k is the true
     // top-k. k-th below the bound means candidates may be missing.
-    val kth = top.collect().lastOption.map(_.getLong(1))
-    kth.filter(_.toDouble <= bound).foreach { c =>
+    top.lastOption.map(_._2).filter(_.toDouble <= bound).foreach { c =>
       throw new IllegalStateException(
         s"heavyTopKExact: k-th recounted count $c does not clear the " +
           f"merged sketch error bound $bound%.1f — the candidate set may " +
           "be missing true heavy hitters; raise the sketch capacity or " +
           "lower k")
     }
-    // the collect is ≤ k rows; re-materialize as a frame for the caller
-    import spark.implicits._
-    top.as[(String, Long)].collect().toSeq.toDF(itemCol, "cnt")
+    top.toSeq.toDF(itemCol, "cnt")
   }
 
   /** Contract-check row of the store vs the corpus — the quantile

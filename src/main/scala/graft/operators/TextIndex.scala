@@ -26,11 +26,24 @@ import org.apache.spark.sql.functions._
   *
   * Token definition matches [[TextOps.tokens]] (single-space split),
   * so a SQL oracle reproduces membership with `string_split`.
+  *
+  * Durability: the index is [[graft.util.Manifest]]-managed — postings,
+  * doc lengths, AND the per-file term-range stats commit as one
+  * generation, so extends are atomically visible, a crash-retry never
+  * duplicates doclen rows (which would corrupt every BM25 ranking:
+  * N/avgdl inflate and the lens join fans out), and readers racing an
+  * extend resolve the previous generation in full. The stats ride the
+  * commit (the merge-table pattern), so term-lookup file pruning has
+  * no stale-stats window and crashed-attempt orphan files are never
+  * scanned.
   */
 object TextIndex {
 
-  private def dataPath(path: String) = s"$path/data"
-  private def lenPath(path: String) = s"$path/doclen"
+  private val DataSub = "data"
+  private val LenSub = "doclen"
+  private val StatsSub = "stats"
+  private def dataPath(path: String) = s"$path/$DataSub"
+  private def lenPath(path: String) = s"$path/$LenSub"
 
   /** `(term, doc_id, tf)` postings of a corpus tranche — tf is the
     * in-doc term count, the ranked-retrieval payload BM25 needs (one
@@ -58,56 +71,91 @@ object TextIndex {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dl"))
 
-  /** Initialize the index: postings range-laid-out by term, plus the
-    * doc-length table. `nFiles` bounds the vocabulary slices; at
+  /** Initialize the index: postings range-laid-out by term, the
+    * doc-length table, and the per-file term-range stats — one
+    * manifest generation. `nFiles` bounds the vocabulary slices; at
     * corpus scale set it so one slice's postings fit a ~128 MB file.
     */
   def buildTextIndex(docs: DataFrame, path: String, nFiles: Int = 8): Unit = {
-    postings(docs)
-      .repartitionByRange(nFiles, col("term"), col("doc_id"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(SaveMode.Overwrite).parquet(dataPath(path))
-    docLengths(docs).write.mode(SaveMode.Overwrite).parquet(lenPath(path))
-    graft.util.Lake.buildFileStats(docs.sparkSession, dataPath(path), Seq("term"))
+    val spark = docs.sparkSession
+    graft.util.Manifest.init(spark, path) {
+      postings(docs)
+        .repartitionByRange(nFiles, col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(dataPath(path))
+      docLengths(docs).write.mode(SaveMode.Overwrite).parquet(lenPath(path))
+      graft.util.Lake.mergeStatsFor(spark, path,
+          graft.util.Lake.dataFileNames(spark, path), Seq("term"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/$StatsSub")
+    }
   }
 
-  /** Fold a shard's postings in (parquet append — existing slices are
-    * never rewritten; term ranges of shard files overlap older ones
-    * until a [[graft.util.Lake.compactClustered]] maintenance pass
-    * re-narrows them, same as any LSM-ish accretion). The ledger makes
-    * re-delivered shards a no-op: doubled postings would not change
-    * search ANSWERS (searches are distinct/semi joins) but would
-    * double their read size.
+  /** Fold a shard's postings + doc lengths in (parquet appends —
+    * existing slices are never rewritten; term ranges of shard files
+    * overlap older ones until a maintenance compaction re-narrows
+    * them, same as any LSM-ish accretion). The whole fold is ONE
+    * manifest commit: a re-delivered shard id no-ops, a crash-retry
+    * never adopts the crashed attempt's half-appended files (doubled
+    * doclen rows would inflate N/avgdl and fan out the BM25 lens
+    * join — ranking corruption, not just read amplification), and the
+    * fresh files' term-range stats commit WITH them.
     */
   def extendTextIndex(newDocs: DataFrame, path: String,
                       shardId: Option[String] = None,
                       nFiles: Int = 2): Unit = {
     val spark = newDocs.sparkSession
-    if (shardId.exists(graft.util.Lake.appliedShards(spark, path))) return
-    postings(newDocs)
-      .repartitionByRange(nFiles, col("term"), col("doc_id"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(SaveMode.Append).parquet(dataPath(path))
-    docLengths(newDocs).write.mode(SaveMode.Append).parquet(lenPath(path))
-    // refresh the file-stats manifest: one postings-table scan, the
-    // price of keeping term lookups file-pruned after the append
-    graft.util.Lake.buildFileStats(spark, dataPath(path), Seq("term"))
-    shardId.foreach(graft.util.Lake.recordApplied(spark, path, _))
+    graft.util.Manifest.extend(spark, path, shardId) {
+      val before = graft.util.Lake.dataFileNames(spark, path)
+      postings(newDocs)
+        .repartitionByRange(nFiles, col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode(SaveMode.Append).parquet(dataPath(path))
+      docLengths(newDocs).write.mode(SaveMode.Append).parquet(lenPath(path))
+      val fresh = graft.util.Lake.dataFileNames(spark, path) -- before
+      if (fresh.nonEmpty)
+        graft.util.Lake.mergeStatsFor(spark, path, fresh, Seq("term"))
+          .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/$StatsSub")
+    }
+    ()
   }
 
   /** The stored postings restricted to `terms` — the only corpus-side
     * data a search touches. Two pruning levels: WHOLE FILES via the
-    * `_filestats` term-range manifest ([[graft.util.Lake
-    * .readSkippingIn]] — parquet's own stats pruning skips row groups
-    * but still opens every footer; the manifest skips the opens), then
-    * row groups within survivors via the pushed `In` filter on the
-    * sort column. The read is bounded by the probed terms' posting
-    * sizes, not the index.
+    * generation's committed term-range stats (no stale-stats window —
+    * the commit IS the stats refresh; parquet's own pruning skips row
+    * groups but still opens every footer, the stats skip the opens),
+    * then row groups within survivors via the pushed `In` filter on
+    * the sort column. The read is bounded by the probed terms' posting
+    * sizes, not the index; only manifest-committed files are ever
+    * scanned (crashed-attempt orphans are invisible).
     */
   private def matched(spark: SparkSession, path: String,
-                      terms: Seq[String]): DataFrame =
-    graft.util.Lake.readSkippingIn(spark, dataPath(path), "term",
-      terms.distinct)
+                      terms: Seq[String]): DataFrame = {
+    val snap = graft.util.Manifest.snapshot(spark, path)
+    val liveData = snap.files.filter(_.startsWith(s"$DataSub/"))
+    val stats = graft.util.Manifest.read(spark, path, StatsSub)
+    val covered = stats.select("file_name").collect().map(_.getString(0)).toSet
+    val missing = liveData.map(_.split('/').last).filterNot(covered)
+    require(missing.isEmpty,
+      s"text index at $path: term stats do not cover ${missing.length} live " +
+        "posting file(s) — the index was modified outside " +
+        "buildTextIndex/extendTextIndex; rebuild it")
+    val vs = terms.distinct
+    val keep = vs.map(t => col("min_term") <= lit(t) && lit(t) <= col("max_term"))
+      .reduce(_ || _)
+    val candNames = stats.filter(keep).select("file_name")
+      .collect().map(_.getString(0)).toSet
+    val cand = liveData.filter(f => candNames.contains(f.split('/').last))
+    if (cand.isEmpty)
+      graft.util.Manifest.read(spark, path, DataSub).filter(lit(false))
+    else spark.read.option("basePath", dataPath(path))
+      .parquet(cand.map(f => s"$path/$f"): _*)
+      .filter(col("term").isin(vs: _*))
+  }
+
+  /** The generation-pinned doc-length table. */
+  private def docLenTable(spark: SparkSession, path: String): DataFrame =
+    graft.util.Manifest.read(spark, path, LenSub)
 
   /** Documents containing ALL of `terms`: count distinct matched terms
     * per doc, keep docs matching the full query width. Output:
@@ -149,7 +197,7 @@ object TextIndex {
   def bm25TopK(spark: SparkSession, path: String, terms: Seq[String],
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k >= 1, "bm25TopK: no terms or k < 1")
-    val lens = spark.read.parquet(lenPath(path))
+    val lens = docLenTable(spark, path)
     val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
     val (n, avgdl) = (stats.getLong(0), stats.getDouble(1))
     val m = matched(spark, path, terms).distinct()
@@ -174,7 +222,7 @@ object TextIndex {
   def tfidfQueryTopK(spark: SparkSession, path: String, terms: Seq[String],
                      k: Int): DataFrame = {
     require(terms.nonEmpty && k >= 1, "tfidfQueryTopK: no terms or k < 1")
-    val n = spark.read.parquet(lenPath(path)).count()
+    val n = docLenTable(spark, path).count()
     val m = matched(spark, path, terms).distinct()
     val df = m.groupBy(col("term")).agg(count(lit(1)).as("df"))
     m.join(broadcast(df), "term")

@@ -197,12 +197,18 @@ object Lake {
     // manifest (readers hit PATH_NOT_FOUND) — that maintenance pass is
     // Manifest.compactSub, which appends the rewrite and swaps the
     // file list in a new commit instead
-    require(!new File(dir.getParentFile, "_meta").exists() &&
-        !new File(dir, "_meta").exists(),
+    // walk EVERY ancestor: a nested sub-path (codes/cell=3, ...) of a
+    // managed store must be refused too, not just the store root's
+    // immediate children
+    val managedAncestor = Iterator.iterate(Option(dir))(_.flatMap(d =>
+        Option(d.getParentFile)))
+      .takeWhile(_.isDefined).flatten
+      .exists(d => new File(d, "_meta").exists())
+    require(!managedAncestor,
       s"compact: $path belongs to a manifest-managed store (_meta " +
-        "present); use graft.util.Manifest.compactSub, which compacts " +
-        "through a generation commit instead of rewriting referenced " +
-        "files in place")
+        "present on an ancestor); use graft.util.Manifest.compactSub, " +
+        "which compacts through a generation commit instead of " +
+        "rewriting referenced files in place")
     require(!new File(dir, "_spark_metadata").exists(),
       s"compact: $path is a streaming file-sink table (_spark_metadata " +
         "present); compacting it would drop the sink manifest and a " +
@@ -469,7 +475,7 @@ object Lake {
     * null → the file is never a candidate (no key can match), yet the
     * coverage guard holds.
     */
-  private def mergeStatsFor(spark: SparkSession, path: String,
+  private[graft] def mergeStatsFor(spark: SparkSession, path: String,
                             names: Set[String], keys: Seq[String]): DataFrame = {
     import spark.implicits._
     val aggs = keys.flatMap { k =>
@@ -482,7 +488,7 @@ object Lake {
     names.toSeq.toDF("file_name").join(agg, Seq("file_name"), "left")
   }
 
-  private def dataFileNames(spark: SparkSession, path: String): Set[String] = {
+  private[graft] def dataFileNames(spark: SparkSession, path: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$MergeDataSub")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty
@@ -556,11 +562,23 @@ object Lake {
       return MergeResult(0, 0, 0, 0,
         snap.files.count(_.startsWith(s"$MergeDataSub/")), applied = false)
     val target = mergeRead(spark, path)
-    require(updates.columns.sorted.sameElements(target.columns.sorted),
-      s"merge: updates schema ${updates.columns.sorted.mkString(",")} != " +
-        s"target ${target.columns.sorted.mkString(",")}")
+    // names AND types: a name-only check would let an int32-keyed
+    // update append files next to int64 ones — a commit that succeeds
+    // and poisons every later read (Delta refuses up front; so do we)
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
+    require(shape(updates).sameElements(shape(target)),
+      s"merge: updates schema ${shape(updates).mkString(",")} != " +
+        s"target ${shape(target).mkString(",")}")
     require(keys.nonEmpty && keys.forall(updates.columns.contains),
       s"merge: keys ${keys.mkString(",")} must exist in updates")
+    // pin the (possibly expensive, caller-derived) source plan: the
+    // merge runs ~6 actions over it — counts, the key-range agg, the
+    // touch test, the survivors anti-join, the write — and each would
+    // otherwise recompute it from scratch (Delta materializes the
+    // merge source for the same reason)
+    updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val nUpd = updates.count()
     val updKeys = updates.select(keys.map(col): _*).distinct()
     if (updKeys.count() != nUpd)
@@ -633,6 +651,7 @@ object Lake {
     }
     MergeResult(matched, nUpd - matched, touchedRel.length,
       candRel.length, liveData.length, deleted, applied = true)
+    } finally { updates.unpersist(); () }
   }
 
   /** The generation's stats frame, VERIFIED to cover every live data
@@ -642,7 +661,7 @@ object Lake {
     * coverage gap — e.g. someone ran raw [[Manifest.compactSub]] on
     * the data sub instead of [[mergeCompact]] — fails loudly here.
     */
-  private def statsCovering(spark: SparkSession, path: String,
+  private[graft] def statsCovering(spark: SparkSession, path: String,
                             liveData: Seq[String],
                             asOf: Option[Int]): DataFrame = {
     val stats = Manifest.read(spark, path, MergeStatsSub, asOf)

@@ -114,6 +114,33 @@ class TextIndexSpec extends SparkSuite with Matchers {
       .as[(Long, Double)].collect().toSeq shouldBe want
   }
 
+  test("crashed-extend orphans are invisible: uncommitted posting/doclen " +
+      "files never reach membership or BM25 answers") {
+    val idx = java.nio.file.Files.createTempDirectory("tidx-orphan").toString
+    TextIndex.buildTextIndex(docs, idx)
+    val terms = Seq("vector", "spark", "merge")
+    val before = TextIndex.bm25TopK(spark, idx, terms, 10).collect().toSeq
+    val all = TextIndex.searchAny(spark, idx, Seq("spark")).count()
+    // simulate a crash mid-extend: data + doclen files land on disk but
+    // the manifest commit never happens (this is exactly the window
+    // that used to double doclen rows under the bare ledger)
+    TextIndex.postings(docs.limit(50))
+      .write.mode("append").parquet(s"$idx/data")
+    TextIndex.docLengths(docs.limit(50))
+      .write.mode("append").parquet(s"$idx/doclen")
+    TextIndex.bm25TopK(spark, idx, terms, 10).collect().toSeq shouldBe before
+    TextIndex.searchAny(spark, idx, Seq("spark")).count() shouldBe all
+    // the blind RETRY commits fresh files only; the orphans stay
+    // unadopted and the ranking equals a clean one-shot over the union
+    TextIndex.extendTextIndex(docs.limit(50)
+      .withColumn("doc_id", col("doc_id") + 1000000L), idx, Some("retry"))
+    val clean = java.nio.file.Files.createTempDirectory("tidx-clean").toString
+    TextIndex.buildTextIndex(docs.unionByName(docs.limit(50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)), clean)
+    TextIndex.bm25TopK(spark, idx, terms, 10).collect().toSeq shouldBe
+      TextIndex.bm25TopK(spark, clean, terms, 10).collect().toSeq
+  }
+
   test("empty postings for unknown terms answer zero rows, zero matches") {
     val idx = java.nio.file.Files.createTempDirectory("tidx-miss").toString
     TextIndex.buildTextIndex(docs, idx)
