@@ -383,6 +383,20 @@ object SparkEntry {
       path
     })
 
+  /** Per-(JVM, sfDir) memo of the `mm_binary_source` gate's image-file
+    * directory: every decodable PNG payload written once as a real
+    * file (`<doc_id>.png`), re-ingested through the `binaryFile`
+    * source by the gate.
+    */
+  private val imageFilesDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def imageFilesMemo(s: SparkSession, dir: String): String =
+    imageFilesDirs.computeIfAbsent(dir, _ => {
+      val d = tempIndexDir("graft-image-files")
+      Multimodal.writeImageFiles(
+        Multimodal.asImageTable(Tables.documents(s, dir)), d)
+      d
+    })
+
   /** Per-(JVM, sfDir) memo of the `q_merge_optimize` gate's store:
     * `orders` fragmented by three narrow merges, then OPTIMIZE'd
     * ([[graft.util.Lake.mergeCompact]], range-clustered by key) — the
@@ -1749,6 +1763,18 @@ object SparkEntry {
     // re-derives by enumerating the same (frame, pixel) grid.
     "mm_video_frames" -> ((s, dir) =>
       Multimodal.videoFrameStats(Multimodal.asAvTable(Tables.documents(s, dir)), 5)),
+    // the REAL multimodal ingestion path: image payloads materialized
+    // as .png FILES (the object-store layout), re-ingested through
+    // Spark's binaryFile source, doc ids parsed from file names, then
+    // the same real decode — stats must equal the closed-form grid
+    "mm_binary_source" -> ((s, dir) => {
+      val files = imageFilesMemo(s, dir)
+      Multimodal.imageStats(
+        Multimodal.readImageFiles(s, files)
+          .withColumn("media_type", lit("image"))
+          .withColumn("width", (pmod(col("doc_id"), lit(24)) + 8).cast("int"))
+          .withColumn("height", (pmod(col("doc_id"), lit(18)) + 8).cast("int")))
+    }),
     // ── full-array-content digests (the driver comparator is unproven
     // on array columns, so array-valued operators digest the WHOLE
     // ordered array into one string the hash compare fully covers) ──
@@ -3747,6 +3773,32 @@ object SparkEntry {
          round(list_avg(list_transform(string_split_regex(text, ''), c -> ord(c))), 6)
            AS byte_mean
          FROM documents""",
+    // file-ingested PNGs decode to the same closed-form grid as the
+    // table-born ones — image rows only (the binaryFile dir holds
+    // nothing else)
+    "mm_binary_source" ->
+      """WITH g AS (
+           SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS iw,
+                  CAST(doc_id % 18 + 8 AS INT) AS ih
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (
+           SELECT doc_id, iw, ih,
+             flatten(list_transform(range(0, ih), y ->
+               list_transform(range(0, iw), x ->
+                 (x*7 + y*13 + doc_id*31) % 256))) AS p,
+             flatten(list_transform(range(0, ih), y ->
+               list_transform(range(0, iw - 1), x ->
+                 abs((x*7 + 7 + y*13 + doc_id*31) % 256
+                   - (x*7 + y*13 + doc_id*31) % 256)))) AS gr
+           FROM g)
+         SELECT doc_id, 'image' AS media_type,
+           iw AS width, ih AS height,
+           CAST(iw AS BIGINT) * ih AS n_pixels,
+           round(list_avg(p), 6) AS mean_luma,
+           CAST(list_min(p) AS INT) AS luma_min,
+           CAST(list_max(p) AS INT) AS luma_max,
+           round(list_avg(gr), 6) AS grad_mean
+         FROM px""",
     // the full 16-dim feature vector re-derived from the closed-form
     // pixel grid: [mean, std, min, max, 4 quadrant means, 8 histogram
     // shares] (all /255 or /n), double→float32→double replayed with

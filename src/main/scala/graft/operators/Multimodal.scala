@@ -869,6 +869,44 @@ object Multimodal {
           sequence(lit(0), col("meta.n_frames") - 1, lit(math.max(stride, 1))),
           i => i.cast("string"))).as("frame_csv"))
 
+  /** Materialize every decodable image payload as a real `.png` FILE
+    * under `dir` (named `<doc_id>.png`) — the object-store layout a
+    * 100 TB image corpus actually arrives in. Distributed: each
+    * partition writes its own files (no driver collect); the dir must
+    * be on storage all tasks reach (the cluster contract every sink
+    * already has).
+    */
+  def writeImageFiles(media: DataFrame, dir: String): Long = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    media.filter(col("meta.media_type") === "image")
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$id.png"), bytes)
+          1L
+        }
+      }.reduce(_ + _)
+  }
+
+  /** Ingest a directory of image FILES through Spark's `binaryFile`
+    * source — the real multimodal ingestion path (payloads as
+    * object-store objects, not table cells): doc ids parse from the
+    * file names, and the frame is shaped for [[imageStats]] /
+    * [[resizeImages]] exactly like the table-born media frames.
+    */
+  def readImageFiles(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+
   /** Pure-relational binary statistics (no stub involved): payload
     * sizes and content hashes straight off the binary column — the
     * pushdown-friendly half of the multimodal surface.

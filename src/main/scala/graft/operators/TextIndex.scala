@@ -119,6 +119,20 @@ object TextIndex {
     ()
   }
 
+  /** Re-narrow the LSM-ish posting accretion: extends append files
+    * whose term ranges overlap older ones, degrading the per-term file
+    * pruning toward "open everything". This rewrite range-clusters the
+    * postings by term into ~`targetFileMB` files and regenerates the
+    * term-range stats in the SAME commit ([[graft.util.Lake
+    * .mergeCompact]] — the index shares its data/stats layout), so
+    * pruning selectivity resets to build-time sharpness, in-flight
+    * readers keep their generation, and answers are unchanged.
+    */
+  def compactIndex(spark: SparkSession, path: String,
+                   targetFileMB: Int = 128): (Int, Int) =
+    graft.util.Lake.mergeCompact(spark, path, Seq("term"), targetFileMB,
+      clusterBy = Seq("term"))
+
   /** The stored postings restricted to `terms` — the only corpus-side
     * data a search touches. Two pruning levels: WHOLE FILES via the
     * generation's committed term-range stats (no stale-stats window —

@@ -75,6 +75,20 @@ class MultimodalSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("image files round-trip the binaryFile source byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("mm-binfiles").toString
+    val imgTable = Multimodal.asImageTable(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60))
+    val n = Multimodal.writeImageFiles(imgTable, dir)
+    n shouldBe imgTable.filter(col("meta.media_type") === "image").count()
+    val back = Multimodal.readImageFiles(spark, dir)
+      .as[(Long, Array[Byte])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    val orig = imgTable.filter(col("meta.media_type") === "image")
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    back shouldBe orig
+  }
+
   // ── real image codec (javax.imageio) ──────────────────────────────
 
   test("ImageCodec: synthesize -> decode round-trips the closed-form pixels exactly") {

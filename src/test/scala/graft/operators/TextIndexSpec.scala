@@ -114,6 +114,32 @@ class TextIndexSpec extends SparkSuite with Matchers {
       .as[(Long, Double)].collect().toSeq shouldBe want
   }
 
+  test("compactIndex re-narrows overlapping shard ranges: fewer files, " +
+      "sharper pruning, identical answers") {
+    val idx = java.nio.file.Files.createTempDirectory("tidx-compact").toString
+    val t = pmod(col("doc_id"), lit(4))
+    // build + 3 extends: each shard's 2 files span the WHOLE alphabet,
+    // so any single-term probe must open a file from every shard
+    TextIndex.buildTextIndex(docs.filter(t === 0), idx, nFiles = 2)
+    for (i <- 1 to 3)
+      TextIndex.extendTextIndex(docs.filter(t === i), idx, Some(s"s$i"))
+    val terms = Seq("vector", "spark", "merge")
+    val before = TextIndex.bm25TopK(spark, idx, terms, 10).collect().toSeq
+    val probedBefore = TextIndex.searchAny(spark, idx, Seq("spark"))
+      .inputFiles.length
+    val (nBefore, nAfter) = TextIndex.compactIndex(spark, idx)
+    nAfter should be < nBefore
+    // answers identical through the rewrite
+    TextIndex.bm25TopK(spark, idx, terms, 10).collect().toSeq shouldBe before
+    // single-term pruning is at least as sharp (typically much sharper)
+    TextIndex.searchAny(spark, idx, Seq("spark"))
+      .inputFiles.length should be <= probedBefore
+    // further extends still work on the compacted index
+    TextIndex.extendTextIndex(docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + 500000L), idx, Some("post"))
+    TextIndex.searchAny(spark, idx, Seq("spark")).count() should be >= 1L
+  }
+
   test("crashed-extend orphans are invisible: uncommitted posting/doclen " +
       "files never reach membership or BM25 answers") {
     val idx = java.nio.file.Files.createTempDirectory("tidx-orphan").toString
