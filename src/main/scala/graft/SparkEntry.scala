@@ -629,6 +629,16 @@ object SparkEntry {
     "gold_candles_sliding" -> ((s, dir) =>
       Candles.ohlcvSliding(Tables.events(s, dir), "2 minutes", "1 minute",
         tieCol = Some("event_id"))),
+    // hierarchical rollup: 5-minute candles derived from 1-minute
+    // PARTIALS (raw sums, not rounded vwaps) must equal a direct
+    // 5-minute aggregation of the events — the invariant that lets ONE
+    // stored partial table serve every dashboard granularity
+    "gold_candles_5m_rollup" -> ((s, dir) =>
+      Candles.rollupCandles(
+        Candles.candlePartials(Tables.events(s, dir)), toDurSec = 300L)),
+    // time-weighted average price (each tick weighted by its holding
+    // interval to the next tick)
+    "serve_twap" -> ((s, dir) => Serving.twap(Tables.events(s, dir))),
     "gold_sessions" -> ((s, dir) =>
       Candles.sessions(Tables.events(s, dir), "30 minutes")),
     // incremental view maintenance of the gold table: candles served
@@ -2240,6 +2250,31 @@ object SparkEntry {
 
   private val goldCandlesSql = goldCandlesSqlOver("events")
 
+  /** Direct 5-minute candles from the raw events — the rollup gate's
+    * independent reference (epoch-aligned integer-micros bucketing).
+    */
+  private val goldCandles5mSql =
+    """WITH r AS (
+         SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000)
+                  * 300000000) AS ws,
+                event_type, value,
+                row_number() OVER (
+                  PARTITION BY epoch_us(CAST(ts AS TIMESTAMP)) // 300000000,
+                               event_type
+                  ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (
+                  PARTITION BY epoch_us(CAST(ts AS TIMESTAMP)) // 300000000,
+                               event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn_z
+         FROM events)
+       SELECT ws AS window_start, ws + INTERVAL 5 MINUTE AS window_end,
+       event_type AS symbol,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_z = 1 THEN value END) AS close,
+       count(*) AS trade_count, round(avg(value), 6) AS vwap
+       FROM r GROUP BY 1, 2, 3"""
+
   /** Exact top-20 corpus bigrams with the (count desc, text) tiebreak —
     * shared by the one-shot two-pass, the persisted store, and its
     * streamed twin.
@@ -2304,6 +2339,18 @@ object SparkEntry {
          CAST(ts AS TIMESTAMP) AS trade_timestamp, user_id AS trade_id
          FROM events WHERE event_type IN ('click','purchase','view')""",
     "gold_candles_1m" -> goldCandlesSql,
+    "gold_candles_5m_rollup" -> goldCandles5mSql,
+    // integer-micros holding intervals, one lead per symbol; last tick
+    // contributes nothing (no interval)
+    "serve_twap" ->
+      """WITH t AS (SELECT event_type AS symbol, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS u,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+           FROM events)
+         SELECT symbol,
+                round(sum(value * (nxt - u)) / sum(nxt - u), 6) AS twap
+         FROM t WHERE nxt IS NOT NULL GROUP BY symbol""",
     // incremental maintenance must be invisible in the answer: the
     // store lifecycle's candles face the SAME oracle as the one-shot
     // aggregation

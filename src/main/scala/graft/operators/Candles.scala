@@ -186,6 +186,31 @@ object Candles {
         sum(col("trade_count")).as("trade_count"),
         sum(col("sum_value")).as("sum_value"))
 
+  /** Hierarchical re-aggregation: roll fine-grained candle PARTIALS up
+    * to a coarser window (1m → 5m/15m/1h dashboards) without touching
+    * the events again — re-key each partial to its coarse bucket and
+    * merge with the same associative combine the incremental store
+    * uses. Because partials carry raw sums (not the rounded vwap),
+    * the rolled-up candles equal a direct coarse aggregation of the
+    * events exactly — the invariant that makes serving multiple
+    * granularities from ONE stored partial table sound.
+    */
+  def rollupCandles(partials: DataFrame, toDurSec: Long = 300L): DataFrame = {
+    val rekeyed = partials
+      .withColumn("__b",
+        floor(unix_timestamp(col("window_start")) / toDurSec) * toDurSec)
+      .withColumn("window_start", timestamp_seconds(col("__b")))
+      .withColumn("window_end", timestamp_seconds(col("__b") + toDurSec))
+      .drop("__b")
+    finalizeCandles(
+      rekeyed.groupBy("window_start", "window_end", "symbol")
+        .agg(
+          min(col("open_k")).as("open_k"), max(col("high")).as("high"),
+          min(col("low")).as("low"), max(col("close_k")).as("close_k"),
+          sum(col("trade_count")).as("trade_count"),
+          sum(col("sum_value")).as("sum_value")))
+  }
+
   /** Partials → the exact [[ohlcv]] output frame (map-only). */
   def finalizeCandles(partials: DataFrame): DataFrame =
     partials.select(col("window_start"), col("window_end"), col("symbol"),

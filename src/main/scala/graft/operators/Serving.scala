@@ -286,6 +286,27 @@ object Serving {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Time-weighted average price per symbol — each tick weighted by
+    * how long it was the live price (micros to the next tick; the last
+    * tick has no holding interval and contributes nothing). The
+    * finance sibling of VWAP: robust to burst-y tick arrival where a
+    * plain mean over-weights busy moments. One symbol-sharded `lead`
+    * window + one grouped sum; durations are exact integer micros, so
+    * only the final division is floating.
+    */
+  def twap(events: DataFrame, symbolCol: String = "event_type",
+           tsCol: String = "ts", priceCol: String = "value",
+           tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(symbolCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__u", unix_micros(col(tsCol)))
+      .withColumn("__nxt", lead(col("__u"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col(symbolCol).as("symbol"))
+      .agg(round(sum(col(priceCol) * (col("__nxt") - col("__u"))) /
+        sum(col("__nxt") - col("__u")), 6).as("twap"))
+  }
+
   /** Event-flow transition matrix — for every consecutive pair of a
     * user's events (chronological, `tieCol` breaks equal timestamps
     * deterministically), count the `(from_type, to_type)` transition:

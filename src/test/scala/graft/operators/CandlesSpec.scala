@@ -305,4 +305,17 @@ class CandlesSpec extends SparkSuite with Matchers {
       .select("vwap").as[Double].head()
     v shouldBe (100.0 * 1 + 200.0 * 3) / 4.0 +- 1e-9
   }
+
+  test("rollupCandles: 5m candles from 1m partials == direct 5m aggregation") {
+    val events = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val rolled = Candles.rollupCandles(
+      Candles.candlePartials(events), toDurSec = 300L)
+    val direct = Candles.ohlcv(events, windowDur = "5 minutes",
+      tieCol = Some("event_id"))
+    rolled.count() shouldBe direct.count()
+    rolled.exceptAll(direct.select(rolled.columns.map(col): _*))
+      .count() shouldBe 0
+    direct.select(rolled.columns.map(col): _*).exceptAll(rolled)
+      .count() shouldBe 0
+  }
 }

@@ -128,6 +128,21 @@ class ServingSpec extends SparkSuite with Matchers {
     out(0).getAs[Double]("spread") shouldBe 10.0
   }
 
+  test("twap weights each tick by its holding interval; the last tick " +
+      "contributes nothing") {
+    // BTC: 100 held 10s, then 200 held 30s, then 300 (no interval)
+    // twap = (100*10 + 200*30) / 40 = 175
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "BTC", 100.0),
+      (2L, ts("2026-01-01 10:00:10"), "BTC", 200.0),
+      (3L, ts("2026-01-01 10:00:40"), "BTC", 300.0),
+      (4L, ts("2026-01-01 10:00:00"), "ETH", 50.0) // single tick: no row
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = Serving.twap(ev).as[(String, Double)].collect().toMap
+    out.keySet shouldBe Set("BTC")
+    out("BTC") shouldBe 175.0 +- 1e-9
+  }
+
   test("funnel: strict stage ordering — out-of-order and same-timestamp " +
       "completions do not convert") {
     val ev = Seq(
