@@ -639,6 +639,9 @@ object SparkEntry {
     // time-weighted average price (each tick weighted by its holding
     // interval to the next tick)
     "serve_twap" -> ((s, dir) => Serving.twap(Tables.events(s, dir))),
+    // deepest peak-to-trough loss of each symbol's price path
+    "serve_drawdown" -> ((s, dir) =>
+      Serving.maxDrawdown(Tables.events(s, dir))),
     "gold_sessions" -> ((s, dir) =>
       Candles.sessions(Tables.events(s, dir), "30 minutes")),
     // incremental view maintenance of the gold table: candles served
@@ -2351,6 +2354,15 @@ object SparkEntry {
          SELECT symbol,
                 round(sum(value * (nxt - u)) / sum(nxt - u), 6) AS twap
          FROM t WHERE nxt IS NOT NULL GROUP BY symbol""",
+    // RANGE frame (peers included): tied-timestamp rows see each
+    // other's prices in the peak, which is the deterministic choice
+    "serve_drawdown" ->
+      """WITH t AS (SELECT event_type AS symbol, value,
+             max(value) OVER (PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM events)
+         SELECT symbol, round(min(value / peak - 1.0), 6) AS max_drawdown
+         FROM t GROUP BY symbol""",
     // incremental maintenance must be invisible in the answer: the
     // store lifecycle's candles face the SAME oracle as the one-shot
     // aggregation

@@ -307,6 +307,25 @@ object Serving {
         sum(col("__nxt") - col("__u")), 6).as("twap"))
   }
 
+  /** Maximum drawdown per symbol — the deepest peak-to-trough loss of
+    * the chronological price path (`min(p / running_max − 1)`), the
+    * risk statistic every trading dashboard carries next to TWAP/VWAP.
+    * One symbol-sharded running-max window + one grouped min. The
+    * frame is RANGE (peers included): a ROWS frame would make each
+    * tied-timestamp row's peak depend on arbitrary tie order, while
+    * the peer-inclusive peak is deterministic — simultaneous ticks see
+    * each other.
+    */
+  def maxDrawdown(events: DataFrame, symbolCol: String = "event_type",
+                  tsCol: String = "ts", priceCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(symbolCol)).orderBy(col(tsCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__peak", max(col(priceCol)).over(w))
+      .groupBy(col(symbolCol).as("symbol"))
+      .agg(round(min(col(priceCol) / col("__peak") - 1.0), 6).as("max_drawdown"))
+  }
+
   /** Event-flow transition matrix — for every consecutive pair of a
     * user's events (chronological, `tieCol` breaks equal timestamps
     * deterministically), count the `(from_type, to_type)` transition:

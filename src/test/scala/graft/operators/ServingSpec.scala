@@ -143,6 +143,26 @@ class ServingSpec extends SparkSuite with Matchers {
     out("BTC") shouldBe 175.0 +- 1e-9
   }
 
+  test("maxDrawdown: deepest peak-to-trough; simultaneous ticks see each " +
+      "other's peak") {
+    val ev = Seq(
+      // path 100 -> 120 -> 90 -> 110 -> 60: worst = 60/120 - 1 = -0.5
+      (1L, ts("2026-01-01 10:00:00"), "BTC", 100.0),
+      (2L, ts("2026-01-01 10:01:00"), "BTC", 120.0),
+      (3L, ts("2026-01-01 10:02:00"), "BTC", 90.0),
+      (4L, ts("2026-01-01 10:03:00"), "BTC", 110.0),
+      (5L, ts("2026-01-01 10:04:00"), "BTC", 60.0),
+      // ETH: tie at t0 (50 and 100 simultaneous) then 80: the RANGE
+      // peak makes the tie rows see 100, so dd = min(50/100, 80/100)-1
+      (6L, ts("2026-01-01 10:00:00"), "ETH", 50.0),
+      (7L, ts("2026-01-01 10:00:00"), "ETH", 100.0),
+      (8L, ts("2026-01-01 10:01:00"), "ETH", 80.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = Serving.maxDrawdown(ev).as[(String, Double)].collect().toMap
+    out("BTC") shouldBe -0.5 +- 1e-9
+    out("ETH") shouldBe -0.5 +- 1e-9
+  }
+
   test("funnel: strict stage ordering — out-of-order and same-timestamp " +
       "completions do not convert") {
     val ev = Seq(
