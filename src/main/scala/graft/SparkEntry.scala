@@ -423,6 +423,44 @@ object SparkEntry {
       path
     })
 
+  /** Per-(JVM, sfDir) memo of the `q_merge_checked` gate's store — the
+    * write-audit-publish lifecycle: a BAD batch (planted nulls +
+    * out-of-range prices) is REJECTED by the expectations gate (table
+    * untouched, generation unchanged — both asserted here), then a
+    * clean batch publishes. The gate reads the final table, so a
+    * rejection that leaked rows, or a gate that blocked the clean
+    * batch, hash-fails the oracle.
+    */
+  private val checkedStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def checkedGateStore(s: SparkSession, dir: String): String =
+    checkedStoreMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-checked-table")
+      val orders = Tables.orders(s, dir)
+      graft.util.Lake.mergeInit(s, path,
+        orders.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+      val checks = Seq(
+        "status_not_null" -> col("o_orderstatus").isNotNull,
+        "price_in_range" -> (col("o_totalprice") > 0 &&
+          col("o_totalprice") < 1000000000d))
+      val bad = orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(20)) === 3, lit(null: String))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice", -col("o_totalprice"))
+      val gen0 = graft.util.Manifest.snapshot(s, path).gen
+      val rejected = graft.util.Lake.mergeChecked(s, path, bad,
+        Seq("o_orderkey"), checks, shardId = Some("wap-1"))
+      require(rejected.isLeft, "bad batch must be rejected")
+      require(graft.util.Manifest.snapshot(s, path).gen == gen0,
+        "a rejected publish must not advance the generation")
+      val clean = orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("o_orderpriority", lit("CHECKED"))
+      val ok = graft.util.Lake.mergeChecked(s, path, clean,
+        Seq("o_orderkey"), checks, shardId = Some("wap-1"))
+      require(ok.isRight, "clean batch must publish")
+      path
+    })
+
   /** Per-(JVM, sfDir) memo of the `q_restore_table` gate's store: a
     * destructive DELETE rolled back with [[graft.util.Manifest.restore]]
     * — the head generation re-commits generation 0's file list, so the
@@ -642,6 +680,11 @@ object SparkEntry {
     // deepest peak-to-trough loss of each symbol's price path
     "serve_drawdown" -> ((s, dir) =>
       Serving.maxDrawdown(Tables.events(s, dir))),
+    // write-audit-publish: a violating batch is rejected whole (no
+    // generation advances), then the clean batch publishes — the
+    // final table must show ONLY the clean batch's effect
+    "q_merge_checked" -> ((s, dir) =>
+      graft.util.Lake.mergeRead(s, checkedGateStore(s, dir))),
     "gold_sessions" -> ((s, dir) =>
       Candles.sessions(Tables.events(s, dir), "30 minutes")),
     // incremental view maintenance of the gold table: candles served
@@ -2354,6 +2397,18 @@ object SparkEntry {
          SELECT symbol,
                 round(sum(value * (nxt - u)) / sum(nxt - u), 6) AS twap
          FROM t WHERE nxt IS NOT NULL GROUP BY symbol""",
+    // only the clean batch's priority rewrite is visible; the rejected
+    // batch (nulls + negated prices) left no trace
+    "q_merge_checked" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, 'CHECKED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 10 = 3)
+         SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+                o.o_totalprice, o.o_orderdate, o.o_orderpriority
+         FROM orders o ANTI JOIN upd u ON o.o_orderkey = u.o_orderkey
+         UNION ALL
+         SELECT * FROM upd""",
     // RANGE frame (peers included): tied-timestamp rows see each
     // other's prices in the peak, which is the deterministic choice
     "serve_drawdown" ->

@@ -767,6 +767,33 @@ object Lake {
       .drop("__in_before", "__in_after")
   }
 
+  /** Expectations-gated upsert — the write-audit-publish pattern (DLT
+    * expectations / Delta WAP): every `checks` predicate must hold on
+    * EVERY update row, or nothing publishes. Returns `Left(report)` —
+    * one `(constraint, violations)` row per failed check, the
+    * [[graft.operators.Expectations]] shape — with the table untouched
+    * (readers keep the current generation; there is no partial state
+    * to clean up because no commit ever started), or `Right(result)`
+    * of the applied [[merge]]. The audit is one conditional-count agg
+    * over the batch.
+    */
+  def mergeChecked(spark: SparkSession, path: String, updates: DataFrame,
+                   keys: Seq[String], checks: Seq[(String, Column)],
+                   shardId: Option[String] = None,
+                   retain: Int = 3): Either[DataFrame, MergeResult] = {
+    require(checks.nonEmpty, "mergeChecked: no expectations given")
+    import spark.implicits._
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+    }
+    val row = updates.agg(aggs.head, aggs.tail: _*).head()
+    val report = checks.zipWithIndex.map { case ((name, _), i) =>
+      (name, if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.filter(_._2 > 0)
+    if (report.nonEmpty) Left(report.toDF("constraint", "violations"))
+    else Right(merge(spark, path, updates, keys, shardId, retain))
+  }
+
   // ── DELETE / UPDATE WHERE: the rest of the Delta DML triad ────────
   //
   // Same execution shape as [[merge]]: find the files that contain any

@@ -532,6 +532,33 @@ class LakeSpec extends SparkSuite with Matchers {
       Lake.applyChanges(spark, path, dup, Seq("k"), "op")
   }
 
+  test("mergeChecked: a violating batch is rejected whole with a typed " +
+      "report and no generation; a clean one publishes") {
+    val (path, _) = mergeFixture()
+    val checks = Seq(
+      "v_not_null" -> col("v").isNotNull,
+      "k_positive" -> (col("k") >= 0L))
+    val gen0 = Manifest.snapshot(spark, path).gen
+    val bad = Seq((5L, Option.empty[Long], "x"), (-1L, Some(1L), "y"),
+      (6L, Some(2L), "ok")).toDF("k", "v", "tag")
+    val r = Lake.mergeChecked(spark, path, bad, Seq("k"), checks,
+      shardId = Some("b1"))
+    r.isLeft shouldBe true
+    r.left.toOption.get.as[(String, Long)].collect().toMap shouldBe
+      Map("v_not_null" -> 1L, "k_positive" -> 1L)
+    Manifest.snapshot(spark, path).gen shouldBe gen0
+    Lake.mergeRead(spark, path).count() shouldBe 800L
+    // the corrected re-submission under the SAME shard id publishes
+    // (the rejection never consumed the id)
+    val clean = Seq((5L, Some(-1L), "upd")).toDF("k", "v", "tag")
+    val ok = Lake.mergeChecked(spark, path, clean, Seq("k"), checks,
+      shardId = Some("b1"))
+    ok.isRight shouldBe true
+    ok.toOption.get.matched shouldBe 1L
+    Lake.mergeRead(spark, path).filter(col("k") === 5L)
+      .select("tag").as[String].head() shouldBe "upd"
+  }
+
   test("merge: empty updates commit the ledger id and change nothing") {
     val (path, base) = mergeFixture()
     val empty = base.filter(lit(false))
