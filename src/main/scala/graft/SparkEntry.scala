@@ -1120,6 +1120,11 @@ object SparkEntry {
     "serve_spread_join" -> ((s, dir) =>
       Serving.spreadJoin(Candles.ohlcv(Tables.events(s, dir), "1 day",
         tieCol = Some("event_id")), "click", "purchase")),
+    // pair-selection statistic: correlation of the two venues'
+    // window-aligned 1-minute closes
+    "serve_pair_corr" -> ((s, dir) =>
+      Serving.pairCorrelation(Candles.ohlcv(Tables.events(s, dir),
+        tieCol = Some("event_id")), "click", "purchase")),
     // the title feature end to end: spreads filtered to actionable
     // opportunities (≥ 3000 bps of mid) with the buy side called out
     "serve_arbitrage_ops" -> ((s, dir) =>
@@ -2726,6 +2731,28 @@ object SparkEntry {
            max(CASE WHEN rmin = 1 THEN symbol END) AS cheap_symbol,
            count(*) AS n_symbols
          FROM r GROUP BY window_start HAVING count(*) > 1""",
+    // sample Pearson correlation of the window-aligned 1-minute
+    // closes; both engines compute the same co-moment formula and the
+    // single coefficient rounds to 6dp
+    "serve_pair_corr" ->
+      """WITH e AS (
+           SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS ws,
+                  event_type, value,
+                  row_number() OVER (
+                    PARTITION BY date_trunc('minute', CAST(ts AS TIMESTAMP)),
+                                 event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn_z
+           FROM events),
+         c AS (SELECT ws, event_type AS symbol,
+                 max(CASE WHEN rn_z = 1 THEN value END) AS close
+               FROM e GROUP BY 1, 2),
+         j AS (SELECT a.close AS ca, b.close AS cb
+               FROM c a JOIN c b ON a.ws = b.ws
+               WHERE a.symbol = 'click' AND b.symbol = 'purchase')
+         SELECT 'click' AS symbol_a, 'purchase' AS symbol_b,
+                count(*) AS n_windows,
+                round(corr(ca, cb), 6) AS correlation
+         FROM j""",
     "serve_spread_join" ->
       """WITH e AS (
            SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS ws, event_type, value,

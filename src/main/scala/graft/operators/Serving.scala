@@ -307,6 +307,26 @@ object Serving {
         sum(col("__nxt") - col("__u")), 6).as("twap"))
   }
 
+  /** Pearson correlation of two symbols' window-aligned close prices —
+    * the co-movement statistic behind pair selection for arbitrage and
+    * hedging. One window-aligned equi-join of the two candle series
+    * ([[spreadJoin]]'s shape) + one `corr` aggregate; emits the
+    * aligned-window count so a thin overlap is visible next to the
+    * coefficient.
+    */
+  def pairCorrelation(candles: DataFrame, symbolA: String,
+                      symbolB: String): DataFrame = {
+    val a = candles.filter(col("symbol") === symbolA)
+      .select(col("window_start"), col("close").as("close_a"))
+    val b = candles.filter(col("symbol") === symbolB)
+      .select(col("window_start"), col("close").as("close_b"))
+    a.join(b, Seq("window_start"))
+      .agg(count(lit(1)).as("n_windows"),
+        round(corr(col("close_a"), col("close_b")), 6).as("correlation"))
+      .select(lit(symbolA).as("symbol_a"), lit(symbolB).as("symbol_b"),
+        col("n_windows"), col("correlation"))
+  }
+
   /** Maximum drawdown per symbol — the deepest peak-to-trough loss of
     * the chronological price path (`min(p / running_max − 1)`), the
     * risk statistic every trading dashboard carries next to TWAP/VWAP.
