@@ -1255,8 +1255,8 @@ object SparkEntry {
           "o_custkey", "c_custkey", store)
         .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
     }),
-    // MERGE INTO (Delta's keyed upsert, the reference's silver write
-    // mode) on plain parquet: stats-pruned file-level rewrite through
+    // MERGE INTO (the canonical keyed upsert of the Delta surface the
+    // reference writes to) on plain parquet: stats-pruned file-level rewrite through
     // one atomic manifest generation — the gate reads the table AFTER
     // an update+insert merge whose re-delivery was ledger-no-op'ed
     "q_merge_upsert" -> ((s, dir) =>

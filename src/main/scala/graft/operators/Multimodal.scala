@@ -872,24 +872,36 @@ object Multimodal {
   /** Materialize every decodable image payload as a real `.png` FILE
     * under `dir` (named `<doc_id>.png`) — the object-store layout a
     * 100 TB image corpus actually arrives in. Distributed: each
-    * partition writes its own files (no driver collect); the dir must
-    * be on storage all tasks reach (the cluster contract every sink
-    * already has).
+    * partition writes its own files (no driver collect) and creates
+    * the target directory itself, so the write works wherever the
+    * tasks run. Scope: `dir` must be a POSIX path on shared storage
+    * every task reaches (the files land via `java.nio`); an object-
+    * store URI needs a Hadoop-FS writer instead — out of scope here,
+    * the plumbing under test is the binary-column → file-layout path.
+    * Returns the file count (0 for an image-free input — no action
+    * runs on an empty plan beyond the count itself).
     */
   def writeImageFiles(media: DataFrame, dir: String): Long = {
     val spark = media.sparkSession
     import spark.implicits._
+    // driver-side create too: a zero-image input must still leave the
+    // directory present for the downstream binaryFile reader
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     media.filter(col("meta.media_type") === "image")
       .select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"$id.png"), bytes)
-          1L
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        var n = 0L
+        rows.foreach { case (id, bytes) =>
+          java.nio.file.Files.write(p.resolve(s"$id.png"), bytes)
+          n += 1
         }
-      }.reduce(_ + _)
+        Iterator.single(n)
+      }
+      // sum-aggregate, not reduce: reduce throws on an empty dataset
+      .toDF("n").agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
   }
 
   /** Ingest a directory of image FILES through Spark's `binaryFile`

@@ -434,10 +434,11 @@ object Lake {
   // ── MERGE INTO: keyed upsert on a manifest-managed table ──────────
   //
   // Delta's `MERGE INTO target USING updates ON keys WHEN MATCHED THEN
-  // UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (the reference's
-  // silver write mode, `process_silver.py` — the one named Delta
-  // capability previously only reachable through the update-mode
-  // streaming sink), implemented Delta's way on plain parquet:
+  // UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical
+  // upsert of the Delta table surface the reference's medallion writes
+  // to (its own jobs append; MERGE is what that surface offers the
+  // moment a pipeline needs keyed updates) — implemented Delta's way
+  // on plain parquet:
   // only the FILES that contain matched keys are rewritten, everything
   // else survives the commit untouched on disk, and the swap is one
   // atomic [[Manifest]] generation (snapshot isolation + time travel
@@ -828,6 +829,23 @@ object Lake {
                   set: Map[String, Column], keys: Seq[String],
                   shardId: Option[String] = None,
                   retain: Int = 3): DmlResult = {
+    // type-check every SET expression against the target schema BEFORE
+    // any rewrite: a drifted value type (lit("x") into a long column)
+    // would rewrite touched files with a different column type next to
+    // untouched originals and commit atomically — poisoning every
+    // later multi-file read. Same fail-up-front rule merge's shape
+    // check enforces (and Delta's UPDATE resolution enforces).
+    val target = mergeRead(spark, path)
+    set.foreach { case (c, v) =>
+      val tf = target.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"updateWhere: SET column $c does not exist in the table at $path"))
+      val vt = target.select(v.as(c)).schema.head.dataType
+      require(vt == tf.dataType,
+        s"updateWhere: SET $c = <expr of type $vt> does not match the " +
+          s"target column's type ${tf.dataType} — cast explicitly (a " +
+          "type-drifted rewrite would poison later multi-file reads)")
+    }
     val cond = coalesce(predicate, lit(false))
     dmlRewrite(spark, path, predicate, keys, shardId, retain)(touched =>
       touched.select(touched.columns.map { c =>

@@ -89,6 +89,17 @@ class MultimodalSpec extends SparkSuite with Matchers {
     back shouldBe orig
   }
 
+  test("writeImageFiles on an image-free input returns 0 and leaves an " +
+      "empty (but present) directory") {
+    val dir = java.nio.file.Files.createTempDirectory("mm-binfiles-empty").toString
+    val imgTable = Multimodal.asImageTable(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60))
+    val none = imgTable.filter(col("meta.media_type") === "nothing-matches")
+    Multimodal.writeImageFiles(none, dir) shouldBe 0L
+    new java.io.File(dir).isDirectory shouldBe true
+    new java.io.File(dir).list().length shouldBe 0
+  }
+
   // ── real image codec (javax.imageio) ──────────────────────────────
 
   test("ImageCodec: synthesize -> decode round-trips the closed-form pixels exactly") {

@@ -378,6 +378,22 @@ class LakeSpec extends SparkSuite with Matchers {
       Lake.merge(spark, path, drifted, Seq("k"))
   }
 
+  test("updateWhere: a SET expression whose type drifts from the target " +
+      "column is refused up front (table untouched)") {
+    val (path, _) = mergeFixture()
+    val before = Lake.mergeRead(spark, path).collect().toSet
+    // string into a long column — would rewrite touched files with a
+    // drifted type next to untouched originals
+    an[IllegalArgumentException] should be thrownBy
+      Lake.updateWhere(spark, path, col("k") >= 700,
+        Map("v" -> lit("x")), Seq("k"))
+    // unknown SET column is refused too
+    an[IllegalArgumentException] should be thrownBy
+      Lake.updateWhere(spark, path, col("k") >= 700,
+        Map("nope" -> lit(1L)), Seq("k"))
+    Lake.mergeRead(spark, path).collect().toSet shouldBe before
+  }
+
   test("deleteWhere/updateWhere: row semantics, file pruning, generation " +
       "isolation, ledger no-op") {
     val (path, _) = mergeFixture()
