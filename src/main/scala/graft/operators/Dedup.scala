@@ -1048,9 +1048,9 @@ object Dedup {
     val snap = graft.util.Manifest.snapshot(spark, path)
     if (shardId.exists(snap.applied)) return
     val merged = mergedComponents(spark, path, newPairs)
-    graft.util.Manifest.replace(spark, path, "labels", shardId) {
+    graft.util.Manifest.replace(spark, path, "labels", shardId) { stage =>
       merged.write.mode(SaveMode.Overwrite)
-        .parquet(s"${labelsPath(path)}/lv=${snap.gen + 1}")
+        .parquet(s"$stage/labels/lv=${snap.gen + 1}")
     }
     ()
   }

@@ -476,21 +476,32 @@ object Lake {
     * null → the file is never a candidate (no key can match), yet the
     * coverage guard holds.
     */
+  /** `dataDir` overrides where the named files are READ from (the
+    * transaction-staging dir during a rewrite — file NAMES are stable
+    * across the staging move, so stats computed pre-publish stay
+    * valid); default is the table's live data sub.
+    */
   private[graft] def mergeStatsFor(spark: SparkSession, path: String,
-                            names: Set[String], keys: Seq[String]): DataFrame = {
+                            names: Set[String], keys: Seq[String],
+                            dataDir: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val dir = dataDir.getOrElse(s"$path/$MergeDataSub")
     val aggs = keys.flatMap { k =>
       Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))
     }
-    val agg = spark.read.option("basePath", s"$path/$MergeDataSub")
-      .parquet(names.toSeq.map(n => s"$path/$MergeDataSub/$n"): _*)
+    val agg = spark.read.option("basePath", dir)
+      .parquet(names.toSeq.map(n => s"$dir/$n"): _*)
       .groupBy(col("_metadata.file_name").as("file_name"))
       .agg(aggs.head, aggs.tail: _*)
     names.toSeq.toDF("file_name").join(agg, Seq("file_name"), "left")
   }
 
-  private[graft] def dataFileNames(spark: SparkSession, path: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$MergeDataSub")
+  private[graft] def dataFileNames(spark: SparkSession, path: String): Set[String] =
+    fileNamesIn(spark, s"$path/$MergeDataSub")
+
+  /** Visible file names directly under `dir` (empty when absent). */
+  private def fileNamesIn(spark: SparkSession, dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)
@@ -500,13 +511,16 @@ object Lake {
   /** Create the merge-managed table at `path` from `df` (generation 0:
     * data + its per-file key stats in one commit). `df` should be
     * key-unique on `keys` — merges preserve that invariant, they don't
-    * create it.
+    * create it. `shardId` lands in generation 0's ledger, so a
+    * replayed build (e.g. a streaming sink's batch 0 re-run after the
+    * table already exists) can prove itself already-applied instead of
+    * re-clearing the table.
     */
   def mergeInit(spark: SparkSession, path: String, df: DataFrame,
-                keys: Seq[String]): Unit = {
+                keys: Seq[String], shardId: Option[String] = None): Unit = {
     require(keys.nonEmpty && keys.forall(df.columns.contains),
       s"mergeInit: keys ${keys.mkString(",")} must exist in the frame")
-    Manifest.init(spark, path) {
+    Manifest.init(spark, path, shardId.toSet) {
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/$MergeDataSub")
       mergeStatsFor(spark, path, dataFileNames(spark, path), keys)
         .coalesce(1).write.mode(SaveMode.Append)
@@ -514,21 +528,36 @@ object Lake {
     }
   }
 
-  /** The table's current (or `asOf`) committed rows. */
+  /** The table's current (or `asOf`) committed rows. Footer schemas
+    * are merged so a table that went through an additive MERGE
+    * evolution ([[merge]]'s `evolve`) surfaces the union schema —
+    * files written before the evolution read the new columns as NULL,
+    * exactly like Delta after `autoMerge` widens a table.
+    */
   def mergeRead(spark: SparkSession, path: String,
                 asOf: Option[Int] = None): DataFrame =
-    Manifest.read(spark, path, MergeDataSub, asOf)
+    Manifest.read(spark, path, MergeDataSub, asOf, mergeSchema = true)
 
   /** Upsert `updates` into the table at `path` by `keys` (see section
     * comment for semantics and the two-stage file pruning). `shardId`
     * makes re-delivery a no-op through the manifest ledger. Returns
     * the [[MergeResult]] funnel; `applied = false` is the ledger
     * no-op (nothing was computed or written).
+    *
+    * `evolve = true` is Delta's
+    * `spark.databricks.delta.schema.autoMerge` for MERGE (the setting
+    * the reference enables, `process_silver.py:67`): updates may carry
+    * ADDITIONAL columns, which widen the table atomically in the same
+    * commit — rewritten survivors carry NULL for them, untouched files
+    * keep their old footers and read as NULL through [[mergeRead]]'s
+    * schema merge. Still refused either way: a missing target column
+    * or a type change on a shared column (only ADDITIVE evolution is
+    * sound — Delta refuses the same).
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keys: Seq[String], shardId: Option[String] = None,
-            retain: Int = 3): MergeResult =
-    upsertCore(spark, path, updates, None, keys, shardId, retain)
+            retain: Int = 3, evolve: Boolean = false): MergeResult =
+    upsertCore(spark, path, updates, None, keys, shardId, retain, evolve)
 
   /** Delta Live Tables' `APPLY CHANGES INTO`: one keyed change batch
     * with an operation column — rows whose `opCol` equals `deleteOp`
@@ -557,7 +586,7 @@ object Lake {
   private def upsertCore(spark: SparkSession, path: String,
                          updates: DataFrame, delKeysOpt: Option[DataFrame],
                          keys: Seq[String], shardId: Option[String],
-                         retain: Int): MergeResult = {
+                         retain: Int, evolve: Boolean = false): MergeResult = {
     val snap = Manifest.snapshot(spark, path)
     if (shardId.exists(snap.applied))
       return MergeResult(0, 0, 0, 0,
@@ -565,12 +594,38 @@ object Lake {
     val target = mergeRead(spark, path)
     // names AND types: a name-only check would let an int32-keyed
     // update append files next to int64 ones — a commit that succeeds
-    // and poisons every later read (Delta refuses up front; so do we)
+    // and poisons every later read (Delta refuses up front; so do we).
+    // With evolve, updates may carry EXTRA columns (the additive
+    // widening); every target column must still be present and
+    // type-identical — a dropped column or a type change is refused in
+    // both modes, exactly Delta's autoMerge rules.
     def shape(df: DataFrame) =
       df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
-    require(shape(updates).sameElements(shape(target)),
-      s"merge: updates schema ${shape(updates).mkString(",")} != " +
-        s"target ${shape(target).mkString(",")}")
+    if (!evolve)
+      require(shape(updates).sameElements(shape(target)),
+        s"merge: updates schema ${shape(updates).mkString(",")} != " +
+          s"target ${shape(target).mkString(",")} (pass evolve = true to " +
+          "widen the table with additional update columns)")
+    else {
+      val uTypes = updates.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = target.schema.fields.filterNot(f => uTypes.contains(f.name))
+      require(missing.isEmpty,
+        s"merge(evolve): updates are missing target column(s) " +
+          s"${missing.map(_.name).mkString(",")} — evolution is additive " +
+          "only; dropped columns are refused")
+      val drifted = target.schema.fields
+        .filter(f => uTypes(f.name) != f.dataType)
+      require(drifted.isEmpty,
+        s"merge(evolve): type change on shared column(s) " +
+          drifted.map(f => s"${f.name}: ${f.dataType} -> ${uTypes(f.name)}")
+            .mkString(",") + " — only additive evolution is sound")
+    }
+    // output schema: target's column order, plus (under evolve) the
+    // new update columns appended — the widened table schema
+    val outCols: Seq[String] =
+      if (!evolve) target.columns.toSeq
+      else target.columns.toSeq ++
+        updates.columns.filterNot(target.columns.contains)
     require(keys.nonEmpty && keys.forall(updates.columns.contains),
       s"merge: keys ${keys.mkString(",")} must exist in updates")
     // pin the (possibly expensive, caller-derived) source plan: the
@@ -613,9 +668,11 @@ object Lake {
       .collect().map(_.getString(0)).toSet
     val candRel = liveData.filter(f => candNames.contains(f.split('/').last))
     // stage 2: exact touch test, column-pruned to the keys, candidate
-    // files only
+    // files only (mergeSchema: touched files may straddle an additive
+    // evolution)
     def readFiles(rel: Seq[String]): DataFrame =
       spark.read.option("basePath", s"$path/$MergeDataSub")
+        .option("mergeSchema", "true")
         .parquet(rel.map(f => s"$path/$f"): _*)
     val touchedNames: Set[String] =
       if (candRel.isEmpty) Set.empty
@@ -628,7 +685,7 @@ object Lake {
     var matched = 0L
     var deleted = 0L
     Manifest.rewriteFiles(spark, path,
-      drop = (touchedRel ++ liveStats).toSet, shardId, retain) {
+      drop = (touchedRel ++ liveStats).toSet, shardId, retain) { stage =>
       val touchedRows =
         if (touchedRel.isEmpty) target.filter(lit(false)) else readFiles(touchedRel)
       matched = touchedRows.join(updKeys, keys, "left_semi").count()
@@ -636,19 +693,23 @@ object Lake {
         touchedRows.join(d, keys, "left_semi").count())
       val survivors = touchedRows.select(target.columns.map(col): _*)
         .join(allKeys, keys, "left_anti")
-      val before = dataFileNames(spark, path)
-      survivors.unionByName(updates.select(target.columns.map(col): _*))
-        .write.mode(SaveMode.Append).parquet(s"$path/$MergeDataSub")
+      // under evolve the survivors lack the new columns — unionByName
+      // fills them with NULL, the Delta autoMerge widening
+      survivors.unionByName(updates.select(outCols.map(col): _*),
+          allowMissingColumns = evolve)
+        .write.mode(SaveMode.Append).parquet(s"$stage/$MergeDataSub")
       // stats for the NEW generation, committed with it: carried-over
       // rows for untouched files + a fresh pass over just-written ones
-      val freshNames = dataFileNames(spark, path) -- before
+      // (read from the staging dir — file names survive the publish)
+      val freshNames = fileNamesIn(spark, s"$stage/$MergeDataSub")
       val keptStats = Manifest.read(spark, path, MergeStatsSub)
         .filter(!col("file_name").isin(touchedNames.toSeq: _*))
       val freshStats =
         if (freshNames.isEmpty) keptStats.filter(lit(false))
-        else mergeStatsFor(spark, path, freshNames, keys)
+        else mergeStatsFor(spark, path, freshNames, keys,
+          dataDir = Some(s"$stage/$MergeDataSub"))
       keptStats.unionByName(freshStats).coalesce(1)
-        .write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
+        .write.mode(SaveMode.Append).parquet(s"$stage/$MergeStatsSub")
     }
     MergeResult(matched, nUpd - matched, touchedRel.length,
       candRel.length, liveData.length, deleted, applied = true)
@@ -706,15 +767,40 @@ object Lake {
       else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
     var after = 0
     Manifest.rewriteFiles(spark, path,
-      drop = (liveData ++ liveStats).toSet, retain = retain) {
-      val before = dataFileNames(spark, path)
-      shaped.write.mode(SaveMode.Append).parquet(s"$path/$MergeDataSub")
-      val freshNames = dataFileNames(spark, path) -- before
+      drop = (liveData ++ liveStats).toSet, retain = retain) { stage =>
+      shaped.write.mode(SaveMode.Append).parquet(s"$stage/$MergeDataSub")
+      val freshNames = fileNamesIn(spark, s"$stage/$MergeDataSub")
       after = freshNames.size
-      mergeStatsFor(spark, path, freshNames, keys)
-        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
+      mergeStatsFor(spark, path, freshNames, keys,
+          dataDir = Some(s"$stage/$MergeDataSub"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$stage/$MergeStatsSub")
     }
     (liveData.length, after)
+  }
+
+  /** Auto-OPTIMIZE policy for streaming merge sinks: run
+    * [[mergeCompact]] (key-clustered, so stage-1 stats pruning stays
+    * sharp) when the table's live data file count exceeds `maxFiles`.
+    * A merge sink commits one generation per micro-batch and each
+    * generation adds files; without a compaction policy the file count
+    * — and with it every later merge's stats scan and candidate set —
+    * grows without bound. Delta pairs its streaming MERGE recipe with
+    * auto-optimize for the same reason. Cheap when below threshold
+    * (one driver-side snapshot read); returns true when a compaction
+    * ran.
+    */
+  def mergeAutoCompact(spark: SparkSession, path: String, keys: Seq[String],
+                       maxFiles: Int, targetFileMB: Int = 128,
+                       retain: Int = 3): Boolean = {
+    require(maxFiles >= 1, s"mergeAutoCompact: maxFiles must be >= 1")
+    val live = Manifest.snapshot(spark, path).files
+      .count(_.startsWith(s"$MergeDataSub/"))
+    if (live <= maxFiles) false
+    else {
+      mergeCompact(spark, path, keys, targetFileMB, clusterBy = keys,
+        retain = retain)
+      true
+    }
   }
 
   /** [[mergeRead]] restricted to `lo <= keyCol <= hi`, pruning whole
@@ -738,6 +824,7 @@ object Lake {
     val pred = col(keyCol) >= lo && col(keyCol) <= hi
     if (cand.isEmpty) mergeRead(spark, path, asOf).filter(pred).filter(lit(false))
     else spark.read.option("basePath", s"$path/$MergeDataSub")
+      .option("mergeSchema", "true")
       .parquet(cand.map(f => s"$path/$f"): _*).filter(pred)
   }
 
@@ -750,10 +837,19 @@ object Lake {
     */
   def mergeChanges(spark: SparkSession, path: String, keys: Seq[String],
                    fromGen: Int, toGen: Option[Int] = None): DataFrame = {
-    val valueCols = mergeRead(spark, path).columns.filterNot(keys.contains).toSeq
-    def side(g: Option[Int], p: String) =
-      mergeRead(spark, path, g).select(
-        keys.map(col) ++ valueCols.map(c => col(c).as(s"${p}_$c")): _*)
+    val head = mergeRead(spark, path)
+    val valueCols = head.columns.filterNot(keys.contains).toSeq
+    val headTypes = head.schema.fields.map(f => f.name -> f.dataType).toMap
+    // a generation PRE-dating an additive evolution lacks the newer
+    // columns entirely (none of its files carry them) — surface them
+    // as typed NULLs so the before/after comparison stays well-formed
+    def side(g: Option[Int], p: String) = {
+      val df = mergeRead(spark, path, g)
+      val have = df.columns.toSet
+      df.select(keys.map(col) ++ valueCols.map { c =>
+        (if (have(c)) col(c) else lit(null).cast(headTypes(c))).as(s"${p}_$c")
+      }: _*)
+    }
     val joined = side(Some(fromGen), "before")
       .withColumn("__in_before", lit(true))
       .join(side(toGen, "after").withColumn("__in_after", lit(true)),
@@ -869,6 +965,7 @@ object Lake {
     val liveStats = snap.files.filter(_.startsWith(s"$MergeStatsSub/"))
     def readFiles(rel: Seq[String]): DataFrame =
       spark.read.option("basePath", s"$path/$MergeDataSub")
+        .option("mergeSchema", "true")
         .parquet(rel.map(f => s"$path/$f"): _*)
     // touched files: any predicate-matching row (scan reads only the
     // predicate's columns + the file name)
@@ -880,22 +977,22 @@ object Lake {
     val touchedRel = liveData.filter(f => touchedNames.contains(f.split('/').last))
     var affected = 0L
     Manifest.rewriteFiles(spark, path,
-      drop = (touchedRel ++ liveStats).toSet, shardId, retain) {
+      drop = (touchedRel ++ liveStats).toSet, shardId, retain) { stage =>
       val target = mergeRead(spark, path)
       val touchedRows =
         if (touchedRel.isEmpty) target.filter(lit(false)) else readFiles(touchedRel)
       affected = touchedRows.filter(predicate).count()
-      val before = dataFileNames(spark, path)
       transform(touchedRows.select(target.columns.map(col): _*))
-        .write.mode(SaveMode.Append).parquet(s"$path/$MergeDataSub")
-      val freshNames = dataFileNames(spark, path) -- before
+        .write.mode(SaveMode.Append).parquet(s"$stage/$MergeDataSub")
+      val freshNames = fileNamesIn(spark, s"$stage/$MergeDataSub")
       val keptStats = Manifest.read(spark, path, MergeStatsSub)
         .filter(!col("file_name").isin(touchedNames.toSeq: _*))
       val freshStats =
         if (freshNames.isEmpty) keptStats.filter(lit(false))
-        else mergeStatsFor(spark, path, freshNames, keys)
+        else mergeStatsFor(spark, path, freshNames, keys,
+          dataDir = Some(s"$stage/$MergeDataSub"))
       keptStats.unionByName(freshStats).coalesce(1)
-        .write.mode(SaveMode.Append).parquet(s"$path/$MergeStatsSub")
+        .write.mode(SaveMode.Append).parquet(s"$stage/$MergeStatsSub")
     }
     DmlResult(affected, touchedRel.length, liveData.length, applied = true)
   }

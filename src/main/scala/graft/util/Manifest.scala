@@ -15,8 +15,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    `path/codes/cell=N/`, ... — the protocol does not care);
   *  - `_meta/manifest-N/`: a tiny parquet table (one coalesced file)
   *    listing every LIVE data file (root-relative) plus the applied
-  *    shard-id ledger. Spark's `_SUCCESS` marker is the commit point —
-  *    a manifest dir without it is an aborted commit and invisible.
+  *    shard-id ledger. Publication is an atomic rename of a fully
+  *    written staging directory — a reader never sees a half-written
+  *    manifest, and a second writer racing for the same slot FAILS
+  *    (see the concurrency contract below).
   *
   * The newest committed manifest IS the store state. That buys, for
   * every store routed through here:
@@ -38,18 +40,76 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - **time travel** — every retained generation stays resolvable
   *    (`asOf`), the `VERSION AS OF` analog, for free from the layout.
   *
-  * Concurrency contract (same as the candle store and
-  * [[Lake.compact]]): ONE writer at a time — the caller serializes
-  * builds/extends (foreachBatch micro-batches already are). Readers
-  * are unrestricted and never block.
+  * ## Concurrency contract — optimistic, Delta's serialized commits
+  *
+  * Commits are OPTIMISTIC and SERIALIZED, the `_delta_log` guarantee:
+  * generation `n+1` is claimed by atomically renaming a fully staged
+  * manifest into the `manifest-(n+1)` slot (rename-if-absent — the
+  * recipe Delta's HDFS LogStore uses for its versioned commit files).
+  * Two writers racing the same slot cannot both win: the loser's
+  * rename fails, it re-reads the new head, and either REBASES (commits
+  * its work against the new state at the next slot) or REFUSES with
+  * `java.util.ConcurrentModificationException` when the competitor
+  * invalidated what it read — per-operation rules:
+  *
+  *  - [[extend]] (append-only, Delta's blind-append class): always
+  *    rebases — new files and the shard-ledger entry are re-committed
+  *    on top of the competitor's head; a competitor that applied the
+  *    SAME shard id turns the rebase into the ledger no-op.
+  *  - [[replace]] rebases when the competitor left `dropSub` alone
+  *    (e.g. it extended a different artifact of the same store) and
+  *    refuses when `dropSub`'s committed file set changed — the
+  *    replacement was computed from a state that no longer exists.
+  *  - [[rewriteFiles]] (the MERGE/DELETE/UPDATE primitive — these read
+  *    the whole table before rewriting part of it) is Serializable-
+  *    conservative, like Delta's conflict checker for read-write
+  *    transactions: ANY committed change to the live file set since
+  *    the base snapshot refuses. The caller re-runs the whole
+  *    operation against the new head (Delta surfaces the same
+  *    `ConcurrentModificationException` family to its callers).
+  *  - [[compactSub]] re-runs itself internally on a lost race (pure
+  *    maintenance — re-running is always safe); [[restore]] re-lands
+  *    its target file list on the new head.
+  *  - [[init]] is table CREATION and stays single-writer: it clears
+  *    the store root; racing inits are a caller bug and surface as a
+  *    conflict on the generation-0 slot.
+  *
+  * A writer that loses its race leaves its already-written data files
+  * unreferenced; they are invisible to every reader and reclaimed by
+  * [[vacuum]]. Bounded retries (20) guard against livelock; exhaustion
+  * throws `ConcurrentModificationException`.
+  *
+  * Attribution scope: [[replace]], [[rewriteFiles]] and
+  * [[compactSub]] — the ops where mis-attribution would corrupt (a
+  * rewrite adopting a concurrent writer's in-flight files resurrects
+  * dropped rows) — stage their writes under a transaction-scoped
+  * dot-dir and commit EXACTLY the files they move into place, Delta's
+  * committer-reports-its-adds rule. [[extend]] keeps the cheaper
+  * listing-diff discovery (its many per-store write callbacks append
+  * in place), with the corresponding caveat: two extends whose data
+  * writes overlap in time on the SAME store can momentarily see each
+  * other's uncommitted files — committed competitors are deduplicated
+  * at rebase (file lists are set-unioned, and for an append-only
+  * store a row's early adoption is harmless), leaving one residue (a
+  * competitor that CRASHES mid-write while an overlapping extend
+  * commits may get its partial files adopted early), plus the
+  * Spark-side constraint that overlapping jobs must not share one
+  * target directory (Spark's default FileOutputCommitter stages all
+  * tasks under a single `_temporary/` there). In practice each store
+  * has one maintenance stream, so extends on one store are already
+  * serialized; cross-store and all DML concurrency are exact.
+  * Storage: the
+  * rename-if-absent commit is atomic on HDFS and posix-`file://` (the
+  * `FileContext` API — Delta's HDFSLogStore contract); S3-class object
+  * stores need a conditional-put LogStore, exactly as Delta documents
+  * for its own log.
+  *
+  * Readers are unrestricted and never block.
   *
   * Scale notes: a manifest holds one short string per live data file —
   * the cardinality any parquet reader's file index already handles —
   * and commits are one coalesced tiny file. New-file discovery is a
-  * listing diff around the write callback, O(store files) per extend;
-  * Delta proper avoids even that by having the committer report its
-  * adds, an optimization a real cluster deployment would plug in here
-  * without changing the protocol or its readers.
+  * listing diff around the write callback, O(store files) per extend.
   */
 object Manifest {
 
@@ -57,6 +117,11 @@ object Manifest {
     * (root-relative, sorted), applied shard ids.
     */
   case class Snapshot(gen: Int, files: Seq[String], applied: Set[String])
+
+  /** Bounded optimism: a writer that loses this many commit races in
+    * a row throws rather than livelock.
+    */
+  private val MaxCommitAttempts = 20
 
   private def metaPath(path: String) = s"$path/_meta"
 
@@ -114,19 +179,67 @@ object Manifest {
     if (!isManaged(spark, path)) Set.empty
     else snapshot(spark, path).applied
 
-  /** Write + commit manifest `n`. Overwrite mode makes a crashed
-    * attempt retryable; `_SUCCESS` (written last by the committer) is
-    * the commit point.
+  /** Stage manifest `n`'s parquet under a writer-unique name, then
+    * atomically claim the `manifest-n` slot by rename-if-absent
+    * (`FileContext.rename` with the default `Rename.NONE` semantics —
+    * the Delta HDFSLogStore commit recipe). Returns false when a
+    * competitor holds the slot (the staged dir is cleaned up);
+    * rename is the single commit point, so readers only ever see a
+    * fully written manifest (its `_SUCCESS` rides along).
     */
-  private def commit(spark: SparkSession, path: String, n: Int,
-                     files: Seq[String], applied: Set[String]): Unit = {
+  private def tryCommit(spark: SparkSession, path: String, n: Int,
+                        files: Seq[String], applied: Set[String]): Boolean = {
     import spark.implicits._
-    val rows = files.map(f => (Option(f), Option.empty[String])) ++
+    val rows = files.distinct.sorted
+      .map(f => (Option(f), Option.empty[String])) ++
       applied.toSeq.map(s => (Option.empty[String], Option(s)))
+    val stage = s"${metaPath(path)}/stage-${java.util.UUID.randomUUID}"
     rows.toDF("file", "shard_id")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"${metaPath(path)}/manifest-$n")
+      .parquet(stage)
+    val fs = fsOf(spark, path)
+    val src = new org.apache.hadoop.fs.Path(stage)
+    val dst = new org.apache.hadoop.fs.Path(s"${metaPath(path)}/manifest-$n")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(src, dst); true }
+    catch {
+      case e: java.io.IOException =>
+        // FileAlreadyExistsException from the existence check, or the
+        // raw rename refusing an existing non-empty destination (the
+        // check-then-rename race's loser): if the slot is now held,
+        // this is a detected conflict, not an error
+        if (fs.exists(dst)) { fs.delete(src, true); false }
+        else throw e
+    }
+  }
+
+  /** Optimistic commit loop: attempt slots `head+1`, re-reading the
+    * head after every lost race. `attempt` maps the current head to
+    * the (files, applied) to commit — returning None abandons (the
+    * post-race ledger no-op), throwing refuses (semantic conflict).
+    * Returns the committed generation, None when abandoned.
+    */
+  private def commitLoop(spark: SparkSession, path: String, what: String)
+                        (first: Snapshot)
+                        (attempt: Snapshot => Option[(Seq[String], Set[String])])
+      : Option[Int] = {
+    var prev = first
+    var tries = 0
+    while (tries < MaxCommitAttempts) {
+      tries += 1
+      attempt(prev) match {
+        case None => return None
+        case Some((files, applied)) =>
+          val n = prev.gen + 1
+          if (tryCommit(spark, path, n, files, applied)) return Some(n)
+      }
+      prev = snapshot(spark, path)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$what on $path lost $MaxCommitAttempts commit races in a row — " +
+        "writer contention is beyond optimistic-retry range")
   }
 
   /** Root-relative paths of every visible data file under `path`
@@ -150,25 +263,63 @@ object Manifest {
     walk(root, "").toSet
   }
 
+  /** Move every staged data file from `stage` into `path`, preserving
+    * the relative layout (so a write to `<stage>/data/k=v/part-x`
+    * lands at `<path>/data/k=v/part-x`). Parquet part names are
+    * writer-unique, so moves never collide; renames are metadata ops
+    * on the same filesystem. Returns the moved files' root-relative
+    * paths — the transaction's EXACT adds, with no listing diff and
+    * therefore no way to adopt a concurrent writer's files.
+    */
+  private def adoptStaged(spark: SparkSession, path: String,
+                          stage: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val staged = listData(spark, stage).toSeq.sorted
+    staged.foreach { rel =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$rel"), dst))
+        throw new java.io.IOException(
+          s"failed to publish staged file $rel from $stage into $path")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    staged
+  }
+
   /** Initialize the store: clear any previous epoch entirely (a
     * surviving higher-numbered manifest or stale ledger would shadow
     * the rebuild — same rule as the candle store's re-build), run
     * `write` (the store's Overwrite-mode artifact writes), and commit
-    * everything it produced as generation 0 with an empty ledger.
+    * everything it produced as generation 0 with `applied` as the
+    * ledger (normally empty; a replayed-stream build passes its batch
+    * id so a later resume can prove the build already happened).
+    * Table creation is single-writer: a racing init (both clear, both
+    * claim slot 0) is a caller bug and surfaces as a conflict.
     */
-  def init(spark: SparkSession, path: String)(write: => Unit): Unit = {
+  def init(spark: SparkSession, path: String,
+           applied: Set[String] = Set.empty)(write: => Unit): Unit = {
     val fs = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(p)) { fs.delete(p, true); () }
     write
-    commit(spark, path, 0, listData(spark, path).toSeq.sorted, Set.empty)
+    if (!tryCommit(spark, path, 0, listData(spark, path).toSeq.sorted, applied))
+      throw new java.util.ConcurrentModificationException(
+        s"init on $path raced another writer for generation 0 — table " +
+          "creation is single-writer; serialize store builds")
   }
 
   /** Fold one shard in: skip entirely when `shardId` is already in the
     * ledger (re-delivery no-op — `write` never runs), otherwise run
     * `write` (the store's Append-mode shard writes), diff the listing,
-    * and commit generation `n+1` = previous files + the new ones +
+    * and commit generation `head+1` = head files + the new ones +
     * the shard id, then retire generations beyond `retain`.
+    *
+    * Append-only, so a lost commit race REBASES: the same new files
+    * and ledger entry commit on top of the competitor's head (file
+    * lists union — a competitor that raced ahead never loses its
+    * generation, and neither do we). A competitor that applied the
+    * SAME shard id turns the retry into the ledger no-op (this
+    * writer's files stay unreferenced — [[vacuum]] food).
     *
     * A shard whose `write` produces NO files still commits (the ledger
     * must record it — empty micro-batches are normal in streaming
@@ -183,15 +334,17 @@ object Manifest {
             (write: => Unit): Boolean = {
     require(retain >= 2,
       "retain must be >= 2 (current + the in-flight-reader grace generation)")
-    val prev = snapshot(spark, path)
-    if (shardId.exists(prev.applied)) return false
+    val base = snapshot(spark, path)
+    if (shardId.exists(base.applied)) return false
     val before = listData(spark, path)
     write
     val fresh = (listData(spark, path) -- before).toSeq.sorted
-    val n = prev.gen + 1
-    commit(spark, path, n, prev.files ++ fresh, prev.applied ++ shardId)
-    retire(spark, path, n, retain)
-    true
+    val n = commitLoop(spark, path, "extend")(base) { prev =>
+      if (shardId.exists(prev.applied)) None
+      else Some(((prev.files ++ fresh).distinct.sorted, prev.applied ++ shardId))
+    }
+    n.foreach(g => retire(spark, path, g, retain))
+    n.isDefined
   }
 
   /** [[extend]] for stores that REWRITE an artifact instead of
@@ -203,22 +356,51 @@ object Manifest {
     * deletes them only once no retained manifest does). Replaces the
     * rename-swap idiom and its reader-facing PATH_NOT_FOUND window:
     * readers resolve old or new atomically, never an absent table.
+    *
+    * Conflict rule: a lost commit race rebases when the competitor
+    * left `dropSub`'s committed file set unchanged (it extended some
+    * OTHER artifact of the store), and throws
+    * `java.util.ConcurrentModificationException` when it did not —
+    * the replacement was computed from a `dropSub` state that no
+    * longer exists, so only a caller-level re-run is sound.
+    *
+    * Adds are EXACT, as in [[rewriteFiles]]: `write` receives a
+    * transaction-scoped staging root and writes the replacement
+    * version dir under it with the final relative layout (e.g.
+    * `<stage>/labels/lv=3/...`); the protocol moves the files into
+    * place and commits precisely those — a replace can never adopt a
+    * concurrent writer's in-flight files.
     */
   def replace(spark: SparkSession, path: String, dropSub: String,
               shardId: Option[String] = None, retain: Int = 3)
-             (write: => Unit): Boolean = {
+             (write: String => Unit): Boolean = {
     require(retain >= 2,
       "retain must be >= 2 (current + the in-flight-reader grace generation)")
-    val prev = snapshot(spark, path)
-    if (shardId.exists(prev.applied)) return false
-    val before = listData(spark, path)
-    write
-    val fresh = (listData(spark, path) -- before).toSeq.sorted
-    val kept = prev.files.filterNot(_.startsWith(s"$dropSub/"))
-    val n = prev.gen + 1
-    commit(spark, path, n, kept ++ fresh, prev.applied ++ shardId)
-    retire(spark, path, n, retain)
-    true
+    val base = snapshot(spark, path)
+    if (shardId.exists(base.applied)) return false
+    val prefix = s"$dropSub/"
+    val baseSub = base.files.filter(_.startsWith(prefix)).toSet
+    val stage = s"$path/.txn-${java.util.UUID.randomUUID}"
+    write(stage)
+    val fresh = adoptStaged(spark, path, stage)
+    val freshSet = fresh.toSet
+    val n = commitLoop(spark, path, s"replace($dropSub)")(base) { prev =>
+      if (shardId.exists(prev.applied)) None
+      else {
+        val prevSub = prev.files
+          .filter(f => f.startsWith(prefix) && !freshSet.contains(f)).toSet
+        if (prev.gen != base.gen && prevSub != baseSub)
+          throw new java.util.ConcurrentModificationException(
+            s"replace($dropSub) on $path: a concurrent commit changed " +
+              s"$dropSub/ between the base snapshot (gen ${base.gen}) and " +
+              s"the head (gen ${prev.gen}); re-run the replacement against " +
+              "the new state")
+        val kept = prev.files.filterNot(_.startsWith(prefix))
+        Some(((kept ++ fresh).distinct.sorted, prev.applied ++ shardId))
+      }
+    }
+    n.foreach(g => retire(spark, path, g, retain))
+    n.isDefined
   }
 
   /** [[replace]] at FILE granularity: the commit carries forward every
@@ -229,22 +411,54 @@ object Manifest {
     * commit untouched on disk. Dropped files stay physically present
     * until no retained manifest references them ([[retire]]), so
     * in-flight readers and `asOf` time travel keep resolving them.
+    *
+    * Conflict rule — Serializable-conservative, because the callers
+    * (MERGE / DELETE / UPDATE) READ the whole table before rewriting
+    * part of it: a lost commit race throws
+    * `java.util.ConcurrentModificationException` on ANY committed
+    * change to the live file set since the base snapshot (even a blind
+    * append could carry rows the rewrite's predicate should have
+    * seen — Delta's conflict checker refuses the same way for
+    * read-write transactions). The caller re-runs the whole operation
+    * against the new head; its orphaned write is [[vacuum]] food.
+    *
+    * Unlike [[extend]]/[[replace]], the adds here are EXACT, not a
+    * listing diff: `write` receives a transaction-scoped staging root
+    * (dot-prefixed — invisible to data listings and readers) and must
+    * write every new file under it with the final relative layout; the
+    * protocol then moves the staged files into place and commits
+    * precisely those. A rewrite can therefore never adopt a concurrent
+    * writer's in-flight files (which, for a rewrite, would resurrect
+    * dropped rows), and two transactions' Spark jobs never share a
+    * `_temporary/` staging dir.
     */
   def rewriteFiles(spark: SparkSession, path: String, drop: Set[String],
                    shardId: Option[String] = None, retain: Int = 3)
-                  (write: => Unit): Boolean = {
+                  (write: String => Unit): Boolean = {
     require(retain >= 2,
       "retain must be >= 2 (current + the in-flight-reader grace generation)")
-    val prev = snapshot(spark, path)
-    if (shardId.exists(prev.applied)) return false
-    val before = listData(spark, path)
-    write
-    val fresh = (listData(spark, path) -- before).toSeq.sorted
-    val kept = prev.files.filterNot(drop)
-    val n = prev.gen + 1
-    commit(spark, path, n, kept ++ fresh, prev.applied ++ shardId)
-    retire(spark, path, n, retain)
-    true
+    val base = snapshot(spark, path)
+    if (shardId.exists(base.applied)) return false
+    val stage = s"$path/.txn-${java.util.UUID.randomUUID}"
+    write(stage)
+    val fresh = adoptStaged(spark, path, stage)
+    val freshSet = fresh.toSet
+    val n = commitLoop(spark, path, "rewriteFiles")(base) { prev =>
+      if (shardId.exists(prev.applied)) None
+      else {
+        if (prev.gen != base.gen &&
+            prev.files.toSet -- freshSet != base.files.toSet)
+          throw new java.util.ConcurrentModificationException(
+            s"rewriteFiles on $path: a concurrent commit changed the live " +
+              s"file set between the base snapshot (gen ${base.gen}) and " +
+              s"the head (gen ${prev.gen}); re-run the rewrite against the " +
+              "new state")
+        val kept = prev.files.filterNot(drop)
+        Some(((kept ++ fresh).distinct.sorted, prev.applied ++ shardId))
+      }
+    }
+    n.foreach(g => retire(spark, path, g, retain))
+    n.isDefined
   }
 
   /** The files of one generation that live under `path/sub`, read with
@@ -256,7 +470,8 @@ object Manifest {
     */
   def read(spark: SparkSession, path: String, sub: String,
            asOf: Option[Int] = None,
-           schemaFrom: Option[DataFrame] = None): DataFrame = {
+           schemaFrom: Option[DataFrame] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val snap = snapshot(spark, path, asOf)
     val prefix = s"$sub/"
     val files = snap.files.filter(_.startsWith(prefix))
@@ -268,7 +483,14 @@ object Manifest {
             "and no schemaFrom fallback was supplied"))
       base.filter(org.apache.spark.sql.functions.lit(false))
     } else
-      spark.read.option("basePath", s"$path/$sub").parquet(files: _*)
+      // mergeSchema unions every live file's footer — required for
+      // stores whose files span an additive schema evolution, where a
+      // single-footer inference could miss the newer columns. Opt-in:
+      // the footer merge touches every live file's metadata (Delta
+      // avoids even that by carrying the schema in the log — the
+      // cluster optimization slot here is a schema row in the manifest)
+      spark.read.option("basePath", s"$path/$sub")
+        .option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
 
   /** Delta's `RESTORE TABLE ... VERSION AS OF` — roll the store back
@@ -278,37 +500,90 @@ object Manifest {
     * now live again under the new head). The applied-shard ledger
     * keeps the CURRENT head's ids — like Delta, restore rewinds data,
     * not writer-idempotency history (a replayed shard id after a
-    * restore must still no-op). Returns the new head generation.
+    * restore must still no-op). A lost commit race re-lands the target
+    * file list on the new head (last-restore-wins, serialized).
+    * Returns the new head generation.
     */
   def restore(spark: SparkSession, path: String, gen: Int,
               retain: Int = 3): Int = {
     val target = snapshot(spark, path, Some(gen))
     val head = snapshot(spark, path)
-    val n = head.gen + 1
-    commit(spark, path, n, target.files, head.applied)
+    val n = commitLoop(spark, path, "restore")(head) { prev =>
+      Some((target.files, prev.applied))
+    }.get
     retire(spark, path, n, retain)
     n
   }
 
+  // ── retention horizon ─────────────────────────────────────────────
+  //
+  // Delta's `delta.deletedFileRetentionDuration` (default 7 days) as a
+  // per-store property: generations committed within the horizon are
+  // NOT retired even when they fall outside the retain count, and
+  // orphan files younger than the horizon are NOT vacuumed. This is
+  // what makes a long-running `asOf` reader safe against the
+  // retire/vacuum race: pin any generation committed within the
+  // horizon and its files cannot disappear underneath the scan. A
+  // horizon > 0 also closes vacuum's in-flight-writer hazard — an
+  // uncommitted transaction's freshly written files are younger than
+  // the horizon by construction, so vacuum spares them.
+
+  /** Set the store's retention horizon in milliseconds (0 = pure
+    * count-based retirement, the default). Stored as a tiny
+    * `_meta/retention` file; last write wins.
+    */
+  def setRetention(spark: SparkSession, path: String, ms: Long): Unit = {
+    require(ms >= 0, s"retention horizon must be >= 0 ms, got $ms")
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"${metaPath(path)}/retention")
+    val out = fs.create(p, true)
+    try out.write(ms.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The store's retention horizon (0 when none was ever set). */
+  def retentionMs(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"${metaPath(path)}/retention")
+    if (!fs.exists(p)) 0L
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLong
+    }
+  }
+
   /** Drop manifests older than the newest `retain` generations and
-    * every data file only they reference. The retained window is both
-    * the in-flight-reader grace period and the time-travel horizon.
+    * every data file only they reference — EXCEPT generations
+    * committed within the store's retention horizon, which survive
+    * regardless of count (the pinned-reader guarantee above). The
+    * retained window is both the in-flight-reader grace period and
+    * the time-travel horizon. Concurrent retires are harmless
+    * (deletes are idempotent, and the generations they act on are
+    * already committed history).
     */
   private def retire(spark: SparkSession, path: String,
                      current: Int, retain: Int): Unit = {
     val fs = fsOf(spark, path)
     val floor = current - (retain - 1)
     val gens = generations(spark, path)
-    val keep = gens.filter(_ >= floor)
-    if (keep.sorted == gens.sorted) return
-    val live = keep.flatMap(g => snapshot(spark, path, Some(g)).files).toSet
-    val dead = gens.filterNot(_ >= floor)
+    val horizon = retentionMs(spark, path)
+    val cutoff = System.currentTimeMillis() - horizon
+    // commit time = the manifest dir's mtime (its contents are written
+    // once, at staging, and never touched after the publish rename)
+    def withinHorizon(g: Int): Boolean = horizon > 0 &&
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"${metaPath(path)}/manifest-$g")).getModificationTime >= cutoff
+    val keep = gens.filter(g => g >= floor || withinHorizon(g)).toSet
+    if (keep == gens.toSet) return
+    val live = keep.toSeq.flatMap(g => snapshot(spark, path, Some(g)).files).toSet
+    val dead = gens.filterNot(keep)
       .flatMap(g => snapshot(spark, path, Some(g)).files)
       .toSet -- live
     dead.foreach { f =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$f"), false); ()
     }
-    gens.filterNot(_ >= floor).foreach { g =>
+    gens.filterNot(keep).foreach { g =>
       fs.delete(new org.apache.hadoop.fs.Path(
         s"${metaPath(path)}/manifest-$g"), true); ()
     }
@@ -327,53 +602,92 @@ object Manifest {
     * exactly Delta's OPTIMIZE-then-VACUUM split. Partition dirs
     * (`cell=N`, ...) are preserved: rows are hash-clustered by the
     * partition columns inferred from the live file paths and written
-    * through the same dynamic layout. Returns (filesBefore,
+    * through the same dynamic layout. A lost commit race re-runs the
+    * whole pass against the new head (pure maintenance — always safe;
+    * the stale rewrite becomes [[vacuum]] food). Returns (filesBefore,
     * filesAfter) for the sub.
     */
   def compactSub(spark: SparkSession, path: String, sub: String,
                  targetFileMB: Int = 128, retain: Int = 3): (Int, Int) = {
-    val prev = snapshot(spark, path)
     val prefix = s"$sub/"
-    val liveSub = prev.files.filter(_.startsWith(prefix))
-    if (liveSub.isEmpty) return (0, 0)
-    // partition columns: k=v segments between sub/ and the file name
-    val partCols = liveSub.head.stripPrefix(prefix).split("/").dropRight(1)
-      .filter(_.contains("=")).map(_.split("=", 2)(0)).toSeq
-    val fs = fsOf(spark, path)
-    val totalMB = math.max(liveSub.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$f")).getLen)
-      .sum / (1024.0 * 1024.0), 0.001)
-    val nFiles = math.max(1, math.ceil(totalMB / targetFileMB).toInt)
-    val df = read(spark, path, sub)
-    val shaped =
-      if (partCols.isEmpty) df.repartition(nFiles)
-      else df.repartition(nFiles,
-        partCols.map(org.apache.spark.sql.functions.col): _*)
-    val before = listData(spark, path)
-    val w = shaped.write.mode(SaveMode.Append)
-    (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
-      .parquet(s"$path/$sub")
-    val fresh = (listData(spark, path) -- before).toSeq.sorted
-    val kept = prev.files.filterNot(_.startsWith(prefix))
-    val n = prev.gen + 1
-    commit(spark, path, n, kept ++ fresh, prev.applied)
-    retire(spark, path, n, retain)
-    (liveSub.length, fresh.length)
+    var tries = 0
+    while (true) {
+      tries += 1
+      val prev = snapshot(spark, path)
+      val liveSub = prev.files.filter(_.startsWith(prefix))
+      if (liveSub.isEmpty) return (0, 0)
+      // partition columns: k=v segments between sub/ and the file name
+      val partCols = liveSub.head.stripPrefix(prefix).split("/").dropRight(1)
+        .filter(_.contains("=")).map(_.split("=", 2)(0)).toSeq
+      val fs = fsOf(spark, path)
+      val totalMB = math.max(liveSub.map(f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$f")).getLen)
+        .sum / (1024.0 * 1024.0), 0.001)
+      val nFiles = math.max(1, math.ceil(totalMB / targetFileMB).toInt)
+      val df = read(spark, path, sub, asOf = Some(prev.gen))
+      val shaped =
+        if (partCols.isEmpty) df.repartition(nFiles)
+        else df.repartition(nFiles,
+          partCols.map(org.apache.spark.sql.functions.col): _*)
+      // staged write + move: exact adds, no listing diff (same
+      // attribution rule as rewriteFiles — a concurrent extend's
+      // in-flight files must not be adopted into the compacted commit)
+      val stage = s"$path/.txn-${java.util.UUID.randomUUID}"
+      val w = shaped.write.mode(SaveMode.Append)
+      (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+        .parquet(s"$stage/$sub")
+      val fresh = adoptStaged(spark, path, stage)
+      val kept = prev.files.filterNot(_.startsWith(prefix))
+      val n = prev.gen + 1
+      if (tryCommit(spark, path, n,
+          (kept ++ fresh).distinct.sorted, prev.applied)) {
+        retire(spark, path, n, retain)
+        return (liveSub.length, fresh.length)
+      }
+      if (tries >= MaxCommitAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"compactSub($sub) on $path lost $MaxCommitAttempts commit races " +
+            "in a row — writer contention is beyond optimistic-retry range")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Delete data files no RETAINED manifest references — crashed-write
-    * orphans and stragglers [[retire]] could not attribute. Safe only
-    * under the single-writer contract (an in-flight extend's
-    * uncommitted files would look like orphans). Returns the count.
+    * orphans, lost-race writes, and stragglers [[retire]] could not
+    * attribute — plus leftover commit-staging directories. Orphans
+    * (and staging dirs) YOUNGER than the store's retention horizon are
+    * spared: with a horizon set, vacuum cannot race an in-flight
+    * writer (its uncommitted files are newer than the horizon by
+    * construction). With no horizon (0), callers must ensure no writer
+    * is mid-transaction on the store; lost-race and crashed writers
+    * need no such care either way — their files are permanently
+    * unreferenced. Returns the count of data files removed.
     */
   def vacuum(spark: SparkSession, path: String): Int = {
     val fs = fsOf(spark, path)
+    val horizon = retentionMs(spark, path)
+    val cutoff = System.currentTimeMillis() - horizon
+    def old(p: org.apache.hadoop.fs.Path): Boolean = horizon == 0 ||
+      fs.getFileStatus(p).getModificationTime < cutoff
     val live = generations(spark, path)
       .flatMap(g => snapshot(spark, path, Some(g)).files).toSet
-    val orphans = listData(spark, path) -- live
+    val orphans = (listData(spark, path) -- live)
+      .filter(f => old(new org.apache.hadoop.fs.Path(s"$path/$f")))
     orphans.foreach { f =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$f"), false); ()
     }
+    // abandoned staging dirs: half-staged manifest commits under _meta
+    // and crashed transactions' data staging under the root
+    val mp = new org.apache.hadoop.fs.Path(metaPath(path))
+    if (fs.exists(mp))
+      fs.listStatus(mp).map(_.getPath)
+        .filter(p => p.getName.startsWith("stage-") && old(p))
+        .foreach { p => fs.delete(p, true); () }
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith(".txn-") && old(p))
+        .foreach { p => fs.delete(p, true); () }
     orphans.size
   }
 }

@@ -378,6 +378,46 @@ class LakeSpec extends SparkSuite with Matchers {
       Lake.merge(spark, path, drifted, Seq("k"))
   }
 
+  test("merge evolve: updates with an added column widen the table " +
+      "atomically; pre-evolution rows read NULL; refusals hold") {
+    val (path, _) = mergeFixture()
+    val upd = Seq((10L, -1L, "up", 1.5), (900L, -2L, "new", 2.5))
+      .toDF("k", "v", "tag", "score")
+    // without evolve: refused as drift (table untouched)
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path, upd, Seq("k"))
+    // with evolve: widened in one commit
+    val res = Lake.merge(spark, path, upd, Seq("k"), evolve = true)
+    res.matched shouldBe 1L
+    res.inserted shouldBe 1L
+    val head = Lake.mergeRead(spark, path)
+    head.columns.toSeq shouldBe Seq("k", "v", "tag", "score")
+    head.count() shouldBe 801L
+    head.filter(col("k") === 10L).select("score").as[Double].head() shouldBe 1.5
+    head.filter(col("k") === 900L).select("score").as[Double].head() shouldBe 2.5
+    // untouched pre-evolution rows surface the new column as NULL
+    head.filter(col("k") === 5L).select("score").isEmpty shouldBe false
+    head.filter(col("k") === 5L && col("score").isNull).count() shouldBe 1L
+    // the pre-evolution snapshot still reads with its own schema
+    Lake.mergeRead(spark, path, asOf = Some(0)).columns.toSeq shouldBe
+      Seq("k", "v", "tag")
+    // a later ordinary merge against the widened table must now carry
+    // the full widened schema
+    val updOld = Seq((11L, -3L, "x")).toDF("k", "v", "tag")
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path, updOld, Seq("k"))
+    // evolution never allows dropped columns or type changes
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path, updOld, Seq("k"), evolve = true)
+    val drifted = Seq((11L, "notlong", "x", 1.0)).toDF("k", "v", "tag", "score")
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path, drifted, Seq("k"), evolve = true)
+    // file pruning and stats survive the evolution: a post-evolution
+    // range read through the regenerated stats is exact
+    val ranged = Lake.mergeReadRange(spark, path, "k", lit(890L), lit(910L))
+    ranged.filter(col("k") === 900L).count() shouldBe 1L
+  }
+
   test("updateWhere: a SET expression whose type drifts from the target " +
       "column is refused up front (table untouched)") {
     val (path, _) = mergeFixture()

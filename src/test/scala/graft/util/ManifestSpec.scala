@@ -132,4 +132,206 @@ class ManifestSpec extends SparkSuite {
     val got = Manifest.read(spark, p, "nothing", schemaFrom = Some(proto))
     assert(got.columns.toSeq == Seq("id", "v") && got.count() == 0)
   }
+
+  // ── retention horizon ─────────────────────────────────────────────
+
+  test("retention horizon: generations inside the horizon survive " +
+      "retirement beyond the retain count, a pinned asOf reader keeps " +
+      "resolving, and vacuum spares young orphans") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "a")), SaveMode.Overwrite) }
+    Manifest.setRetention(spark, p, 3600 * 1000L)
+    (2 to 5).foreach { i =>
+      assert(Manifest.extend(spark, p, Some(s"s$i"), retain = 2) {
+        writeRows(p, Seq((i.toLong, "x")), SaveMode.Append)
+      })
+    }
+    // retain=2 alone would keep only gens 3 and 4 — the horizon keeps all
+    assert(Manifest.generations(spark, p) == Seq(0, 1, 2, 3, 4))
+    // the pinned-reader guarantee: generation 0 still fully resolves
+    assert(Manifest.read(spark, p, "data", asOf = Some(0))
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // a young orphan (e.g. an in-flight writer's file) survives vacuum
+    writeRows(p, Seq((99L, "orphan")), SaveMode.Append)
+    assert(Manifest.vacuum(spark, p) == 0)
+    assert(Manifest.read(spark, p, "data", asOf = Some(0))
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // dropping the horizon resumes count-based retirement on the next
+    // commit, and vacuum reclaims the orphan
+    Manifest.setRetention(spark, p, 0L)
+    assert(Manifest.retentionMs(spark, p) == 0L)
+    assert(Manifest.extend(spark, p, Some("s6"), retain = 2) {
+      writeRows(p, Seq((6L, "y")), SaveMode.Append)
+    })
+    assert(Manifest.generations(spark, p) == Seq(4, 5))
+    assert(Manifest.vacuum(spark, p) >= 1)
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect()
+      .map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  // ── multi-writer optimistic concurrency ───────────────────────────
+
+  /** Run `a` and `b` on two threads, returning each one's outcome.
+    * The write callbacks rendezvous on `barrier` so BOTH writers have
+    * read the base snapshot and written their data before EITHER
+    * attempts a commit — the exact interleaving a last-write-wins
+    * protocol would silently lose a generation on.
+    *
+    * EXTEND data writes into the SAME directory additionally
+    * serialize on `writeLock`: Spark's default FileOutputCommitter
+    * stages every job's tasks under one shared `_temporary/` inside
+    * the target dir, so overlapping in-place appends to one dir are
+    * unsafe in vanilla Spark regardless of any commit protocol (the
+    * Manifest scaladoc's documented extend caveat; rewriteFiles
+    * needs no lock — each transaction stages in its own dot-dir).
+    * The COMMIT race — the property under test — is unaffected: both
+    * writers hold base-generation snapshots throughout.
+    */
+  private val writeLock = new Object
+  private def race(a: => Any, b: => Any): (Either[Throwable, Any], Either[Throwable, Any]) = {
+    val outA = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Any]]()
+    val outB = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Any]]()
+    val ta = new Thread(() => outA.set(
+      try Right(a) catch { case t: Throwable => Left(t) }))
+    val tb = new Thread(() => outB.set(
+      try Right(b) catch { case t: Throwable => Left(t) }))
+    ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+    (outA.get(), outB.get())
+  }
+
+  test("two interleaved extends serialize: commits land as consecutive " +
+      "generations, the loser rebases, no generation is lost") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "base")), SaveMode.Overwrite) }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def ext(tag: String, row: (Long, String)) =
+      Manifest.extend(spark, p, Some(tag), retain = 5) {
+        writeLock.synchronized { writeRows(p, Seq(row), SaveMode.Append) }
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    val (ra, rb) = race(ext("wA", (2L, "from-A")), ext("wB", (3L, "from-B")))
+    assert(ra == Right(true), s"writer A failed: $ra")
+    assert(rb == Right(true), s"writer B failed: $rb")
+    // both generations landed — one writer won the race, the other
+    // detected the taken slot and rebased onto the new head
+    assert(Manifest.generations(spark, p) == Seq(0, 1, 2))
+    val head = Manifest.snapshot(spark, p)
+    assert(head.applied == Set("wA", "wB"))
+    assert(head.files.distinct == head.files, "head references a file twice")
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "from-A"), (3L, "from-B")))
+  }
+
+  test("racing rewriteFiles: one commits, the loser REFUSES with " +
+      "ConcurrentModificationException and a re-run lands") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "a"), (2L, "b")), SaveMode.Overwrite) }
+    val base = Manifest.snapshot(spark, p)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def rewrite(tag: String): Boolean =
+      Manifest.rewriteFiles(spark, p, drop = base.files.toSet, retain = 5) { stage =>
+        writeRows(stage, Seq((1L, s"$tag-1"), (2L, s"$tag-2")), SaveMode.Append)
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    val (ra, rb) = race(rewrite("A"), rewrite("B"))
+    val results = Seq(ra, rb)
+    // exactly one wins; the other's read set was invalidated, so it
+    // must refuse rather than rebase (its rewrite was computed from
+    // files the winner just dropped)
+    assert(results.count(_ == Right(true)) == 1, s"outcomes: $results")
+    assert(results.count {
+      case Left(_: java.util.ConcurrentModificationException) => true
+      case _ => false
+    } == 1, s"outcomes: $results")
+    val winner = if (ra == Right(true)) "A" else "B"
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect().toSet ==
+      Set((1L, s"$winner-1"), (2L, s"$winner-2")))
+    // the loser re-runs against the new head — the documented recovery
+    val head = Manifest.snapshot(spark, p)
+    assert(Manifest.rewriteFiles(spark, p, drop = head.files.toSet, retain = 5) { stage =>
+      writeRows(stage, Seq((1L, "rerun-1"), (2L, "rerun-2")), SaveMode.Append)
+    })
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect().toSet ==
+      Set((1L, "rerun-1"), (2L, "rerun-2")))
+  }
+
+  test("replace racing an extend of a DIFFERENT sub: both rebase and land") {
+    val p = tmp()
+    Manifest.init(spark, p) {
+      writeRows(p, Seq((1L, "a")), SaveMode.Overwrite)
+      Seq((10L, "x")).toDF("id", "v").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/other")
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def await() = { barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); () }
+    val (ra, rb) = race(
+      Manifest.replace(spark, p, "data", retain = 5) { stage =>
+        Seq((1L, "relabeled")).toDF("id", "v").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$stage/data/ver=1")
+        await()
+      },
+      Manifest.extend(spark, p, Some("oext"), retain = 5) {
+        Seq((11L, "y")).toDF("id", "v").coalesce(1)
+          .write.mode(SaveMode.Append).parquet(s"$p/other")
+        await()
+      })
+    assert(ra == Right(true), s"replace failed: $ra")
+    assert(rb == Right(true), s"extend failed: $rb")
+    assert(Manifest.generations(spark, p) == Seq(0, 1, 2))
+    // select id,v: the ver=1 version dir surfaces as a partition column
+    assert(Manifest.read(spark, p, "data").select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "relabeled")))
+    assert(Manifest.read(spark, p, "other").as[(Long, String)].collect().toSet ==
+      Set((10L, "x"), (11L, "y")))
+  }
+
+  test("two replaces of the SAME sub: the loser refuses") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "a")), SaveMode.Overwrite) }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def rep(tag: String): Boolean =
+      Manifest.replace(spark, p, "data", retain = 5) { stage =>
+        Seq((1L, tag)).toDF("id", "v").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$stage/data/ver-$tag")
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    val (ra, rb) = race(rep("A"), rep("B"))
+    val results = Seq(ra, rb)
+    assert(results.count(_ == Right(true)) == 1, s"outcomes: $results")
+    assert(results.count {
+      case Left(_: java.util.ConcurrentModificationException) => true
+      case _ => false
+    } == 1, s"outcomes: $results")
+    val winner = if (ra == Right(true)) "A" else "B"
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect().toSet ==
+      Set((1L, winner)))
+  }
+
+  test("a lost-race writer's unreferenced files are vacuum-reclaimable " +
+      "and invisible to every retained generation") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "a"), (2L, "b")), SaveMode.Overwrite) }
+    val base = Manifest.snapshot(spark, p)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def rewrite(tag: String): Boolean =
+      Manifest.rewriteFiles(spark, p, drop = base.files.toSet, retain = 5) { stage =>
+        writeRows(stage, Seq((1L, s"$tag-1"), (2L, s"$tag-2")), SaveMode.Append)
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    val (ra, rb) = race(rewrite("A"), rewrite("B"))
+    assert(Seq(ra, rb).count(_ == Right(true)) == 1)
+    // the loser's rows never surface in any retained generation
+    val winner = if (ra == Right(true)) "A" else "B"
+    val loser = if (winner == "A") "B" else "A"
+    Manifest.generations(spark, p).foreach { g =>
+      val vals = Manifest.read(spark, p, "data", asOf = Some(g))
+        .as[(Long, String)].collect().map(_._2).toSet
+      assert(!vals.exists(_.startsWith(loser)), s"gen $g leaked loser rows")
+    }
+    // vacuum reclaims them (only gen 0+1 retained; loser files orphaned)
+    assert(Manifest.vacuum(spark, p) >= 1)
+    // and the head still reads clean afterwards
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect().toSet ==
+      Set((1L, s"$winner-1"), (2L, s"$winner-2")))
+  }
 }
