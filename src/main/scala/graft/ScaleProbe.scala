@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-attribution probe for the banded pair families (round-11
+  * VERDICT task 2 follow-through): measures, on one corpus directory,
+  *
+  *  1. hyperplane-LSH pair enumeration at the FIXED 2-bit gate
+  *     geometry vs the corpus-scaled geometry
+  *     ([[graft.operators.Similarity.scaledLshConfig]]), plus the
+  *     scaled config's measured recall against the exact all-pairs
+  *     ground truth — the evidence that the quadratic term in the sf1
+  *     bench is the pinned geometry, not the operator, and that the
+  *     scale path (occupancy-held buckets) restores near-linear cost;
+  *  2. `ngramJaccard` with and without the `maxShingleDf` index cap —
+  *     the documented escape hatch for shingle-df-dense corpora, where
+  *     prefix-candidate cost grows with Σ df(shingle)².
+  *
+  * Prints one JSON line per measurement. Not part of the gate surface
+  * — a measurement tool, like Bench.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def timed[A](what: String)(body: => A): A = {
+      val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+      val out = body
+      println(f"""{"probe":"$what","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f,"cpu_sec":${(osBean.getProcessCpuTime - c0) / 1e9}%.2f}""")
+      out
+    }
+    import graft.operators.{Dedup, Similarity}
+    val emb = graft.util.Tables.embeddings(spark, dir)
+    val n = emb.count()
+    println(s"""{"probe":"corpus","dir":"$dir","vectors":$n,"threshold":$threshold}""")
+
+    val fixed = timed(s"lsh_pairs_fixed_32x16_t$threshold")(
+      Similarity.lshPairs(emb, threshold, numPlanes = 32, bands = 16).count())
+    val (planes, bands) = Similarity.scaledLshConfig(n)
+    val scaledPairs = Similarity.lshPairs(emb, threshold, numPlanes = planes, bands = bands)
+    val scaled = timed(s"lsh_pairs_scaled_${planes}x${bands}_t$threshold")(scaledPairs.count())
+    val exact = Similarity.pairsAboveThreshold(emb, threshold)
+    val exactN = timed(s"lsh_pairs_exact_allpairs_t$threshold")(exact.count())
+    val found = scaledPairs.select("id_a", "id_b")
+      .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+    // multi-probe over the scaled geometry: the recall-recovery path
+    // (second-minimum bucket substitution) at the same near-linear cost
+    // class
+    val mp = Similarity.lshPairsMultiProbe(emb, threshold, numPlanes = planes, bands = bands)
+    val mpN = timed(s"lsh_pairs_scaled_multiprobe_${planes}x$bands")(mp.count())
+    val mpFound = mp.select("id_a", "id_b")
+      .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+    println(s"""{"probe":"lsh_recall","fixed_pairs":$fixed,"scaled_pairs":$scaled,"scaled_multiprobe_pairs":$mpN,"exact_pairs":$exactN,"scaled_found_of_exact":$found,"multiprobe_found_of_exact":$mpFound}""")
+
+    val docs = graft.util.Tables.documents(spark, dir)
+    val full = timed("ngram_jaccard_uncapped")(
+      Dedup.ngramJaccard(docs, n = 2, threshold = 0.5).count())
+    val capped = timed("ngram_jaccard_dfcap200")(
+      Dedup.ngramJaccard(docs, n = 2, threshold = 0.5, maxShingleDf = 200).count())
+    println(s"""{"probe":"jaccard_pairs","uncapped":$full,"dfcap200":$capped}""")
+    spark.stop()
+  }
+}

@@ -1402,6 +1402,12 @@ object SparkEntry {
     "dedup_exact_rows" -> ((s, dir) => Dedup.exactRows(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5)),
+    // containment pairs |A∩B|/min(|A|,|B|) ≥ 0.4 — this corpus holds a
+    // band of qualifying pairs at Jaccard 0.04–0.08, unreachable by
+    // any Jaccard-tuned banding; the small-side prefix filter is exact
+    // by theorem (not tuned recall), so the all-pairs SQL is the oracle
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(Tables.documents(s, dir), n = 2, threshold = 0.4)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), n = 2, threshold = 0.5)),
     // query-directed multi-probe at a QUARTER of the main gate's hash
@@ -3118,6 +3124,22 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON doc_a = sa.doc_id
                     JOIN sizes sb ON doc_b = sb.doc_id
          WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5""",
+    // containment = overlap over the SMALLER set; the prefix-filtered
+    // join is 100%-recall by construction, so exact all-pairs SQL
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) AS containment
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.4""",
     // minhashLsh verifies candidates with exact Jaccard and reaches
     // recall 1.0 on this corpus (spec-asserted), so the exact n-gram
     // Jaccard SQL is its oracle too

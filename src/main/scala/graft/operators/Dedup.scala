@@ -236,24 +236,15 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
                    maxShingleDf: Int = 0): DataFrame = {
     val sets = hashedShingles(docs, n)
-    // prefix length |d| - ceil(t*|d|) + 1 (exact-recall bound)
-    val prefixLen = (size(col("hs")) - ceil(lit(threshold) * size(col("hs"))) + 1).cast("int")
-    // posexplode_OUTER: a plain generator makes the optimizer infer a
-    // size(...) > 0 pre-filter that pushes below the exchange and
-    // re-evaluates the shingle kernel per row at the scan (see
-    // TextOps.repetition); outer + isNotNull keeps the kernel at one
-    // evaluation
-    val prefix = sets.select(col("doc_id"), size(col("hs")).as("sz"),
-        posexplode_outer(slice(col("hs"), lit(1), greatest(prefixLen, lit(0))))
-          .as(Seq("pos", "h")))
-      .filter(col("h").isNotNull)
+    val ranked = dfRankedPostings(sets)
+    // prefix length |d| - ceil(t*|d|) + 1 (exact-recall bound), taken
+    // over the df-ascending order: each doc's prefix is its RAREST
+    // shingles
+    val prefix = ranked.filter(
+      col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1)
     val index =
       if (maxShingleDf <= 0) prefix
-      else {
-        val w = Window.partitionBy(col("h"))
-        prefix.withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= maxShingleDf).drop("df")
-    }
+      else prefix.filter(col("df") <= maxShingleDf)
     // Self-join on the 8-byte prefix hash. No broadcast hint: at 100 TB
     // an O(corpus) broadcast would kill the driver, so the join is
     // planned by size — AQE converts to broadcast when the index is
@@ -264,9 +255,9 @@ object Dedup {
     // Positional filter (the PPJoin refinement): per candidate pair,
     // aggregate the prefix-match count and the max matched positions.
     // Any shared shingle NOT matched prefix-to-prefix is, in the global
-    // sort order, greater than every prefix match (it sits past at
-    // least one doc's prefix boundary), so it lies past (maxPa, maxPb)
-    // in BOTH sorted arrays. Hence
+    // (df, hash) order, greater than every prefix match (it sits past
+    // at least one doc's prefix boundary), so it lies past (maxPa,
+    // maxPb) in BOTH docs' df-ranked orders. Hence
     //   overlap ≤ cnt + min(szA-1-maxPa, szB-1-maxPb)
     // and pairs whose bound can't reach the Jaccard-implied overlap
     // floor t·(szA+szB)/(1+t) are pruned before verification.
@@ -282,6 +273,39 @@ object Dedup {
         * (1.0 + threshold) >= lit(threshold) * (col("sz_a") + col("sz_b")) - 1e-9)
       .select(col("doc_a"), col("doc_b"))
     verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Per-doc postings of the shingle-hash sets, positioned by the
+    * ASCENDING-CORPUS-FREQUENCY global order (ties by hash) — the
+    * AllPairs refinement of the prefix index shared by
+    * [[ngramJaccard]] and [[ngramContainment]]. The prefix-filter
+    * recall theorem holds for ANY fixed total order, so exactness is
+    * untouched; ranking by rarity makes each doc's prefix its RAREST
+    * shingles, and prefix-candidate cost becomes Σ df² over rare
+    * shingles instead of whatever the hash order happens to pick. On
+    * a shingle-dense corpus this is the difference between a
+    * quadratic and a near-linear candidate join — the r11 sf1 scale
+    * proof measured bigram df ≈ 1,000 there (BENCH_NOTES.md), and
+    * natural Zipfian text still concentrates candidate mass in its
+    * frequent shingles. Cost: one aggregation over the postings plus
+    * one doc-keyed window — both reuse the posting exchange; `df`
+    * rides along for [[ngramJaccard]]'s `maxShingleDf` cap (now
+    * defined on full-corpus df, the natural reading).
+    *
+    * explode_OUTER + isNotNull: a plain generator makes the optimizer
+    * infer a `size(...) > 0` pre-filter that pushes below the exchange
+    * and re-evaluates the shingle kernel per row at the scan (see
+    * TextOps.repetition); outer keeps the kernel at one evaluation.
+    * Returns (doc_id, sz, h, df, pos) with pos 0-based per doc.
+    */
+  private def dfRankedPostings(sets: DataFrame): DataFrame = {
+    val posts = sets.select(col("doc_id"), size(col("hs")).as("sz"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+    val dfTab = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    posts.join(dfTab, "h")
+      .withColumn("pos", row_number().over(w) - 1)
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
@@ -305,6 +329,76 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** CONTAINMENT near-dup pairs — `|A∩B| / min(|A|,|B|) ≥ threshold` —
+    * the asymmetric sibling of [[ngramJaccard]], for the pair class
+    * Jaccard is blind to: a short document quoted or embedded inside a
+    * much longer one has containment ≈ 1 while its Jaccard (and with
+    * it any Jaccard-tuned MinHash banding's collision probability)
+    * goes to zero as the length ratio grows. This is the metric
+    * benchmark-decontamination and quote-dedup actually want.
+    *
+    * Exact by the prefix-filter recall theorem, not by tuned recall:
+    * order every set by one global total order (the df-ascending
+    * AllPairs order of [[dfRankedPostings]]) and take each doc's first
+    * `|X| − ⌈t·|X|⌉ + 1` shingles as its prefix. For any qualifying
+    * pair, the SMALLER set's prefix must share a shingle with the
+    * other set — were all shared shingles past that prefix, the
+    * overlap could cap at `⌈t·|X|⌉ − 1 < t·|X| = t·min`. So candidates
+    * come from joining small-side prefixes against the FULL posting
+    * index. (Prefix×prefix — sound for Jaccard, where the required
+    * overlap scales with BOTH sizes — is unsound here: the larger
+    * doc's prefix bound `⌈t·|B|⌉ − 1` does not contradict a `t·min`
+    * overlap. The full side costs one extra posting per shingle over
+    * [[ngramJaccard]]'s index — linear, not quadratic.)
+    *
+    * Same scale posture as [[ngramJaccard]]: no broadcast hints (AQE
+    * decides), candidates pruned by the small-side positional bound
+    * before the exact merge-count verification, everything keyed by
+    * shingle hash or doc id — never an all-pairs shape.
+    */
+  def ngramContainment(docs: DataFrame, n: Int = 2,
+                       threshold: Double = 0.4): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"ngramContainment: threshold must be in (0, 1], got $threshold")
+    val sets = hashedShingles(docs, n)
+    // df-ranked postings (the shared AllPairs index): each doc's
+    // prefix is its rarest shingles, so the prefix×full probe cost
+    // tracks rare-shingle df², not the dense tail
+    val full = dfRankedPostings(sets)
+    val prefix = full.filter(
+      col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    // the smaller set's prefix probes the full index (size ties break
+    // by id so each unordered pair is generated exactly once)
+    val cand = prefix.as("a")
+      .join(full.as("b"),
+        col("a.h") === col("b.h") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
+      .groupBy(col("a.doc_id").as("doc_s"), col("b.doc_id").as("doc_l"))
+      .agg(count(lit(1)).as("cnt"), max(col("a.pos")).as("mpa"),
+        max(col("a.sz")).as("sz_s"))
+      // small-side positional bound: a shared shingle unmatched in this
+      // join sits past position mpa in the small doc's sorted set, so
+      // overlap ≤ cnt + (sz_s − 1 − mpa); prune pairs that cannot reach
+      // the t·min(=sz_s) floor before fetching any full set
+      .filter(col("cnt") + (col("sz_s") - 1 - col("mpa")) >=
+        lit(threshold) * col("sz_s") - 1e-9)
+      .select(col("doc_s"), col("doc_l"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_s"), col("hs").as("hs_s")), "doc_s")
+      .join(sets.select(col("doc_id").as("doc_l"), col("hs").as("hs_l")), "doc_l")
+      .select(
+        least(col("doc_s"), col("doc_l")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_l")).as("doc_b"),
+        graft.functions.VectorFunctions
+          .sortedIntersectSize(col("hs_s"), col("hs_l")).as("inter"),
+        least(size(col("hs_s")), size(col("hs_l"))).cast("long").as("sz_min"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_min"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
 
   /** MinHash signatures: for each doc, `numHashes` minima of seeded
     * xxhash64 over its shingle-hash set. One explode + one grouped agg

@@ -422,6 +422,28 @@ object Similarity {
     * exact cosine. Recall is tunable via bands (any pair agreeing on
     * one full band of sign bits becomes a candidate).
     */
+  /** Corpus-scaled hyperplane-LSH geometry. A band with `r` bucket
+    * bits enumerates ~`n²/2^r` candidate pairs (Σ occupancy² across
+    * its `2^r` buckets), so a geometry FIXED while the corpus grows
+    * 10× costs ~100× — the round-11 sf1 scale proof measured exactly
+    * that on the 2-bit gate config (BENCH_NOTES.md). Holding expected
+    * occupancy `n/2^r` at `targetOccupancy` keeps the banded join
+    * near-linear: `r = log2(n/targetOccupancy)`, with as many bands as
+    * the 63-bit packed-signature budget then affords (bands × r ≤ 62).
+    * Recall at a given threshold falls as `r` grows and `bands`
+    * shrink — the standard LSH tradeoff — so a production deployment
+    * re-validates recall when the geometry steps, exactly as the gate
+    * configs were validated at their scale. Returns (numPlanes, bands).
+    */
+  def scaledLshConfig(n: Long, targetOccupancy: Int = 64,
+                      maxBands: Int = 16): (Int, Int) = {
+    require(n >= 0 && targetOccupancy >= 1 && maxBands >= 1)
+    val r = math.max(2, math.ceil(
+      math.log(math.max(n, 1).toDouble / targetOccupancy) / math.log(2)).toInt)
+    val bands = math.max(1, math.min(maxBands, 62 / r))
+    (bands * r, bands)
+  }
+
   def lshPairs(embeddings: DataFrame, threshold: Double,
                numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(numPlanes % bands == 0)

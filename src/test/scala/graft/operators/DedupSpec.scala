@@ -58,6 +58,50 @@ class DedupSpec extends SparkSuite with Matchers {
     fast shouldBe naive
   }
 
+  private def naiveContainment(d: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sets = d.select(col("doc_id"),
+      array_sort(array_distinct(transform(Dedup.shingles(col("text"), n),
+        s => xxhash64(s)))).as("hs"))
+    sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        functions.size(col("a.hs")) > 0 && functions.size(col("b.hs")) > 0)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        functions.size(array_intersect(col("a.hs"), col("b.hs"))).cast("double").as("i"),
+        least(functions.size(col("a.hs")), functions.size(col("b.hs"))).as("mn"))
+      .withColumn("containment", round(col("i") / col("mn"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
+  test("ngramContainment (small-side prefix filter) == naive all-pairs " +
+      "containment, at two thresholds") {
+    for (t <- Seq(0.4, 0.7)) {
+      val fast = Dedup.ngramContainment(docs, n = 2, threshold = t)
+        .orderBy("doc_a", "doc_b").collect()
+      val naive = naiveContainment(docs, 2, t).orderBy("doc_a", "doc_b").collect()
+      fast shouldBe naive
+      fast.length should be > 0
+    }
+  }
+
+  test("ngramContainment catches an embedded fragment whose Jaccard is " +
+      "far below any Jaccard threshold") {
+    import spark.implicits._
+    val host = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val fragment = (50 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (1000 to 1200).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, host), (2L, fragment), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(d, n = 2, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 2L))
+    // the same pair is invisible to the Jaccard operator even at 0.2
+    Dedup.ngramJaccard(d, n = 2, threshold = 0.2).count() shouldBe 0
+    // and the naive containment agrees on the full frame
+    Dedup.ngramContainment(d, n = 2, threshold = 0.9)
+      .orderBy("doc_a", "doc_b").collect() shouldBe
+      naiveContainment(d, 2, 0.9).orderBy("doc_a", "doc_b").collect()
+  }
+
   test("minhashLsh finds the same pairs as exact Jaccard on this corpus") {
     val lsh = Dedup.minhashLsh(docs, n = 2, threshold = 0.5)
       .orderBy("doc_a", "doc_b").collect()
