@@ -1505,6 +1505,17 @@ object SparkEntry {
       Curation.contaminationReport(
         d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0), n = 3)
     }),
+    // decontamination by CONTAINMENT (the quoted-benchmark-item shape
+    // Jaccard misses): drop corpus docs sharing >= half the smaller
+    // shingle set with some held-out item; prefix filter is exact, so
+    // the all-pairs NOT-IN SQL is the oracle
+    "cur_decon_containment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.decontaminateByContainment(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        n = 2, threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     "cur_hash_split" -> ((s, dir) =>
       Curation.hashSplit(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("split"))),
@@ -3283,6 +3294,25 @@ object SparkEntry {
          row_number() OVER (ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id)
            AS shuffle_pos
          FROM documents""",
+    // corpus survivors after containment decon: a corpus doc dies when
+    // it shares >= 0.5 of the smaller bigram set with a held-out item
+    "cur_decon_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
+                   FROM sh a JOIN sh b
+                     ON a.s = b.s AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+                   GROUP BY 1, 2),
+         bad AS (SELECT DISTINCT ca FROM inter
+                 JOIN sizes sa ON ca = sa.doc_id
+                 JOIN sizes sb ON bb = sb.doc_id
+                 WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5)
+         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         WHERE d.doc_id % 10 != 0
+           AND d.doc_id NOT IN (SELECT ca FROM bad)""",
     "cur_contamination" ->
       """WITH cor AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 10 != 0),

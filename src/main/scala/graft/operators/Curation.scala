@@ -63,6 +63,25 @@ object Curation {
         .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Decontaminate by CONTAINMENT — drop every corpus document whose
+    * shingle overlap with some benchmark item reaches
+    * `|A∩B|/min(|A|,|B|) ≥ threshold`
+    * ([[graft.operators.Dedup.ngramContainmentAcross]]). This is the
+    * metric benchmark leakage actually presents as: a benchmark item
+    * QUOTED inside a long training document has containment ≈ 1 while
+    * its Jaccard — and any Jaccard-tuned banding's collision odds —
+    * vanishes with the length ratio. Exact by the prefix-filter
+    * theorem; anti-join keyed by doc_id, so the corpus never
+    * materializes more than once.
+    */
+  def decontaminateByContainment(corpus: DataFrame, benchmark: DataFrame,
+                                 n: Int = 2,
+                                 threshold: Double = 0.5): DataFrame =
+    corpus.join(
+      graft.operators.Dedup.ngramContainmentAcross(corpus, benchmark, n, threshold)
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Deterministic 16-bit hash bucket of an ID column: the first four
     * hex chars of `md5(cast(id as string))` → [0, 65536). Pure
     * function of the ID — stable across runs, partitionings, and

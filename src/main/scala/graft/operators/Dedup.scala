@@ -275,6 +275,69 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** CROSS-SET [[ngramContainment]] — pairs (corpus doc, probe doc)
+    * with `|A∩B| / min ≥ threshold`, each side shingled independently
+    * — the decontamination shape: a benchmark item quoted inside a
+    * long training document has containment ≈ 1 and Jaccard ≈ 0, so
+    * this (not a Jaccard join) is the metric benchmark-decon needs.
+    * Same exact small-side-prefix construction as the self-join form,
+    * over a side-tagged union with one consistent df order (windows
+    * key on (side, doc_id), so overlapping id spaces across the two
+    * frames stay distinct); only cross-side candidates are generated.
+    * Returns (doc_id [corpus side], probe_id, containment).
+    */
+  def ngramContainmentAcross(corpus: DataFrame, probes: DataFrame,
+                             n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"ngramContainmentAcross: threshold must be in (0, 1], got $threshold")
+    val cs = hashedShingles(corpus, n)
+    val ps = hashedShingles(probes, n)
+    val sets = cs.withColumn("side", lit(0))
+      .unionByName(ps.withColumn("side", lit(1)))
+    val posts = sets.select(col("side"), col("doc_id"),
+        size(col("hs")).as("sz"), explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+    val dfTab = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("side"), col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val full = posts.join(dfTab, "h")
+      .withColumn("pos", row_number().over(w) - 1)
+    val prefix = full.filter(
+      col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    // the smaller set's prefix probes the OTHER side's full postings
+    // (size ties break on (side, id) so each cross pair generates once)
+    val smallerFirst =
+      col("a.sz") < col("b.sz") ||
+        (col("a.sz") === col("b.sz") &&
+          struct(col("a.side"), col("a.doc_id")) <
+            struct(col("b.side"), col("b.doc_id")))
+    val cand = prefix.as("a")
+      .join(full.as("b"),
+        col("a.h") === col("b.h") && col("a.side") =!= col("b.side") &&
+          smallerFirst)
+      .groupBy(col("a.side").as("side_s"), col("a.doc_id").as("id_s"),
+        col("b.doc_id").as("id_l"))
+      .agg(count(lit(1)).as("cnt"), max(col("a.pos")).as("mpa"),
+        max(col("a.sz")).as("sz_s"))
+      .filter(col("cnt") + (col("sz_s") - 1 - col("mpa")) >=
+        lit(threshold) * col("sz_s") - 1e-9)
+      // reorient by SIDE (side 0 = corpus), not by size
+      .select(
+        when(col("side_s") === 0, col("id_s")).otherwise(col("id_l")).as("doc_id"),
+        when(col("side_s") === 0, col("id_l")).otherwise(col("id_s")).as("probe_id"))
+    cand
+      .join(cs.select(col("doc_id"), col("hs").as("hs_c")), "doc_id")
+      .join(ps.select(col("doc_id").as("probe_id"), col("hs").as("hs_p")), "probe_id")
+      .select(col("doc_id"), col("probe_id"),
+        graft.functions.VectorFunctions
+          .sortedIntersectSize(col("hs_c"), col("hs_p")).as("inter"),
+        least(size(col("hs_c")), size(col("hs_p"))).cast("long").as("sz_min"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_min"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("probe_id"), col("containment"))
+  }
+
   /** Per-doc postings of the shingle-hash sets, positioned by the
     * ASCENDING-CORPUS-FREQUENCY global order (ties by hash) — the
     * AllPairs refinement of the prefix index shared by

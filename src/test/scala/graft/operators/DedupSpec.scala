@@ -102,6 +102,41 @@ class DedupSpec extends SparkSuite with Matchers {
       naiveContainment(d, 2, 0.9).orderBy("doc_a", "doc_b").collect()
   }
 
+  test("ngramContainmentAcross == naive cross-set containment; " +
+      "decontaminateByContainment removes exactly the hosts of planted quotes") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val got = Dedup.ngramContainmentAcross(corpus, bench, n = 2, threshold = 0.5)
+      .orderBy("doc_id", "probe_id").collect()
+    // naive: every cross pair, exact containment
+    val naive = {
+      val sh = (d: org.apache.spark.sql.DataFrame) => d.select(col("doc_id"),
+        array_sort(array_distinct(transform(Dedup.shingles(col("text"), 2),
+          s => xxhash64(s)))).as("hs"))
+      sh(corpus).as("a").crossJoin(sh(bench).as("b"))
+        .filter(functions.size(col("a.hs")) > 0 && functions.size(col("b.hs")) > 0)
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("probe_id"),
+          functions.size(array_intersect(col("a.hs"), col("b.hs"))).cast("double").as("i"),
+          least(functions.size(col("a.hs")), functions.size(col("b.hs"))).as("mn"))
+        .withColumn("containment", round(col("i") / col("mn"), 6))
+        .filter(col("containment") >= 0.5)
+        .select("doc_id", "probe_id", "containment")
+        .orderBy("doc_id", "probe_id").collect()
+    }
+    got shouldBe naive
+    // planted quote: a benchmark item embedded verbatim in a long host
+    val host = (1 to 300).map(i => s"h$i").mkString(" ") + " " +
+      (1 to 12).map(i => s"q$i").mkString(" ")
+    val clean = (500 to 700).map(i => s"h$i").mkString(" ")
+    val item = (1 to 12).map(i => s"q$i").mkString(" ")
+    val cor = Seq((1L, host), (2L, clean)).toDF("doc_id", "text")
+    val ben = Seq((100L, item)).toDF("doc_id", "text")
+    val surv = Curation.decontaminateByContainment(cor, ben, n = 2, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    surv shouldBe Set(2L)
+  }
+
   test("minhashLsh finds the same pairs as exact Jaccard on this corpus") {
     val lsh = Dedup.minhashLsh(docs, n = 2, threshold = 0.5)
       .orderBy("doc_a", "doc_b").collect()
