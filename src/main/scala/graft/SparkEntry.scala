@@ -371,6 +371,37 @@ object SparkEntry {
       path
     })
 
+  /** Per-(JVM, sfDir) memo of the `q_merge_constraint` gate's table: a
+    * 3-column orders subset under a persisted CHECK constraint
+    * (Delta's `ALTER TABLE ADD CONSTRAINT`, committed through the
+    * manifest like data). A violating merge batch must REFUSE with the
+    * table untouched — its negated prices would otherwise survive into
+    * the final hash — and the valid ledgered merge then lands.
+    */
+  private val constraintStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def constraintGateStore(s: SparkSession, dir: String): String =
+    constraintStoreMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-merge-constraint")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.util.Lake.mergeInit(s, path,
+        orders.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+      graft.util.Lake.addCheckConstraint(s, path, "positive_price",
+        "o_totalprice > 0")
+      val touched = orders.filter(pmod(col("o_orderkey"), lit(10)) === 4)
+      try {
+        graft.util.Lake.merge(s, path,
+          touched.withColumn("o_totalprice", -col("o_totalprice")),
+          Seq("o_orderkey"))
+        throw new IllegalStateException(
+          "constraint gate: violating merge was NOT refused")
+      } catch { case _: IllegalArgumentException => () }
+      graft.util.Lake.merge(s, path,
+        touched.withColumn("o_orderstatus", lit("C")),
+        Seq("o_orderkey"), shardId = Some("c1"))
+      path
+    })
+
   /** Per-(JVM, sfDir) memo of the `q_merge_evolve` gate's table: a
     * 3-column `orders` projection initialized range-laid-out by key,
     * then ONE ledgered MERGE whose update batch carries an ADDED
@@ -1302,6 +1333,11 @@ object SparkEntry {
     // an update+insert merge whose re-delivery was ledger-no-op'ed
     "q_merge_upsert" -> ((s, dir) =>
       graft.util.Lake.mergeRead(s, mergeGateStore(s, dir))),
+    // persisted CHECK constraint (Delta ALTER TABLE ADD CONSTRAINT):
+    // the violating batch's refusal is what the hash proves — had it
+    // committed, negated prices would sit in the table
+    "q_merge_constraint" -> ((s, dir) =>
+      graft.util.Lake.mergeRead(s, constraintGateStore(s, dir))),
     // MERGE schema evolution (Delta's autoMerge): the update batch's
     // added column widens the table inside the merge's own atomic
     // commit; pre-evolution files are NOT rewritten — the footer-merged
@@ -3005,6 +3041,14 @@ object SparkEntry {
          FROM orders o ANTI JOIN upd u ON o.o_orderkey = u.o_orderkey
          UNION ALL
          SELECT * FROM upd""",
+    // the refused violating merge leaves prices untouched; only the
+    // valid status rewrite lands
+    "q_merge_constraint" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 4 THEN 'C'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                o_totalprice
+         FROM orders""",
     // merge-with-evolution: updated keys carry the new column's value,
     // everything else reads it as NULL (the pre-evolution footers)
     "q_merge_evolve" ->

@@ -641,6 +641,9 @@ object Lake {
       throw new IllegalArgumentException(
         "merge: updates carry multiple rows for the same key — ambiguous " +
           "upsert (Delta's multiple-source-rows error); dedup the source first")
+    // table-level CHECK constraints gate every incoming row BEFORE any
+    // commit machinery starts — a refusal leaves the table untouched
+    enforceConstraints(spark, path, updates, "merge")
     // ALL keys whose target rows leave their files: upserted + deleted.
     // A key in both halves is ambiguous (which op wins?) — refuse.
     val allKeys = delKeysOpt match {
@@ -776,6 +779,100 @@ object Lake {
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$stage/$MergeStatsSub")
     }
     (liveData.length, after)
+  }
+
+  // ── CHECK constraints: Delta's `ALTER TABLE ADD CONSTRAINT` ──────
+  //
+  // Table-level invariants persisted WITH the table (a tiny
+  // `constraints/` sub committed through the same manifest protocol,
+  // so constraints version, time-travel, and restore exactly like
+  // data) and enforced on every write path that can introduce rows or
+  // values: merge / applyChanges upserts and updateWhere's SET
+  // results. SQL CHECK semantics: a row violates only when the
+  // expression evaluates to FALSE — NULL passes (Delta's rule too).
+  // A violating batch refuses BEFORE any commit starts, so the table
+  // is untouched — unlike mergeChecked's per-call expectations, these
+  // are durable table properties every writer inherits.
+
+  private val ConstraintSub = "constraints"
+
+  /** Add (or replace by name) a CHECK constraint. The expression is a
+    * SQL predicate over the table's columns, stored as text and
+    * committed as its own manifest generation.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String,
+                         name: String, sqlExpr: String): Unit = {
+    // Delta's ADD CONSTRAINT rule: existing rows must already satisfy
+    // the new invariant (also catches unparseable/unresolvable
+    // expressions up front — a broken constraint stored now would
+    // brick every later merge)
+    val existing = mergeRead(spark, path)
+      .filter(coalesce(expr(sqlExpr), lit(true)) === false).count()
+    require(existing == 0L,
+      s"addCheckConstraint($name): $existing existing row(s) violate " +
+        s"'$sqlExpr' — clean the table first (Delta refuses the same way)")
+    val prev = checkConstraints(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val next = (prev + (name -> sqlExpr)).toSeq
+    replaceConstraints(spark, path, next)
+  }
+
+  /** Drop a CHECK constraint by name (no-op when absent). */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+                          name: String): Unit = {
+    val prev = checkConstraints(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    replaceConstraints(spark, path, (prev - name).toSeq)
+  }
+
+  private def replaceConstraints(spark: SparkSession, path: String,
+                                 all: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    val snap = Manifest.snapshot(spark, path)
+    val old = snap.files.filter(_.startsWith(s"$ConstraintSub/")).toSet
+    Manifest.rewriteFiles(spark, path, drop = old) { stage =>
+      if (all.nonEmpty)
+        all.toDF("name", "expr").coalesce(1)
+          .write.mode(SaveMode.Append).parquet(s"$stage/$ConstraintSub")
+    }
+    ()
+  }
+
+  /** The table's CHECK constraints as (name, expr) — empty when none.
+    * Generation-pinned like everything else (`asOf`).
+    */
+  def checkConstraints(spark: SparkSession, path: String,
+                       asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val snap = Manifest.snapshot(spark, path, asOf)
+    if (!snap.files.exists(_.startsWith(s"$ConstraintSub/")))
+      Seq.empty[(String, String)].toDF("name", "expr")
+    else Manifest.read(spark, path, ConstraintSub, asOf)
+      .select(col("name"), col("expr"))
+  }
+
+  /** Refuse `rows` when any CHECK constraint of the head generation
+    * evaluates to FALSE on any row (one conditional-count aggregate
+    * for ALL constraints — a single pass regardless of count).
+    */
+  private def enforceConstraints(spark: SparkSession, path: String,
+                                 rows: DataFrame, what: String): Unit = {
+    val cs = checkConstraints(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (name, e) =>
+      sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L)).as(name)
+    }
+    val row = rows.agg(aggs.head, aggs.tail: _*).head()
+    val viol = cs.zipWithIndex
+      .map { case ((name, e), i) =>
+        (name, e, if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      .filter(_._3 > 0)
+    if (viol.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$what on $path violates CHECK constraint(s) " +
+          viol.map { case (n, e, c) => s"$n ($e): $c row(s)" }.mkString("; ") +
+          " — nothing was committed")
   }
 
   /** Auto-OPTIMIZE policy for streaming merge sinks: run
@@ -914,7 +1011,9 @@ object Lake {
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
                   keys: Seq[String], shardId: Option[String] = None,
                   retain: Int = 3): DmlResult =
-    dmlRewrite(spark, path, predicate, keys, shardId, retain)(
+    // enforce = false: removing rows cannot violate a row-level CHECK
+    dmlRewrite(spark, path, predicate, keys, shardId, retain,
+      enforce = false)(
       touched => touched.filter(!coalesce(predicate, lit(false))))
 
   /** Update `set` columns on every row matching `predicate` (Delta
@@ -943,7 +1042,8 @@ object Lake {
           "type-drifted rewrite would poison later multi-file reads)")
     }
     val cond = coalesce(predicate, lit(false))
-    dmlRewrite(spark, path, predicate, keys, shardId, retain)(touched =>
+    dmlRewrite(spark, path, predicate, keys, shardId, retain,
+      enforce = true)(touched =>
       touched.select(touched.columns.map { c =>
         set.get(c).map(v => when(cond, v).otherwise(col(c)).as(c))
           .getOrElse(col(c))
@@ -955,7 +1055,8 @@ object Lake {
     */
   private def dmlRewrite(spark: SparkSession, path: String,
                          predicate: Column, keys: Seq[String],
-                         shardId: Option[String], retain: Int)
+                         shardId: Option[String], retain: Int,
+                         enforce: Boolean = false)
                         (transform: DataFrame => DataFrame): DmlResult = {
     val snap = Manifest.snapshot(spark, path)
     if (shardId.exists(snap.applied))
@@ -982,8 +1083,11 @@ object Lake {
       val touchedRows =
         if (touchedRel.isEmpty) target.filter(lit(false)) else readFiles(touchedRel)
       affected = touchedRows.filter(predicate).count()
-      transform(touchedRows.select(target.columns.map(col): _*))
-        .write.mode(SaveMode.Append).parquet(s"$stage/$MergeDataSub")
+      val out = transform(touchedRows.select(target.columns.map(col): _*))
+      // CHECK constraints gate the SET results pre-commit: throwing
+      // here aborts before any staged file publishes
+      if (enforce) enforceConstraints(spark, path, out, "updateWhere")
+      out.write.mode(SaveMode.Append).parquet(s"$stage/$MergeDataSub")
       val freshNames = fileNamesIn(spark, s"$stage/$MergeDataSub")
       val keptStats = Manifest.read(spark, path, MergeStatsSub)
         .filter(!col("file_name").isin(touchedNames.toSeq: _*))

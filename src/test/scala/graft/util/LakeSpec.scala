@@ -378,6 +378,42 @@ class LakeSpec extends SparkSuite with Matchers {
       Lake.merge(spark, path, drifted, Seq("k"))
   }
 
+  test("CHECK constraints: enforced on merge and updateWhere, NULL " +
+      "passes, dirty-table ADD refused, drop re-allows, survive compaction") {
+    val (path, _) = mergeFixture()
+    Lake.addCheckConstraint(spark, path, "v_nonneg", "v >= 0")
+    // violating merge refuses whole-batch, table + generation untouched
+    val genBefore = Manifest.snapshot(spark, path).gen
+    val before = Lake.mergeRead(spark, path).collect().toSet
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path, Seq((5L, -1L, "bad")).toDF("k", "v", "tag"), Seq("k"))
+    Manifest.snapshot(spark, path).gen shouldBe genBefore
+    Lake.mergeRead(spark, path).collect().toSet shouldBe before
+    // a valid merge passes; NULL evaluates as pass (SQL CHECK rule)
+    Lake.merge(spark, path,
+      Seq((5L, Some(50L), "ok"), (6L, Option.empty[Long], "nullv"))
+        .toDF("k", "v", "tag"), Seq("k")).applied shouldBe true
+    // updateWhere SET results are gated too
+    an[IllegalArgumentException] should be thrownBy
+      Lake.updateWhere(spark, path, col("k") === 7L,
+        Map("v" -> lit(-5L)), Seq("k"))
+    // deleteWhere cannot violate and stays open
+    Lake.deleteWhere(spark, path, col("k") === 8L, Seq("k")).affected shouldBe 1L
+    // adding a constraint the CURRENT data violates is refused
+    an[IllegalArgumentException] should be thrownBy
+      Lake.addCheckConstraint(spark, path, "no_nulls", "v IS NOT NULL AND v < 10")
+    // constraints survive OPTIMIZE (they ride the manifest, not files)
+    Lake.mergeCompact(spark, path, Seq("k"))
+    Lake.checkConstraints(spark, path).count() shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path, Seq((9L, -2L, "bad")).toDF("k", "v", "tag"), Seq("k"))
+    // drop re-allows
+    Lake.dropCheckConstraint(spark, path, "v_nonneg")
+    Lake.checkConstraints(spark, path).count() shouldBe 0L
+    Lake.merge(spark, path,
+      Seq((9L, -2L, "now-ok")).toDF("k", "v", "tag"), Seq("k")).applied shouldBe true
+  }
+
   test("merge evolve: updates with an added column widen the table " +
       "atomically; pre-evolution rows read NULL; refusals hold") {
     val (path, _) = mergeFixture()
