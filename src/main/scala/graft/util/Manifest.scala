@@ -74,31 +74,38 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    the store root; racing inits are a caller bug and surface as a
   *    conflict on the generation-0 slot.
   *
-  * A writer that loses its race leaves its already-written data files
-  * unreferenced; they are invisible to every reader and reclaimed by
-  * [[vacuum]]. Bounded retries (20) guard against livelock; exhaustion
-  * throws `ConcurrentModificationException`.
+  * A staged transaction (replace / rewrite / compact) that does NOT
+  * commit — refusal, rebase-discovered ledger no-op, or throw —
+  * deletes its own published files before returning; an extend's
+  * lost-race files (written in place) stay unreferenced, invisible to
+  * every reader, and are reclaimed by [[vacuum]]. Bounded retries
+  * (20) guard against livelock; exhaustion throws
+  * `ConcurrentModificationException`.
   *
   * Attribution scope: [[replace]], [[rewriteFiles]] and
   * [[compactSub]] — the ops where mis-attribution would corrupt (a
   * rewrite adopting a concurrent writer's in-flight files resurrects
   * dropped rows) — stage their writes under a transaction-scoped
   * dot-dir and commit EXACTLY the files they move into place, Delta's
-  * committer-reports-its-adds rule. [[extend]] keeps the cheaper
-  * listing-diff discovery (its many per-store write callbacks append
-  * in place), with the corresponding caveat: two extends whose data
-  * writes overlap in time on the SAME store can momentarily see each
-  * other's uncommitted files — committed competitors are deduplicated
-  * at rebase (file lists are set-unioned, and for an append-only
-  * store a row's early adoption is harmless), leaving one residue (a
-  * competitor that CRASHES mid-write while an overlapping extend
-  * commits may get its partial files adopted early), plus the
-  * Spark-side constraint that overlapping jobs must not share one
-  * target directory (Spark's default FileOutputCommitter stages all
-  * tasks under a single `_temporary/` there). In practice each store
-  * has one maintenance stream, so extends on one store are already
-  * serialized; cross-store and all DML concurrency are exact.
-  * Storage: the
+  * committer-reports-its-adds rule; their publish window is bracketed
+  * by an intent marker so [[extend]]'s listing diff can never adopt a
+  * rewrite's in-flight files, and a non-committing staged transaction
+  * removes its own moved files (with an existence backstop at
+  * extend's commit against the brief ghost window). [[extend]] keeps
+  * the cheaper listing-diff discovery (its many per-store write
+  * callbacks append in place), with the corresponding caveat: two
+  * EXTENDS whose data writes overlap in time on the SAME store can
+  * momentarily see each other's uncommitted files — committed
+  * competitors are deduplicated at rebase (file lists are
+  * set-unioned, and for an append-only store a row's early adoption
+  * is harmless), leaving one residue (an extend that CRASHES
+  * mid-write while an overlapping extend commits may get its partial
+  * files adopted early), plus the Spark-side constraint that
+  * overlapping jobs must not share one target directory (Spark's
+  * default FileOutputCommitter stages all tasks under a single
+  * `_temporary/` there). In practice each store has one maintenance
+  * stream, so extends on one store are already serialized; extend-vs-
+  * rewrite and all DML concurrency are exact. Storage: the
   * rename-if-absent commit is atomic on HDFS and posix-`file://` (the
   * `FileContext` API — Delta's HDFSLogStore contract); S3-class object
   * stores need a conditional-put LogStore, exactly as Delta documents
@@ -122,6 +129,22 @@ object Manifest {
     * a row throws rather than livelock.
     */
   private val MaxCommitAttempts = 20
+
+  /** Per-store serialization of extend WRITE WINDOWS (in-process):
+    * two extends appending to the same store concurrently would (a)
+    * share Spark's FileOutputCommitter `_temporary/` staging — unsafe
+    * in vanilla Spark regardless of any commit protocol — and (b)
+    * blur the listing-diff attribution (each could adopt the other's
+    * in-flight files; for the SAME re-delivered shard id that would
+    * double the shard's rows past the ledger). Only the data-write
+    * window serializes; snapshots, commits, and their races stay fully
+    * optimistic and are what the OCC machinery arbitrates.
+    * Cross-process extends on one store remain subject to the
+    * documented caveat (each store has one maintenance stream in
+    * practice).
+    */
+  private val extendWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def metaPath(path: String) = s"$path/_meta"
 
@@ -263,27 +286,76 @@ object Manifest {
     walk(root, "").toSet
   }
 
-  /** Move every staged data file from `stage` into `path`, preserving
-    * the relative layout (so a write to `<stage>/data/k=v/part-x`
-    * lands at `<path>/data/k=v/part-x`). Parquet part names are
-    * writer-unique, so moves never collide; renames are metadata ops
-    * on the same filesystem. Returns the moved files' root-relative
-    * paths — the transaction's EXACT adds, with no listing diff and
-    * therefore no way to adopt a concurrent writer's files.
+  /** Publish a staged transaction: move every staged data file from
+    * `stage` into `path` (relative layout preserved — a write to
+    * `<stage>/data/k=v/part-x` lands at `<path>/data/k=v/part-x`;
+    * parquet part names are writer-unique, so moves never collide and
+    * renames are metadata ops), hand the moved files' root-relative
+    * paths — the transaction's EXACT adds — to `use` (the commit
+    * loop), and clean up by outcome: a transaction that does NOT
+    * commit (lost-race refusal, ledger no-op discovered at rebase, or
+    * any throw) deletes its own moved files before returning, leaving
+    * no orphans for readers or vacuum.
+    *
+    * The whole window is bracketed by an INTENT marker
+    * (`_meta/intent-<uuid>`, listing the staged paths, written before
+    * the first move and removed after the files' fate is settled):
+    * [[extend]]'s listing-diff discovery subtracts every
+    * intent-listed path, so a concurrent extend can never adopt a
+    * staged transaction's in-flight files — the one mis-attribution
+    * the dot-dir staging alone could not prevent (the moves must land
+    * in the visible layout before the commit that references them).
     */
-  private def adoptStaged(spark: SparkSession, path: String,
-                          stage: String): Seq[String] = {
+  private def publishStaged[A](spark: SparkSession, path: String,
+                               stage: String)
+                              (use: Seq[String] => Option[A]): Option[A] = {
     val fs = fsOf(spark, path)
     val staged = listData(spark, stage).toSeq.sorted
-    staged.foreach { rel =>
-      val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$rel"), dst))
-        throw new java.io.IOException(
-          s"failed to publish staged file $rel from $stage into $path")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    staged
+    val intent = new org.apache.hadoop.fs.Path(
+      s"${metaPath(path)}/intent-${java.util.UUID.randomUUID}")
+    val out = fs.create(intent, true)
+    try out.write(staged.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try {
+      var committed = false
+      try {
+        staged.foreach { rel =>
+          val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$rel"), dst))
+            throw new java.io.IOException(
+              s"failed to publish staged file $rel from $stage into $path")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        val result = use(staged)
+        committed = result.isDefined
+        result
+      } finally {
+        if (!committed)
+          staged.foreach { rel =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), false); ()
+          }
+      }
+    } finally { fs.delete(intent, false); () }
+  }
+
+  /** Root-relative paths currently claimed by in-flight staged
+    * transactions (their intent markers) — the set [[extend]]'s
+    * listing diff must never adopt.
+    */
+  private def intentFiles(spark: SparkSession, path: String): Set[String] = {
+    val fs = fsOf(spark, path)
+    val mp = new org.apache.hadoop.fs.Path(metaPath(path))
+    if (!fs.exists(mp)) return Set.empty
+    fs.listStatus(mp).map(_.getPath)
+      .filter(_.getName.startsWith("intent-"))
+      .flatMap { p =>
+        try {
+          val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          val in = fs.open(p)
+          try in.readFully(buf) finally in.close()
+          new String(buf, "UTF-8").split("\n").filter(_.nonEmpty)
+        } catch { case _: java.io.IOException => Array.empty[String] }
+      }.toSet
   }
 
   /** Initialize the store: clear any previous epoch entirely (a
@@ -336,12 +408,28 @@ object Manifest {
       "retain must be >= 2 (current + the in-flight-reader grace generation)")
     val base = snapshot(spark, path)
     if (shardId.exists(base.applied)) return false
-    val before = listData(spark, path)
-    write
-    val fresh = (listData(spark, path) -- before).toSeq.sorted
+    val fresh0 = extendWriteLocks
+      .computeIfAbsent(path, _ => new Object).synchronized {
+      val before = listData(spark, path)
+      write
+      // subtract staged transactions' in-flight moves (intent markers,
+      // read AFTER the listing so any move the listing saw has a
+      // marker up) — a listing diff must never adopt a concurrent
+      // rewrite's files
+      (listData(spark, path) -- before -- intentFiles(spark, path))
+        .toSeq.sorted
+    }
+    val fs = fsOf(spark, path)
     val n = commitLoop(spark, path, "extend")(base) { prev =>
       if (shardId.exists(prev.applied)) None
-      else Some(((prev.files ++ fresh).distinct.sorted, prev.applied ++ shardId))
+      else {
+        // existence backstop: a concurrently-failed transaction may
+        // have removed files the listing briefly saw — never commit a
+        // reference to a ghost
+        val fresh = fresh0.filter(f =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/$f")))
+        Some(((prev.files ++ fresh).distinct.sorted, prev.applied ++ shardId))
+      }
     }
     n.foreach(g => retire(spark, path, g, retain))
     n.isDefined
@@ -382,21 +470,22 @@ object Manifest {
     val baseSub = base.files.filter(_.startsWith(prefix)).toSet
     val stage = s"$path/.txn-${java.util.UUID.randomUUID}"
     write(stage)
-    val fresh = adoptStaged(spark, path, stage)
-    val freshSet = fresh.toSet
-    val n = commitLoop(spark, path, s"replace($dropSub)")(base) { prev =>
-      if (shardId.exists(prev.applied)) None
-      else {
-        val prevSub = prev.files
-          .filter(f => f.startsWith(prefix) && !freshSet.contains(f)).toSet
-        if (prev.gen != base.gen && prevSub != baseSub)
-          throw new java.util.ConcurrentModificationException(
-            s"replace($dropSub) on $path: a concurrent commit changed " +
-              s"$dropSub/ between the base snapshot (gen ${base.gen}) and " +
-              s"the head (gen ${prev.gen}); re-run the replacement against " +
-              "the new state")
-        val kept = prev.files.filterNot(_.startsWith(prefix))
-        Some(((kept ++ fresh).distinct.sorted, prev.applied ++ shardId))
+    val n = publishStaged(spark, path, stage) { fresh =>
+      val freshSet = fresh.toSet
+      commitLoop(spark, path, s"replace($dropSub)")(base) { prev =>
+        if (shardId.exists(prev.applied)) None
+        else {
+          val prevSub = prev.files
+            .filter(f => f.startsWith(prefix) && !freshSet.contains(f)).toSet
+          if (prev.gen != base.gen && prevSub != baseSub)
+            throw new java.util.ConcurrentModificationException(
+              s"replace($dropSub) on $path: a concurrent commit changed " +
+                s"$dropSub/ between the base snapshot (gen ${base.gen}) and " +
+                s"the head (gen ${prev.gen}); re-run the replacement against " +
+                "the new state")
+          val kept = prev.files.filterNot(_.startsWith(prefix))
+          Some(((kept ++ fresh).distinct.sorted, prev.applied ++ shardId))
+        }
       }
     }
     n.foreach(g => retire(spark, path, g, retain))
@@ -441,20 +530,21 @@ object Manifest {
     if (shardId.exists(base.applied)) return false
     val stage = s"$path/.txn-${java.util.UUID.randomUUID}"
     write(stage)
-    val fresh = adoptStaged(spark, path, stage)
-    val freshSet = fresh.toSet
-    val n = commitLoop(spark, path, "rewriteFiles")(base) { prev =>
-      if (shardId.exists(prev.applied)) None
-      else {
-        if (prev.gen != base.gen &&
-            prev.files.toSet -- freshSet != base.files.toSet)
-          throw new java.util.ConcurrentModificationException(
-            s"rewriteFiles on $path: a concurrent commit changed the live " +
-              s"file set between the base snapshot (gen ${base.gen}) and " +
-              s"the head (gen ${prev.gen}); re-run the rewrite against the " +
-              "new state")
-        val kept = prev.files.filterNot(drop)
-        Some(((kept ++ fresh).distinct.sorted, prev.applied ++ shardId))
+    val n = publishStaged(spark, path, stage) { fresh =>
+      val freshSet = fresh.toSet
+      commitLoop(spark, path, "rewriteFiles")(base) { prev =>
+        if (shardId.exists(prev.applied)) None
+        else {
+          if (prev.gen != base.gen &&
+              prev.files.toSet -- freshSet != base.files.toSet)
+            throw new java.util.ConcurrentModificationException(
+              s"rewriteFiles on $path: a concurrent commit changed the live " +
+                s"file set between the base snapshot (gen ${base.gen}) and " +
+                s"the head (gen ${prev.gen}); re-run the rewrite against the " +
+                "new state")
+          val kept = prev.files.filterNot(drop)
+          Some(((kept ++ fresh).distinct.sorted, prev.applied ++ shardId))
+        }
       }
     }
     n.foreach(g => retire(spark, path, g, retain))
@@ -629,25 +719,32 @@ object Manifest {
         if (partCols.isEmpty) df.repartition(nFiles)
         else df.repartition(nFiles,
           partCols.map(org.apache.spark.sql.functions.col): _*)
-      // staged write + move: exact adds, no listing diff (same
-      // attribution rule as rewriteFiles — a concurrent extend's
-      // in-flight files must not be adopted into the compacted commit)
+      // staged write + intent-marked publish: exact adds, no listing
+      // diff, and a lost race cleans its own files up before the
+      // re-run (publishStaged's non-commit contract)
       val stage = s"$path/.txn-${java.util.UUID.randomUUID}"
       val w = shaped.write.mode(SaveMode.Append)
       (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
         .parquet(s"$stage/$sub")
-      val fresh = adoptStaged(spark, path, stage)
       val kept = prev.files.filterNot(_.startsWith(prefix))
       val n = prev.gen + 1
-      if (tryCommit(spark, path, n,
-          (kept ++ fresh).distinct.sorted, prev.applied)) {
-        retire(spark, path, n, retain)
-        return (liveSub.length, fresh.length)
+      val out = publishStaged(spark, path, stage) { fresh =>
+        if (tryCommit(spark, path, n,
+            (kept ++ fresh).distinct.sorted, prev.applied))
+          Some((liveSub.length, fresh.length))
+        else None
       }
-      if (tries >= MaxCommitAttempts)
-        throw new java.util.ConcurrentModificationException(
-          s"compactSub($sub) on $path lost $MaxCommitAttempts commit races " +
-            "in a row — writer contention is beyond optimistic-retry range")
+      out match {
+        case Some(res) =>
+          retire(spark, path, n, retain)
+          return res
+        case None =>
+          if (tries >= MaxCommitAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"compactSub($sub) on $path lost $MaxCommitAttempts commit " +
+                "races in a row — writer contention is beyond " +
+                "optimistic-retry range")
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -681,7 +778,8 @@ object Manifest {
     val mp = new org.apache.hadoop.fs.Path(metaPath(path))
     if (fs.exists(mp))
       fs.listStatus(mp).map(_.getPath)
-        .filter(p => p.getName.startsWith("stage-") && old(p))
+        .filter(p => (p.getName.startsWith("stage-") ||
+          p.getName.startsWith("intent-")) && old(p))
         .foreach { p => fs.delete(p, true); () }
     val root = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(root))

@@ -172,22 +172,16 @@ class ManifestSpec extends SparkSuite {
   // ── multi-writer optimistic concurrency ───────────────────────────
 
   /** Run `a` and `b` on two threads, returning each one's outcome.
-    * The write callbacks rendezvous on `barrier` so BOTH writers have
-    * read the base snapshot and written their data before EITHER
-    * attempts a commit — the exact interleaving a last-write-wins
-    * protocol would silently lose a generation on.
-    *
-    * EXTEND data writes into the SAME directory additionally
-    * serialize on `writeLock`: Spark's default FileOutputCommitter
-    * stages every job's tasks under one shared `_temporary/` inside
-    * the target dir, so overlapping in-place appends to one dir are
-    * unsafe in vanilla Spark regardless of any commit protocol (the
-    * Manifest scaladoc's documented extend caveat; rewriteFiles
-    * needs no lock — each transaction stages in its own dot-dir).
-    * The COMMIT race — the property under test — is unaffected: both
-    * writers hold base-generation snapshots throughout.
+    * Staged transactions (replace/rewriteFiles) rendezvous on a
+    * `barrier` inside their write callbacks so BOTH writers have read
+    * the base snapshot and written their data before EITHER attempts
+    * a commit — the exact interleaving a last-write-wins protocol
+    * would silently lose a generation on. EXTEND races carry no
+    * barrier: the protocol itself serializes extend write windows
+    * per store (in-process lock — a barrier inside the callback would
+    * deadlock against it), so those specs assert the invariants that
+    * must hold under EVERY interleaving of snapshot/write/commit.
     */
-  private val writeLock = new Object
   private def race(a: => Any, b: => Any): (Either[Throwable, Any], Either[Throwable, Any]) = {
     val outA = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Any]]()
     val outB = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, Any]]()
@@ -203,11 +197,13 @@ class ManifestSpec extends SparkSuite {
       "generations, the loser rebases, no generation is lost") {
     val p = tmp()
     Manifest.init(spark, p) { writeRows(p, Seq((1L, "base")), SaveMode.Overwrite) }
-    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    // both threads snapshot the base generation up front; their WRITE
+    // windows serialize inside the protocol (per-store lock), and the
+    // COMMITS race — the loser detects the taken slot and rebases.
+    // Every interleaving must yield the same final state.
     def ext(tag: String, row: (Long, String)) =
       Manifest.extend(spark, p, Some(tag), retain = 5) {
-        writeLock.synchronized { writeRows(p, Seq(row), SaveMode.Append) }
-        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+        writeRows(p, Seq(row), SaveMode.Append)
       }
     val (ra, rb) = race(ext("wA", (2L, "from-A")), ext("wB", (3L, "from-B")))
     assert(ra == Right(true), s"writer A failed: $ra")
@@ -307,8 +303,61 @@ class ManifestSpec extends SparkSuite {
       Set((1L, winner)))
   }
 
-  test("a lost-race writer's unreferenced files are vacuum-reclaimable " +
-      "and invisible to every retained generation") {
+  test("two racing extends carrying the SAME shard id: exactly one " +
+      "applies — the loser discovers the ledger entry at rebase and no-ops") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "base")), SaveMode.Overwrite) }
+    def ext(row: (Long, String)) =
+      Manifest.extend(spark, p, Some("shard-X"), retain = 5) {
+        writeRows(p, Seq(row), SaveMode.Append)
+      }
+    val (ra, rb) = race(ext((2L, "dup-A")), ext((2L, "dup-B")))
+    val results = Seq(ra, rb)
+    // both re-deliveries of one shard: one commits, the other must
+    // turn into the ledger no-op (false) — discovered either up front
+    // or at rebase after losing the commit race — never a double apply
+    assert(results.count(_ == Right(true)) == 1, s"outcomes: $results")
+    assert(results.count(_ == Right(false)) == 1, s"outcomes: $results")
+    assert(Manifest.applied(spark, p) == Set("shard-X"))
+    // exactly ONE shard row landed (well-formed either way: both wrote
+    // the same logical content, but the loser's copy must stay
+    // unreferenced)
+    assert(Manifest.read(spark, p, "data")
+      .as[(Long, String)].collect().count(_._1 == 2L) == 1)
+  }
+
+  test("compactSub racing an extend re-runs and converges: nothing lost, " +
+      "no torn state") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "a")), SaveMode.Overwrite) }
+    (2 to 4).foreach { i =>
+      Manifest.extend(spark, p, Some(s"s$i"), retain = 5) {
+        writeRows(p, Seq((i.toLong, "x")), SaveMode.Append)
+      }
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val (ra, rb) = race(
+      {
+        // rendezvous AFTER the extend has read its base snapshot and
+        // written its data, then compact concurrently: whoever commits
+        // second detects the race (extend rebases; compact re-runs)
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        Manifest.compactSub(spark, p, "data", retain = 5)
+      },
+      Manifest.extend(spark, p, Some("s5"), retain = 5) {
+        writeRows(p, Seq((5L, "y")), SaveMode.Append)
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      })
+    assert(rb == Right(true), s"extend failed: $rb")
+    assert(ra.isRight, s"compactSub failed: $ra")
+    // every row present exactly once, whatever the commit order was
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(Manifest.applied(spark, p) == Set("s2", "s3", "s4", "s5"))
+  }
+
+  test("a lost-race rewrite cleans up after itself: no rows leak into " +
+      "any retained generation, no orphans or intent markers remain") {
     val p = tmp()
     Manifest.init(spark, p) { writeRows(p, Seq((1L, "a"), (2L, "b")), SaveMode.Overwrite) }
     val base = Manifest.snapshot(spark, p)
@@ -328,8 +377,11 @@ class ManifestSpec extends SparkSuite {
         .as[(Long, String)].collect().map(_._2).toSet
       assert(!vals.exists(_.startsWith(loser)), s"gen $g leaked loser rows")
     }
-    // vacuum reclaims them (only gen 0+1 retained; loser files orphaned)
-    assert(Manifest.vacuum(spark, p) >= 1)
+    // the failed transaction removed its own published files and its
+    // intent marker — vacuum finds NOTHING to reclaim
+    assert(Manifest.vacuum(spark, p) == 0)
+    val meta = new java.io.File(p, "_meta")
+    assert(!meta.list().exists(_.startsWith("intent-")), "stale intent marker")
     // and the head still reads clean afterwards
     assert(Manifest.read(spark, p, "data").as[(Long, String)].collect().toSet ==
       Set((1L, s"$winner-1"), (2L, s"$winner-2")))
