@@ -79,6 +79,32 @@ object StreamedBatch {
         _ => new File(stageChunks(input, tsCol, tieCol, chunks), "in"))
     }
 
+  /** Batch-0 store build with cross-invocation resume — the
+    * generalization of [[replayIntoMergeTable]]'s `resume` to every
+    * `util.Manifest`-managed store family: after a successful build,
+    * an empty ledgered commit stamps `replay-batch-0` into the store's
+    * manifest, so a LATER replay of the same input (fresh checkpoint,
+    * batch ids reassigned identically by the deterministic chunking)
+    * can prove the build already happened and skip the re-init —
+    * which would otherwise clear the ledger and force every batch to
+    * re-apply. Batches 1+ then fall through to their ledgered no-ops.
+    * Only valid when the input and chunking are unchanged — the same
+    * contract a resumed checkpoint has. (The candle store keeps its
+    * own manifest dialect and its replay keeps the always-rebuild
+    * semantics.)
+    */
+  private def resumableBuild(spark: SparkSession, storePath: String,
+                             resume: Boolean)(build: => Unit): Unit = {
+    import graft.util.Manifest
+    if (resume && Manifest.isManaged(spark, storePath) &&
+        Manifest.applied(spark, storePath).contains("replay-batch-0")) ()
+    else {
+      build
+      Manifest.extend(spark, storePath, Some("replay-batch-0")) {}
+      ()
+    }
+  }
+
   /** Run `start`'s streaming query to completion with the session's
     * shuffle partitions clamped to `parts` for the duration — every
     * micro-batch commits one state-store delta PER state partition,
@@ -245,7 +271,8 @@ object StreamedBatch {
   def replayIntoAnnIndex(spark: SparkSession, input: DataFrame,
                          orderCol: String, tieCol: String, indexPath: String,
                          chunks: Int = 3,
-                         stageKey: Option[String] = None): Unit = {
+                         stageKey: Option[String] = None,
+                         resume: Boolean = false): Unit = {
     import graft.operators.Pq
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -256,7 +283,8 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (id == 0) Pq.buildAnnIndex(batch, indexPath)
+          if (id == 0)
+            resumableBuild(spark, indexPath, resume)(Pq.buildAnnIndex(batch, indexPath))
           else Pq.extendAnnIndex(batch, indexPath,
             shardId = Some(s"replay-batch-$id"))
         }
@@ -289,7 +317,8 @@ object StreamedBatch {
                              orderCol: String, tieCol: String, indexPath: String,
                              chunks: Int = 3, n: Int = 2,
                              threshold: Double = 0.5,
-                             stageKey: Option[String] = None): Unit = {
+                             stageKey: Option[String] = None,
+                             resume: Boolean = false): Unit = {
     import graft.operators.Dedup
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -303,8 +332,10 @@ object StreamedBatch {
           if (id == 0) {
             // returns the stored pair frame; the replay only needs the
             // build side effect
-            Dedup.buildNearDupIndex(batch, indexPath, n = n, threshold = threshold)
-            ()
+            resumableBuild(spark, indexPath, resume) {
+              Dedup.buildNearDupIndex(batch, indexPath, n = n, threshold = threshold)
+              ()
+            }
           } else {
             val pairs = Dedup.incrementalPairs(batch, indexPath,
               n = n, threshold = threshold)
@@ -331,7 +362,8 @@ object StreamedBatch {
   def replayIntoTextIndex(spark: SparkSession, input: DataFrame,
                           orderCol: String, tieCol: String, indexPath: String,
                           chunks: Int = 3,
-                          stageKey: Option[String] = None): Unit = {
+                          stageKey: Option[String] = None,
+                          resume: Boolean = false): Unit = {
     import graft.operators.TextIndex
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -342,7 +374,9 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (id == 0) TextIndex.buildTextIndex(batch, indexPath)
+          if (id == 0)
+            resumableBuild(spark, indexPath, resume)(
+              TextIndex.buildTextIndex(batch, indexPath))
           else TextIndex.extendTextIndex(batch, indexPath,
             shardId = Some(s"replay-batch-$id"))
         }
@@ -368,7 +402,8 @@ object StreamedBatch {
   def replayIntoVocab(spark: SparkSession, input: DataFrame,
                       orderCol: String, tieCol: String, vocabPath: String,
                       chunks: Int = 3,
-                      stageKey: Option[String] = None): Unit = {
+                      stageKey: Option[String] = None,
+                      resume: Boolean = false): Unit = {
     import graft.operators.TextOps
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -379,7 +414,9 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (id == 0) TextOps.buildVocab(batch, vocabPath)
+          if (id == 0)
+            resumableBuild(spark, vocabPath, resume)(
+              TextOps.buildVocab(batch, vocabPath))
           else TextOps.extendVocab(batch, vocabPath,
             shardId = Some(s"replay-batch-$id"))
         }
@@ -407,7 +444,8 @@ object StreamedBatch {
   def replayIntoNbModel(spark: SparkSession, labeled: DataFrame,
                         orderCol: String, tieCol: String, modelPath: String,
                         labelCol: String, chunks: Int = 3,
-                        stageKey: Option[String] = None): Unit = {
+                        stageKey: Option[String] = None,
+                        resume: Boolean = false): Unit = {
     import graft.operators.Classifier
     val in = stagedIn(labeled, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -418,7 +456,9 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (id == 0) Classifier.buildNbModel(batch, modelPath, labelCol)
+          if (id == 0)
+            resumableBuild(spark, modelPath, resume)(
+              Classifier.buildNbModel(batch, modelPath, labelCol))
           else Classifier.extendNbModel(batch, modelPath, labelCol,
             shardId = Some(s"replay-batch-$id"))
         }
@@ -440,7 +480,8 @@ object StreamedBatch {
   def replayIntoMomentStore(spark: SparkSession, input: DataFrame,
                             orderCol: String, tieCol: String, storePath: String,
                             chunks: Int = 3,
-                            stageKey: Option[String] = None): Unit = {
+                            stageKey: Option[String] = None,
+                            resume: Boolean = false): Unit = {
     import graft.operators.Pca
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -451,7 +492,9 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (id == 0) Pca.buildMomentStore(batch, storePath)
+          if (id == 0)
+            resumableBuild(spark, storePath, resume)(
+              Pca.buildMomentStore(batch, storePath))
           else Pca.extendMomentStore(batch, storePath,
             shardId = Some(s"replay-batch-$id"))
         }
@@ -474,7 +517,8 @@ object StreamedBatch {
                               orderCol: String, tieCol: String,
                               valueCol: String, storePath: String,
                               chunks: Int = 3, eps: Double = 0.01,
-                              stageKey: Option[String] = None): Unit = {
+                              stageKey: Option[String] = None,
+                              resume: Boolean = false): Unit = {
     import graft.operators.Quantiles
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -485,7 +529,9 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          if (id == 0) Quantiles.buildQuantileStore(batch, valueCol, storePath, eps)
+          if (id == 0)
+            resumableBuild(spark, storePath, resume)(
+              Quantiles.buildQuantileStore(batch, valueCol, storePath, eps))
           else Quantiles.extendQuantileStore(batch, valueCol, storePath,
             shardId = Some(s"replay-batch-$id"), eps = eps)
         }
@@ -508,7 +554,8 @@ object StreamedBatch {
                            orderCol: String, tieCol: String,
                            storePath: String, n: Int = 2,
                            capacity: Int = 768, chunks: Int = 3,
-                           stageKey: Option[String] = None): Unit = {
+                           stageKey: Option[String] = None,
+                           resume: Boolean = false): Unit = {
     import graft.operators.{FreqSketch, TextOps}
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -519,8 +566,10 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val grams = TextOps.ngrams(batch, n)
-          if (id == 0) FreqSketch.buildHeavyStore(grams, "ngram", storePath, capacity)
+          lazy val grams = TextOps.ngrams(batch, n)
+          if (id == 0)
+            resumableBuild(spark, storePath, resume)(
+              FreqSketch.buildHeavyStore(grams, "ngram", storePath, capacity))
           else FreqSketch.extendHeavyStore(grams, "ngram", storePath,
             shardId = Some(s"replay-batch-$id"), capacity = capacity)
         }
@@ -545,7 +594,8 @@ object StreamedBatch {
                            storePath: String, keyCol: String,
                            expectedKeys: Long = 1000000L,
                            fpp: Double = 0.03, chunks: Int = 3,
-                           stageKey: Option[String] = None): Unit = {
+                           stageKey: Option[String] = None,
+                           resume: Boolean = false): Unit = {
     import graft.operators.Bloom
     val in = stagedIn(dim, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -557,7 +607,8 @@ object StreamedBatch {
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
           if (id == 0)
-            Bloom.buildBloomStore(batch, keyCol, storePath, expectedKeys, fpp)
+            resumableBuild(spark, storePath, resume)(
+              Bloom.buildBloomStore(batch, keyCol, storePath, expectedKeys, fpp))
           else Bloom.extendBloomStore(batch, keyCol, storePath,
             shardId = Some(s"replay-batch-$id"))
         }

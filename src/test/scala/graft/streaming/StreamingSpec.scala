@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.matchers.should.Matchers
 import graft.SparkSuite
-import graft.operators.Candles
+import graft.operators.{Candles, TextOps}
 
 /** Streaming-semantics tests (SURVEY.md §5.2): controlled event-time
   * advancement through MemoryStream — no wall-clock dependence.
@@ -344,6 +344,28 @@ class StreamingSpec extends SparkSuite with Matchers {
     want.exceptAll(got).count() shouldBe 0
   }
 
+  test("generalized store resume: a second replayIntoVocab of the same " +
+      "input is all ledgered no-ops — same generation, same scores") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("stream-vocab-resume").toString
+    def replay(): Unit = StreamedBatch.replayIntoVocab(spark, docs,
+      "doc_id", "doc_id", store, chunks = 4,
+      stageKey = Some("vocab-resume-spec"), resume = true)
+    replay()
+    val gen1 = graft.util.Manifest.snapshot(spark, store).gen
+    // batch 0's build is stamped into the ledger alongside the extends
+    graft.util.Manifest.applied(spark, store) shouldBe
+      Set("replay-batch-0", "replay-batch-1", "replay-batch-2", "replay-batch-3")
+    val scores1 = TextOps.scoreAgainstVocab(docs, store).collect().toSet
+    replay()
+    graft.util.Manifest.snapshot(spark, store).gen shouldBe gen1
+    TextOps.scoreAgainstVocab(docs, store).collect().toSet shouldBe scores1
+    // and the streamed store still equals from-scratch training
+    val oneShot = java.nio.file.Files.createTempDirectory("vocab-oneshot").toString
+    TextOps.buildVocab(docs, oneShot)
+    TextOps.scoreAgainstVocab(docs, oneShot).collect().toSet shouldBe scores1
+  }
+
   test("replayUpdate: upsert resolution returns the last update per key == batch agg") {
     // groups whose events span several chunks update in several
     // micro-batches; the change-log resolution must keep only the
@@ -388,7 +410,7 @@ class StreamingSpec extends SparkSuite with Matchers {
       chunks = 4)
     // batch 0 built, batches 1..3 appended through the ledger
     graft.util.Manifest.applied(spark, idx) shouldBe
-      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+      Set("replay-batch-0", "replay-batch-1", "replay-batch-2", "replay-batch-3")
     // searching the streamed index == recomputing over the whole corpus
     val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
     Pq.annIndexSelfCheck(emb, queries, idx, k = 10)
@@ -408,7 +430,7 @@ class StreamingSpec extends SparkSuite with Matchers {
     StreamedBatch.replayIntoNearDupIndex(spark, docs, "doc_id", "doc_id", idx,
       chunks = 4)
     graft.util.Manifest.applied(spark, idx) shouldBe
-      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+      Set("replay-batch-0", "replay-batch-1", "replay-batch-2", "replay-batch-3")
     // per-doc artifacts are deterministic, so the streamed index's
     // stored pairs == one-shot minhashLsh over everything streamed
     val stored = Dedup.indexedPairs(spark, idx)
@@ -431,7 +453,7 @@ class StreamingSpec extends SparkSuite with Matchers {
     StreamedBatch.replayIntoVocab(spark, docs, "doc_id", "doc_id", store,
       chunks = 4)
     graft.util.Manifest.applied(spark, store) shouldBe
-      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+      Set("replay-batch-0", "replay-batch-1", "replay-batch-2", "replay-batch-3")
     // counts merge by summation: streamed store == from-scratch LM
     val served = TextOps.scoreAgainstVocab(docs, store)
     val scratch = TextOps.unigramLogprob(docs)
@@ -453,7 +475,7 @@ class StreamingSpec extends SparkSuite with Matchers {
     StreamedBatch.replayIntoNbModel(spark, train, "doc_id", "doc_id", store,
       "lang", chunks = 4)
     graft.util.Manifest.applied(spark, store) shouldBe
-      Set("replay-batch-1", "replay-batch-2", "replay-batch-3")
+      Set("replay-batch-0", "replay-batch-1", "replay-batch-2", "replay-batch-3")
     // per-class counts merge by summation: streamed model == scratch
     val served = Classifier.classifyWithModel(test, store)
     val scratch = Classifier.naiveBayes(test, train, "lang")
