@@ -413,6 +413,51 @@ object SparkEntry {
       path
     })
 
+  /** Per-(JVM, sfDir) memo of the `q_merge_generated` gate's table:
+    * orders projected to 3 columns plus a `price_band` DERIVED column
+    * declared GENERATED ALWAYS AS (Delta's generated columns, stored
+    * through the manifest like CHECK constraints). The merge batch
+    * OMITS the column — the table computes it; a batch carrying a
+    * divergent value must refuse (the integrity half), and the
+    * re-delivered shard no-ops.
+    */
+  private val generatedStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def generatedGateStore(s: SparkSession, dir: String): String =
+    generatedStoreMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-merge-generated")
+      val bandExpr = "CASE WHEN o_totalprice >= 150000 THEN 'high' ELSE 'std' END"
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("price_band", expr(bandExpr))
+      graft.util.Lake.mergeInit(s, path,
+        orders.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+      graft.util.Lake.addGeneratedColumn(s, path, "price_band", bandExpr)
+      // divergent provided value must refuse (table untouched)
+      try {
+        graft.util.Lake.merge(s, path,
+          orders.filter(pmod(col("o_orderkey"), lit(10)) === 6)
+            .withColumn("price_band", lit("bogus")),
+          Seq("o_orderkey"))
+        throw new IllegalStateException(
+          "generated gate: divergent provided value was NOT refused")
+      } catch { case _: IllegalArgumentException => () }
+      // the real batch omits the generated column entirely: halve the
+      // price on every %10==6 key — the table recomputes the band
+      graft.util.Lake.merge(s, path,
+        Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 6)
+          .select(col("o_orderkey"), lit("G").as("o_orderstatus"),
+            round(col("o_totalprice") / 2, 2).as("o_totalprice")),
+        Seq("o_orderkey"), shardId = Some("g1"))
+      graft.util.Lake.merge(s, path,
+        Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 6)
+          .select(col("o_orderkey"), lit("G").as("o_orderstatus"),
+            round(col("o_totalprice") / 2, 2).as("o_totalprice")),
+        Seq("o_orderkey"), shardId = Some("g1"))
+      path
+    })
+
   /** Per-(JVM, sfDir) memo of the `q_merge_evolve` gate's table: a
     * 3-column `orders` projection initialized range-laid-out by key,
     * then ONE ledgered MERGE whose update batch carries an ADDED
@@ -1352,6 +1397,12 @@ object SparkEntry {
     // committed, negated prices would sit in the table
     "q_merge_constraint" -> ((s, dir) =>
       graft.util.Lake.mergeRead(s, constraintGateStore(s, dir))),
+    // generated column (Delta GENERATED ALWAYS AS): the merge batch
+    // omits price_band and the table derives it from the halved price
+    // — the oracle recomputes the same derivation; the divergent
+    // provided-value refusal happened during the store build
+    "q_merge_generated" -> ((s, dir) =>
+      graft.util.Lake.mergeRead(s, generatedGateStore(s, dir))),
     // MERGE schema evolution (Delta's autoMerge): the update batch's
     // added column widens the table inside the merge's own atomic
     // commit; pre-evolution files are NOT rewritten — the footer-merged
@@ -3062,6 +3113,19 @@ object SparkEntry {
                 CASE WHEN o_orderkey % 10 = 4 THEN 'C'
                      ELSE o_orderstatus END AS o_orderstatus,
                 o_totalprice
+         FROM orders""",
+    // the derived column recomputes from the POST-merge price: %10==6
+    // keys were re-statused with halved prices, bands re-derive
+    "q_merge_generated" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 6 THEN 'G'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                CASE WHEN o_orderkey % 10 = 6 THEN ROUND(o_totalprice / 2, 2)
+                     ELSE o_totalprice END AS o_totalprice,
+                CASE WHEN (CASE WHEN o_orderkey % 10 = 6
+                             THEN ROUND(o_totalprice / 2, 2)
+                             ELSE o_totalprice END) >= 150000 THEN 'high'
+                     ELSE 'std' END AS price_band
          FROM orders""",
     // merge-with-evolution: updated keys carry the new column's value,
     // everything else reads it as NULL (the pre-evolution footers)

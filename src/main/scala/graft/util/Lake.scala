@@ -584,13 +584,16 @@ object Lake {
     * given) remove `delKeysOpt`'s keys, as one commit.
     */
   private def upsertCore(spark: SparkSession, path: String,
-                         updates: DataFrame, delKeysOpt: Option[DataFrame],
+                         updatesIn: DataFrame, delKeysOpt: Option[DataFrame],
                          keys: Seq[String], shardId: Option[String],
                          retain: Int, evolve: Boolean = false): MergeResult = {
     val snap = Manifest.snapshot(spark, path)
     if (shardId.exists(snap.applied))
       return MergeResult(0, 0, 0, 0,
         snap.files.count(_.startsWith(s"$MergeDataSub/")), applied = false)
+    // generated columns first: missing ones are computed (the shape
+    // check below then sees the full schema), provided ones verified
+    val updates = applyGenerated(spark, path, updatesIn)
     val target = mergeRead(spark, path)
     // names AND types: a name-only check would let an int32-keyed
     // update append files next to int64 ones — a commit that succeeds
@@ -814,7 +817,7 @@ object Lake {
     val prev = checkConstraints(spark, path).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     val next = (prev + (name -> sqlExpr)).toSeq
-    replaceConstraints(spark, path, next)
+    replaceRules(spark, path, ConstraintSub, next)
   }
 
   /** Drop a CHECK constraint by name (no-op when absent). */
@@ -822,34 +825,122 @@ object Lake {
                           name: String): Unit = {
     val prev = checkConstraints(spark, path).collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
-    replaceConstraints(spark, path, (prev - name).toSeq)
+    replaceRules(spark, path, ConstraintSub, (prev - name).toSeq)
   }
 
-  private def replaceConstraints(spark: SparkSession, path: String,
-                                 all: Seq[(String, String)]): Unit = {
+  // ── generated columns: Delta's GENERATED ALWAYS AS ───────────────
+  //
+  // A column whose value is DERIVED from other columns by a stored
+  // expression: merge batches may omit it entirely (the table computes
+  // it — the writer-ergonomics half), and when a batch does carry it,
+  // every provided value must equal the expression (the integrity
+  // half — Delta enforces generated columns exactly like invariants).
+  // Rules ride the same manifest-committed storage as CHECK
+  // constraints, so they version, time-travel and restore with the
+  // data.
+
+  private val GeneratedSub = "generated"
+
+  /** Declare `name` as generated by `sqlExpr` (a SQL expression over
+    * the OTHER columns). The column must already exist with values
+    * consistent with the expression — like [[addCheckConstraint]],
+    * retrofitting onto a divergent table is refused.
+    */
+  def addGeneratedColumn(spark: SparkSession, path: String,
+                         name: String, sqlExpr: String): Unit = {
+    val target = mergeRead(spark, path)
+    require(target.columns.contains(name),
+      s"addGeneratedColumn: column $name does not exist in the table at " +
+        s"$path — generated columns derive an EXISTING column's values")
+    val divergent = target.filter(!(col(name) <=> expr(sqlExpr))).count()
+    require(divergent == 0L,
+      s"addGeneratedColumn($name): $divergent existing row(s) diverge from " +
+        s"'$sqlExpr' — clean the table first")
+    val prev = generatedColumns(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    replaceRules(spark, path, GeneratedSub, (prev + (name -> sqlExpr)).toSeq)
+  }
+
+  /** Drop a generated-column rule by name (the column itself stays). */
+  def dropGeneratedColumn(spark: SparkSession, path: String,
+                          name: String): Unit = {
+    val prev = generatedColumns(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    replaceRules(spark, path, GeneratedSub, (prev - name).toSeq)
+  }
+
+  /** The table's generated-column rules as (name, expr). */
+  def generatedColumns(spark: SparkSession, path: String,
+                       asOf: Option[Int] = None): DataFrame =
+    readRules(spark, path, GeneratedSub, asOf)
+
+  /** Apply the table's generated-column rules to a merge batch:
+    * missing generated columns are COMPUTED (appended; the merge's
+    * shape check then sees the full schema), provided ones are
+    * VERIFIED against their expressions (one conditional-count pass;
+    * divergence refuses before any commit machinery starts).
+    */
+  private def applyGenerated(spark: SparkSession, path: String,
+                             updates: DataFrame): DataFrame = {
+    val rules = generatedColumns(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (rules.isEmpty) return updates
+    val (provided, missing) = rules.partition {
+      case (n, _) => updates.columns.contains(n)
+    }
+    if (provided.nonEmpty) {
+      val aggs = provided.map { case (n, e) =>
+        sum(when(!(col(n) <=> expr(e)), 1L).otherwise(0L)).as(n)
+      }
+      val row = updates.agg(aggs.head, aggs.tail: _*).head()
+      val viol = provided.zipWithIndex
+        .map { case ((n, e), i) =>
+          (n, e, if (row.isNullAt(i)) 0L else row.getLong(i)) }
+        .filter(_._3 > 0)
+      if (viol.nonEmpty)
+        throw new IllegalArgumentException(
+          s"merge on $path: provided value(s) diverge from generated " +
+            "column expression(s) " +
+            viol.map { case (n, e, c) => s"$n ($e): $c row(s)" }
+              .mkString("; ") + " — omit the column or match the expression")
+    }
+    missing.foldLeft(updates) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+  }
+
+  /** Shared storage for table-level (name, expr) rule sets —
+    * CHECK constraints and generated columns both ride it: a tiny
+    * parquet under `path/<sub>/`, swapped whole as one manifest
+    * generation, so rules version/time-travel/restore with the data.
+    */
+  private def replaceRules(spark: SparkSession, path: String, sub: String,
+                           all: Seq[(String, String)]): Unit = {
     import spark.implicits._
     val snap = Manifest.snapshot(spark, path)
-    val old = snap.files.filter(_.startsWith(s"$ConstraintSub/")).toSet
+    val old = snap.files.filter(_.startsWith(s"$sub/")).toSet
     Manifest.rewriteFiles(spark, path, drop = old) { stage =>
       if (all.nonEmpty)
         all.toDF("name", "expr").coalesce(1)
-          .write.mode(SaveMode.Append).parquet(s"$stage/$ConstraintSub")
+          .write.mode(SaveMode.Append).parquet(s"$stage/$sub")
     }
     ()
+  }
+
+  private def readRules(spark: SparkSession, path: String, sub: String,
+                        asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val snap = Manifest.snapshot(spark, path, asOf)
+    if (!snap.files.exists(_.startsWith(s"$sub/")))
+      Seq.empty[(String, String)].toDF("name", "expr")
+    else Manifest.read(spark, path, sub, asOf)
+      .select(col("name"), col("expr"))
   }
 
   /** The table's CHECK constraints as (name, expr) — empty when none.
     * Generation-pinned like everything else (`asOf`).
     */
   def checkConstraints(spark: SparkSession, path: String,
-                       asOf: Option[Int] = None): DataFrame = {
-    import spark.implicits._
-    val snap = Manifest.snapshot(spark, path, asOf)
-    if (!snap.files.exists(_.startsWith(s"$ConstraintSub/")))
-      Seq.empty[(String, String)].toDF("name", "expr")
-    else Manifest.read(spark, path, ConstraintSub, asOf)
-      .select(col("name"), col("expr"))
-  }
+                       asOf: Option[Int] = None): DataFrame =
+    readRules(spark, path, ConstraintSub, asOf)
 
   /** Refuse `rows` when any CHECK constraint of the head generation
     * evaluates to FALSE on any row (one conditional-count aggregate

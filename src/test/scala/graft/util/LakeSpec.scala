@@ -414,6 +414,52 @@ class LakeSpec extends SparkSuite with Matchers {
       Seq((9L, -2L, "now-ok")).toDF("k", "v", "tag"), Seq("k")).applied shouldBe true
   }
 
+  test("generated columns: omitted on merge -> computed; divergent " +
+      "provided values refused; dirty ADD refused; drop re-allows; " +
+      "rules survive compaction") {
+    val (path, _) = mergeFixture()
+    // retrofit requires an existing, consistent column
+    an[IllegalArgumentException] should be thrownBy
+      Lake.addGeneratedColumn(spark, path, "nope", "v * 2")
+    // make tag derivable, declare it generated
+    Lake.updateWhere(spark, path, lit(true),
+      Map("tag" -> concat(lit("t"), pmod(col("k"), lit(3)).cast("string"))),
+      Seq("k"))
+    an[IllegalArgumentException] should be thrownBy
+      Lake.addGeneratedColumn(spark, path, "tag", "'x' || CAST(k AS STRING)")
+    Lake.addGeneratedColumn(spark, path, "tag",
+      "'t' || CAST(k % 3 AS STRING)")
+    // a batch OMITTING the generated column: computed by the table
+    val res = Lake.merge(spark, path,
+      Seq((5L, -50L), (900L, -900L)).toDF("k", "v"), Seq("k"))
+    res.matched shouldBe 1L
+    res.inserted shouldBe 1L
+    Lake.mergeRead(spark, path).filter(col("k") === 900L)
+      .select("tag").as[String].head() shouldBe "t0"
+    Lake.mergeRead(spark, path).filter(col("k") === 5L)
+      .select("v", "tag").as[(Long, String)].head() shouldBe ((-50L, "t2"))
+    // a divergent provided value refuses, table untouched
+    val before = Lake.mergeRead(spark, path).collect().toSet
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path,
+        Seq((6L, -60L, "WRONG")).toDF("k", "v", "tag"), Seq("k"))
+    Lake.mergeRead(spark, path).collect().toSet shouldBe before
+    // a CONSISTENT provided value passes
+    Lake.merge(spark, path,
+      Seq((6L, -60L, "t0")).toDF("k", "v", "tag"), Seq("k"))
+      .matched shouldBe 1L
+    // rules ride the manifest: survive OPTIMIZE, drop re-allows
+    Lake.mergeCompact(spark, path, Seq("k"))
+    Lake.generatedColumns(spark, path).count() shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Lake.merge(spark, path,
+        Seq((7L, -70L, "WRONG")).toDF("k", "v", "tag"), Seq("k"))
+    Lake.dropGeneratedColumn(spark, path, "tag")
+    Lake.merge(spark, path,
+      Seq((7L, -70L, "free")).toDF("k", "v", "tag"), Seq("k"))
+      .matched shouldBe 1L
+  }
+
   test("merge evolve: updates with an added column widen the table " +
       "atomically; pre-evolution rows read NULL; refusals hold") {
     val (path, _) = mergeFixture()
