@@ -442,18 +442,27 @@ object SparkEntry {
           "generated gate: divergent provided value was NOT refused")
       } catch { case _: IllegalArgumentException => () }
       // the real batch omits the generated column entirely: halve the
-      // price on every %10==6 key — the table recomputes the band
+      // price on every %10==6 key — the table recomputes the band.
+      // Halving is done in exact integer cents ((c+1) DIV 2 = half-up
+      // for positive c): Spark's round() on DOUBLE goes through the
+      // shortest-decimal repr while DuckDB rounds the exact binary
+      // value, so round(x/2, 2) diverges by a cent on ~3% of rows at
+      // the 2-dp boundary (.xx5 halves). Integer arithmetic is
+      // engine-identical by construction, and cents/100.0 is the same
+      // correctly-rounded double in both engines.
+      val halvedCents =
+        expr("CAST((CAST(round(o_totalprice * 100) AS BIGINT) + 1) DIV 2 AS DOUBLE) / 100.0D")
       graft.util.Lake.merge(s, path,
         Tables.orders(s, dir)
           .filter(pmod(col("o_orderkey"), lit(10)) === 6)
           .select(col("o_orderkey"), lit("G").as("o_orderstatus"),
-            round(col("o_totalprice") / 2, 2).as("o_totalprice")),
+            halvedCents.as("o_totalprice")),
         Seq("o_orderkey"), shardId = Some("g1"))
       graft.util.Lake.merge(s, path,
         Tables.orders(s, dir)
           .filter(pmod(col("o_orderkey"), lit(10)) === 6)
           .select(col("o_orderkey"), lit("G").as("o_orderstatus"),
-            round(col("o_totalprice") / 2, 2).as("o_totalprice")),
+            halvedCents.as("o_totalprice")),
         Seq("o_orderkey"), shardId = Some("g1"))
       path
     })
@@ -3116,14 +3125,18 @@ object SparkEntry {
          FROM orders""",
     // the derived column recomputes from the POST-merge price: %10==6
     // keys were re-statused with halved prices, bands re-derive
+    // the halved price is computed in exact integer cents on both
+    // engines ((c+1)//2 = half-up) — ROUND on DOUBLE diverges from
+    // Spark's shortest-decimal rounding at the 2-dp .xx5 boundary
     "q_merge_generated" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 10 = 6 THEN 'G'
                      ELSE o_orderstatus END AS o_orderstatus,
-                CASE WHEN o_orderkey % 10 = 6 THEN ROUND(o_totalprice / 2, 2)
+                CASE WHEN o_orderkey % 10 = 6
+                     THEN ((CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1) // 2) / 100.0
                      ELSE o_totalprice END AS o_totalprice,
                 CASE WHEN (CASE WHEN o_orderkey % 10 = 6
-                             THEN ROUND(o_totalprice / 2, 2)
+                             THEN ((CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1) // 2) / 100.0
                              ELSE o_totalprice END) >= 150000 THEN 'high'
                      ELSE 'std' END AS price_band
          FROM orders""",
