@@ -231,17 +231,35 @@ object Dedup {
     * that many docs from the index (classic stop-shingle cut — they
     * generate O(df²) candidates and no near-dup signal); with the cut
     * enabled recall can drop for pairs whose overlap is exclusively
-    * stop-shingles — acceptable by construction, disabled by default.
+    * stop-shingles — disabled by default. SEMANTICS (since r11): the
+    * cap is FULL-CORPUS document frequency, an upper bound of the
+    * pre-r11 prefix-entry df — the same cap value prunes MORE; re-tune
+    * carried-over values. The capped path is guarded: when the cap
+    * touches more than [[maxShingleDfLossBudget]] of docs' prefixes
+    * (uniformly dense corpora, where it guts recall) the call REFUSES
+    * rather than returning a silently incomplete answer; within budget
+    * it logs the measured affected fraction.
     */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
                    maxShingleDf: Int = 0): DataFrame = {
-    val sets = hashedShingles(docs, n)
-    val ranked = dfRankedPostings(sets)
+    // Materialize the shingle sets and the df-ranked posting index ONCE
+    // (write-through snapshots, same lifecycle as dupComponents'): the
+    // plan below references `sets` twice (verification fetches) and the
+    // index twice (self-join sides), and exchange reuse does NOT kick
+    // in across these subtrees in the executed plan — r11 measured the
+    // shingle-kernel subtree evaluated 6× per call, serializing the
+    // stage chain (BENCH_r11 12× wall regression). The snapshots pin
+    // each subtree to exactly one evaluation; downstream stages scan
+    // parquet. Eager by design — same contract as [[dupComponents]].
+    val sets = snap(hashedShingles(docs, n))
     // prefix length |d| - ceil(t*|d|) + 1 (exact-recall bound), taken
     // over the df-ascending order: each doc's prefix is its RAREST
-    // shingles
-    val prefix = ranked.filter(
-      col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    // shingles. Only PREFIX rows are snapshotted — the self-join and
+    // the cap guard read nothing else, so the non-prefix tail never
+    // hits disk.
+    val prefix = snap(dfRankedPostings(sets).filter(
+      col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1))
+    checkShingleDfCap(prefix, maxShingleDf, "ngramJaccard")
     val index =
       if (maxShingleDf <= 0) prefix
       else prefix.filter(col("df") <= maxShingleDf)
@@ -249,29 +267,61 @@ object Dedup {
     // an O(corpus) broadcast would kill the driver, so the join is
     // planned by size — AQE converts to broadcast when the index is
     // genuinely small and splits skewed `h` partitions (hot shingles)
-    // when it isn't. Both sides are the same exchange subtree, so the
-    // self-join reads one shuffle's output twice.
+    // when it isn't.
     //
-    // Positional filter (the PPJoin refinement): per candidate pair,
-    // aggregate the prefix-match count and the max matched positions.
-    // Any shared shingle NOT matched prefix-to-prefix is, in the global
-    // (df, hash) order, greater than every prefix match (it sits past
-    // at least one doc's prefix boundary), so it lies past (maxPa,
-    // maxPb) in BOTH docs' df-ranked orders. Hence
-    //   overlap ≤ cnt + min(szA-1-maxPa, szB-1-maxPb)
-    // and pairs whose bound can't reach the Jaccard-implied overlap
-    // floor t·(szA+szB)/(1+t) are pruned before verification.
+    // PER-MATCH positional + length filters (the PPJoin refinements),
+    // pushed INTO the join condition so pruned match rows never leave
+    // the join operator. Soundness of the positional predicate: for a
+    // qualifying pair the EARLIEST shared shingle in the global
+    // (df, hash) order is a prefix×prefix match (were it past either
+    // prefix, ALL shared shingles would be, capping overlap below the
+    // ⌈t·|d|⌉ floor — the prefix theorem's own argument), and since
+    // every other shared shingle ranks after it,
+    //   overlap ≤ 1 + min(szA−1−pa, szB−1−pb)
+    // holds AT that match. A pair with jaccard ≥ t has overlap ≥
+    // t·(szA+szB)/(1+t), so its earliest match survives the predicate
+    // — candidates are EXISTS(surviving match), recall untouched.
+    // The length predicate is the classic size-ratio bound
+    // (overlap ≤ min(sz) forces min(sz) ≥ t·max(sz)).
+    //
+    // This is what makes the df-ascending order pay at the candidate
+    // join: hot shingles rank LAST inside each prefix (high pos), which
+    // is exactly where the positional predicate is tightest — the
+    // df-hot × df-hot match mass (measured 16.5M join rows → 1.5M
+    // candidate pairs for 256 real ones at sf0.1) dies inside the join
+    // instead of flooding a pair-level aggregate.
+    val alphaOk = (lit(1) +
+        least(col("a.sz") - 1 - col("a.pos"), col("b.sz") - 1 - col("b.pos")))
+      .cast("double") * (1.0 + threshold) >=
+        lit(threshold) * (col("a.sz") + col("b.sz")) - 1e-9
+    val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") >=
+      lit(threshold) * greatest(col("a.sz"), col("b.sz")) - 1e-9
+    // ASYMMETRIC prefixes (AllPairs' index-prefix shortening): orient
+    // each pair so the probe side `a` is the LARGER doc (ties by id)
+    // and the indexed side `b` the smaller. For a qualifying pair the
+    // earliest shared shingle obeys overlap ≥ α = t(szA+szB)/(1+t)
+    // with α ≥ 2t/(1+t)·szB on the smaller doc, so its position in b
+    // is < szB − ⌈2t/(1+t)·szB⌉ + 1 — a strictly SHORTER prefix than
+    // the probe bound (2t/(1+t) ≥ t), cutting the per-shingle match
+    // mass by ~1/3 at t = 0.5 with recall untouched.
+    val bShort = col("b.pos") <
+      col("b.sz") - ceil(lit(2 * threshold / (1 + threshold)) * col("b.sz")) + 1
+    val aProbesB =
+      col("b.sz") < col("a.sz") ||
+        (col("b.sz") === col("a.sz") && col("b.doc_id") < col("a.doc_id"))
+    // distinct BEFORE verification: the candidate dedup is one
+    // exchange over the surviving match rows, and every candidate pair
+    // is verified exactly once — measured faster at sf0.1 than piping
+    // duplicate matches straight into the fetch joins (whose shuffled
+    // rows carry the full hash arrays, so redundancy there is paid in
+    // array bytes, not 16-byte pair keys)
     val cand = index.as("a")
       .join(index.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("cnt"),
-        max(col("a.pos")).as("mpa"), max(col("b.pos")).as("mpb"),
-        max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"))
-      .filter((col("cnt") +
-          least(col("sz_a") - 1 - col("mpa"), col("sz_b") - 1 - col("mpb")))
-        * (1.0 + threshold) >= lit(threshold) * (col("sz_a") + col("sz_b")) - 1e-9)
-      .select(col("doc_a"), col("doc_b"))
+        col("a.h") === col("b.h") && aProbesB && bShort &&
+          sizeOk && alphaOk)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
     verifyJaccard(cand, sets, threshold)
   }
 
@@ -290,8 +340,12 @@ object Dedup {
                              n: Int = 2, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"ngramContainmentAcross: threshold must be in (0, 1], got $threshold")
-    val cs = hashedShingles(corpus, n)
-    val ps = hashedShingles(probes, n)
+    // snapshots: each side's shingle kernel runs once (the corpus side
+    // is re-read by the verification fetch below), and the cross-set
+    // posting index — referenced by both join sides — is evaluated
+    // once (see ngramJaccard's reeval note)
+    val cs = snap(hashedShingles(corpus, n))
+    val ps = snap(hashedShingles(probes, n))
     val sets = cs.withColumn("side", lit(0))
       .unionByName(ps.withColumn("side", lit(1)))
     val posts = sets.select(col("side"), col("doc_id"),
@@ -300,8 +354,8 @@ object Dedup {
     val dfTab = posts.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("side"), col("doc_id"))
       .orderBy(col("df"), col("h"))
-    val full = posts.join(dfTab, "h")
-      .withColumn("pos", row_number().over(w) - 1)
+    val full = snap(posts.join(dfTab, "h")
+      .withColumn("pos", row_number().over(w) - 1))
     val prefix = full.filter(
       col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1)
     // the smaller set's prefix probes the OTHER side's full postings
@@ -311,16 +365,18 @@ object Dedup {
         (col("a.sz") === col("b.sz") &&
           struct(col("a.side"), col("a.doc_id")) <
             struct(col("b.side"), col("b.doc_id")))
+    // per-match positional predicate in the join (see ngramContainment:
+    // the qualifying pair's earliest shared shingle survives it)
+    val alphaOk = (lit(1) +
+        least(col("a.sz") - 1 - col("a.pos"), col("b.sz") - 1 - col("b.pos")))
+      .cast("double") >= lit(threshold) * col("a.sz") - 1e-9
     val cand = prefix.as("a")
       .join(full.as("b"),
         col("a.h") === col("b.h") && col("a.side") =!= col("b.side") &&
-          smallerFirst)
-      .groupBy(col("a.side").as("side_s"), col("a.doc_id").as("id_s"),
+          smallerFirst && alphaOk)
+      .select(col("a.side").as("side_s"), col("a.doc_id").as("id_s"),
         col("b.doc_id").as("id_l"))
-      .agg(count(lit(1)).as("cnt"), max(col("a.pos")).as("mpa"),
-        max(col("a.sz")).as("sz_s"))
-      .filter(col("cnt") + (col("sz_s") - 1 - col("mpa")) >=
-        lit(threshold) * col("sz_s") - 1e-9)
+      .distinct()
       // reorient by SIDE (side 0 = corpus), not by size
       .select(
         when(col("side_s") === 0, col("id_s")).otherwise(col("id_l")).as("doc_id"),
@@ -424,30 +480,36 @@ object Dedup {
                        threshold: Double = 0.4): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"ngramContainment: threshold must be in (0, 1], got $threshold")
-    val sets = hashedShingles(docs, n)
+    // snapshots pin the shingle kernel and the posting index to one
+    // evaluation each (see ngramJaccard — same 6×-reeval pathology)
+    val sets = snap(hashedShingles(docs, n))
     // df-ranked postings (the shared AllPairs index): each doc's
     // prefix is its rarest shingles, so the prefix×full probe cost
     // tracks rare-shingle df², not the dense tail
-    val full = dfRankedPostings(sets)
+    val full = snap(dfRankedPostings(sets))
     val prefix = full.filter(
       col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1)
     // the smaller set's prefix probes the full index (size ties break
-    // by id so each unordered pair is generated exactly once)
+    // by id so each unordered pair is generated exactly once).
+    // PER-MATCH positional predicate pushed into the join (see
+    // ngramJaccard): the earliest shared shingle of a qualifying pair
+    // lies within the SMALL side's prefix and appears in the large
+    // side's FULL postings at its own position, and every other shared
+    // shingle ranks after it, so overlap ≤ 1 + min(remaining-a,
+    // remaining-b) at that match while containment ≥ t forces
+    // overlap ≥ t·sz_s — its earliest match survives, recall is exact,
+    // and the hot-shingle match mass dies inside the join.
+    val alphaOk = (lit(1) +
+        least(col("a.sz") - 1 - col("a.pos"), col("b.sz") - 1 - col("b.pos")))
+      .cast("double") >= lit(threshold) * col("a.sz") - 1e-9
     val cand = prefix.as("a")
       .join(full.as("b"),
         col("a.h") === col("b.h") &&
           (col("a.sz") < col("b.sz") ||
-            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))))
-      .groupBy(col("a.doc_id").as("doc_s"), col("b.doc_id").as("doc_l"))
-      .agg(count(lit(1)).as("cnt"), max(col("a.pos")).as("mpa"),
-        max(col("a.sz")).as("sz_s"))
-      // small-side positional bound: a shared shingle unmatched in this
-      // join sits past position mpa in the small doc's sorted set, so
-      // overlap ≤ cnt + (sz_s − 1 − mpa); prune pairs that cannot reach
-      // the t·min(=sz_s) floor before fetching any full set
-      .filter(col("cnt") + (col("sz_s") - 1 - col("mpa")) >=
-        lit(threshold) * col("sz_s") - 1e-9)
-      .select(col("doc_s"), col("doc_l"))
+            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))) &&
+          alphaOk)
+      .select(col("a.doc_id").as("doc_s"), col("b.doc_id").as("doc_l"))
+      .distinct()
     cand
       .join(sets.select(col("doc_id").as("doc_s"), col("hs").as("hs_s")), "doc_s")
       .join(sets.select(col("doc_id").as("doc_l"), col("hs").as("hs_l")), "doc_l")
@@ -500,7 +562,9 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
                  numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val sets = hashedShingles(docs, n)
+    // one kernel evaluation: the sets feed banding AND both
+    // verification fetches (see ngramJaccard's reeval note)
+    val sets = snap(hashedShingles(docs, n))
     // map-only banding through the MinHashMins kernel (bit-identical
     // buckets to the classic bandBuckets∘signaturesFromSets path,
     // spec-proven, without its signature exchange)
@@ -542,7 +606,8 @@ object Dedup {
     */
   def minhashLshMultiProbe(docs: DataFrame, n: Int = 2, threshold: Double = 0.5,
                            numHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val sets = hashedShingles(docs, n)
+    // one kernel evaluation (see minhashLsh)
+    val sets = snap(hashedShingles(docs, n))
     val ext = kernelBuckets(sets, numHashes, bands, probes = true)
     val cand = bucketCandidates(ext, ext.filter(col("is_base"))).distinct()
     verifyJaccard(cand, sets, threshold)
@@ -878,6 +943,57 @@ object Dedup {
       rm(d.toFile)
     }
     d.toString
+  }
+
+  /** [[writeThroughAt]] for snapshots that live as long as the result
+    * frame may be read: the returned scan IS the caller's return-value
+    * base, so the files are owned by the checkpoint dir (cluster) or
+    * the JVM-exit hook (local) — never retired eagerly.
+    */
+  private def snap(df: DataFrame): DataFrame =
+    if (sys.env.contains("GRAFT_PROBE")) {
+      val s = System.nanoTime(); val r = writeThroughAt(df)._1
+      println(f"[probe]   snap ${(System.nanoTime() - s) / 1e9}%.2f s"); r
+    } else writeThroughAt(df)._1
+
+  /** The [[ngramJaccard]] `maxShingleDf` recall guard. The prefix-filter
+    * recall theorem needs every prefix entry present; the cap deletes
+    * index entries with df above it, so any doc with a capped PREFIX
+    * entry can silently lose pairs. On Zipfian text the cap trims a
+    * dense tail few prefixes touch; on a uniformly dense corpus it guts
+    * recall while presenting as an innocuous knob (measured r11:
+    * 145/2,899 pairs survive cap=200 on the dense sf1 corpus). So the
+    * capped path is REFUSED when the measured affected-doc fraction
+    * exceeds `maxShingleDfLossBudget` (default 5%), and logs the
+    * measured fraction loudly otherwise — never a silent 5% answer.
+    * One partial-agg'd count over the already-materialized index.
+    */
+  @volatile var maxShingleDfLossBudget: Double = 0.05
+  private def checkShingleDfCap(prefix: DataFrame,
+                                maxShingleDf: Int, op: String): Unit = {
+    if (maxShingleDf > 0) {
+      val Array(affected, total) = prefix.agg(
+        count_distinct(when(col("df") > maxShingleDf, col("doc_id"))),
+        count_distinct(col("doc_id"))).collect()(0)
+        .toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
+      val frac = if (total == 0) 0.0 else affected.toDouble / total
+      if (frac > maxShingleDfLossBudget)
+        throw new IllegalArgumentException(
+          s"$op: maxShingleDf=$maxShingleDf drops prefix-index entries for " +
+            f"$affected of $total docs (${frac * 100}%.1f%% > budget " +
+            f"${maxShingleDfLossBudget * 100}%.1f%%) — the prefix-filter recall " +
+            "theorem no longer applies to those docs and their pairs can be " +
+            "silently lost. Raise the cap, disable it (0), or raise " +
+            "Dedup.maxShingleDfLossBudget if lossy recall is intended. " +
+            "Note maxShingleDf is FULL-CORPUS document frequency (r11 " +
+            "change), an upper bound of the old prefix-entry df — re-tune " +
+            "cap values carried over from before.")
+      else if (affected > 0)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          f"$op: maxShingleDf=$maxShingleDf affects $affected/$total docs' " +
+            f"prefixes (${frac * 100}%.1f%%) — pairs whose overlap is " +
+            "exclusively capped shingles will be missed (within loss budget)")
+    }
   }
 
   /** Snapshot `df` to parquet and return (scan of the snapshot, its

@@ -58,6 +58,27 @@ class DedupSpec extends SparkSuite with Matchers {
     fast shouldBe naive
   }
 
+  test("maxShingleDf guard: refuses on a uniformly dense corpus where " +
+    "the cap would gut recall; a no-op cap passes unchanged") {
+    // every doc shares the same three bigrams (full-corpus df = 50) plus
+    // one unique bigram: the 0.5-threshold prefix spans 3 of the 4
+    // entries, so a cap of 5 deletes prefix entries for EVERY doc — the
+    // silent-5%-answer shape the guard exists to refuse
+    val dense = (1 to 50).map(i => (i.toLong, s"alpha beta gamma delta u$i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(dense, n = 2, threshold = 0.5, maxShingleDf = 5)
+    }
+    e.getMessage should include("recall")
+    // a cap above every df drops nothing: within budget, results are
+    // bit-identical to the uncapped run
+    val capped = Dedup.ngramJaccard(dense, n = 2, threshold = 0.5,
+      maxShingleDf = 100).orderBy("doc_a", "doc_b").collect()
+    val un = Dedup.ngramJaccard(dense, n = 2, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    capped shouldBe un
+  }
+
   private def naiveContainment(d: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sets = d.select(col("doc_id"),
       array_sort(array_distinct(transform(Dedup.shingles(col("text"), n),
