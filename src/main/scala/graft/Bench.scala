@@ -76,9 +76,13 @@ object Bench {
       "q_merge_upsert", "q_merge_read_range", "stream_apply_changes",
       "cur_semantic_prototypes")
     val resMap = results.toMap
-    val hq = headline.flatMap(k => resMap.get(k).map(v => s"\"" + k + "\":" +
-      BigDecimal(v._1).setScale(3, BigDecimal.RoundingMode.HALF_UP)))
-      .mkString("{", ",", "}")
+    // each headline query carries {w: wall sec, c: process-cpu sec} so a
+    // reader can split latency from load (wall ≫ cpu/cores = stage
+    // latency or contention, not compute) without opening BENCH_SELF
+    val hq = headline.flatMap(k => resMap.get(k).map { case (w, c) =>
+      def f3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      s"\"" + k + s"\":{\"w\":${f3(w)},\"c\":${f3(c)}}"
+    }).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$hq,"total_cpu_sec":${fmt(totalCpu)},""" +
       s""""n_queries":${results.size},"full":"BENCH_SELF.json",""" +

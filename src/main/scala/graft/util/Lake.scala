@@ -691,7 +691,8 @@ object Lake {
     var matched = 0L
     var deleted = 0L
     Manifest.rewriteFiles(spark, path,
-      drop = (touchedRel ++ liveStats).toSet, shardId, retain) { stage =>
+      drop = (touchedRel ++ liveStats).toSet, shardId, retain,
+      baseGen = Some(snap.gen)) { stage =>
       val touchedRows =
         if (touchedRel.isEmpty) target.filter(lit(false)) else readFiles(touchedRel)
       matched = touchedRows.join(updKeys, keys, "left_semi").count()
@@ -773,7 +774,8 @@ object Lake {
       else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
     var after = 0
     Manifest.rewriteFiles(spark, path,
-      drop = (liveData ++ liveStats).toSet, retain = retain) { stage =>
+      drop = (liveData ++ liveStats).toSet, retain = retain,
+      baseGen = Some(snap.gen)) { stage =>
       shaped.write.mode(SaveMode.Append).parquet(s"$stage/$MergeDataSub")
       val freshNames = fileNamesIn(spark, s"$stage/$MergeDataSub")
       after = freshNames.size
@@ -917,7 +919,8 @@ object Lake {
     import spark.implicits._
     val snap = Manifest.snapshot(spark, path)
     val old = snap.files.filter(_.startsWith(s"$sub/")).toSet
-    Manifest.rewriteFiles(spark, path, drop = old) { stage =>
+    Manifest.rewriteFiles(spark, path, drop = old,
+      baseGen = Some(snap.gen)) { stage =>
       if (all.nonEmpty)
         all.toDF("name", "expr").coalesce(1)
           .write.mode(SaveMode.Append).parquet(s"$stage/$sub")
@@ -1169,7 +1172,8 @@ object Lake {
     val touchedRel = liveData.filter(f => touchedNames.contains(f.split('/').last))
     var affected = 0L
     Manifest.rewriteFiles(spark, path,
-      drop = (touchedRel ++ liveStats).toSet, shardId, retain) { stage =>
+      drop = (touchedRel ++ liveStats).toSet, shardId, retain,
+      baseGen = Some(snap.gen)) { stage =>
       val target = mergeRead(spark, path)
       val touchedRows =
         if (touchedRel.isEmpty) target.filter(lit(false)) else readFiles(touchedRel)

@@ -510,6 +510,10 @@ object Manifest {
     * seen — Delta's conflict checker refuses the same way for
     * read-write transactions). The caller re-runs the whole operation
     * against the new head; its orphaned write is [[vacuum]] food.
+    * Callers whose analysis ran against an earlier snapshot MUST pass
+    * that snapshot's generation as `baseGen` — the conflict check then
+    * covers the full analysis-to-commit window instead of silently
+    * restarting at this call's entry.
     *
     * Unlike [[extend]]/[[replace]], the adds here are EXACT, not a
     * listing diff: `write` receives a transaction-scoped staging root
@@ -522,11 +526,35 @@ object Manifest {
     * `_temporary/` staging dir.
     */
   def rewriteFiles(spark: SparkSession, path: String, drop: Set[String],
-                   shardId: Option[String] = None, retain: Int = 3)
+                   shardId: Option[String] = None, retain: Int = 3,
+                   baseGen: Option[Int] = None)
                   (write: String => Unit): Boolean = {
     require(retain >= 2,
       "retain must be >= 2 (current + the in-flight-reader grace generation)")
-    val base = snapshot(spark, path)
+    // baseGen closes the caller-side TOCTOU: DML callers run their
+    // drop/candidate/touched-file analysis against a snapshot taken at
+    // THEIR entry, possibly several reads before this call — taking a
+    // fresh head here would silently exempt any commit that landed in
+    // between from the conflict check (a concurrent extend's file could
+    // carry a merged key and survive unrewritten). Pinning base to the
+    // analysis generation makes the commit loop's file-set comparison
+    // run against exactly what the analysis saw; an intervening commit
+    // then refuses with ConcurrentModificationException like any other
+    // lost race. A base generation that has already been retired means
+    // the analysis window outlived the retention horizon — refuse the
+    // same way rather than guessing.
+    val base = baseGen match {
+      case None => snapshot(spark, path)
+      case Some(g) =>
+        try snapshot(spark, path, Some(g))
+        catch {
+          case e: IllegalArgumentException =>
+            throw new java.util.ConcurrentModificationException(
+              s"rewriteFiles on $path: base generation $g was retired " +
+                s"while the caller's analysis ran (${e.getMessage}); " +
+                "re-run the operation against the current head")
+        }
+    }
     if (shardId.exists(base.applied)) return false
     val stage = s"$path/.txn-${java.util.UUID.randomUUID}"
     write(stage)
@@ -630,6 +658,37 @@ object Manifest {
     try out.write(ms.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Storage-side "now": the mtime of a just-written probe file under
+    * `_meta`, so horizon comparisons use the SAME clock that stamps the
+    * mtimes they are compared against. A writer host's local clock can
+    * be skewed against the storage server's; horizon math on mixed
+    * clocks can prematurely expire the pinned-reader / in-flight-writer
+    * guarantee the horizon exists to provide. Falls back to the local
+    * clock when the probe cannot be written (read-only mount). The
+    * probe is dot-prefixed — invisible to data listings — and deleted
+    * immediately.
+    */
+  private def storageNow(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    try {
+      val p = new org.apache.hadoop.fs.Path(
+        s"${metaPath(path)}/.clock-probe-${java.util.UUID.randomUUID}")
+      fs.create(p, true).close()
+      val t = fs.getFileStatus(p).getModificationTime
+      fs.delete(p, false)
+      t
+    } catch { case _: java.io.IOException => System.currentTimeMillis() }
+  }
+
+  /** Fixed grace for IN-FLIGHT transaction artifacts (intent markers,
+    * `.txn-`/`stage-` staging dirs) during [[vacuum]], applied even at
+    * horizon 0: deleting a live transaction's staging mid-publish
+    * corrupts the writer, and "no retention configured" should not make
+    * that the default behavior. Raise for storage with slow publishes;
+    * 0 restores the pre-grace semantics (quiesced-writers contract).
+    */
+  @volatile var inFlightGraceMs: Long = 5 * 60 * 1000L
+
   /** The store's retention horizon (0 when none was ever set). */
   def retentionMs(spark: SparkSession, path: String): Long = {
     val fs = fsOf(spark, path)
@@ -658,7 +717,12 @@ object Manifest {
     val floor = current - (retain - 1)
     val gens = generations(spark, path)
     val horizon = retentionMs(spark, path)
-    val cutoff = System.currentTimeMillis() - horizon
+    // storage-side clock: mtimes below come from the filesystem, so
+    // "now" must too (see storageNow — local-clock skew would shrink
+    // the horizon silently). Probed only when a horizon is set.
+    val cutoff =
+      (if (horizon > 0) storageNow(spark, path)
+       else System.currentTimeMillis()) - horizon
     // commit time = the manifest dir's mtime (its contents are written
     // once, at staging, and never touched after the publish rename)
     def withinHorizon(g: Int): Boolean = horizon > 0 &&
@@ -755,20 +819,37 @@ object Manifest {
     * (and staging dirs) YOUNGER than the store's retention horizon are
     * spared: with a horizon set, vacuum cannot race an in-flight
     * writer (its uncommitted files are newer than the horizon by
-    * construction). With no horizon (0), callers must ensure no writer
-    * is mid-transaction on the store; lost-race and crashed writers
-    * need no such care either way — their files are permanently
-    * unreferenced. Returns the count of data files removed.
+    * construction). Even with no horizon (0), in-flight transactions
+    * keep two protections: files listed in LIVE intent markers are
+    * never deleted (they are a publishing transaction's, by
+    * definition), and transaction artifacts (intent markers,
+    * `.txn-`/`stage-` dirs) younger than [[inFlightGraceMs]] are
+    * spared — a mid-publish staging dir must not be vacuum food just
+    * because no retention was configured. Plain DATA orphans at
+    * horizon 0 are still reclaimed immediately (mid-extend writers
+    * remain the caller's responsibility there — extend's window is
+    * not intent-bracketed); lost-race and crashed writers need no
+    * care either way — their files are permanently unreferenced.
+    * Returns the count of data files removed.
     */
   def vacuum(spark: SparkSession, path: String): Int = {
     val fs = fsOf(spark, path)
     val horizon = retentionMs(spark, path)
-    val cutoff = System.currentTimeMillis() - horizon
+    // the mtimes compared against come from storage — so must "now"
+    val now = storageNow(spark, path)
+    val cutoff = now - horizon
     def old(p: org.apache.hadoop.fs.Path): Boolean = horizon == 0 ||
       fs.getFileStatus(p).getModificationTime < cutoff
+    // transaction artifacts get the fixed grace even at horizon 0
+    val txnCutoff = now - math.max(horizon, inFlightGraceMs)
+    def oldTxn(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.getFileStatus(p).getModificationTime < txnCutoff
     val live = generations(spark, path)
       .flatMap(g => snapshot(spark, path, Some(g)).files).toSet
-    val orphans = (listData(spark, path) -- live)
+    // never touch a live intent marker's files: they belong to a
+    // transaction that is publishing RIGHT NOW
+    val inFlight = intentFiles(spark, path)
+    val orphans = (listData(spark, path) -- live -- inFlight)
       .filter(f => old(new org.apache.hadoop.fs.Path(s"$path/$f")))
     orphans.foreach { f =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$f"), false); ()
@@ -779,12 +860,12 @@ object Manifest {
     if (fs.exists(mp))
       fs.listStatus(mp).map(_.getPath)
         .filter(p => (p.getName.startsWith("stage-") ||
-          p.getName.startsWith("intent-")) && old(p))
+          p.getName.startsWith("intent-")) && oldTxn(p))
         .foreach { p => fs.delete(p, true); () }
     val root = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(root))
       fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith(".txn-") && old(p))
+        .filter(p => p.getName.startsWith(".txn-") && oldTxn(p))
         .foreach { p => fs.delete(p, true); () }
     orphans.size
   }

@@ -53,6 +53,82 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.applied(spark, p) == Set("s1"))
   }
 
+  test("rewriteFiles with baseGen refuses a commit that landed between " +
+    "the caller's analysis snapshot and the rewrite (TOCTOU closure)") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "a")), SaveMode.Overwrite) }
+    val analysis = Manifest.snapshot(spark, p) // gen 0 — the DML analysis view
+    // a concurrent extend lands AFTER the analysis, BEFORE the rewrite:
+    // its file could carry a key the analysis should have merged
+    assert(Manifest.extend(spark, p, Some("mid")) {
+      writeRows(p, Seq((2L, "late"), (1L, "dup")), SaveMode.Append)
+    })
+    // without baseGen this committed fine pre-fix (fresh head at entry
+    // == conflict base, nothing to compare); with baseGen it must refuse
+    intercept[java.util.ConcurrentModificationException] {
+      Manifest.rewriteFiles(spark, p, drop = analysis.files.toSet,
+        retain = 5, baseGen = Some(analysis.gen)) { stage =>
+        writeRows(stage, Seq((1L, "rewritten")), SaveMode.Overwrite)
+      }
+    }
+    // the refused rewrite left the table exactly as the extend made it
+    assert(Manifest.read(spark, p, "data").count() == 3)
+    // re-running against the CURRENT head succeeds
+    val head = Manifest.snapshot(spark, p)
+    assert(Manifest.rewriteFiles(spark, p, drop = head.files.toSet,
+      retain = 5, baseGen = Some(head.gen)) { stage =>
+      writeRows(stage, Seq((1L, "rewritten")), SaveMode.Overwrite)
+    })
+    assert(Manifest.read(spark, p, "data")
+      .as[(Long, String)].collect().toSet == Set((1L, "rewritten")))
+    // a head-moved-but-file-set-unchanged commit (ledger-only extend)
+    // does NOT refuse: the conflict rule is about the live FILE SET
+    val g = Manifest.snapshot(spark, p)
+    assert(Manifest.extend(spark, p, Some("ledger-only")) { () })
+    assert(Manifest.rewriteFiles(spark, p,
+      drop = g.files.toSet, retain = 5, baseGen = Some(g.gen)) { stage =>
+      writeRows(stage, Seq((9L, "v2")), SaveMode.Overwrite)
+    })
+    assert(Manifest.read(spark, p, "data")
+      .as[(Long, String)].collect().toSet == Set((9L, "v2")))
+  }
+
+  test("vacuum at horizon 0 spares in-flight transactions: intent-listed " +
+    "files always, young txn staging dirs for the fixed grace") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "a")), SaveMode.Overwrite) }
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a publishing transaction: its intent marker lists a just-moved
+    // file that no manifest references YET
+    writeRows(s"$p/inflight", Seq((7L, "staged")), SaveMode.Overwrite)
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/inflight/data"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val rel = s"data/${moved.getName}"
+    assert(fs.rename(moved, new org.apache.hadoop.fs.Path(s"$p/$rel")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/inflight"), true)
+    val intent = new org.apache.hadoop.fs.Path(s"$p/_meta/intent-test")
+    val out = fs.create(intent, true)
+    try out.write(rel.getBytes("UTF-8")) finally out.close()
+    // a concurrent writer's live staging dir at the root
+    writeRows(s"$p/.txn-test", Seq((8L, "mid")), SaveMode.Overwrite)
+    assert(Manifest.vacuum(spark, p) == 0) // intent-listed file spared
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/$rel")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/.txn-test"))) // grace
+    // transaction settles: marker removed → the orphan is reclaimable,
+    // and with the grace dropped the abandoned staging dir goes too
+    fs.delete(intent, false)
+    val saved = Manifest.inFlightGraceMs
+    try {
+      Manifest.inFlightGraceMs = 0L
+      assert(Manifest.vacuum(spark, p) == 1)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/$rel")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/.txn-test")))
+    } finally Manifest.inFlightGraceMs = saved
+    // the committed table is untouched throughout
+    assert(Manifest.read(spark, p, "data").count() == 1)
+  }
+
   test("uncommitted files are invisible to readers (mid-extend isolation)") {
     val p = tmp()
     Manifest.init(spark, p) { writeRows(p, Seq((1L, "a")), SaveMode.Overwrite) }
