@@ -1920,11 +1920,15 @@ object SparkEntry {
     // ledgered postings/lengths — BM25 served from the streamed index
     // must equal the raw-corpus recomputation (stable store + resume:
     // repeats are ledgered no-op re-deliveries)
+    // autoCompactFiles: the long-running index's OPTIMIZE policy runs
+    // inside the stream (file count stays bounded, term pruning stays
+    // sharp) and the served ranking must be invariant to it
     "stream_text_extend" -> ((s, dir) => {
       val idx = streamStoreDir("graft-stream-tidx", dir)
       graft.streaming.StreamedBatch.replayIntoTextIndex(s,
         Tables.documents(s, dir), "doc_id", "doc_id", idx,
-        stageKey = Some(s"$dir:documents"), resume = true)
+        stageKey = Some(s"$dir:documents"), resume = true,
+        autoCompactFiles = 6)
       TextIndex.bm25TopK(s, idx, Seq("vector", "spark", "merge"), k = 10)
     }),
     "text_repetition" -> ((s, dir) => TextOps.repetition(Tables.documents(s, dir))),

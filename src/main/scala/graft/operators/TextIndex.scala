@@ -133,6 +133,20 @@ object TextIndex {
     graft.util.Lake.mergeCompact(spark, path, Seq("term"), targetFileMB,
       clusterBy = Seq("term"))
 
+  /** Threshold-triggered [[compactIndex]] — the [[graft.util.Lake
+    * .mergeAutoCompact]] policy on the text index's layout: compact
+    * when the live posting file count exceeds `maxFiles`, else just a
+    * driver-side snapshot read. A streamed index appends shard files
+    * whose term ranges overlap every older one, so without a policy
+    * the per-term file pruning degrades one shard at a time toward
+    * "open everything"; this re-narrows it on the same cadence the
+    * streaming MERGE sinks use. Returns true when a compaction ran.
+    */
+  def autoCompactIndex(spark: SparkSession, path: String, maxFiles: Int,
+                       targetFileMB: Int = 128): Boolean =
+    graft.util.Lake.mergeAutoCompact(spark, path, Seq("term"), maxFiles,
+      targetFileMB)
+
   /** The stored postings restricted to `terms` — the only corpus-side
     * data a search touches. Two pruning levels: WHOLE FILES via the
     * generation's committed term-range stats (no stale-stats window —

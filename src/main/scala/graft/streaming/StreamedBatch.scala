@@ -358,12 +358,20 @@ object StreamedBatch {
     * double BM25's df/tf). Serving afterwards — membership or
     * BM25/RRF ranking — must equal the same query against a one-shot
     * build over everything streamed.
+    *
+    * `autoCompactFiles > 0` runs [[graft.operators.TextIndex
+    * .autoCompactIndex]] after every applied batch — the same
+    * threshold policy as the merge sinks' auto-OPTIMIZE: each shard's
+    * files overlap every older shard's term ranges, so a long-running
+    * streamed index otherwise degrades its per-term file pruning one
+    * shard at a time.
     */
   def replayIntoTextIndex(spark: SparkSession, input: DataFrame,
                           orderCol: String, tieCol: String, indexPath: String,
                           chunks: Int = 3,
                           stageKey: Option[String] = None,
-                          resume: Boolean = false): Unit = {
+                          resume: Boolean = false,
+                          autoCompactFiles: Int = 0): Unit = {
     import graft.operators.TextIndex
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -379,6 +387,10 @@ object StreamedBatch {
               TextIndex.buildTextIndex(batch, indexPath))
           else TextIndex.extendTextIndex(batch, indexPath,
             shardId = Some(s"replay-batch-$id"))
+          if (autoCompactFiles > 0) {
+            TextIndex.autoCompactIndex(spark, indexPath, autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -140,6 +140,31 @@ class TextIndexSpec extends SparkSuite with Matchers {
     TextIndex.searchAny(spark, idx, Seq("spark")).count() should be >= 1L
   }
 
+  test("streamed index auto-compaction bounds the live posting file " +
+      "count across micro-batches; BM25 equals the one-shot build") {
+    val base = java.nio.file.Files.createTempDirectory("tidx-autoc")
+    val plain = s"$base/plain"
+    val auto = s"$base/auto"
+    // 5 chronological chunks, no policy: every shard's files accrete
+    graft.streaming.StreamedBatch.replayIntoTextIndex(spark, docs,
+      "doc_id", "doc_id", plain, chunks = 5)
+    def liveData(p: String): Int =
+      graft.util.Manifest.snapshot(spark, p).files.count(_.startsWith("data/"))
+    liveData(plain) should be > 4
+    // same stream with the threshold policy: file count stays bounded
+    graft.streaming.StreamedBatch.replayIntoTextIndex(spark, docs,
+      "doc_id", "doc_id", auto, chunks = 5, autoCompactFiles = 4)
+    liveData(auto) should be <= 4
+    // ranking served from the compacted streamed index is unchanged
+    val terms = Seq("vector", "spark", "merge")
+    val once = java.nio.file.Files.createTempDirectory("tidx-autoc-ref").toString
+    TextIndex.buildTextIndex(docs, once)
+    TextIndex.bm25TopK(spark, auto, terms, 10).collect().toSeq shouldBe
+      TextIndex.bm25TopK(spark, once, terms, 10).collect().toSeq
+    TextIndex.bm25TopK(spark, plain, terms, 10).collect().toSeq shouldBe
+      TextIndex.bm25TopK(spark, once, terms, 10).collect().toSeq
+  }
+
   test("crashed-extend orphans are invisible: uncommitted posting/doclen " +
       "files never reach membership or BM25 answers") {
     val idx = java.nio.file.Files.createTempDirectory("tidx-orphan").toString
