@@ -70,7 +70,7 @@ object Bench {
       "serve_spread_join", "stream_gold_candles_1m", "stream_spread_join",
       "dedup_exact_rows", "dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_components", "sim_topk_bruteforce", "sim_topk_ivf",
-      "sim_topk_ivfpq", "sim_topk_ann_index", "sim_knn_join",
+      "sim_topk_ivfpq", "sim_topk_ann_index", "sim_knn_join", "sim_lsh_scaled",
       "text_token_stats", "text_tfidf_topterms", "text_bpe_merges",
       "cur_shuffle", "cur_pipeline", "mm_image_decode",
       "q_merge_upsert", "q_merge_read_range", "stream_apply_changes",

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway phase-timing probe (dev only, not part of the surface). */
 object ScratchProbe {
@@ -10,18 +11,23 @@ object ScratchProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .appName("scratch").getOrCreate()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val docs = graft.util.Tables.documents(spark, dir)
-    def t[A](tag: String)(f: => A): A = {
-      val s = System.nanoTime(); val r = f
-      println(f"[probe] $tag ${(System.nanoTime() - s) / 1e9}%.2f s"); r
+    import graft.operators.Similarity
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val emb = graft.util.Tables.embeddings(spark, s"/root/testdata/$sf")
+      val n = emb.count()
+      val (planes, bands) = Similarity.scaledLshConfig(n, targetOccupancy = 64)
+      for (t <- Seq(0.4, 0.45, 0.5)) {
+        val exact = Similarity.lshPairs(emb, t, numPlanes = 2, bands = 1)
+        // numPlanes=2/bands=1 is nearly all-pairs? No — use brute force:
+        val scaled = Similarity.lshPairsMultiProbe(emb, t,
+          numPlanes = planes, bands = bands).count()
+        val single = Similarity.lshPairs(emb, t,
+          numPlanes = planes, bands = bands).count()
+        val fixed = Similarity.lshPairs(emb, t, numPlanes = 32, bands = 16).count()
+        println(s"[probe] $sf n=$n planes=$planes bands=$bands t=$t " +
+          s"fixed32x16=$fixed scaledMulti=$scaled scaledSingle=$single")
+      }
     }
-    t("warm-count")(docs.count())
-    val p1 = t("jacc-1st")(graft.operators.Dedup.ngramJaccard(docs, 2, 0.5))
-    t("jacc-1st-count")(p1.count())
-    val p2 = t("jacc-2nd")(graft.operators.Dedup.ngramJaccard(docs, 2, 0.5))
-    t("jacc-2nd-count")(p2.count())
-    println(p2.queryExecution.executedPlan.toString.take(8000))
     spark.stop()
   }
 }
