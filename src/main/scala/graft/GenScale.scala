@@ -131,13 +131,35 @@ object GenScale {
     // within-replica geometry are bit-exact invariants of the original
     val dim = load("embeddings").select(size(col("embedding")))
       .head().getInt(0)
-    write("embeddings", rep(load("embeddings")).select(
+    val rotated = rep(load("embeddings")).select(
       (col("vec_id") + r * 10000000L).as("vec_id"),
       transform(sequence(lit(0), lit(dim - 1)), i =>
         (element_at(col("embedding"), (pmod(i + r, lit(dim)) + 1).cast("int")) *
           when(pmod(hash(i, r), lit(2)) === 0, 1.0f).otherwise(-1.0f))
           .cast("float")).as("embedding"),
-      col("label")), 2)
+      col("label"))
+    // planted STEEP-regime pairs (r11 VERDICT task 5): the organic
+    // corpus holds no cos ≥ 0.9 pairs, so the high-threshold LSH
+    // scaling claim stayed theory. Every 100th vector gets a TWIN
+    // (id + 5·10⁸, same replica's basis) perturbed by a deterministic
+    // ±c·‖v‖/√dim per-coordinate offset, c = 0.35 → cos(v, twin)
+    // ≈ 1/√(1+c²) ≈ 0.94 (spread ±0.02 by the v·δ cross term): a
+    // controlled ~1% population of cos ≥ 0.9 pairs, one isolated pair
+    // per planted id (cross-replica and twin-twin cosines stay
+    // decorrelated). ScaleProbe at t = 0.9 measures recall/CPU against
+    // the exact ground truth on this corpus. Runs at factor = 1 too —
+    // an sf0.1-sized planted corpus for the small-scale point.
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val planted = rotated.filter(pmod(col("vec_id"), lit(100)) === 1)
+      .select((col("vec_id") + lit(500000000L)).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (element_at(col("embedding"), (i + 1).cast("int")) +
+            (when(pmod(hash(col("vec_id"), i), lit(2)) === 0, 1.0d)
+              .otherwise(-1.0d) * lit(0.35) * nrm /
+              math.sqrt(dim)).cast("float")).cast("float")).as("embedding"),
+        col("label"))
+    write("embeddings", rotated.unionByName(planted), 2)
 
     println(s"[genscale] wrote factor-$factor corpus to $dst")
     spark.stop()

@@ -66,9 +66,19 @@ object ScaleProbe {
     val docs = graft.util.Tables.documents(spark, dir)
     val full = timed("ngram_jaccard_uncapped")(
       Dedup.ngramJaccard(docs, n = 2, threshold = 0.5).count())
+    // the capped path REFUSES when the cap would gut recall on this
+    // corpus (the r12 loss-budget guard) — a refusal is itself the
+    // measurement: the escape hatch is inapplicable here
     val capped = timed("ngram_jaccard_dfcap200")(
-      Dedup.ngramJaccard(docs, n = 2, threshold = 0.5, maxShingleDf = 200).count())
-    println(s"""{"probe":"jaccard_pairs","uncapped":$full,"dfcap200":$capped}""")
+      try Right(Dedup.ngramJaccard(docs, n = 2, threshold = 0.5,
+        maxShingleDf = 200).count())
+      catch { case e: IllegalArgumentException => Left(e.getMessage.take(120)) })
+    capped match {
+      case Right(c) =>
+        println(s"""{"probe":"jaccard_pairs","uncapped":$full,"dfcap200":$c}""")
+      case Left(m) =>
+        println(s"""{"probe":"jaccard_pairs","uncapped":$full,"dfcap200":"REFUSED: $m"}""")
+    }
     spark.stop()
   }
 }
