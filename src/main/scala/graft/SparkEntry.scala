@@ -2268,6 +2268,19 @@ object SparkEntry {
         Similarity.scaledLshConfig(emb.count(), targetOccupancy = 64)
       Similarity.lshPairsMultiProbe(emb, 0.4, numPlanes = planes, bands = bands)
     }),
+    // the kNN join on the SAME scale-safe geometry (occupancy-scaled
+    // banding + distance-1 multi-probe): the n-derived config whose
+    // pair recall `sim_lsh_scaled` pins at 1.0 necessarily reproduces
+    // the exact kNN answer too — so the 100 TB configuration of the
+    // serving-shaped operator is itself correctness-pinned, not just
+    // the pair miner's
+    "sim_knn_scaled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (planes, bands) =
+        Similarity.scaledLshConfig(emb.count(), targetOccupancy = 64)
+      Similarity.knnJoin(emb, 0.4, k = 3, numPlanes = planes, bands = bands,
+        multiProbe = true)
+    }),
   )
 
   /** Exact n-gram-Jaccard pair SQL over ALL documents — the shared
@@ -4449,6 +4462,10 @@ object SparkEntry {
     // exact pair set) — the scale-safe configuration is itself
     // correctness-pinned, not just design-audited
     "sim_lsh_scaled" -> exactCosinePairsSql,
+    // complete pairs (sim_lsh_scaled's recall-1.0 claim) ⇒ the kNN
+    // ranking over them equals the exact kNN answer — same oracle as
+    // sim_knn_join, at the n-derived geometry
+    "sim_knn_scaled" -> knnJoinSql,
     // cross-set kNN at the recall-1.0 LSH config: the oracle is the
     // exact query×corpus cosine ranking (queries = vec_id%5==0,
     // corpus = the rest)

@@ -242,16 +242,38 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
                    maxShingleDf: Int = 0): DataFrame = {
-    // Materialize the shingle sets and the df-ranked posting index ONCE
-    // (write-through snapshots, same lifecycle as dupComponents'): the
-    // plan below references `sets` twice (verification fetches) and the
-    // index twice (self-join sides), and exchange reuse does NOT kick
-    // in across these subtrees in the executed plan — r11 measured the
-    // shingle-kernel subtree evaluated 6× per call, serializing the
-    // stage chain (BENCH_r11 12× wall regression). The snapshots pin
-    // each subtree to exactly one evaluation; downstream stages scan
-    // parquet. Eager by design — same contract as [[dupComponents]].
+    // Materialize the shingle sets ONCE (write-through snapshot, same
+    // lifecycle as dupComponents'): every path below references them
+    // repeatedly, and exchange reuse does NOT kick in across the
+    // subtrees in the executed plan — r11 measured the shingle-kernel
+    // subtree evaluated 6× per call, serializing the stage chain
+    // (BENCH_r11 12× wall regression). Eager by design — same
+    // contract as [[dupComponents]].
     val sets = snap(hashedShingles(docs, n))
+    val (nDocs, density) = overlapDensity(sets)
+    // Cost-based path choice (see [[denseOverlapCutoff]]): when the
+    // expected PREFIX-JOIN overlap of a random pair reaches ~1,
+    // nearly every pair is a candidate, so candidate generation is
+    // Θ(n²) with or without the index — the blocked all-pairs
+    // verification does the same exact merges without paying the
+    // df-rank window, the candidate distinct, or the two fetch joins.
+    // The prefix scaling is jaccard's: probe side indexes ~(1−t) of
+    // its postings, the shortened side ~(1−2t/(1+t)).
+    // The capped path stays indexed: maxShingleDf is defined as an
+    // index cut, and the cap guard below adjudicates its recall.
+    val prefixDensity =
+      density * (1 - threshold) * (1 - 2 * threshold / (1 + threshold))
+    if (sys.env.contains("GRAFT_PROBE"))
+      println(f"[probe]   ngramJaccard n=$nDocs density=$density%.3f " +
+        f"prefixDensity=$prefixDensity%.3f dense=${prefixDensity >= denseOverlapCutoff}")
+    if (maxShingleDf <= 0 && prefixDensity >= denseOverlapCutoff)
+      scoreAllPairs(allPairsBlocked(sets, nDocs), threshold,
+        jaccard = true)
+    else jaccardIndexed(sets, threshold, maxShingleDf)
+  }
+
+  private def jaccardIndexed(sets: DataFrame, threshold: Double,
+                             maxShingleDf: Int): DataFrame = {
     // prefix length |d| - ceil(t*|d|) + 1 (exact-recall bound), taken
     // over the df-ascending order: each doc's prefix is its RAREST
     // shingles. Only PREFIX rows are snapshotted — the self-join and
@@ -346,6 +368,19 @@ object Dedup {
     // once (see ngramJaccard's reeval note)
     val cs = snap(hashedShingles(corpus, n))
     val ps = snap(hashedShingles(probes, n))
+    val (nc, np, density) = crossOverlapDensity(cs, ps)
+    // dense-regime path choice (see [[denseOverlapCutoff]]): when a
+    // random (corpus, probe) pair shares ~1 shingle within the
+    // small-side prefix (the (1−t) factor — same shape as
+    // [[ngramContainment]]) the cross prefix join is Θ(nc·np) anyway
+    // — run the rectangle-blocked exact verification instead.
+    if (sys.env.contains("GRAFT_PROBE"))
+      println(f"[probe]   ngramContainmentAcross nc=$nc np=$np " +
+        f"density=$density%.3f prefixDensity=${density * (1 - threshold)}%.3f " +
+        f"dense=${density * (1 - threshold) >= denseOverlapCutoff}")
+    if (density * (1 - threshold) >= denseOverlapCutoff)
+      return scoreAcrossAllPairs(allPairsBlockedAcross(cs, nc, ps, np),
+        threshold)
     val sets = cs.withColumn("side", lit(0))
       .unionByName(ps.withColumn("side", lit(1)))
     val posts = sets.select(col("side"), col("doc_id"),
@@ -449,6 +484,158 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Dense-regime cutoff for the ngram pair operators' cost-based
+    * path choice. The base statistic is the EXPECTED shingle-hash
+    * overlap of a uniformly random doc pair, Σ_h df·(df−1) / (n·(n−1))
+    * — one vocabulary-sized aggregation over the already-materialized
+    * shingle snapshot — scaled by each operator's prefix fractions
+    * (the share of postings its candidate join actually indexes:
+    * (1−t)·(1−2t/(1+t)) for jaccard's asymmetric prefixes, (1−t) for
+    * containment's small-side-prefix × full-index). When that
+    * prefix-scaled expectation reaches ~1, essentially every pair is
+    * a candidate, so candidate generation is Θ(n²) with or without
+    * the index and the blocked exact all-pairs verification does the
+    * same merges without the df-rank window, candidate distinct, or
+    * fetch joins. Measured on the sf0.1 documents corpus (vocab ≈ 930
+    * bigrams, raw density 2.9): containment t=0.4 scales to 1.74 →
+    * all-pairs 1.5–5× faster; jaccard t=0.5 scales to 0.48 → index
+    * faster (its per-match filters prune 12.5M pairs to 256); on the
+    * 10× GenScale corpus (raw density 0.6) everything scales < 0.4 →
+    * index 2.9–7× faster. Real open-vocabulary corpora sit orders of
+    * magnitude below 1 (density is M₂/n² and M₂ grows ~linearly once
+    * the shingle vocabulary outgrows the corpus), so at 100 TB the
+    * index path is always chosen; the dense branch exists for
+    * boilerplate-heavy small-vocabulary slices, where Θ(n²) OUTPUT
+    * makes all-pairs work the lower bound anyway. @volatile var so
+    * tests can pin either path and assert bit-identical outputs.
+    */
+  @volatile var denseOverlapCutoff: Double = 1.0
+
+  /** (nDocs, expected random-pair overlap) of a [[hashedShingles]]
+    * snapshot — see [[denseOverlapCutoff]]. Linear in the postings;
+    * the df aggregate is vocabulary-sized.
+    */
+  private[graft] def overlapDensity(sets: DataFrame): (Long, Double) = {
+    val n = sets.count()
+    if (n < 2) return (n, 0.0)
+    val m2 = sets.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)))
+      .head().getLong(0)
+    (n, m2.toDouble / (n.toDouble * (n - 1)))
+  }
+
+  /** Cross-set [[overlapDensity]]: (nCorpus, nProbes, expected
+    * overlap of a random (corpus, probe) pair, Σ_h dfc·dfp /(nc·np)).
+    */
+  private[graft] def crossOverlapDensity(cs: DataFrame,
+                                         ps: DataFrame): (Long, Long, Double) = {
+    val nc = cs.count(); val np = ps.count()
+    if (nc == 0 || np == 0) return (nc, np, 0.0)
+    def dfTab(s: DataFrame, name: String) =
+      s.select(explode(col("hs")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as(name))
+    val m = dfTab(cs, "dfc").join(dfTab(ps, "dfp"), "h")
+      .agg(coalesce(sum(col("dfc") * col("dfp")), lit(0L)))
+      .head().getLong(0)
+    (nc, np, m.toDouble / (nc.toDouble * np))
+  }
+
+  /** Per-task pair budget for the blocked all-pairs paths: block side
+    * ~1,400 docs → ~2M merge verifications per task — small enough to
+    * stay skew-free at 32 way, large enough not to drown in task
+    * overhead. */
+  private val allPairsBlockSide = 1400L
+
+  /** Exact all-pairs candidates as a TRIANGLE-BLOCKED EQUI-JOIN — the
+    * distributed all-pairs shape, not a cartesian: docs hash into B
+    * blocks; each unordered block pair {p ≤ q} is one join key; the
+    * left side replicates block p's docs to keys (p, q ≥ p), the
+    * right side block q's docs to keys (p ≤ q, q), so every doc pair
+    * meets on exactly one key (same-block pairs deduped by id order).
+    * B(B+1)/2 key-groups partition the n²/2 merge work evenly,
+    * replication is ~B/2 per side, and Catalyst plans a plain
+    * shuffled equi-join — no CartesianProduct, no one-task funnel.
+    * Returns (id_a, id_b, hs_a, hs_b), each unordered pair once.
+    */
+  private def allPairsBlocked(sets: DataFrame, nDocs: Long): DataFrame = {
+    val b = math.max(8L, math.min(256L, nDocs / allPairsBlockSide + 1)).toInt
+    val blk = sets.withColumn("blk",
+      pmod(xxhash64(col("doc_id")), lit(b)).cast("int"))
+    val left = blk.select(col("doc_id"), col("hs"), col("blk"),
+        explode(sequence(col("blk"), lit(b - 1))).as("o"))
+      .select(col("doc_id"), col("hs"), col("blk"),
+        (col("blk") * b + col("o")).as("bp"))
+    val right = blk.select(col("doc_id"), col("hs"), col("blk"),
+        explode(sequence(lit(0), col("blk"))).as("o"))
+      .select(col("doc_id"), col("hs"), col("blk"),
+        (col("o") * b + col("blk")).as("bp"))
+    left.as("a").join(right.as("b"),
+        col("a.bp") === col("b.bp") &&
+          (col("a.blk") =!= col("b.blk") || col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.hs").as("hs_a"), col("b.hs").as("hs_b"))
+  }
+
+  /** Rectangle-blocked cross-set all-pairs: corpus blocks × probe
+    * blocks, one equi-key per (p, q) cell; every (corpus, probe) pair
+    * meets on exactly one key. Returns (doc_id, probe_id, hs_c, hs_p).
+    */
+  private def allPairsBlockedAcross(cs: DataFrame, nc: Long,
+                                    ps: DataFrame, np: Long): DataFrame = {
+    val bc = math.max(8L, math.min(256L, nc / allPairsBlockSide + 1)).toInt
+    val bp = math.max(4L, math.min(256L, np / allPairsBlockSide + 1)).toInt
+    val left = cs.select(col("doc_id"), col("hs"),
+        pmod(xxhash64(col("doc_id")), lit(bc)).cast("int").as("blk"),
+        explode(sequence(lit(0), lit(bp - 1))).as("o"))
+      .select(col("doc_id"), col("hs"),
+        (col("blk") * bp + col("o")).as("cell"))
+    val right = ps.select(col("doc_id"), col("hs"),
+        pmod(xxhash64(col("doc_id")), lit(bp)).cast("int").as("blk"),
+        explode(sequence(lit(0), lit(bc - 1))).as("o"))
+      .select(col("doc_id"), col("hs"),
+        (col("o") * bp + col("blk")).as("cell"))
+    left.as("a").join(right.as("b"), col("a.cell") === col("b.cell"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("probe_id"),
+        col("a.hs").as("hs_c"), col("b.hs").as("hs_p"))
+  }
+
+  /** Exact verification over an [[allPairsBlocked]] frame — identical
+    * arithmetic (and 6-dp rounding) to the index paths' verifiers, so
+    * the two paths return bit-identical results. */
+  private def scoreAllPairs(pairs: DataFrame, threshold: Double,
+                            jaccard: Boolean): DataFrame = {
+    val base = pairs.select(
+      least(col("id_a"), col("id_b")).as("doc_a"),
+      greatest(col("id_a"), col("id_b")).as("doc_b"),
+      graft.functions.VectorFunctions
+        .sortedIntersectSize(col("hs_a"), col("hs_b")).as("inter"),
+      size(col("hs_a")).cast("long").as("sz_a"),
+      size(col("hs_b")).cast("long").as("sz_b"))
+    if (jaccard)
+      base.withColumn("jaccard", round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    else
+      base.withColumn("containment", round(col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")), 6))
+        .filter(col("containment") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
+  /** [[scoreAllPairs]] for the cross-set frame. */
+  private def scoreAcrossAllPairs(pairs: DataFrame,
+                                  threshold: Double): DataFrame =
+    pairs.select(col("doc_id"), col("probe_id"),
+        graft.functions.VectorFunctions
+          .sortedIntersectSize(col("hs_c"), col("hs_p")).as("inter"),
+        least(size(col("hs_c")), size(col("hs_p"))).cast("long").as("sz_min"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_min"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("probe_id"), col("containment"))
+
   /** CONTAINMENT near-dup pairs — `|A∩B| / min(|A|,|B|) ≥ threshold` —
     * the asymmetric sibling of [[ngramJaccard]], for the pair class
     * Jaccard is blind to: a short document quoted or embedded inside a
@@ -483,6 +670,23 @@ object Dedup {
     // snapshots pin the shingle kernel and the posting index to one
     // evaluation each (see ngramJaccard — same 6×-reeval pathology)
     val sets = snap(hashedShingles(docs, n))
+    val (nDocs, density) = overlapDensity(sets)
+    // dense-regime path choice — see [[ngramJaccard]] and
+    // [[denseOverlapCutoff]]. Containment's candidate join is
+    // small-side prefix (~(1−t) of postings) × FULL index, so the
+    // prefix scaling has a single (1−t) factor.
+    if (sys.env.contains("GRAFT_PROBE"))
+      println(f"[probe]   ngramContainment n=$nDocs density=$density%.3f " +
+        f"prefixDensity=${density * (1 - threshold)}%.3f " +
+        f"dense=${density * (1 - threshold) >= denseOverlapCutoff}")
+    if (density * (1 - threshold) >= denseOverlapCutoff)
+      scoreAllPairs(allPairsBlocked(sets, nDocs), threshold,
+        jaccard = false)
+    else containmentIndexed(sets, threshold)
+  }
+
+  private def containmentIndexed(sets: DataFrame,
+                                 threshold: Double): DataFrame = {
     // df-ranked postings (the shared AllPairs index): each doc's
     // prefix is its rarest shingles, so the prefix×full probe cost
     // tracks rare-shingle df², not the dense tail

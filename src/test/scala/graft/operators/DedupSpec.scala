@@ -79,6 +79,54 @@ class DedupSpec extends SparkSuite with Matchers {
     capped shouldBe un
   }
 
+  test("dense-regime path choice: blocked all-pairs == forced index path " +
+      "for jaccard, containment, and cross-set containment") {
+    // the sf0.001 documents corpus is shingle-dense (vocab ≈ 900
+    // bigrams — raw density ≈ 2.9, so at these thresholds the
+    // prefix-scaled statistic clears 1), so the public API takes the
+    // blocked all-pairs path; forcing the prefix-index path must give
+    // bit-identical frames (both are exact algorithms)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val probes = docs.filter(col("doc_id") % 10 === 0)
+    def all3() = (
+      Dedup.ngramJaccard(docs, 2, 0.3).orderBy("doc_a", "doc_b").collect(),
+      Dedup.ngramContainment(docs, 2, 0.4).orderBy("doc_a", "doc_b").collect(),
+      Dedup.ngramContainmentAcross(corpus, probes, 2, 0.5)
+        .orderBy("doc_id", "probe_id").collect())
+    val brute = all3()
+    val prev = Dedup.denseOverlapCutoff
+    val indexed =
+      try { Dedup.denseOverlapCutoff = Double.MaxValue; all3() }
+      finally Dedup.denseOverlapCutoff = prev
+    brute._1 shouldBe indexed._1
+    brute._2 shouldBe indexed._2
+    brute._3 shouldBe indexed._3
+    brute._1.length should be > 0
+    brute._3.length should be > 0
+  }
+
+  test("overlapDensity separates the regimes: dense corpus ≥ 1, " +
+      "open-vocabulary corpus < 1; blocked path plans an equi-join") {
+    def sets(d: DataFrame) = d.select(col("doc_id"),
+      array_sort(array_distinct(transform(Dedup.shingles(col("text"), 2),
+        s => xxhash64(s)))).as("hs"))
+    Dedup.overlapDensity(sets(docs))._2 should be >= 1.0
+    // disjoint per-doc vocabularies: no two docs share a shingle
+    val sparse = (1 to 60).map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    Dedup.overlapDensity(sets(sparse))._2 shouldBe 0.0
+    Dedup.crossOverlapDensity(
+      sets(docs.filter(col("doc_id") % 10 =!= 0)),
+      sets(docs.filter(col("doc_id") % 10 === 0)))._3 should be >= 1.0
+    // the dense branch must be the distributed triangle equi-join,
+    // never a cartesian / nested-loop shape (containment t=0.4 takes
+    // the dense branch here: 2.9 × (1−0.4) ≥ 1)
+    val plan = Dedup.ngramContainment(docs, 2, 0.4)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   private def naiveContainment(d: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sets = d.select(col("doc_id"),
       array_sort(array_distinct(transform(Dedup.shingles(col("text"), n),
