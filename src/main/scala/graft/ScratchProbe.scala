@@ -4,13 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch measurement harness — NOT part of the library surface.
-  * Current probe: isolated timings of the ngram pair operators at the
-  * gate thresholds (4-CPU bench geometry), path visible via
-  * GRAFT_PROBE snap lines (dense path snaps once, index path twice).
+  * Current probe: where dedup_components' CPU goes — jaccard input vs
+  * closure, on the gate's exact composition at sf0.1.
   */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,19 +27,18 @@ object ScratchProbe {
     val docs = graft.util.Tables.documents(spark, dir)
     docs.count()
     import graft.operators.Dedup
-    Dedup.ngramJaccard(docs, 2, 0.5).count() // warm
-    for (round <- 1 to 1) {
-      Dedup.denseOverlapCutoff = 1.0
-      t(s"r$round auto  jacc-0.5")(Dedup.ngramJaccard(docs, 2, 0.5).count())
-      t(s"r$round auto  cont-0.4")(Dedup.ngramContainment(docs, 2, 0.4).count())
-      Dedup.denseOverlapCutoff = Double.MaxValue
-      t(s"r$round index jacc-0.5")(Dedup.ngramJaccard(docs, 2, 0.5).count())
-      t(s"r$round index cont-0.4")(Dedup.ngramContainment(docs, 2, 0.4).count())
-      Dedup.denseOverlapCutoff = 0.0
-      t(s"r$round dense jacc-0.5")(Dedup.ngramJaccard(docs, 2, 0.5).count())
-      t(s"r$round dense cont-0.4")(Dedup.ngramContainment(docs, 2, 0.4).count())
-      Dedup.denseOverlapCutoff = 1.0
-    }
+    t("warm jacc")(Dedup.ngramJaccard(docs, 2, 0.5).count())
+    val jacc = t("jacc")(Dedup.ngramJaccard(docs, 2, 0.5))
+    val base = java.nio.file.Files.createTempDirectory("probe").toString
+    t("jacc-materialize")(
+      jacc.select(col("doc_a"), col("doc_b")).write.parquet(s"$base/pairs"))
+    val pairsSnap = spark.read.parquet(s"$base/pairs")
+    t("closure-on-snap")(Dedup.dupComponents(pairsSnap).count())
+    t("closure-on-snap-2nd")(Dedup.dupComponents(pairsSnap).count())
+    t("gate-composed")(Dedup.dupComponents(
+      Dedup.ngramJaccard(docs, 2, 0.5)).count())
+    t("transitive-gate")(Dedup.dropTransitiveDups(docs,
+      Dedup.ngramJaccard(docs, 2, 0.5)).count())
     spark.stop()
   }
 }

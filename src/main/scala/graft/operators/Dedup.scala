@@ -992,7 +992,55 @@ object Dedup {
     * 4× per round).
     */
   def dupComponents(pairs: DataFrame): DataFrame =
-    dupComponents(pairs, hotDegree = 65536)
+    dupComponents(pairs, hotDegree = 65536, driverEdgeBound = maxDriverEdges)
+
+  /** Edge-count bound for [[dupComponents]]' small-graph fast path: a
+    * pair graph with at most this many edges (known exactly — the
+    * edge list is materialized before the choice) runs an exact
+    * driver-local union-find instead of the distributed doubling
+    * loop. The loop's per-round fixed overhead (3 shuffle jobs ×
+    * O(log diameter) rounds, each paying scheduling + exchange for
+    * every partition) measured 13 CPU-s / 1.7 s wall on a 256-edge
+    * graph — pure overhead at that size, while union-find is
+    * microseconds. The default bounds driver memory at ~16 B/edge
+    * (8 MB) — the same bounded-collect contract as the closure's own
+    * hot-key list — and graphs past the bound take the distributed
+    * loop unchanged, so the 100 TB posture is untouched (a web-scale
+    * pair graph blows the bound immediately; the CONTRACTED graphs
+    * of [[mergedComponents]]' daily increments, by design a few
+    * nodes per new-pair endpoint, are exactly what stays under it).
+    * 0 disables. @volatile var so tests can pin either path.
+    */
+  @volatile var maxDriverEdges: Long = 500000L
+
+  /** Exact union-find over a driver-bounded edge list, root = min id
+    * of each component (attach-larger-root-under-smaller keeps every
+    * root the minimum of its tree, so `find` yields the same
+    * canonical representative the distributed loop converges to).
+    */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               p: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    p.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    import spark.implicits._
+    parent.keys.toSeq.map(k => (k, find(k)))
+      .toDF("doc_id", "component_id")
+  }
 
   /** [[dupComponents]] with an explicit hub threshold. `hotDegree`
     * bounds the per-task shuffle rows of the propagation join: a node
@@ -1002,7 +1050,16 @@ object Dedup {
     * shuffle join (see in-body comment). Lower it in tests to force
     * the path; raise it past the max degree to disable.
     */
-  def dupComponents(pairs: DataFrame, hotDegree: Int): DataFrame = {
+  def dupComponents(pairs: DataFrame, hotDegree: Int): DataFrame =
+    dupComponents(pairs, hotDegree, driverEdgeBound = 0L)
+
+  /** [[dupComponents]] with both knobs explicit; `driverEdgeBound`
+    * (see [[maxDriverEdges]]) gates the driver-local union-find fast
+    * path — 0 forces the distributed loop (what the 2-arg overload
+    * pins, so distributed-behavior specs stay on it).
+    */
+  def dupComponents(pairs: DataFrame, hotDegree: Int,
+                    driverEdgeBound: Long): DataFrame = {
     val spark = pairs.sparkSession
     // snapshot the PAIRS to parquet, not persist(): the union below
     // reads its input twice (so materializing downstream of it would
@@ -1014,6 +1071,15 @@ object Dedup {
     // even stringify. The write-through gives every round a
     // constant-size parquet-scan base instead.
     val (p, pPath) = writeThroughAt(pairs.select(col("doc_a"), col("doc_b")))
+    // small-graph fast path: exact, bounded, same canonical labels
+    val idsAreLong =
+      p.schema("doc_a").dataType == org.apache.spark.sql.types.LongType &&
+        p.schema("doc_b").dataType == org.apache.spark.sql.types.LongType
+    if (driverEdgeBound > 0 && idsAreLong && p.count() <= driverEdgeBound) {
+      val r = driverComponents(spark, p)
+      dropSnapshot(spark, pPath)
+      return r
+    }
     // The symmetrized edge relation is round-invariant: it is
     // materialized ONCE below (in its final cold/hot-split shape) so
     // no round re-runs the union or the hot-key isin filters — each

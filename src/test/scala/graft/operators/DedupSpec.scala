@@ -257,9 +257,12 @@ class DedupSpec extends SparkSuite with Matchers {
 
   test("dupComponents converges on a deep chain (pointer-jumping path)") {
     import spark.implicits._
-    // a 20-node path: naive propagation needs ~20 rounds, doubling ~5
+    // a 20-node path: naive propagation needs ~20 rounds, doubling ~5.
+    // 2-arg overload = the DISTRIBUTED loop (the small-graph driver
+    // fast path would short-circuit the pointer-jumping under test)
     val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.dupComponents(pairs).as[(Long, Long)].collect()
+    val got = Dedup.dupComponents(pairs, hotDegree = 65536)
+      .as[(Long, Long)].collect()
     got.length shouldBe 20
     all(got.map(_._2)) shouldBe 0L
   }
@@ -339,7 +342,8 @@ class DedupSpec extends SparkSuite with Matchers {
     import spark.implicits._
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
-    val comp = Dedup.dupComponents(pairs)
+    // 2-arg = distributed loop — the per-round caches under test
+    val comp = Dedup.dupComponents(pairs, hotDegree = 65536)
     // the operator owns its per-round caches and releases every one —
     // a long-lived session must not accrete storage per call
     spark.sparkContext.getPersistentRDDs.keySet shouldBe cachedBefore
@@ -348,6 +352,23 @@ class DedupSpec extends SparkSuite with Matchers {
     comp.as[(Long, Long)].collect().toMap shouldBe
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
     comp.count() shouldBe 5
+  }
+
+  test("dupComponents driver-local union-find == distributed doubling loop") {
+    import spark.implicits._
+    // corpus pair graph (chains + triangles at t=0.3) and a synthetic
+    // deep chain: the bounded fast path must produce the identical
+    // canonical labels the distributed loop converges to
+    val corpusPairs = Dedup.ngramJaccard(docs, n = 2, threshold = 0.3)
+    val chain = (0L until 37L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    for (pairs <- Seq(corpusPairs, chain)) {
+      val driver = Dedup.dupComponents(pairs, hotDegree = 65536,
+        driverEdgeBound = Long.MaxValue).orderBy("doc_id").collect()
+      val dist = Dedup.dupComponents(pairs, hotDegree = 65536,
+        driverEdgeBound = 0L).orderBy("doc_id").collect()
+      driver shouldBe dist
+      driver.length should be > 0
+    }
   }
 
   test("dropTransitiveDups keeps one representative per group plus unmatched docs") {
