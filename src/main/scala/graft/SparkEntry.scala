@@ -1723,6 +1723,37 @@ object SparkEntry {
         emb.filter(col("vec_id") % 10 =!= 0),
         emb.filter(col("vec_id") % 10 === 0), 0.45)
     }),
+    // the same semantic decon at the OCCUPANCY-SCALED cross-set
+    // geometry plus one-sided distance-1 multi-probe — the scale-safe
+    // configuration of the cross-set miner (geometry derived from the
+    // corpus count, near-linear as n grows), correctness-pinned
+    // against the exact-cosine oracle like sim_lsh_scaled/sim_knn_scaled
+    "cur_semantic_decon_scaled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpusV = emb.filter(col("vec_id") % 10 =!= 0)
+      val (planes, bands) =
+        Similarity.scaledLshConfig(corpusV.count(), targetOccupancy = 64)
+      Curation.semanticDecontaminate(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+        corpusV, emb.filter(col("vec_id") % 10 === 0), 0.45,
+        numPlanes = planes, bands = bands, multiProbe = true)
+    }),
+    // kNN LABEL PROPAGATION — spread a seed labeling (here: the lang
+    // column of every 5th doc, via the 1:1 vec_id=doc_id key) over the
+    // unlabeled corpus by majority vote among each target's 5 nearest
+    // seeds at cosine >= 0.4. The banded candidates run at the
+    // recall-1.0 config (32x16, proven by sim_lsh_pairs), so the vote
+    // set IS the exact kNN list and the oracle is the exact-cosine
+    // re-derivation; exact long vote counts, all ties deterministic
+    "cur_label_propagation" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Curation.propagateLabels(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("lang").as("label")),
+        k = 5, threshold = 0.4)
+    }),
     // length-bucketed batch assembly (padding minimization): the
     // per-bucket enumeration runs the two-phase range exchange, never
     // a one-task-per-bucket window; the oracle IS that naive window
@@ -2290,6 +2321,28 @@ object SparkEntry {
     * to the shingle/rounding logic cannot silently diverge between
     * gates.
     */
+  /** Exact-cosine cross-set decontamination filter — shared oracle of
+    * the fixed-geometry (`cur_semantic_decon`) and occupancy-scaled
+    * (`cur_semantic_decon_scaled`) gates, whose answers must be
+    * identical: every corpus doc with a bench neighbor at rounded
+    * cosine ≥ 0.45 drops.
+    */
+  private val semanticDeconSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       bench AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+       corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+       dirty AS (
+         SELECT DISTINCT c.vec_id AS doc_id
+         FROM corp c JOIN bench b ON
+           round(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
+             6) >= 0.45)
+       SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       FROM documents d
+       WHERE d.doc_id % 10 <> 0
+         AND d.doc_id NOT IN (SELECT doc_id FROM dirty)"""
+
   private val exactJaccardPairsSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(
@@ -3601,21 +3654,37 @@ object SparkEntry {
     // exact-cosine cross filter: every corpus doc with a bench
     // neighbor at rounded cosine >= 0.45 drops (the engine's banded
     // path must reproduce the exact set)
-    "cur_semantic_decon" ->
+    "cur_semantic_decon" -> semanticDeconSql,
+    // the scaled-geometry run must reproduce the SAME exact-cosine
+    // filter (recall 1.0 at the n-derived config, re-derived per run)
+    "cur_semantic_decon_scaled" -> semanticDeconSql,
+    // exact-cosine kNN majority vote re-derived from scratch: top-5
+    // seeds per target (cos desc, seed id tiebreak) at >= 0.4, vote
+    // counts exact longs, winner by (votes desc, label asc)
+    "cur_label_propagation" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         bench AS (SELECT * FROM e WHERE vec_id % 10 = 0),
-         corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
-         dirty AS (
-           SELECT DISTINCT c.vec_id AS doc_id
-           FROM corp c JOIN bench b ON
-             round(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i])))
-                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
-               6) >= 0.45)
-         SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-         FROM documents d
-         WHERE d.doc_id % 10 <> 0
-           AND d.doc_id NOT IN (SELECT doc_id FROM dirty)""",
+         seeds AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+         tgt AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         p AS (
+           SELECT t.vec_id, s.vec_id AS nb,
+             round(list_sum(list_transform(range(1, len(t.v)+1), i -> t.v[i] * s.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(t.v)+1), i -> t.v[i] * t.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i] * s.v[i])))),
+               6) AS cos
+           FROM tgt t JOIN seeds s ON TRUE),
+         topk AS (
+           SELECT vec_id, nb,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb) AS rn
+           FROM p WHERE cos >= 0.4),
+         votes AS (
+           SELECT k.vec_id, d.lang AS label, count(*) AS votes
+           FROM topk k JOIN documents d ON k.nb = d.doc_id
+           WHERE k.rn <= 5 GROUP BY 1, 2),
+         win AS (
+           SELECT vec_id, label, votes,
+             row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS r
+           FROM votes)
+       SELECT vec_id, label, votes FROM win WHERE r = 1""",
     // the oracle is the naive per-bucket window formulation the
     // distributed enumeration must match row for row
     "cur_length_batches" ->

@@ -333,11 +333,45 @@ object Curation {
   def semanticDecontaminate(docs: DataFrame, corpusVecs: DataFrame,
                             benchVecs: DataFrame, threshold: Double,
                             numPlanes: Int = 32, bands: Int = 16,
-                            dim: Int = 64): DataFrame = {
+                            dim: Int = 64,
+                            multiProbe: Boolean = false): DataFrame = {
     val dirty = Similarity.crossMatches(corpusVecs, benchVecs, threshold,
-        numPlanes, bands, dim)
+        numPlanes, bands, dim, multiProbe)
       .select(col("id_a").as("doc_id")).distinct()
     docs.join(dirty, Seq("doc_id"), "left_anti")
+  }
+
+  /** kNN label propagation — semi-supervised corpus labeling: each
+    * TARGET vector takes the majority label among its k most-similar
+    * SEED vectors at cosine ≥ `threshold` (the auto-labeling step a
+    * curation pipeline runs to spread a small human/classifier-labeled
+    * seed set over the corpus — quality tiers, topic tags, domains).
+    * Candidates come from [[Similarity.knnJoinCross]]'s banded LSH
+    * equi-join (never a target×seed scan), so at a recall-1.0
+    * geometry the vote set is exactly the true kNN list and the
+    * answer is deterministic end-to-end: neighbor ranking ties break
+    * by seed id, vote ties by (votes desc, label asc). Targets with
+    * no seed above the threshold emit nothing — "no evidence" is
+    * distinguishable from any label. Returns (vec_id, label, votes)
+    * with exact long vote counts.
+    */
+  def propagateLabels(targetVecs: DataFrame, seedVecs: DataFrame,
+                      seedLabels: DataFrame, k: Int = 5,
+                      threshold: Double = 0.4,
+                      numPlanes: Int = 32, bands: Int = 16,
+                      dim: Int = 64): DataFrame = {
+    require(k >= 1, s"propagateLabels: k must be >= 1, got $k")
+    val knn = Similarity.knnJoinCross(targetVecs, seedVecs, threshold, k,
+      numPlanes, bands, dim)
+    val votes = knn
+      .join(seedLabels.select(col("doc_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .groupBy(col("query_id").as("vec_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
   }
 
   /** Length-bucketed batch assembly — the padding-minimization step of

@@ -529,18 +529,28 @@ object Similarity {
     */
   def crossMatches(left: DataFrame, right: DataFrame, threshold: Double,
                    numPlanes: Int = 32, bands: Int = 16,
-                   dim: Int = 64): DataFrame = {
+                   dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val r = numPlanes / bands
     def sigOf(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("embedding"),
         VectorFunctions.norm(col("embedding")).as("nrm"),
         lshSignature(col("embedding"), numPlanes, dim).as("sig"))
-    def bucketsOf(sig: DataFrame): DataFrame = {
-      val bandCols = (0 until bands).map { bId =>
-        struct(lit(bId).as("band"),
-          shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1))
-            .as("bucket"))
+    // `probe = true` emits each band's base bucket PLUS its r
+    // distance-1 flips (the multi-probe extension — one-sided probing
+    // covers every cross pair within Hamming distance 1 of agreeing
+    // on a band, the same coverage as lshPairsMultiProbe's self-join
+    // form, at the same r-fold bucket-row cost on ONE side only)
+    def bucketsOf(sig: DataFrame, probe: Boolean): DataFrame = {
+      def bandBucket(bId: Int) =
+        shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1))
+      val bandCols = (0 until bands).flatMap { bId =>
+        val base = struct(lit(bId).as("band"), bandBucket(bId).as("bucket"))
+        if (!probe) Seq(base)
+        else base +: (0 until r).map { j =>
+          struct(lit(bId).as("band"),
+            bandBucket(bId).bitwiseXOR(lit(1L << j)).as("bucket"))
+        }
       }
       sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("vec_id"), col("bb.band").as("band"),
@@ -548,8 +558,8 @@ object Similarity {
     }
     val ls = sigOf(spread(left))
     val rs = sigOf(right)
-    val cand = bucketsOf(ls).as("a")
-      .join(bucketsOf(rs).as("b"),
+    val cand = bucketsOf(ls, multiProbe).as("a")
+      .join(bucketsOf(rs, probe = false).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()

@@ -224,6 +224,43 @@ class CurationSpec extends SparkSuite with Matchers {
       .toSet shouldBe brute
   }
 
+  test("propagateLabels: planted clusters take their seeds' majority " +
+      "label; no-evidence targets emit nothing; ties deterministic") {
+    import spark.implicits._
+    // two orthogonal clusters in R⁴ plus one orthogonal outlier: seeds
+    // 100/101 label cluster-axis e1 "a"/"a", seeds 200/201 axis e2 "b",
+    // one seed 300 on e3 labels "c". Targets 1,2 sit on e1 (majority
+    // "a"), target 3 on e2 ("b"), target 4 on e4 — orthogonal to every
+    // seed, cosine 0 < threshold → NO row (no-evidence contract).
+    def v(x: Double, y: Double, z: Double, w: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat, w.toFloat)
+    val seeds = Seq(
+      (100L, v(1, 0.1, 0, 0)), (101L, v(1, -0.1, 0, 0)),
+      (200L, v(0, 1, 0.1, 0)), (201L, v(0.1, 1, 0, 0)),
+      (300L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    val labels = Seq((100L, "a"), (101L, "a"), (200L, "b"), (201L, "b"),
+      (300L, "c")).toDF("doc_id", "label")
+    val targets = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.9, 0.2, 0, 0)),
+      (3L, v(0, 1, 0, 0)), (4L, v(0, 0, 0, 1))).toDF("vec_id", "embedding")
+    val got = Curation.propagateLabels(targets, seeds, labels,
+        k = 3, threshold = 0.3, numPlanes = 8, bands = 8, dim = 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    got.map(r => (r._1, r._2)) shouldBe Array((1L, "a"), (2L, "a"), (3L, "b"))
+    // votes: targets on e1 see both "a" seeds within k=3
+    got.find(_._1 == 1L).get._3 shouldBe 2L
+    // tie case: equidistant between an "a" seed and a "b" seed at k=2
+    // → one vote each, winner by label asc = "a", deterministically
+    val tie = Seq((9L, v(1, 1, 0, 0))).toDF("vec_id", "embedding")
+    val tied = Curation.propagateLabels(tie,
+        Seq((100L, v(1, 0, 0, 0)), (200L, v(0, 1, 0, 0)))
+          .toDF("vec_id", "embedding"),
+        Seq((100L, "b"), (200L, "a")).toDF("doc_id", "label"),
+        k = 2, threshold = 0.3, numPlanes = 8, bands = 8, dim = 4)
+      .as[(Long, String, Long)].collect()
+    tied shouldBe Array((9L, "a", 1L))
+  }
+
   test("lengthBatches equals the per-bucket window formulation, is " +
       "partition-invariant, and fills batches to size") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

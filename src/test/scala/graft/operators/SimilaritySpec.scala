@@ -116,6 +116,43 @@ class SimilaritySpec extends SparkSuite with Matchers {
     got.foreach { case (q, nb, _) => q % 5 shouldBe 0L; nb % 5 should not be 0L }
   }
 
+  test("crossMatches multi-probe ⊇ single-probe at the same geometry; " +
+      "precision exact; scaled config == exact cross pairs") {
+    val left = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val right = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    // strained geometry: wide buckets, few bands — one-sided distance-1
+    // probing can only ADD candidates, never drop or corrupt one
+    val single = Similarity.crossMatches(left, right, 0.4,
+        numPlanes = 24, bands = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val multi = Similarity.crossMatches(left, right, 0.4,
+        numPlanes = 24, bands = 4, multiProbe = true)
+      .as[(Long, Long, Double)].collect().toSet
+    multi should contain allElementsOf single
+    // exact cross reference
+    import graft.functions.VectorFunctions
+    val exact = left.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), VectorFunctions.norm(col("embedding")).as("na"))
+      .crossJoin(right.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), VectorFunctions.norm(col("embedding")).as("nb")))
+      .withColumn("cos", round(VectorFunctions.dot(col("ea"), col("eb")) /
+        (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    // precision: every reported pair is a true pair (verified cosine)
+    exact should contain allElementsOf multi
+    // the gate's configuration: occupancy-scaled geometry + multi-probe
+    // reproduces the exact cross-pair set on this corpus
+    val (planes, bands) = Similarity.scaledLshConfig(left.count(),
+      targetOccupancy = 64)
+    val scaled = Similarity.crossMatches(left, right, 0.4,
+        numPlanes = planes, bands = bands, multiProbe = true)
+      .as[(Long, Long, Double)].collect().toSet
+    scaled shouldBe exact
+    scaled.size should be > 0
+  }
+
   test("lshSignature rejects more than 64 planes (bits pack into one long)") {
     an[IllegalArgumentException] should be thrownBy
       Similarity.lshPairs(emb, 0.4, numPlanes = 96, bands = 24)
