@@ -4,8 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch measurement harness — NOT part of the library surface.
-  * Current probe: where dedup_components' CPU goes — jaccard input vs
-  * closure, on the gate's exact composition at sf0.1.
+  * Current probe: where text_heavy_ngrams' wall goes.
   */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
@@ -26,19 +25,10 @@ object ScratchProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val docs = graft.util.Tables.documents(spark, dir)
     docs.count()
-    import graft.operators.Dedup
-    t("warm jacc")(Dedup.ngramJaccard(docs, 2, 0.5).count())
-    val jacc = t("jacc")(Dedup.ngramJaccard(docs, 2, 0.5))
-    val base = java.nio.file.Files.createTempDirectory("probe").toString
-    t("jacc-materialize")(
-      jacc.select(col("doc_a"), col("doc_b")).write.parquet(s"$base/pairs"))
-    val pairsSnap = spark.read.parquet(s"$base/pairs")
-    t("closure-on-snap")(Dedup.dupComponents(pairsSnap).count())
-    t("closure-on-snap-2nd")(Dedup.dupComponents(pairsSnap).count())
-    t("gate-composed")(Dedup.dupComponents(
-      Dedup.ngramJaccard(docs, 2, 0.5)).count())
-    t("transitive-gate")(Dedup.dropTransitiveDups(docs,
-      Dedup.ngramJaccard(docs, 2, 0.5)).count())
+    t("heavy_store")(graft.SparkEntry.queries("text_heavy_store")(spark, dir).count())
+    t("heavy_check")(graft.SparkEntry.queries("text_heavy_check")(spark, dir).count())
+    t("q_heavy_hitters")(graft.SparkEntry.queries("q_heavy_hitters")(spark, dir).count())
+    t("stream_heavy")(graft.SparkEntry.queries("stream_heavy_extend")(spark, dir).count())
     spark.stop()
   }
 }

@@ -171,11 +171,17 @@ object FreqSketch {
     * plain GROUP BY would pay never happens), their counts recount
     * exactly over `items`, and the answer is provably the true top-k
     * whenever the k-th count clears the merged error bound. That
-    * condition is ENFORCED, not assumed: the recounted k-th count is
-    * compared against the bound and a shortfall throws — a sketch
-    * whose capacity is too small for the corpus must fail loudly, not
-    * return a silently incomplete "exact" answer (at gate scale the
-    * margin is also spec-asserted; ties break by item text).
+    * condition is ENFORCED, not assumed — but a shortfall now REPAIRS
+    * instead of refusing: the store can't be rebuilt at serving time,
+    * so the serve falls back to the exact full `GROUP BY` top-k over
+    * `items` (the corpus-distinct-sized aggregation the sketch
+    * normally avoids) with a loud warning. The fallback only fires in
+    * the regime where it is affordable — a vocabulary small/uniform
+    * enough to defeat the capacity is small enough to aggregate
+    * exactly; on Zipfian corpora at scale the bound holds and the
+    * candidate path serves. Never a silently incomplete "exact"
+    * answer either way (at gate scale the candidate-path margin is
+    * also spec-asserted; ties break by item text).
     */
   def heavyTopKExact(items: DataFrame, itemCol: String, path: String,
                      k: Int): DataFrame = {
@@ -193,15 +199,20 @@ object FreqSketch {
     // completeness: every item with true count > bound survives in the
     // merged sketch, so if the recounted k-th candidate clears the
     // bound, no non-candidate can out-count it — the top-k is the true
-    // top-k. k-th below the bound means candidates may be missing.
-    top.lastOption.map(_._2).filter(_.toDouble <= bound).foreach { c =>
-      throw new IllegalStateException(
-        s"heavyTopKExact: k-th recounted count $c does not clear the " +
-          f"merged sketch error bound $bound%.1f — the candidate set may " +
-          "be missing true heavy hitters; raise the sketch capacity or " +
-          "lower k")
+    // top-k. k-th below the bound means candidates may be missing —
+    // serve the exact aggregation instead.
+    val proven = top.lastOption.forall(_._2.toDouble > bound)
+    if (proven) top.toSeq.toDF(itemCol, "cnt")
+    else {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"heavyTopKExact: k-th recounted count ${top.last._2} does not " +
+          f"clear the merged sketch error bound $bound%.1f — store " +
+          "capacity is too small for this corpus; serving the exact " +
+          "full-aggregation top-k instead (consider rebuilding the " +
+          "store with a larger capacity)")
+      items.groupBy(itemCol).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col(itemCol)).limit(k)
     }
-    top.toSeq.toDF(itemCol, "cnt")
   }
 
   /** Contract-check row of the store vs the corpus — the quantile

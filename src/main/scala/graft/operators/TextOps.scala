@@ -439,45 +439,83 @@ object TextOps {
     *     pushdown filter, then a tiny groupBy) and a k-row take.
     *
     * The result is provably the exact top-k whenever the k-th true
-    * count exceeds N/(capacity+1) — on corpora where it doesn't, the
-    * remedy is a larger capacity, not a rescan (the spec asserts the
-    * condition holds at gate scale AND that the sketch really evicts,
-    * i.e. capacity < distinct n-grams — the claim is about the sketch,
-    * not a disguised exact groupBy). Ties at the k-th count break by
-    * n-gram text, deterministically.
+    * count exceeds N/(capacity+1) — on corpora where it doesn't
+    * (near-uniform small vocabularies deflate every retained count,
+    * inflating the bound), the operator ESCALATES: capacity doubles
+    * and the two-pass reruns, up to `maxDoublings` times, so callers
+    * get the exact answer at adaptive cost instead of a refusal. A
+    * doubled capacity reaching the distinct-item count makes the
+    * "sketch" an exact bounded map (bound 0 — completeness trivially
+    * proven), so escalation always terminates on bounded
+    * vocabularies; the throw remains only for corpora still unproven
+    * at the escalation cap. The spec asserts the FIRST-attempt
+    * capacity really evicts (capacity < distinct n-grams at gate
+    * scale — the claim is about the sketch, not a disguised exact
+    * groupBy). Ties at the k-th count break by n-gram text,
+    * deterministically.
     */
   def heavyNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
-                  capacity: Int = 768): DataFrame = {
-    require(k >= 1 && capacity >= k)
+                  capacity: Int = 768, maxDoublings: Int = 3): DataFrame = {
+    require(k >= 1 && capacity >= k && maxDoublings >= 0)
     val spark = docs.sparkSession
     import spark.implicits._
     val grams = ngrams(docs, n)
-    val mg = udaf(new FreqSketch.MisraGries(capacity))
-    // N and the sketch come from the SAME pass; the Misra-Gries error
-    // bound (N − Σ retained counts)/(capacity+1) is then derived from
-    // THIS corpus, at whatever scale the caller runs — not a constant
-    // calibrated against any particular testdata generation.
-    val row = grams.agg(mg(col("ngram")).as("sk"),
-      count(lit(1)).as("n")).head()
-    val sk = row.getMap[String, Long](0)
-    val total = row.getLong(1)
-    val bound = (total - sk.valuesIterator.sum).toDouble / (capacity + 1)
-    val top = grams.filter(col("ngram").isin(sk.keys.toSeq: _*))
-      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("ngram")).limit(k)
-      .as[(String, Long)].collect()
-    // fail fast instead of silently returning an incomplete "exact"
-    // top-k: every item with true count > bound survives the sketch,
-    // so a k-th recount clearing the bound proves completeness — a
-    // k-th at or under it means candidates may be missing
-    // (heavyTopKExact's contract, held on the single-pass path too).
-    top.lastOption.map(_._2).filter(_.toDouble <= bound).foreach { c =>
-      throw new IllegalStateException(
-        s"heavyNgrams: k-th recounted count $c does not clear the sketch " +
-          f"error bound $bound%.1f on this corpus — the candidate set may " +
-          "be missing true heavy hitters; raise capacity or lower k")
+    var cap = capacity
+    var attempt = 0
+    var result: Option[Seq[(String, Long)]] = None
+    var lastKth = 0L
+    var lastBound = 0.0
+    while (result.isEmpty && attempt <= maxDoublings) {
+      val mg = udaf(new FreqSketch.MisraGries(cap))
+      // N and the sketch come from the SAME pass; the Misra-Gries
+      // error bound (N − Σ retained counts)/(capacity+1) is then
+      // derived from THIS corpus, at whatever scale the caller runs —
+      // not a constant calibrated against any testdata generation.
+      val row = grams.agg(mg(col("ngram")).as("sk"),
+        count(lit(1)).as("n")).head()
+      val sk = row.getMap[String, Long](0)
+      val total = row.getLong(1)
+      val bound = (total - sk.valuesIterator.sum).toDouble / (cap + 1)
+      // the completeness decision comes from the SKETCH, before any
+      // recount is paid: ≥ k items retain a count above the bound ⟹
+      // their TRUE counts (≥ retained) put the true k-th count above
+      // the bound too, so no evicted item (true count ≤ bound) can be
+      // a true top-k member — the candidate set is provably complete
+      // and the recount below cannot fail its check by construction.
+      val kthRetained =
+        if (sk.size < k) -1L
+        else sk.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(k - 1)
+      if (total == 0) result = Some(Seq.empty)
+      else if (bound == 0.0) {
+        // zero lost mass ⟹ the map never decremented: it holds the
+        // EXACT count of every distinct item (the escalated-capacity
+        // terminal state) — serve the top-k directly, no second pass
+        result = Some(sk.toSeq.sortBy { case (g, c) => (-c, g) }.take(k))
+      } else if (kthRetained.toDouble > bound) {
+        val top = grams.filter(col("ngram").isin(sk.keys.toSeq: _*))
+          .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("ngram")).limit(k)
+          .as[(String, Long)].collect()
+        result = Some(top.toSeq)
+      } else {
+        lastKth = math.max(kthRetained, 0L)
+        lastBound = bound
+        if (attempt < maxDoublings)
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            f"heavyNgrams: k-th retained count $lastKth ≤ error bound " +
+              f"$lastBound%.1f at capacity $cap — escalating to ${cap * 2}")
+        cap *= 2
+        attempt += 1
+      }
     }
-    top.toSeq.toDF("ngram", "cnt")
+    result.map(_.toDF("ngram", "cnt")).getOrElse {
+      throw new IllegalStateException(
+        s"heavyNgrams: k-th retained count $lastKth does not clear the " +
+          f"sketch error bound $lastBound%.1f even after $maxDoublings " +
+          s"capacity doublings (final capacity ${cap / 2}) — the candidate " +
+          "set may be missing true heavy hitters; raise capacity/" +
+          "maxDoublings or lower k")
+    }
   }
 
   /** One trained merge: `rank` is training order, `pair_count` the

@@ -430,6 +430,29 @@ class TextOpsSpec extends SparkSuite with Matchers {
       (3L, "p q r", 1L))
   }
 
+  test("heavyNgrams escalates capacity on a near-uniform corpus and still " +
+      "returns the exact top-k; maxDoublings=0 pins the refusal") {
+    import spark.implicits._
+    // 100 distinct bigrams × 5 + one heavy × 50: capacity 50 churns on
+    // the uniform mass (retained k-th ≤ bound), so the first attempt
+    // cannot prove completeness — escalation must reach the exact
+    // answer instead of refusing
+    val rows = (1 to 100).flatMap(i => Seq.fill(5)(s"u$i x")) ++
+      Seq.fill(50)("h h")
+    val corpus = rows.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.heavyNgrams(corpus, n = 2, k = 5, capacity = 50)
+      .as[(String, Long)].collect().toSeq
+    // exact top-5: the heavy, then uniform ties broken by ngram text
+    got shouldBe Seq(("h h", 50L), ("u1 x", 5L), ("u10 x", 5L),
+      ("u100 x", 5L), ("u11 x", 5L))
+    // with escalation disabled, the same corpus/config must refuse
+    // rather than silently return an unproven "exact" top-k
+    an[IllegalStateException] should be thrownBy
+      TextOps.heavyNgrams(corpus, n = 2, k = 5, capacity = 50,
+        maxDoublings = 0)
+  }
+
   test("heavyNgrams: sketch-then-recount equals the exact top-k, and the " +
       "gate config is a REAL sketch with a holding completeness bound") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
