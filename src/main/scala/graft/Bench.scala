@@ -38,11 +38,17 @@ object Bench {
     // and min-of-2 is the cheapest estimator that discards a one-off
     // contention spike while still timing a cold-cache execution both
     // times (nothing is persisted between the two runs)
+    // a throwing query is still timed (its cost is real) but is named
+    // in the errors list — r12 found three heavy-hitter gates whose
+    // board lines had been cost-WITHOUT-answer for two rounds because
+    // this catch was silent
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errors += name }
         ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
       }
       // cpu is reported for the SAME run the wall time comes from
@@ -55,9 +61,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_cpu_sec":$cpu,"total_cpu_sec":${fmt(totalCpu)},""" +
-      s""""cpus":$cpus,"sf":"$sfDir"}"""
+      s""""errors":$errJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // the driver keeps only the LAST 2000 chars of output and parses the
     // JSON line out of that tail; with 100+ queries the full per-query map
     // is ~3.5 KB, so every round's `parsed` came back null (BENCH_r07/r08).
@@ -85,7 +92,8 @@ object Bench {
     }).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$hq,"total_cpu_sec":${fmt(totalCpu)},""" +
-      s""""n_queries":${results.size},"full":"BENCH_SELF.json",""" +
+      s""""n_queries":${results.size},"n_errors":${errors.size},""" +
+      s""""full":"BENCH_SELF.json",""" +
       s""""cpus":$cpus,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()

@@ -1,10 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Scratch measurement harness — NOT part of the library surface.
-  * Current probe: where text_heavy_ngrams' wall goes.
+  * Current probe: which gates THROW at sf0.1 (Bench used to swallow
+  * exceptions silently, so a throwing gate's board line was cost
+  * without an answer).
   */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
@@ -15,20 +16,20 @@ object ScratchProbe {
       .config("spark.ui.enabled", "false")
       .appName("scratch").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def t[A](tag: String)(f: => A): A = {
-      val s = System.nanoTime(); val c0 = osBean.getProcessCpuTime; val r = f
-      println(f"[probe] $tag wall=${(System.nanoTime() - s) / 1e9}%.2f " +
-        f"cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%.2f"); r
-    }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val docs = graft.util.Tables.documents(spark, dir)
-    docs.count()
-    t("heavy_store")(graft.SparkEntry.queries("text_heavy_store")(spark, dir).count())
-    t("heavy_check")(graft.SparkEntry.queries("text_heavy_check")(spark, dir).count())
-    t("q_heavy_hitters")(graft.SparkEntry.queries("q_heavy_hitters")(spark, dir).count())
-    t("stream_heavy")(graft.SparkEntry.queries("stream_heavy_extend")(spark, dir).count())
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = fn(spark, dir).count()
+        if (n == 0) println(s"[probe] EMPTY $name")
+      } catch {
+        case e: Throwable =>
+          bad += 1
+          println(s"[probe] THROWS $name: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(140)}")
+      }
+    }
+    println(s"[probe] done, $bad gates throw at $dir")
     spark.stop()
   }
 }
