@@ -79,6 +79,28 @@ object ScaleProbe {
       case Left(m) =>
         println(s"""{"probe":"jaccard_pairs","uncapped":$full,"dfcap200":"REFUSED: $m"}""")
     }
+
+    // 3. the r12 dense-regime decision for the ngram pair family: the
+    // prefix-scaled expected random-pair overlap picks the df-ordered
+    // prefix index or the triangle-blocked exact all-pairs. Print the
+    // statistic and BOTH paths' cost at the gate thresholds, so a
+    // deployment can re-derive the cutoff's validity on its corpus.
+    val (nd, density) = graft.operators.Dedup.shingleOverlapDensity(docs, 2)
+    println(s"""{"probe":"ngram_density","docs":$nd,"density":$density,""" +
+      s""""prefix_scaled_jaccard_t0.5":${density * 0.5 * (1 - 1.0 / 1.5)},""" +
+      s""""prefix_scaled_containment_t0.4":${density * 0.6}}""")
+    val prevCutoff = Dedup.denseOverlapCutoff
+    try {
+      for ((tag, t) <- Seq(("jaccard", 0.5), ("containment", 0.4))) {
+        def run() = (if (tag == "jaccard") Dedup.ngramJaccard(docs, 2, t)
+                     else Dedup.ngramContainment(docs, 2, t)).count()
+        Dedup.denseOverlapCutoff = Double.MaxValue
+        val idx = timed(s"ngram_${tag}_index_t$t")(run())
+        Dedup.denseOverlapCutoff = 0.0
+        val blocked = timed(s"ngram_${tag}_allpairs_t$t")(run())
+        println(s"""{"probe":"ngram_paths","op":"$tag","index_pairs":$idx,"allpairs_pairs":$blocked}""")
+      }
+    } finally Dedup.denseOverlapCutoff = prevCutoff
     spark.stop()
   }
 }

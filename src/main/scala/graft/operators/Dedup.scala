@@ -525,6 +525,15 @@ object Dedup {
     (n, m2.toDouble / (n.toDouble * (n - 1)))
   }
 
+  /** [[overlapDensity]] straight from a documents frame — the
+    * measurement harness's view of the dense-regime statistic
+    * (ScaleProbe); the operators themselves compute it over their
+    * materialized snapshot.
+    */
+  private[graft] def shingleOverlapDensity(docs: DataFrame,
+                                           n: Int): (Long, Double) =
+    overlapDensity(hashedShingles(docs, n))
+
   /** Cross-set [[overlapDensity]]: (nCorpus, nProbes, expected
     * overlap of a random (corpus, probe) pair, Σ_h dfc·dfp /(nc·np)).
     */
