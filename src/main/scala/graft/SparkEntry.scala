@@ -46,6 +46,24 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the `cur_decon_containment_indexed`
+    * gate's persisted containment index: built on 2/3 of the corpus
+    * side, the rest folded in through the ledgered extend — the gate's
+    * probes then exercise both the build and the frozen-order append
+    * path under the same all-pairs DuckDB oracle as the from-scratch
+    * decon gate.
+    */
+  private val contIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def containmentGateIndex(s: SparkSession, dir: String): String =
+    contIndexMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-cont-index")
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+      Dedup.buildContainmentIndex(corpus.filter(col("doc_id") % 3 =!= 1), idx)
+      Dedup.extendContainmentIndex(corpus.filter(col("doc_id") % 3 === 1),
+        idx, shardId = Some("g1"))
+      idx
+    })
+
   /** Per-(JVM, sfDir) memo of the `sim_topk_ann_index` gate's persisted
     * IVF-PQ index, built at the production config (nlist=16, 2 Lloyd
     * rounds for BOTH quantizers — PQ codebooks and coarse centroids,
@@ -1626,6 +1644,21 @@ object SparkEntry {
         n = 2, threshold = 0.5)
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    // the decon loop's DAILY form: probes check containment against
+    // the PERSISTED frozen-order posting index (built on 2/3 of the
+    // corpus, extended with the rest — see containmentGateIndex)
+    // instead of re-shingling the corpus; exactness is order-frozen
+    // (Dedup.scala section comment), so the answer must equal the
+    // from-scratch gate's oracle verbatim
+    "cur_decon_containment_indexed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.filter(col("doc_id") % 10 =!= 0).join(
+        Dedup.containmentAcrossIndexed(d.filter(col("doc_id") % 10 === 0),
+            containmentGateIndex(s, dir), n = 2, threshold = 0.5)
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     "cur_hash_split" -> ((s, dir) =>
       Curation.hashSplit(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("split"))),
@@ -2321,6 +2354,29 @@ object SparkEntry {
     * to the shingle/rounding logic cannot silently diverge between
     * gates.
     */
+  /** All-pairs containment decontamination — shared oracle of the
+    * from-scratch (`cur_decon_containment`) and persisted-index
+    * (`cur_decon_containment_indexed`) gates, whose answers must be
+    * identical.
+    */
+  private val deconContainmentSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+              FROM toks),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
+                 FROM sh a JOIN sh b
+                   ON a.s = b.s AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+                 GROUP BY 1, 2),
+       bad AS (SELECT DISTINCT ca FROM inter
+               JOIN sizes sa ON ca = sa.doc_id
+               JOIN sizes sb ON bb = sb.doc_id
+               WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5)
+       SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       WHERE d.doc_id % 10 != 0
+         AND d.doc_id NOT IN (SELECT ca FROM bad)"""
+
   /** Exact-cosine cross-set decontamination filter — shared oracle of
     * the fixed-geometry (`cur_semantic_decon`) and occupancy-scaled
     * (`cur_semantic_decon_scaled`) gates, whose answers must be
@@ -3516,23 +3572,10 @@ object SparkEntry {
          FROM documents""",
     // corpus survivors after containment decon: a corpus doc dies when
     // it shares >= 0.5 of the smaller bigram set with a held-out item
-    "cur_decon_containment" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(
-                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
-                FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
-                   FROM sh a JOIN sh b
-                     ON a.s = b.s AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
-                   GROUP BY 1, 2),
-         bad AS (SELECT DISTINCT ca FROM inter
-                 JOIN sizes sa ON ca = sa.doc_id
-                 JOIN sizes sb ON bb = sb.doc_id
-                 WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5)
-         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-         WHERE d.doc_id % 10 != 0
-           AND d.doc_id NOT IN (SELECT ca FROM bad)""",
+    "cur_decon_containment" -> deconContainmentSql,
+    // the indexed lifecycle must reproduce the exact same survivor
+    // set — the frozen-order index changes the PLAN, never the answer
+    "cur_decon_containment_indexed" -> deconContainmentSql,
     "cur_contamination" ->
       """WITH cor AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 10 != 0),

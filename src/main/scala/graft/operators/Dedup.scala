@@ -1485,6 +1485,133 @@ object Dedup {
                    asOf: Option[Int] = None): DataFrame =
     graft.util.Manifest.read(spark, path, "pairs", asOf)
 
+  // ── incremental CONTAINMENT index (frozen-order prefix filter) ────
+  //
+  // The decontamination loop a production pipeline runs DAILY: new
+  // corpus shards (or new probe/benchmark batches) check containment
+  // against an already-shingled corpus without recomputing the old
+  // side. The correctness hinge: the prefix-filter recall theorem
+  // needs only a FIXED total order on shingles shared by both join
+  // sides — not a meaningful one — so the df-ascending AllPairs order
+  // is FROZEN at build time and persisted as `dftab/`. Probes and
+  // extended shards rank their own postings under the stored (df, h)
+  // pairs, with shingles the index has never seen at (∞, h) — after
+  // every indexed shingle, ties by hash — one consistent order
+  // forever. Exactness is therefore unconditional across any number
+  // of extends; what drifts is only the df-order's candidate-pruning
+  // QUALITY (new shards' hot shingles rank as if rare), and a rebuild
+  // (the OPTIMIZE analogue) re-ranks.
+
+  /** Build the persisted containment index of `corpus` at `path`:
+    *   sets/      (doc_id, hs)           sorted shingle hashes — verification
+    *   postings/  (doc_id, sz, h, pos)   positions under the frozen order
+    *   dftab/     (h, df)                the frozen order itself
+    */
+  def buildContainmentIndex(corpus: DataFrame, path: String,
+                            n: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    graft.util.Manifest.init(spark, path) {
+      hashedShingles(corpus, n)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/sets")
+      val storedSets = spark.read.parquet(s"$path/sets")
+      val posts = dfRankedPostings(storedSets)
+      posts.select(col("doc_id"), col("sz"), col("h"), col("pos"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
+      posts.select(col("h"), col("df")).distinct()
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/dftab")
+    }
+    ()
+  }
+
+  /** Postings of `sets` positioned under a STORED frozen (df, h)
+    * order — see the section comment: unseen shingles take df = ∞ so
+    * they rank after every indexed one, ties by hash, and both sides
+    * of the index join share one total order.
+    */
+  private def frozenRankedPostings(sets: DataFrame,
+                                   dftab: DataFrame): DataFrame = {
+    val posts = sets.select(col("doc_id"), size(col("hs")).as("sz"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
+    val ranked = posts.join(dftab, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(Long.MaxValue)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    ranked.withColumn("pos", row_number().over(w) - 1)
+      .select(col("doc_id"), col("sz"), col("h"), col("pos"))
+  }
+
+  /** Cross-set containment of `probes` against the INDEXED corpus —
+    * [[ngramContainmentAcross]]'s exact answer (spec-proven equal)
+    * without touching old text: the corpus side is two parquet scans
+    * (postings + sets), the probe side one shingle pass. The smaller
+    * set's prefix must share a shingle with the other side's full
+    * postings (the theorem; size ties count the probe as smaller —
+    * either choice is covered, it just must be deterministic), and
+    * the per-match positional bound prunes inside the join exactly as
+    * in [[ngramContainment]]. Returns (doc_id, probe_id, containment).
+    */
+  def containmentAcrossIndexed(probes: DataFrame, path: String,
+                               n: Int = 2,
+                               threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentAcrossIndexed: threshold must be in (0, 1], got $threshold")
+    val spark = probes.sparkSession
+    val ps = snap(hashedShingles(probes, n))
+    val dftab = graft.util.Manifest.read(spark, path, "dftab")
+    val pposts = snap(frozenRankedPostings(ps, dftab))
+    val cposts = graft.util.Manifest.read(spark, path, "postings")
+    def plen(sz: org.apache.spark.sql.Column) =
+      sz - ceil(lit(threshold) * sz) + 1
+    val smallerIsProbe = col("p.sz") <= col("c.sz")
+    val prefixOk =
+      (smallerIsProbe && col("p.pos") < plen(col("p.sz"))) ||
+        (!smallerIsProbe && col("c.pos") < plen(col("c.sz")))
+    // earliest-shared-shingle positional bound under the SHARED frozen
+    // order (both pos columns rank in the same total order, so the
+    // ngramContainment argument carries over verbatim)
+    val alphaOk = (lit(1) +
+        least(col("p.sz") - 1 - col("p.pos"), col("c.sz") - 1 - col("c.pos")))
+      .cast("double") >=
+        lit(threshold) * least(col("p.sz"), col("c.sz")) - 1e-9
+    val cand = cposts.as("c").join(pposts.as("p"),
+        col("c.h") === col("p.h") && prefixOk && alphaOk)
+      .select(col("c.doc_id").as("doc_id"), col("p.doc_id").as("probe_id"))
+      .distinct()
+    val csets = graft.util.Manifest.read(spark, path, "sets")
+    cand
+      .join(csets.select(col("doc_id"), col("hs").as("hs_c")), "doc_id")
+      .join(ps.select(col("doc_id").as("probe_id"), col("hs").as("hs_p")),
+        "probe_id")
+      .select(col("doc_id"), col("probe_id"),
+        graft.functions.VectorFunctions
+          .sortedIntersectSize(col("hs_c"), col("hs_p")).as("inter"),
+        least(size(col("hs_c")), size(col("hs_p"))).cast("long").as("sz_min"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_min"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("probe_id"), col("containment"))
+  }
+
+  /** Fold a new corpus shard into the containment index: sets and
+    * frozen-order postings append as ONE ledgered generation (the
+    * `shardId` idempotence contract of [[extendIndex]]); `dftab/` is
+    * NOT updated — the order stays frozen, which is exactly what
+    * keeps every past and future probe exact (section comment).
+    */
+  def extendContainmentIndex(newCorpus: DataFrame, path: String,
+                             n: Int = 2,
+                             shardId: Option[String] = None): Unit = {
+    val spark = newCorpus.sparkSession
+    val dftab = graft.util.Manifest.read(spark, path, "dftab")
+    graft.util.Manifest.extend(spark, path, shardId) {
+      val newSets = hashedShingles(newCorpus, n)
+      newSets.write.mode(SaveMode.Append).parquet(s"$path/sets")
+      frozenRankedPostings(newSets, dftab)
+        .write.mode(SaveMode.Append).parquet(s"$path/postings")
+    }
+    ()
+  }
+
   // ── incremental connected components ──────────────────────────────
   //
   // The closure side of the daily dedup loop. [[incrementalPairs]] /

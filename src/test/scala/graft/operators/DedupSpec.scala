@@ -354,6 +354,32 @@ class DedupSpec extends SparkSuite with Matchers {
     comp.count() shouldBe 5
   }
 
+  test("containment index lifecycle: build + probe == from-scratch " +
+      "across; frozen-order extend keeps exactness; ledgered re-apply " +
+      "is a no-op") {
+    val corpus0 = docs.filter(col("doc_id") % 3 === 0)
+    val corpus1 = docs.filter(col("doc_id") % 3 === 1)
+    val probes = docs.filter(col("doc_id") % 3 === 2)
+    val path = java.nio.file.Files.createTempDirectory("cont-idx").toString
+    Dedup.buildContainmentIndex(corpus0, path)
+    def probe() = Dedup.containmentAcrossIndexed(probes, path, 2, 0.5)
+      .orderBy("doc_id", "probe_id").collect()
+    def scratch(c: DataFrame) = Dedup.ngramContainmentAcross(c, probes, 2, 0.5)
+      .orderBy("doc_id", "probe_id").collect()
+    val got0 = probe()
+    got0 shouldBe scratch(corpus0)
+    got0.length should be > 0
+    // the extend ranks the new shard under the FROZEN order (its
+    // shingles may be rare-then vs common-now — exactness must not care)
+    Dedup.extendContainmentIndex(corpus1, path, shardId = Some("s1"))
+    val got1 = probe()
+    got1 shouldBe scratch(corpus0.unionByName(corpus1))
+    got1.length should be > got0.length
+    // idempotent re-application through the manifest ledger
+    Dedup.extendContainmentIndex(corpus1, path, shardId = Some("s1"))
+    probe() shouldBe got1
+  }
+
   test("dupComponents driver-local union-find == distributed doubling loop") {
     import spark.implicits._
     // corpus pair graph (chains + triangles at t=0.3) and a synthetic
