@@ -974,6 +974,26 @@ object SparkEntry {
         stageKey = Some(s"$dir:documents"), resume = true)
       Dedup.indexedPairs(s, idx)
     }),
+    // streaming maintenance of the containment decon index: batch 0
+    // builds (freezing the df order), later micro-batches append
+    // frozen-ranked sets+postings under ledgered batch ids. Probing
+    // the streamed store with the benchmark side must equal the
+    // from-scratch decon — the frozen-order argument makes the
+    // equality EXACT whatever the batch boundaries, so the all-pairs
+    // oracle serves verbatim. Stable store + resume.
+    "stream_containment_extend" -> ((s, dir) => {
+      val idx = streamStoreDir("graft-stream-cont", dir)
+      val d = Tables.documents(s, dir)
+      graft.streaming.StreamedBatch.replayIntoContainmentIndex(s,
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "doc_id", idx,
+        stageKey = Some(s"$dir:documents-corpus"), resume = true)
+      d.filter(col("doc_id") % 10 =!= 0).join(
+        Dedup.containmentAcrossIndexed(d.filter(col("doc_id") % 10 === 0),
+            idx, n = 2, threshold = 0.5)
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     // streaming maintenance of the vocabulary store: batch 0 builds,
     // later micro-batches append their own ledgered count rows; counts
     // merge by summation, so scoring the whole corpus against the
@@ -4542,6 +4562,9 @@ object SparkEntry {
     // equivalence reached through the streaming maintenance path), so
     // the exact-Jaccard SQL is the oracle verbatim
     "stream_neardup_extend" -> exactJaccardPairsSql,
+    // the streamed containment index's probe == the from-scratch decon
+    // (frozen-order exactness through the streaming maintenance path)
+    "stream_containment_extend" -> deconContainmentSql,
     // counts merge by summation, so the streamed vocabulary store
     // scores identically to from-scratch unigramLogprob — the
     // text_unigram oracle verbatim

@@ -348,6 +348,47 @@ object StreamedBatch {
     }
   }
 
+  /** Replay a corpus as a file stream folding each micro-batch into
+    * the persisted frozen-order CONTAINMENT index — decon-index
+    * maintenance as a live stream: batch 0 builds (sets + postings +
+    * the frozen dftab — the df order is decided by the FIRST batch
+    * and never moves), later batches append their shard's sets and
+    * frozen-ranked postings under the batch id as the ledgered shard
+    * id (a Spark retry re-delivers into a no-op). Probing afterwards
+    * ([[graft.operators.Dedup.containmentAcrossIndexed]]) equals the
+    * from-scratch cross-set containment over everything streamed —
+    * EXACT by the frozen-order argument (Dedup.scala section
+    * comment), whatever the batch boundaries were.
+    */
+  def replayIntoContainmentIndex(spark: SparkSession, input: DataFrame,
+                                 orderCol: String, tieCol: String,
+                                 indexPath: String, chunks: Int = 3,
+                                 n: Int = 2,
+                                 stageKey: Option[String] = None,
+                                 resume: Boolean = false): Unit = {
+    import graft.operators.Dedup
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0)
+            resumableBuild(spark, indexPath, resume) {
+              Dedup.buildContainmentIndex(batch, indexPath, n = n)
+            }
+          else
+            Dedup.extendContainmentIndex(batch, indexPath, n = n,
+              shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay a documents table as a file stream folding each
     * micro-batch into the persisted inverted
     * [[graft.operators.TextIndex]] — search-index maintenance as a
