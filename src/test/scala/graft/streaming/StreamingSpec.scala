@@ -366,6 +366,33 @@ class StreamingSpec extends SparkSuite with Matchers {
     TextOps.scoreAgainstVocab(docs, oneShot).collect().toSet shouldBe scores1
   }
 
+  test("replayIntoContainmentIndex: streamed store's probe == from-scratch " +
+      "cross-set containment; resume replays into ledgered no-ops") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val probes = docs.filter(col("doc_id") % 3 === 0)
+    val store = java.nio.file.Files.createTempDirectory("stream-cont-resume").toString
+    def replay(): Unit = StreamedBatch.replayIntoContainmentIndex(spark,
+      corpus, "doc_id", "doc_id", store, chunks = 4,
+      stageKey = Some("cont-resume-spec"), resume = true)
+    replay()
+    val gen1 = graft.util.Manifest.snapshot(spark, store).gen
+    val got1 = graft.operators.Dedup
+      .containmentAcrossIndexed(probes, store, 2, 0.5)
+      .orderBy("doc_id", "probe_id").collect()
+    // exact vs the from-scratch cross-set form, across batch boundaries
+    got1 shouldBe graft.operators.Dedup
+      .ngramContainmentAcross(corpus, probes, 2, 0.5)
+      .orderBy("doc_id", "probe_id").collect()
+    got1.length should be > 0
+    // a second replay of the same input is all ledgered no-ops
+    replay()
+    graft.util.Manifest.snapshot(spark, store).gen shouldBe gen1
+    graft.operators.Dedup.containmentAcrossIndexed(probes, store, 2, 0.5)
+      .orderBy("doc_id", "probe_id").collect() shouldBe got1
+  }
+
   test("replayUpdate: upsert resolution returns the last update per key == batch agg") {
     // groups whose events span several chunks update in several
     // micro-batches; the change-log resolution must keep only the
