@@ -1830,6 +1830,30 @@ object SparkEntry {
             .as("token_csv"),
           size(col("token_ids")).cast("long").as("n_tokens"))
     }),
+    // the FULL decon stack in one plan — the shape a release pipeline
+    // actually runs: verbatim-quote leaks die by containment against
+    // the PERSISTED frozen-order index (the n-gram-blind class), then
+    // paraphrase leaks die by cosine at the OCCUPANCY-SCALED cross-set
+    // geometry + multi-probe (the vocabulary-blind class), and the
+    // survivors summarize per language. Both stages run their r12
+    // scale-safe configurations; the oracle re-derives both leak sets
+    // exactly and must agree on the survivor counts.
+    "cur_pipeline5" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val surv1 = d.filter(col("doc_id") % 10 =!= 0).join(
+        Dedup.containmentAcrossIndexed(d.filter(col("doc_id") % 10 === 0),
+            containmentGateIndex(s, dir), n = 2, threshold = 0.5)
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      val corpusV = emb.filter(col("vec_id") % 10 =!= 0)
+      val (planes, bands) =
+        Similarity.scaledLshConfig(corpusV.count(), targetOccupancy = 64)
+      Curation.semanticDecontaminate(surv1, corpusV,
+          emb.filter(col("vec_id") % 10 === 0), 0.45,
+          numPlanes = planes, bands = bands, multiProbe = true)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    }),
     // the learned-filter pipeline: a Naive Bayes model trained on the
     // labeled split classifies the WHOLE corpus; docs whose prediction
     // disagrees with their recorded label (or agrees without
@@ -3596,6 +3620,38 @@ object SparkEntry {
     // the indexed lifecycle must reproduce the exact same survivor
     // set — the frozen-order index changes the PLAN, never the answer
     "cur_decon_containment_indexed" -> deconContainmentSql,
+    // both leak sets re-derived exactly: containment ≥ 0.5 against the
+    // benchmark split AND rounded cosine ≥ 0.45 against the benchmark
+    // embeddings — survivors counted per language
+    "cur_pipeline5" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
+                   FROM sh a JOIN sh b
+                     ON a.s = b.s AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+                   GROUP BY 1, 2),
+         bad AS (SELECT DISTINCT ca FROM inter
+                 JOIN sizes sa ON ca = sa.doc_id
+                 JOIN sizes sb ON bb = sb.doc_id
+                 WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bench AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+         corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         dirty AS (
+           SELECT DISTINCT c.vec_id AS doc_id
+           FROM corp c JOIN bench b ON
+             round(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
+               6) >= 0.45)
+       SELECT d.lang, count(*) AS n_docs FROM documents d
+       WHERE d.doc_id % 10 <> 0
+         AND d.doc_id NOT IN (SELECT ca FROM bad)
+         AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+       GROUP BY 1""",
     "cur_contamination" ->
       """WITH cor AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents WHERE doc_id % 10 != 0),
