@@ -1557,6 +1557,22 @@ object Dedup {
       s"containmentAcrossIndexed: threshold must be in (0, 1], got $threshold")
     val spark = probes.sparkSession
     val ps = snap(hashedShingles(probes, n))
+    // dense-regime path choice, same statistic as ngramContainmentAcross
+    // (the CURRENT stored corpus df, not the frozen order — the frozen
+    // order is a correctness device, the decision wants live cost):
+    // when a random (corpus, probe) pair shares ~1 shingle within the
+    // small-side prefix, the posting join is Θ(nc·np) anyway and the
+    // rectangle-blocked verification over the STORED sets does the
+    // same merges without the posting join + candidate distinct.
+    val csetsAll = graft.util.Manifest.read(spark, path, "sets")
+    val (nc, np, density) = crossOverlapDensity(csetsAll, ps)
+    if (sys.env.contains("GRAFT_PROBE"))
+      println(f"[probe]   containmentAcrossIndexed nc=$nc np=$np " +
+        f"density=$density%.3f prefixDensity=${density * (1 - threshold)}%.3f " +
+        f"dense=${density * (1 - threshold) >= denseOverlapCutoff}")
+    if (density * (1 - threshold) >= denseOverlapCutoff)
+      return scoreAcrossAllPairs(allPairsBlockedAcross(csetsAll, nc, ps, np),
+        threshold)
     val dftab = graft.util.Manifest.read(spark, path, "dftab")
     val pposts = snap(frozenRankedPostings(ps, dftab))
     val cposts = graft.util.Manifest.read(spark, path, "postings")

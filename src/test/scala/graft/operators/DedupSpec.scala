@@ -362,12 +362,21 @@ class DedupSpec extends SparkSuite with Matchers {
     val probes = docs.filter(col("doc_id") % 3 === 2)
     val path = java.nio.file.Files.createTempDirectory("cont-idx").toString
     Dedup.buildContainmentIndex(corpus0, path)
+    // the indexed probe has the same dense-regime path choice as the
+    // from-scratch form — assert equality on BOTH branches (this dense
+    // corpus auto-picks the blocked path; forcing the cutoff high pins
+    // the frozen-order posting-index path)
     def probe() = Dedup.containmentAcrossIndexed(probes, path, 2, 0.5)
       .orderBy("doc_id", "probe_id").collect()
     def scratch(c: DataFrame) = Dedup.ngramContainmentAcross(c, probes, 2, 0.5)
       .orderBy("doc_id", "probe_id").collect()
     val got0 = probe()
     got0 shouldBe scratch(corpus0)
+    val prevCut = Dedup.denseOverlapCutoff
+    val idx0 =
+      try { Dedup.denseOverlapCutoff = Double.MaxValue; probe() }
+      finally Dedup.denseOverlapCutoff = prevCut
+    idx0 shouldBe got0
     got0.length should be > 0
     // the extend ranks the new shard under the FROZEN order (its
     // shingles may be rare-then vs common-now — exactness must not care)
@@ -375,6 +384,11 @@ class DedupSpec extends SparkSuite with Matchers {
     val got1 = probe()
     got1 shouldBe scratch(corpus0.unionByName(corpus1))
     got1.length should be > got0.length
+    // posting-index path stays exact after the frozen-order extend too
+    val idx1 =
+      try { Dedup.denseOverlapCutoff = Double.MaxValue; probe() }
+      finally Dedup.denseOverlapCutoff = prevCut
+    idx1 shouldBe got1
     // idempotent re-application through the manifest ledger
     Dedup.extendContainmentIndex(corpus1, path, shardId = Some("s1"))
     probe() shouldBe got1
