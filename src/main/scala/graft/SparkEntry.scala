@@ -1587,6 +1587,23 @@ object SparkEntry {
         Dedup.ngramJaccard(d, n = 2, threshold = 0.5))
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    // duplicate-aware sampling weights — downweight instead of drop:
+    // 1/|component| over the exact-Jaccard closure, 1 outside the
+    // pair graph; the total training mass per content group is 1
+    "cur_dup_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.dupWeights(d, Dedup.ngramJaccard(d, n = 2, threshold = 0.5))
+    }),
+    // edit-distance self-join over 32-char document keys — the STRING
+    // metric (typo/OCR/near-identical-title linkage) the set metrics
+    // are blind to; exact by the q-gram count+prefix filter, verified
+    // by the threshold-banded levenshtein, so plain all-pairs SQL is
+    // the oracle
+    "dedup_edit_join" -> ((s, dir) =>
+      Dedup.editDistanceJoin(
+        Tables.documents(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 32).as("k")),
+        "k", maxDist = 2)),
     // embedding-cosine near-dup dedup of DOCUMENTS — the cross-family
     // composition a curation pipeline runs (vec_id keys doc_id 1:1 in
     // these tables): multi-probe hyperplane LSH mines cosine pairs at
@@ -3506,6 +3523,25 @@ object SparkEntry {
     // pair tranches) must be invisible in the answer: same oracle as
     // the from-scratch closure
     "dedup_components_incremental" -> dupComponentsSql,
+    // duplicate-aware weights: 1/|component| over the same closure,
+    // 1 for docs outside the pair graph (1e0 keeps the division in
+    // doubles — DuckDB's 1.0 literal is DECIMAL and would change the
+    // result dtype)
+    "cur_dup_weights" ->
+      s"""WITH comp AS (SELECT * FROM ($dupComponentsSql)),
+         csz AS (SELECT component_id, count(*) AS n FROM comp GROUP BY 1)
+         SELECT d.doc_id, round(1e0 / coalesce(csz.n, 1), 6) AS weight
+         FROM documents d LEFT JOIN comp USING (doc_id)
+                          LEFT JOIN csz USING (component_id)""",
+    // edit-distance join: candidates are an internal device (count +
+    // prefix filter, exact by theorem), so the oracle is the plain
+    // all-pairs levenshtein
+    "dedup_edit_join" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(substr(a.text, 1, 32),
+                                 substr(b.text, 1, 32)) AS BIGINT) AS dist
+         FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+         WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 2""",
     "dedup_transitive_rows" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

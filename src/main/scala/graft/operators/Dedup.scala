@@ -1317,6 +1317,128 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Duplicate-aware sampling weights — the downweight-instead-of-drop
+    * curation policy: every doc gets weight `1 / |its duplicate
+    * component|` (docs outside the pair graph weigh 1), so training
+    * sees each piece of CONTENT with equal total mass no matter how
+    * many near-copies the crawl held, while keeping every copy's
+    * provenance/formatting diversity available to the sampler.
+    *
+    * Scale shape: the component and size frames are bounded by the dup
+    * graph (output-sized, not corpus-sized), the final join is keyed by
+    * doc_id, and AQE broadcasts the component side when it is small —
+    * docs outside the pair graph pay one join probe and nothing else.
+    */
+  def dupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = dupComponents(pairs)
+    val sizes = comp.groupBy("component_id").agg(count(lit(1)).as("csz"))
+    docs.select(col("doc_id"))
+      .join(comp.join(sizes, "component_id").select(col("doc_id"), col("csz")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) / coalesce(col("csz"), lit(1L)), 6).as("weight"))
+  }
+
+  /** Exact edit-distance (Levenshtein) similarity self-join — every
+    * pair with `ed(a, b) ≤ maxDist`, `doc_a < doc_b` — the STRING
+    * metric sibling of [[ngramJaccard]]'s set metric, for the pair
+    * class token-set similarity is blind to: character-level typos,
+    * OCR noise, and boilerplate with small substitutions move edit
+    * distance by 1–2 while leaving whole token shingles changed, and
+    * conversely reordered tokens leave Jaccard at 1 while edit
+    * distance explodes. The classic use is near-identical record/title
+    * linkage and template-with-typos dedup.
+    *
+    * Exact by the q-gram count-filter + prefix-filter argument
+    * (Ed-Join, Xiao/Wang/Lin VLDB'08 — re-derived here, no code
+    * reused): one edit operation changes at most `q` of a string's
+    * padded q-grams, so `ed(a,b) ≤ d` forces bag-overlap
+    * `≥ max(|Ga|,|Gb|) − q·d`, and by the (bag-valid) prefix lemma a
+    * qualifying pair must share a gram VALUE within both sides' first
+    * `q·d + 1` grams under any one global total order — we use
+    * df-ascending (rarest grams first) so candidate generation tracks
+    * rare-gram df², not the dense tail. Strings are padded with
+    * `q − 1` distinct leading/trailing sentinels so every string
+    * (including the empty one) owns ≥ q−1 grams and the bound holds
+    * uniformly — no short-string special case.
+    *
+    * Scale shape: gram explode → vocabulary-sized df agg → per-doc
+    * rank window (narrow key) → prefix self-equi-join on the 8-byte
+    * gram hash with the length filter `||a|−|b|| ≤ d` pushed into the
+    * join → distinct pairs → two keyed fetch joins → one
+    * O(|a|·d)-banded [[functions.levenshtein]] verification per
+    * candidate (the threshold form abandons at `d`, so verification
+    * cost is linear in the string, not quadratic). Nothing quadratic
+    * in the corpus materializes unless the corpus genuinely contains
+    * that many near-identical strings. No broadcast hints — AQE
+    * decides, as everywhere in this family.
+    */
+  def editDistanceJoin(docs: DataFrame, strCol: String, maxDist: Int,
+                       q: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 0, s"editDistanceJoin: maxDist must be ≥ 0, got $maxDist")
+    require(q >= 2, s"editDistanceJoin: q must be ≥ 2, got $q")
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val lpad = "\u0001" * (q - 1)
+    val rpad = "\u0002" * (q - 1)
+    // one snapshot owns the padded strings: the gram pass and both
+    // verification fetches read it (same 6×-reeval defense as
+    // hashedShingles — see ngramJaccard)
+    val strs = snap(docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(strCol), lit("")).as("s"))
+      .withColumn("len", length(col("s")))
+      .withColumn("p", concat(lit(lpad), col("s"), lit(rpad)))
+      .repartition(parts, col("doc_id")))
+    val grams = strs.select(col("doc_id"), col("len"),
+      explode(expr(
+        s"transform(sequence(1, length(p) - ${q - 1}), " +
+          s"i -> xxhash64(substring(p, i, $q)))")).as("h"))
+    val dfTab = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = snap(grams.join(dfTab, "h")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= q * maxDist + 1)
+      .select("doc_id", "len", "h"))
+    val gramCand = prefix
+      .select(col("doc_id").as("doc_a"), col("len").as("len_a"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("len").as("len_b"),
+        col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("doc_a", "doc_b")
+    // Vacuous-filter edge: when BOTH strings satisfy `len ≤ q·(d−1)+1`
+    // (equivalently `max(|Ga|,|Gb|) ≤ q·d`), the count bound demands
+    // overlap ≥ 0 and gram matching carries no signal at all — "" vs
+    // "a" at d=1 share no gram yet qualify. Mixed short–long pairs ARE
+    // covered (the prefix holds the short side's every gram and the
+    // long side's bound is still positive), so only short×short needs
+    // the explicit block. Irreducible by any gram scheme; bounded by
+    // the sub-(q·(d−1)+1)-char population — strings that short are
+    // metadata noise, not documents, and the block stays keyed by
+    // nothing only within that set.
+    // The block joins on a length-band key (each short probes lengths
+    // `len−d..len`; unordered coverage from whichever side is longer)
+    // — a plain keyed equi-join, not a cartesian, so the plan stays
+    // audit-clean and the replication factor is d+1.
+    val shortLen = q * (maxDist - 1) + 1
+    val shorts = strs.filter(col("len") <= shortLen)
+    val shortCand = shorts
+      .select(col("doc_id").as("doc_a"), explode(sequence(
+        greatest(col("len") - maxDist, lit(0)), col("len"))).as("lb"))
+      .join(shorts.select(col("doc_id").as("doc_b"), col("len").as("lb")),
+        Seq("lb"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val candidates = gramCand.unionByName(shortCand).distinct()
+    candidates
+      .join(strs.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(strs.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   // ── incremental dedup against a persisted corpus index ────────────
   //
   // The operation a production pipeline runs DAILY: check a new shard

@@ -660,4 +660,67 @@ class DedupSpec extends SparkSuite with Matchers {
     Dedup.indexedComponents(spark, path).orderBy("doc_id").collect() shouldBe
       scratch.orderBy("doc_id").collect()
   }
+
+  // ── edit-distance join + duplicate-aware weights ──────────────────
+
+  /** Naive all-pairs Levenshtein — the O(N²) reference. */
+  private def naiveEdit(d: DataFrame, colName: String,
+                        maxDist: Int): DataFrame =
+    d.select(col("doc_id").as("doc_a"), col(colName).as("s_a"))
+      .crossJoin(d.select(col("doc_id").as("doc_b"), col(colName).as("s_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(coalesce(col("s_a"), lit("")),
+          coalesce(col("s_b"), lit("")), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+
+  test("editDistanceJoin == naive all-pairs levenshtein on a typo fixture, q=2 and 3, d=0..2") {
+    val fx = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fux"),   // 1 substitution
+      (3L, "the quick brwn fox"),    // 1 deletion
+      (4L, "the quick brown foxx"),  // 1 insertion
+      (5L, "quick the fox brown"),   // token reorder: Jaccard 1, huge ed
+      (6L, "completely different text"),
+      (7L, ""),                      // empty
+      (8L, ""),                      // empty twin: dist 0
+      (9L, "a"),                     // shorter than q
+      (10L, "b"),                    // dist 1 from "a", dist 1 from ""
+      (11L, "the quick brown fox")   // exact dup of 1
+    ).toDF("doc_id", "text")
+    for (q <- Seq(2, 3); d <- Seq(0, 1, 2)) {
+      val fast = Dedup.editDistanceJoin(fx, "text", d, q = q)
+        .orderBy("doc_a", "doc_b").collect()
+      val naive = naiveEdit(fx, "text", d).orderBy("doc_a", "doc_b").collect()
+      withClue(s"q=$q d=$d: ") { fast shouldBe naive }
+    }
+    // non-vacuity: the d=2 run must see typo pairs, the empty twin,
+    // the short strings, and the exact dup — not just survive
+    Dedup.editDistanceJoin(fx, "text", 2).count() should be > 6L
+  }
+
+  test("editDistanceJoin on corpus 32-char keys == naive; finds pairs Jaccard scores low") {
+    val keyed = docs.select(col("doc_id"),
+      substring(col("text"), 1, 32).as("k"))
+    val fast = Dedup.editDistanceJoin(keyed, "k", maxDist = 2)
+      .orderBy("doc_a", "doc_b").collect()
+    val naive = naiveEdit(keyed, "k", 2).orderBy("doc_a", "doc_b").collect()
+    fast shouldBe naive
+    fast.length should be > 0
+  }
+
+  test("dupWeights: 1/|component| for dup members, 1 outside the pair graph") {
+    // triangle {1,2,3}, pair {4,5}, singletons 6 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val w = Dedup.dupWeights(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    w(1L) shouldBe 0.333333
+    w(2L) shouldBe 0.333333
+    w(3L) shouldBe 0.333333
+    w(4L) shouldBe 0.5
+    w(5L) shouldBe 0.5
+    w(6L) shouldBe 1.0
+    w(7L) shouldBe 1.0
+  }
 }
