@@ -1604,6 +1604,17 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"),
           substring(col("text"), 1, 32).as("k")),
         "k", maxDist = 2)),
+    // decontamination by edit distance on the same keys: drop corpus
+    // docs whose key is within 2 edits of a benchmark item's — the
+    // typo'd-title leakage class the set metrics under-score
+    "cur_decon_edit" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("k", substring(col("text"), 1, 32))
+      Curation.decontaminateByEdit(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "k", maxDist = 2)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     // embedding-cosine near-dup dedup of DOCUMENTS — the cross-family
     // composition a curation pipeline runs (vec_id keys doc_id 1:1 in
     // these tables): multi-probe hyperplane LSH mines cosine pairs at
@@ -3542,6 +3553,14 @@ object SparkEntry {
                                  substr(b.text, 1, 32)) AS BIGINT) AS dist
          FROM documents a JOIN documents b ON a.doc_id < b.doc_id
          WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 2""",
+    // edit-distance decon: survivors are corpus docs with NO benchmark
+    // key within 2 edits
+    "cur_decon_edit" ->
+      """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
+           SELECT 1 FROM documents b WHERE b.doc_id % 10 = 0
+             AND levenshtein(substr(d.text, 1, 32),
+                             substr(b.text, 1, 32)) <= 2)""",
     "dedup_transitive_rows" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

@@ -82,6 +82,26 @@ object Curation {
         .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Decontaminate by EDIT DISTANCE on a key column — drop every
+    * corpus document whose key is within `maxDist` character edits of
+    * some benchmark item's key
+    * ([[graft.operators.Dedup.editDistanceJoinAcross]]). This is the
+    * leakage shape the SET metrics under-score: a benchmark title or
+    * prompt copied with a typo, punctuation drift, or OCR noise moves
+    * edit distance by 1–2 while whole token shingles churn. The
+    * corpus/benchmark frames must both carry `doc_id` and `keyCol`;
+    * the anti-join is keyed by doc_id, so the corpus never
+    * materializes more than once.
+    */
+  def decontaminateByEdit(corpus: DataFrame, benchmark: DataFrame,
+                          keyCol: String, maxDist: Int = 2,
+                          q: Int = 2): DataFrame =
+    corpus.join(
+      graft.operators.Dedup
+        .editDistanceJoinAcross(corpus, benchmark, keyCol, maxDist, q)
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Deterministic 16-bit hash bucket of an ID column: the first four
     * hex chars of `md5(cast(id as string))` → [0, 65536). Pure
     * function of the ID — stable across runs, partitionings, and

@@ -1373,32 +1373,51 @@ object Dedup {
     * that many near-identical strings. No broadcast hints — AQE
     * decides, as everywhere in this family.
     */
-  def editDistanceJoin(docs: DataFrame, strCol: String, maxDist: Int,
-                       q: Int = 2, idCol: String = "doc_id"): DataFrame = {
-    require(maxDist >= 0, s"editDistanceJoin: maxDist must be ≥ 0, got $maxDist")
-    require(q >= 2, s"editDistanceJoin: q must be ≥ 2, got $q")
+  /** Padded-string snapshot for the edit-join family: one snapshot
+    * owns the padded strings — the gram pass and the verification
+    * fetches all read it (same 6×-reeval defense as hashedShingles;
+    * see ngramJaccard).
+    */
+  private def editStrings(docs: DataFrame, strCol: String, idCol: String,
+                          q: Int): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val lpad = "\u0001" * (q - 1)
     val rpad = "\u0002" * (q - 1)
-    // one snapshot owns the padded strings: the gram pass and both
-    // verification fetches read it (same 6×-reeval defense as
-    // hashedShingles — see ngramJaccard)
-    val strs = snap(docs
+    snap(docs
       .select(col(idCol).cast("long").as("doc_id"),
         coalesce(col(strCol), lit("")).as("s"))
       .withColumn("len", length(col("s")))
       .withColumn("p", concat(lit(lpad), col("s"), lit(rpad)))
       .repartition(parts, col("doc_id")))
-    val grams = strs.select(col("doc_id"), col("len"),
+  }
+
+  /** Exploded q-gram hashes of an [[editStrings]] snapshot. */
+  private def editGrams(strs: DataFrame, q: Int): DataFrame =
+    strs.select(col("doc_id"), col("len"),
       explode(expr(
         s"transform(sequence(1, length(p) - ${q - 1}), " +
           s"i -> xxhash64(substring(p, i, $q)))")).as("h"))
-    val dfTab = grams.groupBy("h").agg(count(lit(1)).as("df"))
+
+  /** First `q·d+1` grams of every doc under the given global
+    * (df, hash) order — the count-filter prefix.
+    */
+  private def editPrefix(grams: DataFrame, dfTab: DataFrame,
+                         maxDist: Int, q: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val prefix = snap(grams.join(dfTab, "h")
+    snap(grams.join(dfTab, "h")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= q * maxDist + 1)
       .select("doc_id", "len", "h"))
+  }
+
+  def editDistanceJoin(docs: DataFrame, strCol: String, maxDist: Int,
+                       q: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 0, s"editDistanceJoin: maxDist must be ≥ 0, got $maxDist")
+    require(q >= 2, s"editDistanceJoin: q must be ≥ 2, got $q")
+    val strs = editStrings(docs, strCol, idCol, q)
+    val grams = editGrams(strs, q)
+    val dfTab = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = editPrefix(grams, dfTab, maxDist, q)
     val gramCand = prefix
       .select(col("doc_id").as("doc_a"), col("len").as("len_a"), col("h"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("len").as("len_b"),
@@ -1436,6 +1455,56 @@ object Dedup {
       .join(strs.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("s_a"), col("s_b"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** Cross-set [[editDistanceJoin]]: every (corpus doc, probe) pair
+    * with `ed ≤ maxDist` — the title/near-identical-record
+    * decontamination shape, where the benchmark item differs from its
+    * leaked copy by a character-level perturbation the set metrics
+    * under-score. Same exactness argument as the self-join; the one
+    * global order both sides rank under is the df order of the UNION
+    * of their grams (any one shared total order satisfies the prefix
+    * lemma — the df choice is purely cost). Output: (doc_id [corpus],
+    * probe_id, dist).
+    */
+  def editDistanceJoinAcross(corpus: DataFrame, probes: DataFrame,
+                             strCol: String, maxDist: Int,
+                             q: Int = 2): DataFrame = {
+    require(maxDist >= 0,
+      s"editDistanceJoinAcross: maxDist must be ≥ 0, got $maxDist")
+    require(q >= 2, s"editDistanceJoinAcross: q must be ≥ 2, got $q")
+    val cs = editStrings(corpus, strCol, "doc_id", q)
+    val ps = editStrings(probes, strCol, "doc_id", q)
+    val gc = editGrams(cs, q)
+    val gp = editGrams(ps, q)
+    val dfTab = gc.select("h").unionByName(gp.select("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val pc = editPrefix(gc, dfTab, maxDist, q)
+    val pp = editPrefix(gp, dfTab, maxDist, q)
+    val gramCand = pc
+      .select(col("doc_id"), col("len").as("len_c"), col("h"))
+      .join(pp.select(col("doc_id").as("probe_id"), col("len").as("len_p"),
+        col("h")), Seq("h"))
+      .filter(abs(col("len_c") - col("len_p")) <= maxDist)
+      .select("doc_id", "probe_id")
+    // short×short vacuous-filter block, cross-set form (see the
+    // self-join comment): corpus shorts probe the probe-side shorts on
+    // a length-band key covering BOTH directions of the length gap
+    val shortLen = q * (maxDist - 1) + 1
+    val shortCand = cs.filter(col("len") <= shortLen)
+      .select(col("doc_id"), explode(sequence(
+        greatest(col("len") - maxDist, lit(0)),
+        col("len") + maxDist)).as("lb"))
+      .join(ps.filter(col("len") <= shortLen)
+        .select(col("doc_id").as("probe_id"), col("len").as("lb")), Seq("lb"))
+      .select("doc_id", "probe_id")
+    gramCand.unionByName(shortCand).distinct()
+      .join(cs.select(col("doc_id"), col("s").as("s_c")), "doc_id")
+      .join(ps.select(col("doc_id").as("probe_id"), col("s").as("s_p")),
+        "probe_id")
+      .select(col("doc_id"), col("probe_id"),
+        levenshtein(col("s_c"), col("s_p"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0)
   }
 

@@ -709,6 +709,46 @@ class DedupSpec extends SparkSuite with Matchers {
     fast.length should be > 0
   }
 
+  /** Naive cross-set Levenshtein reference. */
+  private def naiveEditAcross(c: DataFrame, b: DataFrame, colName: String,
+                              maxDist: Int): DataFrame =
+    c.select(col("doc_id"), col(colName).as("s_c"))
+      .crossJoin(b.select(col("doc_id").as("probe_id"), col(colName).as("s_p")))
+      .select(col("doc_id"), col("probe_id"),
+        levenshtein(coalesce(col("s_c"), lit("")),
+          coalesce(col("s_p"), lit("")), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+
+  test("editDistanceJoinAcross == naive cross levenshtein; decontaminateByEdit drops exactly the hosts") {
+    val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 32).as("k"))
+    val corpus = keyed.filter(col("doc_id") % 10 =!= 0)
+    val bench = keyed.filter(col("doc_id") % 10 === 0)
+    val fast = Dedup.editDistanceJoinAcross(corpus, bench, "k", maxDist = 2)
+      .orderBy("doc_id", "probe_id").collect()
+    val naive = naiveEditAcross(corpus, bench, "k", 2)
+      .orderBy("doc_id", "probe_id").collect()
+    fast shouldBe naive
+    fast.length should be > 0
+    val hosts = fast.map(_.getLong(0)).distinct
+    val surv = Curation.decontaminateByEdit(corpus, bench, "k", maxDist = 2)
+    surv.count() shouldBe corpus.count() - hosts.length
+    surv.filter(col("doc_id").isin(hosts.toSeq: _*)).count() shouldBe 0
+  }
+
+  test("editDistanceJoinAcross covers the short-string vacuous-filter class cross-set") {
+    val c = Seq((1L, ""), (2L, "ab"), (3L, "xyz"), (4L, "wxyz")).toDF("doc_id", "k")
+    val b = Seq((10L, "a"), (11L, ""), (12L, "xyzz")).toDF("doc_id", "k")
+    for (q <- Seq(2, 3); d <- Seq(0, 1, 2)) {
+      val fast = Dedup.editDistanceJoinAcross(c, b, "k", d, q = q)
+        .orderBy("doc_id", "probe_id").collect()
+      val naive = naiveEditAcross(c, b, "k", d)
+        .orderBy("doc_id", "probe_id").collect()
+      withClue(s"q=$q d=$d: ") { fast shouldBe naive }
+    }
+    // non-vacuity: ""–"a", ""–"", "ab"–"a", xyz-family pairs all land
+    Dedup.editDistanceJoinAcross(c, b, "k", 2).count() should be > 4L
+  }
+
   test("dupWeights: 1/|component| for dup members, 1 outside the pair graph") {
     // triangle {1,2,3}, pair {4,5}, singletons 6 and 7
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
