@@ -24,6 +24,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val threshold = args.lift(1).map(_.toDouble).getOrElse(0.4)
+    // optional third arg: comma-separated section filter
+    // (lsh,ngram,edit) — default all
+    val sections = args.lift(2).map(_.split(",").toSet)
+      .getOrElse(Set("lsh", "ngram", "edit"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,6 +49,7 @@ object ScaleProbe {
     val n = emb.count()
     println(s"""{"probe":"corpus","dir":"$dir","vectors":$n,"threshold":$threshold}""")
 
+    if (sections("lsh")) {
     val fixed = timed(s"lsh_pairs_fixed_32x16_t$threshold")(
       Similarity.lshPairs(emb, threshold, numPlanes = 32, bands = 16).count())
     val (planes, bands) = Similarity.scaledLshConfig(n)
@@ -62,8 +67,10 @@ object ScaleProbe {
     val mpFound = mp.select("id_a", "id_b")
       .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
     println(s"""{"probe":"lsh_recall","fixed_pairs":$fixed,"scaled_pairs":$scaled,"scaled_multiprobe_pairs":$mpN,"exact_pairs":$exactN,"scaled_found_of_exact":$found,"multiprobe_found_of_exact":$mpFound}""")
+    }
 
     val docs = graft.util.Tables.documents(spark, dir)
+    if (sections("ngram")) {
     val full = timed("ngram_jaccard_uncapped")(
       Dedup.ngramJaccard(docs, n = 2, threshold = 0.5).count())
     // the capped path REFUSES when the cap would gut recall on this
@@ -101,6 +108,23 @@ object ScaleProbe {
         println(s"""{"probe":"ngram_paths","op":"$tag","index_pairs":$idx,"allpairs_pairs":$blocked}""")
       }
     } finally Dedup.denseOverlapCutoff = prevCutoff
+    }
+
+    if (sections("edit")) {
+    // 4. edit-join family at the gate config (32-char keys, d=2):
+    // Pass-Join segment candidates — verbatim ~len/(d+1)-char
+    // substring keys; the self-join and the %10 cross-set decon split
+    // are both measured so a 10× corpus exposes any quadratic term
+    val keyed = docs.select(col("doc_id"),
+      substring(col("text"), 1, 32).as("k"))
+    val editPairs = timed("edit_join_d2_32key")(
+      Dedup.editDistanceJoin(keyed, "k", maxDist = 2).count())
+    val ec = keyed.filter(col("doc_id") % 10 =!= 0)
+    val eb = keyed.filter(col("doc_id") % 10 === 0)
+    val acrossPairs = timed("edit_join_across_d2")(
+      Dedup.editDistanceJoinAcross(ec, eb, "k", maxDist = 2).count())
+    println(s"""{"probe":"edit_join","self_pairs":$editPairs,"cross_pairs":$acrossPairs}""")
+    }
     spark.stop()
   }
 }

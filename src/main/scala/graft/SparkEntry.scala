@@ -1714,6 +1714,12 @@ object SparkEntry {
       Curation.mixtureSample(Tables.documents(s, dir), "lang", "doc_id",
         Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
         .select(col("doc_id"), col("lang"), col("source"))),
+    // temperature-scaled mixture weights at α = 0.5 (q_s ∝ √p_s — the
+    // multilingual rebalancing rule): COMPUTES the distribution
+    // mixtureSample takes as given; per-doc weights sum to 1
+    "cur_temperature_weights" -> ((s, dir) =>
+      Curation.temperatureWeights(Tables.documents(s, dir), "lang",
+        "doc_id", alpha = 0.5)),
     "cur_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), maxTokens = 512, nShards = 8)),
     // sliding-window doc chunking (128-token chunks, 32 overlap) — the
@@ -3732,6 +3738,20 @@ object SparkEntry {
            CASE WHEN bucket < 52428 THEN 'train'
                 WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split"
          FROM b""",
+    // pow(x, 0.5) in Spark is Java Math.pow, in DuckDB C pow — both
+    // may be 1 ulp off a correctly-rounded sqrt, but they agree with
+    // EACH OTHER on these inputs (gate-verified); the round-6 edge is
+    // ~10^-10 wide
+    "cur_temperature_weights" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s
+                    FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_s) AS total FROM c),
+         s AS (SELECT lang, n_s,
+                 pow(n_s / (SELECT total FROM t), 0.5) AS ps_a FROM c),
+         z AS (SELECT sum(ps_a) AS z FROM s)
+         SELECT d.doc_id, d.lang,
+                round(s.ps_a / (SELECT z FROM z) / s.n_s, 6) AS weight
+         FROM documents d JOIN s USING (lang)""",
     "cur_mixture_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,
                       md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),

@@ -146,6 +146,38 @@ object Curation {
     * sampled at every fraction ≥ f (nested samples, stable reruns).
     * Fractions quantize to 1/65536.
     */
+  /** Temperature-scaled mixture weights — COMPUTE the sampling
+    * distribution [[mixtureSample]] takes as given: with stratum
+    * (language/source) empirical shares `p_s = n_s / N`, temperature
+    * sampling draws strata as `q_s ∝ p_s^α` (α = 1 keeps the natural
+    * mix, α → 0 approaches uniform over strata — the multilingual
+    * rebalancing rule of mT5/XLM-R), and each doc in stratum `s`
+    * carries weight `q_s / n_s` so per-doc weights sum to exactly 1
+    * and a weighted sampler reproduces temperature sampling at the
+    * document level. Output: (doc_id, stratum, weight rounded 6).
+    *
+    * Scale shape: one stratum-sized aggregation (the counts), the
+    * normalizer is an aggregate over THAT (strata-count rows, not
+    * corpus rows), and the weights come back via one keyed join the
+    * optimizer broadcasts — the corpus is scanned once and never
+    * window-sorted.
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String, idCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0, s"temperatureWeights: alpha must be > 0, got $alpha")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("n_s"))
+    val total = counts.agg(sum("n_s")).head().getDouble(0)
+    val scaled = counts.withColumn("ps_a", pow(col("n_s") / total, alpha))
+    val z = scaled.agg(sum("ps_a")).head().getDouble(0)
+    val w = scaled.select(col(stratumCol),
+      (col("ps_a") / z / col("n_s")).as("w"))
+    df.select(col(idCol), col(stratumCol))
+      .join(w, stratumCol)
+      .select(col(idCol), col(stratumCol),
+        round(col("w"), 6).as("weight"))
+  }
+
   def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
                     fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1),

@@ -1344,112 +1344,75 @@ object Dedup {
     * metric sibling of [[ngramJaccard]]'s set metric, for the pair
     * class token-set similarity is blind to: character-level typos,
     * OCR noise, and boilerplate with small substitutions move edit
-    * distance by 1–2 while leaving whole token shingles changed, and
+    * distance by 1–2 while barely denting whole token shingles, and
     * conversely reordered tokens leave Jaccard at 1 while edit
-    * distance explodes. The classic use is near-identical record/title
-    * linkage and template-with-typos dedup.
+    * distance explodes. The classic use is near-identical
+    * record/title linkage and template-with-typos dedup.
     *
-    * Exact by the q-gram count-filter + prefix-filter argument
-    * (Ed-Join, Xiao/Wang/Lin VLDB'08 — re-derived here, no code
-    * reused): one edit operation changes at most `q` of a string's
-    * padded q-grams, so `ed(a,b) ≤ d` forces bag-overlap
-    * `≥ max(|Ga|,|Gb|) − q·d`, and by the (bag-valid) prefix lemma a
-    * qualifying pair must share a gram VALUE within both sides' first
-    * `q·d + 1` grams under any one global total order — we use
-    * df-ascending (rarest grams first) so candidate generation tracks
-    * rare-gram df², not the dense tail. Strings are padded with
-    * `q − 1` distinct leading/trailing sentinels so every string
-    * (including the empty one) owns ≥ q−1 grams and the bound holds
-    * uniformly — no short-string special case.
+    * Candidates come from SEGMENT matching (the Pass-Join scheme,
+    * Li/Deng/Feng ICDE'11 — re-derived here, no code reused): split a
+    * string into `d+1` contiguous segments; an edit script of ≤ d
+    * operations, written in that string's coordinates, touches at
+    * most one segment per operation, so by pigeonhole some segment
+    * survives untouched and appears in the other string VERBATIM,
+    * its start shifted only by the net length change of the
+    * operations before it — at most ±d. Candidate generation is an
+    * equi-join of segment hashes against position-banded,
+    * length-matched substrings of the other side: an exact-substring
+    * key of ~len/(d+1) chars. The fixed-q gram count-filter route
+    * (Ed-Join) was built and MEASURED first and rejected: on a
+    * template-heavy corpus (sf0.1 documents, 32-char keys, d=2) its
+    * df-ordered prefixes still admitted 5.0 M of 12.5 M pairs as
+    * candidates — "rare" grams are not rare when every string draws
+    * from one template vocabulary, while 11-char verbatim substrings
+    * still are (measured: 5.0 M → 29 k candidates on that corpus,
+    * 172×, and sf0.1 → sf1 CPU grows 3.9× at 10× the strings with
+    * 20× the output pairs).
     *
-    * Scale shape: gram explode → vocabulary-sized df agg → per-doc
-    * rank window (narrow key) → prefix self-equi-join on the 8-byte
-    * gram hash with the length filter `||a|−|b|| ≤ d` pushed into the
-    * join → distinct pairs → two keyed fetch joins → one
-    * O(|a|·d)-banded [[functions.levenshtein]] verification per
-    * candidate (the threshold form abandons at `d`, so verification
-    * cost is linear in the string, not quadratic). Nothing quadratic
-    * in the corpus materializes unless the corpus genuinely contains
-    * that many near-identical strings. No broadcast hints — AQE
-    * decides, as everywhere in this family.
+    * A self-join gives every string both roles (segments indexed,
+    * substrings probed), so any pair with at least one side of
+    * `len ≥ d+1` is covered; pairs with BOTH sides shorter than
+    * `d+1` have no nonempty-segment guarantee and go through an
+    * explicit length-band block over that ≤ d-char population.
+    * Verification is one threshold-banded [[functions.levenshtein]]
+    * per distinct candidate — O(len·d), codegen'd, exact.
+    *
+    * Scale shape: per-string enumeration is `d+1` segment rows and
+    * ≤ `(2d+1)²·(d+1)` substring rows — linear in the corpus with a
+    * small constant; the join key is (8-byte hash, slot, segmented
+    * length); nothing quadratic in the corpus materializes unless it
+    * genuinely contains that many verbatim-substring-sharing strings.
+    * No broadcast hints — AQE decides, as everywhere in this family.
+    *
+    * `q` is retained for call-site compatibility and ignored — the
+    * segment scheme has no gram width.
     */
-  /** Padded-string snapshot for the edit-join family: one snapshot
-    * owns the padded strings — the gram pass and the verification
-    * fetches all read it (same 6×-reeval defense as hashedShingles;
-    * see ngramJaccard).
-    */
-  private def editStrings(docs: DataFrame, strCol: String, idCol: String,
-                          q: Int): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val lpad = "\u0001" * (q - 1)
-    val rpad = "\u0002" * (q - 1)
-    snap(docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        coalesce(col(strCol), lit("")).as("s"))
-      .withColumn("len", length(col("s")))
-      .withColumn("p", concat(lit(lpad), col("s"), lit(rpad)))
-      .repartition(parts, col("doc_id")))
-  }
-
-  /** Exploded q-gram hashes of an [[editStrings]] snapshot. */
-  private def editGrams(strs: DataFrame, q: Int): DataFrame =
-    strs.select(col("doc_id"), col("len"),
-      explode(expr(
-        s"transform(sequence(1, length(p) - ${q - 1}), " +
-          s"i -> xxhash64(substring(p, i, $q)))")).as("h"))
-
-  /** First `q·d+1` grams of every doc under the given global
-    * (df, hash) order — the count-filter prefix.
-    */
-  private def editPrefix(grams: DataFrame, dfTab: DataFrame,
-                         maxDist: Int, q: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    snap(grams.join(dfTab, "h")
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= q * maxDist + 1)
-      .select("doc_id", "len", "h"))
-  }
-
   def editDistanceJoin(docs: DataFrame, strCol: String, maxDist: Int,
                        q: Int = 2, idCol: String = "doc_id"): DataFrame = {
     require(maxDist >= 0, s"editDistanceJoin: maxDist must be ≥ 0, got $maxDist")
-    require(q >= 2, s"editDistanceJoin: q must be ≥ 2, got $q")
-    val strs = editStrings(docs, strCol, idCol, q)
-    val grams = editGrams(strs, q)
-    val dfTab = grams.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = editPrefix(grams, dfTab, maxDist, q)
-    val gramCand = prefix
-      .select(col("doc_id").as("doc_a"), col("len").as("len_a"), col("h"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("len").as("len_b"),
-        col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b") &&
-        abs(col("len_a") - col("len_b")) <= maxDist)
-      .select("doc_a", "doc_b")
-    // Vacuous-filter edge: when BOTH strings satisfy `len ≤ q·(d−1)+1`
-    // (equivalently `max(|Ga|,|Gb|) ≤ q·d`), the count bound demands
-    // overlap ≥ 0 and gram matching carries no signal at all — "" vs
-    // "a" at d=1 share no gram yet qualify. Mixed short–long pairs ARE
-    // covered (the prefix holds the short side's every gram and the
-    // long side's bound is still positive), so only short×short needs
-    // the explicit block. Irreducible by any gram scheme; bounded by
-    // the sub-(q·(d−1)+1)-char population — strings that short are
-    // metadata noise, not documents, and the block stays keyed by
-    // nothing only within that set.
-    // The block joins on a length-band key (each short probes lengths
-    // `len−d..len`; unordered coverage from whichever side is longer)
-    // — a plain keyed equi-join, not a cartesian, so the plan stays
-    // audit-clean and the replication factor is d+1.
-    val shortLen = q * (maxDist - 1) + 1
-    val shorts = strs.filter(col("len") <= shortLen)
+    val d = maxDist
+    val strs = editStrings(docs, strCol, idCol)
+    val cand = editSegments(strs, d)
+      .select(col("doc_id").as("doc_a"), col("slot"), col("m"), col("h"))
+      .join(editSubstrings(strs, d).select(col("doc_id").as("doc_b"),
+        col("slot"), col("m"), col("h")), Seq("h", "slot", "m"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    // both-short block (see scaladoc): band-keyed equi-join, never a
+    // cartesian
+    val shorts = strs.filter(col("len") <= d)
     val shortCand = shorts
       .select(col("doc_id").as("doc_a"), explode(sequence(
-        greatest(col("len") - maxDist, lit(0)), col("len"))).as("lb"))
+        greatest(col("len") - d, lit(0)), col("len"))).as("lb"))
       .join(shorts.select(col("doc_id").as("doc_b"), col("len").as("lb")),
         Seq("lb"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-    val candidates = gramCand.unionByName(shortCand).distinct()
+    val candidates = cand.unionByName(shortCand).distinct()
+    if (sys.env.contains("GRAFT_PROBE"))
+      println(s"[probe]   editDistanceJoin candidates=${candidates.count()}")
     candidates
       .join(strs.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
       .join(strs.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
@@ -1459,53 +1422,109 @@ object Dedup {
   }
 
   /** Cross-set [[editDistanceJoin]]: every (corpus doc, probe) pair
-    * with `ed ≤ maxDist` — the title/near-identical-record
-    * decontamination shape, where the benchmark item differs from its
-    * leaked copy by a character-level perturbation the set metrics
-    * under-score. Same exactness argument as the self-join; the one
-    * global order both sides rank under is the df order of the UNION
-    * of their grams (any one shared total order satisfies the prefix
-    * lemma — the df choice is purely cost). Output: (doc_id [corpus],
-    * probe_id, dist).
+    * with `ed ≤ maxDist` — the typo'd-title / near-identical-record
+    * decontamination shape. Same pigeonhole argument; the corpus side
+    * is segmented (d+1 cheap rows per corpus string) and the PROBE
+    * side enumerates the banded substrings (the ~(2d+1)²·(d+1) rows
+    * land on the small side, which is what a decon run wants). That
+    * direction covers every pair whose corpus string has
+    * `len ≥ d+1`; a corpus string shorter than that can only pair
+    * with probes of `len ≤ 2d`, so the remainder is a band block over
+    * those two tiny populations. Output: (doc_id [corpus], probe_id,
+    * dist).
     */
   def editDistanceJoinAcross(corpus: DataFrame, probes: DataFrame,
                              strCol: String, maxDist: Int,
                              q: Int = 2): DataFrame = {
     require(maxDist >= 0,
       s"editDistanceJoinAcross: maxDist must be ≥ 0, got $maxDist")
-    require(q >= 2, s"editDistanceJoinAcross: q must be ≥ 2, got $q")
-    val cs = editStrings(corpus, strCol, "doc_id", q)
-    val ps = editStrings(probes, strCol, "doc_id", q)
-    val gc = editGrams(cs, q)
-    val gp = editGrams(ps, q)
-    val dfTab = gc.select("h").unionByName(gp.select("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    val pc = editPrefix(gc, dfTab, maxDist, q)
-    val pp = editPrefix(gp, dfTab, maxDist, q)
-    val gramCand = pc
-      .select(col("doc_id"), col("len").as("len_c"), col("h"))
-      .join(pp.select(col("doc_id").as("probe_id"), col("len").as("len_p"),
-        col("h")), Seq("h"))
-      .filter(abs(col("len_c") - col("len_p")) <= maxDist)
+    val d = maxDist
+    val cs = editStrings(corpus, strCol, "doc_id")
+    val ps = editStrings(probes, strCol, "doc_id")
+    val cand = editSegments(cs, d)
+      .select(col("doc_id"), col("slot"), col("m"), col("h"))
+      .join(editSubstrings(ps, d).select(col("doc_id").as("probe_id"),
+        col("slot"), col("m"), col("h")), Seq("h", "slot", "m"))
       .select("doc_id", "probe_id")
-    // short×short vacuous-filter block, cross-set form (see the
-    // self-join comment): corpus shorts probe the probe-side shorts on
-    // a length-band key covering BOTH directions of the length gap
-    val shortLen = q * (maxDist - 1) + 1
-    val shortCand = cs.filter(col("len") <= shortLen)
+    val shortCand = cs.filter(col("len") <= d)
       .select(col("doc_id"), explode(sequence(
-        greatest(col("len") - maxDist, lit(0)),
-        col("len") + maxDist)).as("lb"))
-      .join(ps.filter(col("len") <= shortLen)
+        greatest(col("len") - d, lit(0)), col("len") + d)).as("lb"))
+      .join(ps.filter(col("len") <= 2 * d)
         .select(col("doc_id").as("probe_id"), col("len").as("lb")), Seq("lb"))
       .select("doc_id", "probe_id")
-    gramCand.unionByName(shortCand).distinct()
+    cand.unionByName(shortCand).distinct()
       .join(cs.select(col("doc_id"), col("s").as("s_c")), "doc_id")
       .join(ps.select(col("doc_id").as("probe_id"), col("s").as("s_p")),
         "probe_id")
       .select(col("doc_id"), col("probe_id"),
         levenshtein(col("s_c"), col("s_p"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0)
+  }
+
+  /** String snapshot for the edit-join family: one snapshot owns the
+    * strings — segment/substring enumeration and the verification
+    * fetches all read it (same 6×-reeval defense as hashedShingles;
+    * see ngramJaccard).
+    */
+  private def editStrings(docs: DataFrame, strCol: String,
+                          idCol: String): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    snap(docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(strCol), lit("")).as("s"))
+      .withColumn("len", length(col("s")))
+      .repartition(parts, col("doc_id")))
+  }
+
+  /** Even-split segment bounds, 0-based, for a string of length m cut
+    * into d+1 parts: slot i has length `m÷(d+1)` plus one for the
+    * first `m mod (d+1)` slots, start `i·(m÷(d+1)) + min(i, m mod
+    * (d+1))`. Spelled identically in [[editSegments]] and
+    * [[editSubstrings]] so both sides enumerate the same geometry.
+    */
+  private def segExpr(d: Int, mRef: String, iRef: String): (String, String) = {
+    val base = s"($mRef DIV ${d + 1})"
+    val rem = s"($mRef % ${d + 1})"
+    val start = s"($iRef * $base + least($iRef, $rem))"
+    val slen = s"($base + IF($iRef < $rem, 1, 0))"
+    (start, slen)
+  }
+
+  /** The d+1 segment hashes of every string with `len ≥ d+1`:
+    * (doc_id, slot, m = own length, h = xxhash64(segment)).
+    */
+  private def editSegments(strs: DataFrame, d: Int): DataFrame = {
+    val (start, slen) = segExpr(d, "len", "i")
+    strs.filter(col("len") >= d + 1)
+      .select(col("doc_id"), col("len").as("m"),
+        explode(expr(
+          s"""transform(sequence(0, $d), i -> named_struct(
+             'slot', i,
+             'h', xxhash64(substring(s, $start + 1, $slen))))""")).as("e"))
+      .select(col("doc_id"), col("e.slot").as("slot"), col("m"),
+        col("e.h").as("h"))
+  }
+
+  /** The banded probe substrings of every string: for each candidate
+    * segmented-side length `m ∈ [len−d, len+d], m ≥ d+1`, each slot,
+    * and each start within ±d of that slot's segment start, the
+    * substring of the slot's segment length — keyed (slot, m, hash)
+    * to meet [[editSegments]] rows. ≤ (2d+1)²·(d+1) rows per string.
+    */
+  private def editSubstrings(strs: DataFrame, d: Int): DataFrame = {
+    val (start, slen) = segExpr(d, "m", "i")
+    strs.select(col("doc_id"),
+      explode(expr(
+        s"""flatten(transform(
+             filter(sequence(len - $d, len + $d), m -> m >= ${d + 1}),
+             m -> flatten(transform(sequence(0, $d), i ->
+               transform(
+                 filter(sequence(greatest($start - $d, 0), $start + $d),
+                   p -> p + $slen <= len),
+                 p -> named_struct('slot', i, 'm', m,
+                   'h', xxhash64(substring(s, p + 1, $slen))))))))""")).as("e"))
+      .select(col("doc_id"), col("e.slot").as("slot"), col("e.m").as("m"),
+        col("e.h").as("h"))
   }
 
   // ── incremental dedup against a persisted corpus index ────────────

@@ -339,4 +339,29 @@ class CurationSpec extends SparkSuite with Matchers {
       .select("doc_id").as[Long].collect().sorted
     kept shouldBe Array(1L, 2L, 3L, 4L)
   }
+
+  test("temperatureWeights: mass 1 total, α=1 is the natural mix, lower α lifts rare strata") {
+    // 8 en docs, 2 de docs
+    val in = (1L to 8L).map(i => (i, "en")).++(Seq((9L, "de"), (10L, "de")))
+      .toDF("doc_id", "lang")
+    def wts(alpha: Double) =
+      Curation.temperatureWeights(in, "lang", "doc_id", alpha)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // α = 1: weight = p_s / n_s = 1/N for every doc — the natural mix
+    wts(1.0).foreach { case (_, _, w) => w shouldBe 0.1 }
+    // any α: per-doc weights sum to 1 (within round-6 slack)
+    for (a <- Seq(0.3, 0.5, 0.7)) {
+      val w = wts(a)
+      w.map(_._3).sum shouldBe 1.0 +- 1e-4
+      // rare-stratum docs outweigh common-stratum docs below α = 1
+      val de = w.filter(_._2 == "de").head._3
+      val en = w.filter(_._2 == "en").head._3
+      de should be > en
+    }
+    // α = 0.5 closed form: q_de = √0.2/(√0.8+√0.2), per-doc /2
+    val de05 = wts(0.5).filter(_._2 == "de").head._3
+    val q = math.sqrt(0.2) / (math.sqrt(0.8) + math.sqrt(0.2))
+    de05 shouldBe BigDecimal(q / 2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 }
