@@ -64,6 +64,26 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the persisted EDIT index the
+    * `cur_decon_edit_indexed` gate probes — built on 2/3 of the
+    * corpus keys, extended with the rest, like [[containmentGateIndex]]
+    * (the gates time the stored-index PROBE path, the operation a
+    * daily decon loop amortizes the build against).
+    */
+  private val editIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def editGateIndex(s: SparkSession, dir: String): String =
+    editIndexMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-edit-index")
+      val corpus = Tables.documents(s, dir)
+        .withColumn("k", substring(col("text"), 1, 32))
+        .filter(col("doc_id") % 10 =!= 0)
+      Dedup.buildEditIndex(corpus.filter(col("doc_id") % 3 =!= 1), "k", idx,
+        maxDist = 2)
+      Dedup.extendEditIndex(corpus.filter(col("doc_id") % 3 === 1), "k",
+        idx, shardId = Some("g1"))
+      idx
+    })
+
   /** Per-(JVM, sfDir) memo of the `sim_topk_ann_index` gate's persisted
     * IVF-PQ index, built at the production config (nlist=16, 2 Lloyd
     * rounds for BOTH quantizers — PQ codebooks and coarse centroids,
@@ -994,6 +1014,24 @@ object SparkEntry {
         Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    // streamed maintenance of the EDIT index (12th streamed store):
+    // batch 0 builds strings+segments+params, later micro-batches
+    // append ledgered shards; the probe after the replay must equal
+    // the from-scratch decon oracle verbatim
+    "stream_edit_extend" -> ((s, dir) => {
+      val idx = streamStoreDir("graft-stream-edit", dir)
+      val d = Tables.documents(s, dir)
+        .withColumn("k", substring(col("text"), 1, 32))
+      graft.streaming.StreamedBatch.replayIntoEditIndex(s,
+        d.filter(col("doc_id") % 10 =!= 0).select("doc_id", "k"),
+        "doc_id", "doc_id", "k", idx,
+        stageKey = Some(s"$dir:documents-keyed32"), resume = true)
+      d.filter(col("doc_id") % 10 =!= 0).join(
+        Dedup.editAcrossIndexed(d.filter(col("doc_id") % 10 === 0), "k", idx)
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
     // streaming maintenance of the vocabulary store: batch 0 builds,
     // later micro-batches append their own ledgered count rows; counts
     // merge by summation, so scoring the whole corpus against the
@@ -1613,6 +1651,20 @@ object SparkEntry {
       Curation.decontaminateByEdit(
         d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
         "k", maxDist = 2)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+    // the edit decon's DAILY form: the benchmark probes the PERSISTED
+    // segment index (built on 2/3 of the corpus keys, extended with
+    // the rest — editGateIndex); segments are per-string-local, so
+    // the stored answer equals the from-scratch oracle verbatim
+    "cur_decon_edit_indexed" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("k", substring(col("text"), 1, 32))
+      d.filter(col("doc_id") % 10 =!= 0).join(
+        Dedup.editAcrossIndexed(d.filter(col("doc_id") % 10 === 0), "k",
+            editGateIndex(s, dir))
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
     // embedding-cosine near-dup dedup of DOCUMENTS — the cross-family
@@ -2550,6 +2602,20 @@ object SparkEntry {
              FROM tf JOIN df USING (term) JOIN dl USING (doc_id))
        SELECT doc_id, round(sum(c), 6) AS score FROM c GROUP BY doc_id
        ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** Edit-distance decontamination survivors — corpus docs with NO
+    * benchmark key within 2 edits. Shared verbatim by the
+    * from-scratch (`cur_decon_edit`), persisted-index
+    * (`cur_decon_edit_indexed`), and streamed-store
+    * (`stream_edit_extend`) executions: the maintenance strategy must
+    * not change the answer.
+    */
+  private val deconEditSql =
+    """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
+         SELECT 1 FROM documents b WHERE b.doc_id % 10 = 0
+           AND levenshtein(substr(d.text, 1, 32),
+                           substr(b.text, 1, 32)) <= 2)"""
 
   /** Transitive closure over the exact-Jaccard pair graph as a
     * recursive CTE — shared by the one-shot closure gate and the
@@ -3561,12 +3627,11 @@ object SparkEntry {
          WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 2""",
     // edit-distance decon: survivors are corpus docs with NO benchmark
     // key within 2 edits
-    "cur_decon_edit" ->
-      """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-         WHERE d.doc_id % 10 <> 0 AND NOT EXISTS (
-           SELECT 1 FROM documents b WHERE b.doc_id % 10 = 0
-             AND levenshtein(substr(d.text, 1, 32),
-                             substr(b.text, 1, 32)) <= 2)""",
+    "cur_decon_edit" -> deconEditSql,
+    // the persisted-index and streamed-store forms answer the SAME
+    // question — one oracle serves all three
+    "cur_decon_edit_indexed" -> deconEditSql,
+    "stream_edit_extend" -> deconEditSql,
     "dedup_transitive_rows" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

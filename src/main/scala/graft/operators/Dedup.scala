@@ -1838,6 +1838,92 @@ object Dedup {
     ()
   }
 
+  // ── persisted edit index ──────────────────────────────────────────
+
+  /** Build the persisted edit-distance index of a keyed corpus at
+    * `path`: raw strings (`strs/`: doc_id, s, len — the verification
+    * side) and their Pass-Join segments for the build-time `maxDist`
+    * (`segs/`; `params/` pins d — probes use the stored geometry).
+    * Unlike the containment index there is NO global order to freeze:
+    * a segment is a per-string-LOCAL artifact, so exactness across
+    * extends is structural — stored rows of old strings are exactly
+    * what a from-scratch run would recompute, and
+    * [[editAcrossIndexed]] == [[editDistanceJoinAcross]] verbatim
+    * after any number of extends (spec-proven).
+    */
+  def buildEditIndex(corpus: DataFrame, strCol: String, path: String,
+                     maxDist: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.util.Manifest.init(spark, path) {
+      Seq(maxDist).toDF("max_dist")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/params")
+      corpus.select(col("doc_id").cast("long").as("doc_id"),
+          coalesce(col(strCol), lit("")).as("s"))
+        .withColumn("len", length(col("s")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/strs")
+      editSegments(spark.read.parquet(s"$path/strs"), maxDist)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/segs")
+    }
+    ()
+  }
+
+  /** Fold a new corpus shard into the edit index — append-only (new
+    * strings' rows + segments; old rows untouched), ledgered by
+    * `shardId` so a re-delivered shard is a no-op.
+    */
+  def extendEditIndex(newCorpus: DataFrame, strCol: String, path: String,
+                      shardId: Option[String] = None): Unit = {
+    val spark = newCorpus.sparkSession
+    val d = graft.util.Manifest.read(spark, path, "params")
+      .head().getInt(0)
+    graft.util.Manifest.extend(spark, path, shardId) {
+      val strs = newCorpus.select(col("doc_id").cast("long").as("doc_id"),
+          coalesce(col(strCol), lit("")).as("s"))
+        .withColumn("len", length(col("s")))
+      strs.write.mode(SaveMode.Append).parquet(s"$path/strs")
+      editSegments(strs, d)
+        .write.mode(SaveMode.Append).parquet(s"$path/segs")
+    }
+    ()
+  }
+
+  /** Cross-set edit join of `probes` against the INDEXED corpus —
+    * [[editDistanceJoinAcross]]'s exact answer (spec-proven equal)
+    * without touching old text: the corpus side is two parquet scans
+    * (stored segments for candidates, stored strings for the
+    * verification fetch and the sub-(d+1)-char block), the probe side
+    * enumerates its banded substrings as in the from-scratch form.
+    * `maxDist` comes from the stored params — the segment geometry is
+    * pinned at build time.
+    */
+  def editAcrossIndexed(probes: DataFrame, strCol: String,
+                        path: String): DataFrame = {
+    val spark = probes.sparkSession
+    val d = graft.util.Manifest.read(spark, path, "params")
+      .head().getInt(0)
+    val ps = editStrings(probes, strCol, "doc_id")
+    val segs = graft.util.Manifest.read(spark, path, "segs")
+    val cstrs = graft.util.Manifest.read(spark, path, "strs")
+    val cand = segs.select(col("doc_id"), col("slot"), col("m"), col("h"))
+      .join(editSubstrings(ps, d).select(col("doc_id").as("probe_id"),
+        col("slot"), col("m"), col("h")), Seq("h", "slot", "m"))
+      .select("doc_id", "probe_id")
+    val shortCand = cstrs.filter(col("len") <= d)
+      .select(col("doc_id"), explode(sequence(
+        greatest(col("len") - d, lit(0)), col("len") + d)).as("lb"))
+      .join(ps.filter(col("len") <= 2 * d)
+        .select(col("doc_id").as("probe_id"), col("len").as("lb")), Seq("lb"))
+      .select("doc_id", "probe_id")
+    cand.unionByName(shortCand).distinct()
+      .join(cstrs.select(col("doc_id"), col("s").as("s_c")), "doc_id")
+      .join(ps.select(col("doc_id").as("probe_id"), col("s").as("s_p")),
+        "probe_id")
+      .select(col("doc_id"), col("probe_id"),
+        levenshtein(col("s_c"), col("s_p"), d).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   // ── incremental connected components ──────────────────────────────
   //
   // The closure side of the daily dedup loop. [[incrementalPairs]] /

@@ -389,6 +389,45 @@ object StreamedBatch {
     }
   }
 
+  /** Replay a keyed corpus as a file stream folding each micro-batch
+    * into the persisted edit-distance index
+    * ([[graft.operators.Dedup.buildEditIndex]] /
+    * `extendEditIndex`) — batch 0 builds (strings + Pass-Join
+    * segments + params), later batches append their shard with the
+    * batch id as the ledgered shard id (a Spark retry re-delivers
+    * into a no-op). Segments are per-string-local, so the streamed
+    * store's probe answer must equal the from-scratch cross join over
+    * everything streamed, verbatim.
+    */
+  def replayIntoEditIndex(spark: SparkSession, input: DataFrame,
+                          orderCol: String, tieCol: String,
+                          strCol: String, indexPath: String,
+                          chunks: Int = 3, maxDist: Int = 2,
+                          stageKey: Option[String] = None,
+                          resume: Boolean = false): Unit = {
+    import graft.operators.Dedup
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0)
+            resumableBuild(spark, indexPath, resume) {
+              Dedup.buildEditIndex(batch, strCol, indexPath, maxDist)
+            }
+          else
+            Dedup.extendEditIndex(batch, strCol, indexPath,
+              shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay a documents table as a file stream folding each
     * micro-batch into the persisted inverted
     * [[graft.operators.TextIndex]] — search-index maintenance as a

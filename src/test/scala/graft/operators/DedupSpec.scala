@@ -749,6 +749,28 @@ class DedupSpec extends SparkSuite with Matchers {
     Dedup.editDistanceJoinAcross(c, b, "k", 2).count() should be > 4L
   }
 
+  test("edit index lifecycle: build + probe == from-scratch across; extend keeps exactness; ledgered re-apply is a no-op") {
+    val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 32).as("k"))
+    val corpus0 = keyed.filter(col("doc_id") % 3 === 0)
+    val corpus1 = keyed.filter(col("doc_id") % 3 === 1)
+    val probes = keyed.filter(col("doc_id") % 3 === 2)
+    val path = java.nio.file.Files.createTempDirectory("edit-idx").toString
+    Dedup.buildEditIndex(corpus0, "k", path, maxDist = 2)
+    def probe() = Dedup.editAcrossIndexed(probes, "k", path)
+      .orderBy("doc_id", "probe_id").collect()
+    def scratch(c: DataFrame) = Dedup.editDistanceJoinAcross(c, probes, "k", 2)
+      .orderBy("doc_id", "probe_id").collect()
+    val got0 = probe()
+    got0 shouldBe scratch(corpus0)
+    Dedup.extendEditIndex(corpus1, "k", path, shardId = Some("s1"))
+    val got1 = probe()
+    got1 shouldBe scratch(corpus0.unionByName(corpus1))
+    got1.length should be > 0
+    // idempotent re-application through the manifest ledger
+    Dedup.extendEditIndex(corpus1, "k", path, shardId = Some("s1"))
+    probe() shouldBe got1
+  }
+
   test("dupWeights: 1/|component| for dup members, 1 outside the pair graph") {
     // triangle {1,2,3}, pair {4,5}, singletons 6 and 7
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")

@@ -393,6 +393,33 @@ class StreamingSpec extends SparkSuite with Matchers {
       .orderBy("doc_id", "probe_id").collect() shouldBe got1
   }
 
+  test("replayIntoEditIndex: streamed store's probe == from-scratch " +
+      "cross-set edit join; resume replays into ledgered no-ops") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val keyed = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("k"))
+    val corpus = keyed.filter(col("doc_id") % 3 =!= 0)
+    val probes = keyed.filter(col("doc_id") % 3 === 0)
+    val store = java.nio.file.Files.createTempDirectory("stream-edit-resume").toString
+    def replay(): Unit = StreamedBatch.replayIntoEditIndex(spark,
+      corpus, "doc_id", "doc_id", "k", store, chunks = 4,
+      stageKey = Some("edit-resume-spec"), resume = true)
+    replay()
+    val gen1 = graft.util.Manifest.snapshot(spark, store).gen
+    val got1 = graft.operators.Dedup.editAcrossIndexed(probes, "k", store)
+      .orderBy("doc_id", "probe_id").collect()
+    // exact vs the from-scratch cross-set form, across batch boundaries
+    got1 shouldBe graft.operators.Dedup
+      .editDistanceJoinAcross(corpus, probes, "k", 2)
+      .orderBy("doc_id", "probe_id").collect()
+    got1.length should be > 0
+    // a second replay of the same input is all ledgered no-ops
+    replay()
+    graft.util.Manifest.snapshot(spark, store).gen shouldBe gen1
+    graft.operators.Dedup.editAcrossIndexed(probes, "k", store)
+      .orderBy("doc_id", "probe_id").collect() shouldBe got1
+  }
+
   test("replayUpdate: upsert resolution returns the last update per key == batch agg") {
     // groups whose events span several chunks update in several
     // micro-batches; the change-log resolution must keep only the
