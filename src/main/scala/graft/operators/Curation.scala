@@ -94,11 +94,10 @@ object Curation {
     * materializes more than once.
     */
   def decontaminateByEdit(corpus: DataFrame, benchmark: DataFrame,
-                          keyCol: String, maxDist: Int = 2,
-                          q: Int = 2): DataFrame =
+                          keyCol: String, maxDist: Int = 2): DataFrame =
     corpus.join(
       graft.operators.Dedup
-        .editDistanceJoinAcross(corpus, benchmark, keyCol, maxDist, q)
+        .editDistanceJoinAcross(corpus, benchmark, keyCol, maxDist)
         .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
@@ -137,15 +136,6 @@ object Curation {
     df.filter(hashBucket(idCol) < (65536 * fraction).toLong)
   }
 
-  /** Weighted mixture sampling: keep a per-stratum deterministic hash
-    * fraction of rows ("all English, half German, a quarter Chinese")
-    * — how a training mix is drawn from a curated pool. Strata absent
-    * from `fractions` are dropped, making the mix an explicit
-    * contract. Map-only: the mix rides along as a literal map and the
-    * filter reuses [[hashBucket]], so a doc sampled at fraction f stays
-    * sampled at every fraction ≥ f (nested samples, stable reruns).
-    * Fractions quantize to 1/65536.
-    */
   /** Temperature-scaled mixture weights — COMPUTE the sampling
     * distribution [[mixtureSample]] takes as given: with stratum
     * (language/source) empirical shares `p_s = n_s / N`, temperature
@@ -178,6 +168,15 @@ object Curation {
         round(col("w"), 6).as("weight"))
   }
 
+  /** Weighted mixture sampling: keep a per-stratum deterministic hash
+    * fraction of rows ("all English, half German, a quarter Chinese")
+    * — how a training mix is drawn from a curated pool. Strata absent
+    * from `fractions` are dropped, making the mix an explicit
+    * contract. Map-only: the mix rides along as a literal map and the
+    * filter reuses [[hashBucket]], so a doc sampled at fraction f stays
+    * sampled at every fraction ≥ f (nested samples, stable reruns).
+    * Fractions quantize to 1/65536.
+    */
   def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
                     fractions: Map[String, Double]): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1),

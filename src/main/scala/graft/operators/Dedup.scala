@@ -1383,12 +1383,9 @@ object Dedup {
     * length); nothing quadratic in the corpus materializes unless it
     * genuinely contains that many verbatim-substring-sharing strings.
     * No broadcast hints — AQE decides, as everywhere in this family.
-    *
-    * `q` is retained for call-site compatibility and ignored — the
-    * segment scheme has no gram width.
     */
   def editDistanceJoin(docs: DataFrame, strCol: String, maxDist: Int,
-                       q: Int = 2, idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id"): DataFrame = {
     require(maxDist >= 0, s"editDistanceJoin: maxDist must be ≥ 0, got $maxDist")
     val d = maxDist
     val strs = editStrings(docs, strCol, idCol)
@@ -1434,8 +1431,7 @@ object Dedup {
     * dist).
     */
   def editDistanceJoinAcross(corpus: DataFrame, probes: DataFrame,
-                             strCol: String, maxDist: Int,
-                             q: Int = 2): DataFrame = {
+                             strCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 0,
       s"editDistanceJoinAcross: maxDist must be ≥ 0, got $maxDist")
     val d = maxDist

@@ -674,7 +674,7 @@ class DedupSpec extends SparkSuite with Matchers {
           coalesce(col("s_b"), lit("")), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0)
 
-  test("editDistanceJoin == naive all-pairs levenshtein on a typo fixture, q=2 and 3, d=0..2") {
+  test("editDistanceJoin == naive all-pairs levenshtein on a typo fixture, d=0..2") {
     val fx = Seq(
       (1L, "the quick brown fox"),
       (2L, "the quick brown fux"),   // 1 substitution
@@ -688,11 +688,11 @@ class DedupSpec extends SparkSuite with Matchers {
       (10L, "b"),                    // dist 1 from "a", dist 1 from ""
       (11L, "the quick brown fox")   // exact dup of 1
     ).toDF("doc_id", "text")
-    for (q <- Seq(2, 3); d <- Seq(0, 1, 2)) {
-      val fast = Dedup.editDistanceJoin(fx, "text", d, q = q)
+    for (d <- Seq(0, 1, 2)) {
+      val fast = Dedup.editDistanceJoin(fx, "text", d)
         .orderBy("doc_a", "doc_b").collect()
       val naive = naiveEdit(fx, "text", d).orderBy("doc_a", "doc_b").collect()
-      withClue(s"q=$q d=$d: ") { fast shouldBe naive }
+      withClue(s"d=$d: ") { fast shouldBe naive }
     }
     // non-vacuity: the d=2 run must see typo pairs, the empty twin,
     // the short strings, and the exact dup — not just survive
@@ -738,12 +738,12 @@ class DedupSpec extends SparkSuite with Matchers {
   test("editDistanceJoinAcross covers the short-string vacuous-filter class cross-set") {
     val c = Seq((1L, ""), (2L, "ab"), (3L, "xyz"), (4L, "wxyz")).toDF("doc_id", "k")
     val b = Seq((10L, "a"), (11L, ""), (12L, "xyzz")).toDF("doc_id", "k")
-    for (q <- Seq(2, 3); d <- Seq(0, 1, 2)) {
-      val fast = Dedup.editDistanceJoinAcross(c, b, "k", d, q = q)
+    for (d <- Seq(0, 1, 2)) {
+      val fast = Dedup.editDistanceJoinAcross(c, b, "k", d)
         .orderBy("doc_id", "probe_id").collect()
       val naive = naiveEditAcross(c, b, "k", d)
         .orderBy("doc_id", "probe_id").collect()
-      withClue(s"q=$q d=$d: ") { fast shouldBe naive }
+      withClue(s"d=$d: ") { fast shouldBe naive }
     }
     // non-vacuity: ""–"a", ""–"", "ab"–"a", xyz-family pairs all land
     Dedup.editDistanceJoinAcross(c, b, "k", 2).count() should be > 4L
