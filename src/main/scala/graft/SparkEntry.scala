@@ -1626,11 +1626,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
     // duplicate-aware sampling weights — downweight instead of drop:
-    // 1/|component| over the exact-Jaccard closure, 1 outside the
-    // pair graph; the total training mass per content group is 1
+    // 1/|component| over the near-dup closure, 1 outside the pair
+    // graph; the total training mass per content group is 1. Pairs
+    // come from the MinHash-LSH miner at the config whose recall-1.0
+    // equality with exact Jaccard is itself gate-pinned
+    // (dedup_minhash_lsh == the exact-Jaccard SQL), so the
+    // exact-closure oracle serves verbatim — the same justification
+    // dedup_embedding_rows uses
     "cur_dup_weights" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      Dedup.dupWeights(d, Dedup.ngramJaccard(d, n = 2, threshold = 0.5))
+      Dedup.dupWeights(d, Dedup.minhashLsh(d, n = 2, threshold = 0.5))
     }),
     // edit-distance self-join over 32-char document keys — the STRING
     // metric (typo/OCR/near-identical-title linkage) the set metrics
@@ -1772,6 +1777,22 @@ object SparkEntry {
     "cur_temperature_weights" -> ((s, dir) =>
       Curation.temperatureWeights(Tables.documents(s, dir), "lang",
         "doc_id", alpha = 0.5)),
+    // surgical decontamination: scrub verbatim benchmark 8-token runs
+    // out of corpus text (all alignments), keep the documents
+    "cur_scrub_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.scrubBenchmarkSpans(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        w = 8)
+    }),
+    // deterministic weighted draw (ES order statistics over the id
+    // hash) of the temperature-weighted mix — weights computed, then
+    // the actual sample drawn, in one plan
+    "cur_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(
+        Curation.temperatureWeights(Tables.documents(s, dir), "lang",
+          "doc_id", alpha = 0.5),
+        "doc_id", "weight", k = 100)),
     "cur_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), maxTokens = 512, nShards = 8)),
     // sliding-window doc chunking (128-token chunks, 32 overlap) — the
@@ -3803,6 +3824,56 @@ object SparkEntry {
            CASE WHEN bucket < 52428 THEN 'train'
                 WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split"
          FROM b""",
+    // surgical decon: the same sliding-window/kill-set/reassembly
+    // derivation in DuckDB list ops; positions are self-consistent
+    // per engine, only the rebuilt text and counts are compared
+    "cur_scrub_spans" ->
+      """WITH c AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE doc_id % 10 <> 0),
+         b AS (SELECT string_split(text, ' ') AS t
+               FROM documents WHERE doc_id % 10 = 0),
+         bw AS (SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+                FROM b, unnest(range(1, len(t) - 8 + 2)) AS u(i)),
+         cw AS (SELECT doc_id, i
+                FROM c, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+                WHERE md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                      IN (SELECT h FROM bw)),
+         kills AS (SELECT DISTINCT doc_id, i + j AS pos
+                   FROM cw, unnest(range(0, 8)) AS v(j)),
+         toks AS (SELECT doc_id, t[pos] AS tok, pos
+                  FROM c, unnest(range(1, len(t) + 1)) AS u(pos)),
+         kept AS (SELECT tk.doc_id, tk.tok, tk.pos FROM toks tk
+                  LEFT JOIN kills k ON tk.doc_id = k.doc_id AND tk.pos = k.pos
+                  WHERE k.doc_id IS NULL),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+                     FROM kept GROUP BY doc_id),
+         ns AS (SELECT doc_id, count(*) AS n_scrubbed FROM kills GROUP BY doc_id)
+         SELECT c.doc_id, coalesce(rebuilt.text_clean, '') AS text_clean,
+                coalesce(ns.n_scrubbed, 0) AS n_scrubbed
+         FROM c LEFT JOIN rebuilt USING (doc_id) LEFT JOIN ns USING (doc_id)""",
+    // ES weighted draw over the temperature weights: key
+    // pow(u, 1/weight) with u = (md5 bucket + 1/2)/65536, top-100;
+    // the ROUNDED weight feeds the key on both engines
+    "cur_weighted_sample" ->
+      """WITH cn AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s
+                     FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_s) AS total FROM cn),
+         sx AS (SELECT lang, n_s,
+                  pow(n_s / (SELECT total FROM t), 0.5) AS ps_a FROM cn),
+         z AS (SELECT sum(ps_a) AS z FROM sx),
+         wt AS (SELECT d.doc_id, d.lang,
+                  round(sx.ps_a / (SELECT z FROM z) / sx.n_s, 6) AS weight
+                FROM documents d JOIN sx USING (lang)),
+         h AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM wt),
+         b AS (SELECT doc_id, lang, weight,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+               FROM h)
+         SELECT doc_id, lang, weight FROM b
+         ORDER BY pow((bucket + 0.5) / 65536.0, 1e0 / weight) DESC, doc_id
+         LIMIT 100""",
     // pow(x, 0.5) in Spark is Java Math.pow, in DuckDB C pow — both
     // may be 1 ulp off a correctly-rounded sqrt, but they agree with
     // EACH OTHER on these inputs (gate-verified); the round-6 edge is

@@ -101,6 +101,64 @@ object Curation {
         .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** SURGICAL decontamination — scrub verbatim benchmark n-gram runs
+    * out of corpus text instead of dropping whole documents (the
+    * GPT-3/Pile 13-gram-collision recipe, the remedy when a long,
+    * otherwise-good document merely QUOTES an eval item): every
+    * w-token sliding window of the corpus (all offsets, not
+    * stride-aligned — quotes don't align to span boundaries) is
+    * matched against the distinct w-window hash set of the benchmark;
+    * every corpus token covered by a colliding window is removed and
+    * the survivors reassemble in order. Returns one row per corpus
+    * doc: (doc_id, text_clean, n_scrubbed) — n_scrubbed = 0 and
+    * text_clean == original tokenization for untouched docs, so the
+    * operator composes as a map step.
+    *
+    * Scale shape: the benchmark window set is bounded (eval sets are
+    * MBs) and broadcast — the corpus streams through map-side; the
+    * kill set is (doc_id, pos) keyed; reassembly is a per-doc
+    * aggregation. The corpus is scanned twice (windows + tokens),
+    * never self-joined. Windows shorter than w can't contain a
+    * benchmark w-run, so sub-w docs pass through untouched by
+    * construction.
+    */
+  def scrubBenchmarkSpans(corpus: DataFrame, benchmark: DataFrame,
+                          w: Int = 8): DataFrame = {
+    require(w >= 1, s"scrubBenchmarkSpans: w must be ≥ 1, got $w")
+    def windows(c: org.apache.spark.sql.Column) = {
+      val toks = split(c, " ")
+      when(size(toks) >= w,
+        transform(sequence(lit(0), size(toks) - w),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+        .otherwise(array())
+    }
+    val bw = benchmark
+      .select(explode_outer(windows(col("text"))).as("h"))
+      .filter(col("h").isNotNull).distinct()
+    val cw = corpus.select(col("doc_id"),
+      posexplode_outer(windows(col("text"))).as(Seq("start", "h")))
+      .filter(col("h").isNotNull)
+    val kills = cw.join(broadcast(bw), "h")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + w - 1)).as("pos"))
+      .distinct()
+    val toks = corpus.select(col("doc_id"),
+      posexplode_outer(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").isNotNull)
+    val kept = toks.join(kills, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("text_clean"))
+    val scrubbed = kills.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scrubbed"))
+    corpus.select("doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(scrubbed, Seq("doc_id"), "left")
+      .na.fill("", Seq("text_clean"))
+      .na.fill(0, Seq("n_scrubbed"))
+  }
+
   /** Deterministic 16-bit hash bucket of an ID column: the first four
     * hex chars of `md5(cast(id as string))` → [0, 65536). Pure
     * function of the ID — stable across runs, partitionings, and
@@ -124,6 +182,32 @@ object Curation {
     val b = hashBucket(idCol)
     df.withColumn("split",
       when(b < trainMax, "train").when(b < valMax, "val").otherwise("test"))
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis order-statistic scheme with the RNG replaced
+    * by the [[hashBucket]] id hash: each row gets key `u^(1/w)`
+    * (`u = (bucket + ½)/65536`, `w` its weight) and the k largest
+    * keys win; a row's inclusion odds scale with its weight exactly
+    * as weighted reservoir sampling prescribes, but the draw is a
+    * pure function of (id, weight) — reproducible across runs,
+    * partitionings, and engines, like every sampler here. The
+    * composition target of [[temperatureWeights]]/`dupWeights`:
+    * compute per-doc weights, then draw the actual mix.
+    *
+    * Scale shape: one map-only key projection + a global top-k, which
+    * Spark plans as TakeOrderedAndProject (per-partition bounded
+    * heaps, never a full sort). Zero-weight rows get key 0 and are
+    * drawn only when the sample exhausts everything else.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be ≥ 1, got $k")
+    val u = (hashBucket(idCol).cast("double") + 0.5) / 65536.0
+    df.withColumn("es_key", pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+      .drop("es_key")
   }
 
   /** Deterministic fraction sample by ID hash: keeps ids whose bucket

@@ -364,4 +364,43 @@ class CurationSpec extends SparkSuite with Matchers {
     de05 shouldBe BigDecimal(q / 2).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble
   }
+
+  test("scrubBenchmarkSpans removes exactly the colliding windows' tokens") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the full 8-token item mid-document
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta outro tail"),
+      (2L, "completely unrelated words nothing shared here at all ok"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim copy
+      (4L, "short doc") // sub-w: cannot contain an 8-run
+    ).toDF("doc_id", "text")
+    val out = Curation.scrubBenchmarkSpans(corpus, bench, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out(1L) shouldBe (("intro words outro tail", 8L))
+    out(2L) shouldBe (("completely unrelated words nothing shared here at all ok", 0L))
+    out(3L) shouldBe (("", 8L))
+    out(4L) shouldBe (("short doc", 0L))
+  }
+
+  test("weightedSample: deterministic ES top-k, heavy weights dominate, == driver recompute") {
+    val in = (1L to 200L).map(i => (i, if (i % 2 == 0) 4.0 else 0.25))
+      .toDF("doc_id", "w")
+    def draw() = Curation.weightedSample(in, "doc_id", "w", 50)
+      .collect().map(_.getLong(0))
+    val s1 = draw()
+    s1.toSeq shouldBe draw().toSeq // reproducible
+    s1.length shouldBe 50
+    // 16× weight ratio: heavy rows must dominate the sample
+    s1.count(_ % 2 == 0) should be > 40
+    // equals an independent driver-side recompute of the ES order
+    val keys = in.select(col("doc_id"),
+      (Curation.hashBucket("doc_id").cast("double") + 0.5) / 65536.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .map { case (id, u) =>
+        (id, math.pow(u, 1.0 / (if (id % 2 == 0) 4.0 else 0.25)))
+      }
+    val expect = keys.sortBy { case (id, k) => (-k, id) }.take(50).map(_._1)
+    s1.sorted.toSeq shouldBe expect.sorted.toSeq
+  }
 }
