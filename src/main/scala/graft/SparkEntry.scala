@@ -1988,6 +1988,12 @@ object SparkEntry {
       TextOps.tokenStats(Tables.documents(s, dir), unicode = true)),
     "text_quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "text_langid" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "text_vocab_divergence" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.TextOps.vocabDivergence(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        topK = 20)
+    }),
     "text_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogprob(Tables.documents(s, dir))),
     // the corpus LM's DAILY form: scores served read-only from the
@@ -4255,6 +4261,28 @@ object SparkEntry {
          WHERE rn <= 5""",
     // ln() is IEEE-754 in both engines; the 6-dp round on a mean of
     // thousands of terms absorbs summation-order noise
+    // vocabulary drift: JS contributions between the even/odd doc
+    // halves; ranking key is the ROUNDED contribution so the top-20
+    // order is engine-reproducible
+    "text_vocab_divergence" ->
+      """WITH ta AS (SELECT w, CAST(count(*) AS DOUBLE) AS ca
+                     FROM (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents WHERE doc_id % 2 = 0) GROUP BY w),
+         tb AS (SELECT w, CAST(count(*) AS DOUBLE) AS cb
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents WHERE doc_id % 2 = 1) GROUP BY w),
+         na AS (SELECT sum(ca) AS n FROM ta),
+         nb AS (SELECT sum(cb) AS n FROM tb),
+         j AS (SELECT coalesce(ta.w, tb.w) AS tok,
+                 CAST(coalesce(ca, 0) AS DOUBLE) / (SELECT n FROM na) AS pa,
+                 CAST(coalesce(cb, 0) AS DOUBLE) / (SELECT n FROM nb) AS pb
+               FROM ta FULL OUTER JOIN tb ON ta.w = tb.w),
+         terms AS (SELECT tok, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+             round(CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) / 2 ELSE 0 END +
+                   CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) / 2 ELSE 0 END,
+               6) AS js
+           FROM j)
+         SELECT tok, p_a, p_b, js FROM terms ORDER BY js DESC, tok LIMIT 20""",
     "text_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM documents),

@@ -74,6 +74,45 @@ object TextOps {
       .agg(round(avg(-log(col("c") / lit(t))), 6).as("avg_neg_logprob"),
         count(lit(1)).as("n_tokens"))
 
+  /** Vocabulary drift between two corpora — the per-token
+    * Jensen–Shannon divergence contributions of their unigram
+    * distributions, largest first: the shard/version QA check ("what
+    * changed between yesterday's corpus and today's?") that catches a
+    * crawler regression or a source-mix shift before a training run
+    * does. JS rather than KL because it is symmetric and FINITE on
+    * tokens only one side has seen — exactly the tokens drift
+    * surfaces. Output: (tok, p_a, p_b, js) rounded to 6, the `topK`
+    * largest contributions, ties broken by token.
+    *
+    * Scale shape: two vocabulary-sized token aggregations, a full
+    * outer join of the two count tables, corpus totals as driver
+    * scalars (never a 1-row cross join), and the top-k plans as
+    * TakeOrderedAndProject. The ranking key is the ROUNDED
+    * contribution so the order is reproducible across engines.
+    */
+  def vocabDivergence(a: DataFrame, b: DataFrame, topK: Int = 20,
+                      unicode: Boolean = false): DataFrame = {
+    require(topK >= 1, s"vocabDivergence: topK must be ≥ 1, got $topK")
+    val ta = docTokens(a, unicode).groupBy(col("w"))
+      .agg(count(lit(1)).cast("double").as("ca"))
+    val tb = docTokens(b, unicode).groupBy(col("w"))
+      .agg(count(lit(1)).cast("double").as("cb"))
+    val na = ta.agg(sum("ca")).head().getDouble(0)
+    val nb = tb.agg(sum("cb")).head().getDouble(0)
+    val joined = ta.join(tb, Seq("w"), "full_outer")
+      .select(col("w").as("tok"),
+        (coalesce(col("ca"), lit(0.0)) / na).as("pa"),
+        (coalesce(col("cb"), lit(0.0)) / nb).as("pb"))
+    val m = (col("pa") + col("pb")) / 2
+    def half(p: org.apache.spark.sql.Column) =
+      when(p > 0, p * log(p / m) / 2).otherwise(lit(0.0))
+    joined.select(col("tok"), round(col("pa"), 6).as("p_a"),
+        round(col("pb"), 6).as("p_b"),
+        round(half(col("pa")) + half(col("pb")), 6).as("js"))
+      .orderBy(col("js").desc, col("tok"))
+      .limit(topK)
+  }
+
   // ── incremental unigram vocabulary store ──────────────────────────
   //
   // The daily form of [[unigramLogprob]]: corpus token frequencies are

@@ -482,4 +482,24 @@ class TextOpsSpec extends SparkSuite with Matchers {
       capacity = capacity).as[(String, Long)].collect().toSeq
     got2 shouldBe want
   }
+  test("vocabDivergence: finite on one-sided tokens, zero on identical corpora, symmetric") {
+    val a = Seq((1L, "x x y z"), (2L, "x y")).toDF("doc_id", "text") // x:3 y:2 z:1
+    val b = Seq((3L, "x y w w")).toDF("doc_id", "text")              // x:1 y:1 w:2
+    val d = TextOps.vocabDivergence(a, b, 10).collect()
+    d.map(_.getDouble(3)).foreach(_ should be >= 0.0)
+    // w exists only in b: p_a = 0 yet the contribution is finite —
+    // 0.5 · ln(2) / 2 with p_b = 0.5
+    val w = d.find(_.getString(0) == "w").get
+    w.getDouble(1) shouldBe 0.0
+    w.getDouble(2) shouldBe 0.5
+    w.getDouble(3) shouldBe BigDecimal(0.25 * math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // identical corpora → all contributions exactly 0
+    TextOps.vocabDivergence(a, a, 10).collect()
+      .map(_.getDouble(3)).foreach(_ shouldBe 0.0)
+    // symmetric in its arguments
+    val sw = TextOps.vocabDivergence(b, a, 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    d.map(r => r.getString(0) -> r.getDouble(3)).toMap shouldBe sw
+  }
 }
