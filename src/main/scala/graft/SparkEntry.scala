@@ -1945,6 +1945,29 @@ object SparkEntry {
     // survivors summarize per language. Both stages run their r12
     // scale-safe configurations; the oracle re-derives both leak sets
     // exactly and must agree on the survivor counts.
+    // pipeline 6 — the r12 curation flow end to end in ONE plan:
+    // surgical span scrub (benchmark 8-gram runs excised from text),
+    // edit-distance decon on the SCRUBBED 32-char keys (typo'd-title
+    // leaks that survive verbatim scrubbing), temperature weights
+    // over the survivors' language mix, deterministic ES draw of the
+    // final 50. Output carries n_scrubbed so the scrub stage is
+    // visible in the answer.
+    "cur_pipeline6" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val scrubbed = Curation.scrubBenchmarkSpans(corpus, bench, w = 8)
+        .join(corpus.select("doc_id", "lang"), "doc_id")
+        .withColumn("k", substring(col("text_clean"), 1, 32))
+      val benchK = bench.withColumn("k", substring(col("text"), 1, 32))
+      val survivors = Curation.decontaminateByEdit(scrubbed, benchK, "k",
+        maxDist = 2)
+      val weighted = Curation
+        .temperatureWeights(survivors, "lang", "doc_id", alpha = 0.5)
+        .join(survivors.select("doc_id", "n_scrubbed"), "doc_id")
+      Curation.weightedSample(weighted, "doc_id", "weight", k = 50)
+        .select("doc_id", "lang", "n_scrubbed", "weight")
+    }),
     "cur_pipeline5" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
@@ -3776,6 +3799,61 @@ object SparkEntry {
     // both leak sets re-derived exactly: containment ≥ 0.5 against the
     // benchmark split AND rounded cosine ≥ 0.45 against the benchmark
     // embeddings — survivors counted per language
+    // pipeline 6: the scrub CTE chain feeds the edit NOT-EXISTS, the
+    // temperature weights recompute over survivors, and the ES order
+    // draws the final 50 — every stage re-derived in one statement
+    "cur_pipeline6" ->
+      """WITH c AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE doc_id % 10 <> 0),
+         b AS (SELECT string_split(text, ' ') AS t
+               FROM documents WHERE doc_id % 10 = 0),
+         bw AS (SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+                FROM b, unnest(range(1, len(t) - 8 + 2)) AS u(i)),
+         cw AS (SELECT doc_id, i
+                FROM c, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+                WHERE md5(array_to_string(list_slice(t, i, i + 7), ' '))
+                      IN (SELECT h FROM bw)),
+         kills AS (SELECT DISTINCT doc_id, i + j AS pos
+                   FROM cw, unnest(range(0, 8)) AS v(j)),
+         toks AS (SELECT doc_id, t[pos] AS tok, pos
+                  FROM c, unnest(range(1, len(t) + 1)) AS u(pos)),
+         kept AS (SELECT tk.doc_id, tk.tok, tk.pos FROM toks tk
+                  LEFT JOIN kills k ON tk.doc_id = k.doc_id AND tk.pos = k.pos
+                  WHERE k.doc_id IS NULL),
+         rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+                     FROM kept GROUP BY doc_id),
+         ns AS (SELECT doc_id, count(*) AS n_scrubbed FROM kills GROUP BY doc_id),
+         scrub AS (SELECT c.doc_id,
+                     coalesce(rebuilt.text_clean, '') AS text_clean,
+                     coalesce(ns.n_scrubbed, 0) AS n_scrubbed
+                   FROM c LEFT JOIN rebuilt USING (doc_id)
+                          LEFT JOIN ns USING (doc_id)),
+         sk AS (SELECT sc.doc_id, d.lang, sc.n_scrubbed,
+                  substr(sc.text_clean, 1, 32) AS k
+                FROM scrub sc JOIN documents d USING (doc_id)),
+         bk AS (SELECT substr(text, 1, 32) AS k
+                FROM documents WHERE doc_id % 10 = 0),
+         surv AS (SELECT * FROM sk WHERE NOT EXISTS (
+                    SELECT 1 FROM bk WHERE levenshtein(sk.k, bk.k) <= 2)),
+         cn AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s
+                FROM surv GROUP BY 1),
+         t2 AS (SELECT sum(n_s) AS total FROM cn),
+         sx AS (SELECT lang, n_s,
+                  pow(n_s / (SELECT total FROM t2), 0.5) AS ps_a FROM cn),
+         z AS (SELECT sum(ps_a) AS z FROM sx),
+         wt AS (SELECT surv.doc_id, surv.lang, surv.n_scrubbed,
+                  round(sx.ps_a / (SELECT z FROM z) / sx.n_s, 6) AS weight
+                FROM surv JOIN sx USING (lang)),
+         h AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM wt),
+         bkt AS (SELECT doc_id, lang, n_scrubbed, weight,
+                   (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+                 FROM h)
+         SELECT doc_id, lang, n_scrubbed, weight FROM bkt
+         ORDER BY pow((bucket + 0.5) / 65536.0, 1e0 / weight) DESC, doc_id
+         LIMIT 50""",
     "cur_pipeline5" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(
