@@ -25,9 +25,9 @@ object ScaleProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val threshold = args.lift(1).map(_.toDouble).getOrElse(0.4)
     // optional third arg: comma-separated section filter
-    // (lsh,ngram,edit) — default all
+    // (lsh,ngram,edit,bloom) — default all
     val sections = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("lsh", "ngram", "edit"))
+      .getOrElse(Set("lsh", "ngram", "edit", "bloom"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -108,6 +108,27 @@ object ScaleProbe {
         println(s"""{"probe":"ngram_paths","op":"$tag","index_pairs":$idx,"allpairs_pairs":$blocked}""")
       }
     } finally Dedup.denseOverlapCutoff = prevCutoff
+    }
+
+    if (sections("bloom")) {
+    // 5. Bloom-prefiltered decon vs the exact containment path at the
+    // gate config (%10 benchmark split, n=2, t=0.5): the prefilter's
+    // claim is that only the contamination-adjacent corpus sliver ever
+    // reaches the containment join — on a 10× corpus the exact path's
+    // index join grows with the corpus while the bloom path grows with
+    // the (bounded) overlap, so the CPU ratio is the 100 TB argument
+    // in miniature. Survivor equality is separately gate-pinned
+    // (cur_decon_bloom shares the exact oracle); here both counts
+    // print so a divergence would be visible in the probe too.
+    val bc = docs.filter(col("doc_id") % 10 =!= 0)
+    val bb = docs.filter(col("doc_id") % 10 === 0)
+    val exactSurv = timed("decon_containment_exact")(
+      graft.operators.Curation.decontaminateByContainment(
+        bc, bb, n = 2, threshold = 0.5).count())
+    val bloomSurv = timed("decon_containment_bloom")(
+      graft.operators.Curation.decontaminateByBloom(
+        bc, bb, n = 2, threshold = 0.5).count())
+    println(s"""{"probe":"bloom_decon","exact_survivors":$exactSurv,"bloom_survivors":$bloomSurv}""")
     }
 
     if (sections("edit")) {

@@ -1764,6 +1764,36 @@ object SparkEntry {
         Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
+    // Bloom-prefiltered decon at the SAME (n, t) as cur_decon_containment:
+    // the filter's one-sided error is removed by the exact verification
+    // on the candidate sliver, so the answer must equal the exact
+    // path's oracle verbatim — the gate pins that equality (the
+    // corpus-scan-side membership probe is what a 100 TB run ships)
+    "cur_decon_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.decontaminateByBloom(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        n = 2, threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+    // per-source cap (the C4/RefinedWeb per-domain rule) on the
+    // sort-free bounded-heap top-k operator; survivor set is a pure
+    // function of (seed, doc_id) so the window-rank SQL is the oracle
+    "cur_source_cap" -> ((s, dir) =>
+      Curation.capPerStratum(Tables.documents(s, dir), "source", "doc_id",
+        k = 10, seed = "cap0")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // quality-aware canonical selection: within each exact-Jaccard
+    // duplicate component keep the LONGEST copy (ties → max doc_id);
+    // pairs from the same miner config as dedup_transitive_rows, so
+    // the same recursive-closure SQL drives the argmax oracle
+    "cur_keep_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.keepBestPerComponent(d,
+          Dedup.ngramJaccard(d, n = 2, threshold = 0.5),
+          orderDescCols = Seq("n_chars", "doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "cur_hash_split" -> ((s, dir) =>
       Curation.hashSplit(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("split"))),
@@ -3793,6 +3823,47 @@ object SparkEntry {
     // corpus survivors after containment decon: a corpus doc dies when
     // it shares >= 0.5 of the smaller bigram set with a held-out item
     "cur_decon_containment" -> deconContainmentSql,
+    // bit-identical-to-exact contract: same oracle as the unfiltered path
+    "cur_decon_bloom" -> deconContainmentSql,
+    "cur_source_cap" ->
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+                      md5('cap0|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         b AS (SELECT doc_id, lang, source, n_chars,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS draw
+               FROM h)
+         SELECT doc_id, lang, source, n_chars FROM b
+         QUALIFY row_number() OVER
+           (PARTITION BY source ORDER BY draw DESC, doc_id DESC) <= 10""",
+    "cur_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+         comp AS (SELECT src AS doc_id, min(node) AS component_id
+                  FROM reach GROUP BY src),
+         lab AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                   coalesce(c.component_id, d.doc_id) AS cid
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         SELECT doc_id, lang, source, n_chars FROM lab
+         QUALIFY row_number() OVER
+           (PARTITION BY cid ORDER BY n_chars DESC, doc_id DESC) = 1""",
     // the indexed lifecycle must reproduce the exact same survivor
     // set — the frozen-order index changes the PLAN, never the answer
     "cur_decon_containment_indexed" -> deconContainmentSql,

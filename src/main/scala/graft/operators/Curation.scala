@@ -101,6 +101,53 @@ object Curation {
         .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Bloom-prefiltered containment decontamination — the 100 TB shape
+    * of [[decontaminateByContainment]], BIT-IDENTICAL to it: the
+    * benchmark's distinct shingle hashes are folded into one Bloom
+    * filter (benchmarks are MBs; the filter is KBs–MBs), compiled into
+    * the corpus scan ([[graft.functions.BloomMightContainLong]], inside
+    * WholeStageCodegen), and only docs with at least one possible
+    * shared shingle ever reach the exact containment join. A doc with
+    * ZERO shared shingles has containment 0 < t, so non-candidates
+    * survive by construction; Bloom's one-sided error (false positives
+    * only) means the candidate set is a superset of the true flagged
+    * set, and the exact verification removes the false positives —
+    * the same equality contract [[graft.operators.Bloom.bloomStoreJoin]]
+    * gates, so this gate shares the exact path's DuckDB oracle
+    * verbatim.
+    *
+    * Why it matters at scale: the exact path explodes EVERY corpus
+    * doc's prefix shingles into the index join; here the corpus pays
+    * one map-only scan (filter membership is a codegen'd long probe)
+    * and the join input shrinks to the contamination-adjacent sliver —
+    * on a 100 TB corpus against a bounded eval suite that is the
+    * difference between shuffling the corpus and shuffling megabytes.
+    * The benchmark pays one count + one filter build (driver-merged
+    * over its partitions — bounded by the declared key volume).
+    */
+  def decontaminateByBloom(corpus: DataFrame, benchmark: DataFrame,
+                           n: Int = 2, threshold: Double = 0.5,
+                           fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val benchSh = benchmark
+      .select(explode(VectorFunctions.shingleHashes(col("text"), n)).as("sh"))
+      .distinct()
+    val nKeys = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("sh", nKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val holder = new graft.functions.BloomHolder(bos.toByteArray)
+    val candIds = corpus
+      .select(col("doc_id"),
+        explode(VectorFunctions.shingleHashes(col("text"), n)).as("sh"))
+      .filter(ColumnBridge.column(graft.functions.BloomMightContainLong(
+        ColumnBridge.expression(col("sh")), holder)))
+      .select("doc_id").distinct()
+    val cand = corpus.join(candIds, Seq("doc_id"), "left_semi")
+    corpus.join(candIds, Seq("doc_id"), "left_anti")
+      .unionByName(decontaminateByContainment(cand, benchmark, n, threshold))
+  }
+
   /** SURGICAL decontamination — scrub verbatim benchmark n-gram runs
     * out of corpus text instead of dropping whole documents (the
     * GPT-3/Pile 13-gram-collision recipe, the remedy when a long,
@@ -218,6 +265,41 @@ object Curation {
   def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
     df.filter(hashBucket(idCol) < (65536 * fraction).toLong)
+  }
+
+  /** Seeded 16-bit draw bucket — [[hashBucket]] with a seed mixed into
+    * the hashed bytes, so different curation passes (caps, epochs)
+    * draw INDEPENDENT deterministic orders over the same ids.
+    */
+  def seededBucket(idCol: String, seed: String): org.apache.spark.sql.Column =
+    conv(substring(md5(encode(
+      concat(lit(s"$seed|"), col(idCol).cast("string")), "UTF-8")), 1, 4),
+      16, 10).cast("int")
+
+  /** Per-stratum document cap — keep at most `k` docs per source /
+    * domain / language, the crawl-curation rule that stops a handful
+    * of giant domains from dominating the mix (the C4/RefinedWeb
+    * per-domain cap). Which k survive is a pure function of
+    * (seed, id): docs draw the seeded hash order and the k
+    * LARGEST draws per stratum win (ties broken by id, descending) —
+    * reproducible across runs, partitionings, and engines, like every
+    * sampler here.
+    *
+    * Scale shape: the `row_number() OVER (PARTITION BY stratum)`
+    * formulation fully sorts every stratum — on a 100 TB crawl the
+    * heavy domains ARE the problem being capped, so their sort is the
+    * biggest partition in the job. This instead runs the
+    * [[graft.plans.TopKPerKeyPlan]] bounded-heap operator: every task
+    * keeps ≤ k rows per stratum map-side, the shuffle moves
+    * O(k × strata) rows, and no stratum is ever sorted.
+    */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                    k: Int, seed: String = "cap0"): DataFrame = {
+    require(k >= 1, s"capPerStratum: k must be ≥ 1, got $k")
+    graft.operators.Serving.topKPerKey(
+        df.withColumn("draw", seededBucket(idCol, seed)),
+        k, Seq(stratumCol), Seq("draw", idCol))
+      .drop("draw")
   }
 
   /** Temperature-scaled mixture weights — COMPUTE the sampling

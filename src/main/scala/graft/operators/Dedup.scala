@@ -1329,6 +1329,34 @@ object Dedup {
     * doc_id, and AQE broadcasts the component side when it is small —
     * docs outside the pair graph pay one join probe and nothing else.
     */
+  /** Quality-aware canonical selection — the third survivor policy
+    * next to [[dropTransitiveDups]] (keep min-id) and [[dupWeights]]
+    * (downweight all): within every duplicate component keep the BEST
+    * copy by the caller's ranking columns (descending, e.g. longest
+    * text, highest quality score), ties broken by the trailing id
+    * column. Docs outside the pair graph are their own component and
+    * always survive. A crawl's near-dup cluster usually mixes a clean
+    * original with truncated/boilerplate-wrapped copies — min-id keeps
+    * whichever was crawled first; this keeps the one worth training on.
+    *
+    * Scale shape: the component labels are output-sized (only docs in
+    * the pair graph), joined back keyed by doc_id (AQE broadcasts the
+    * small side); the per-component argmax runs on the
+    * [[graft.plans.TopKPerKeyPlan]] bounded-heap operator with k = 1 —
+    * one row per component survives map-side per task, so no component
+    * is ever sorted and the shuffle moves O(components) rows.
+    */
+  def keepBestPerComponent(docs: DataFrame, pairs: DataFrame,
+                           orderDescCols: Seq[String]): DataFrame = {
+    require(orderDescCols.nonEmpty, "keepBestPerComponent: need ranking columns")
+    val labeled = docs
+      .join(dupComponents(pairs), Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("component_id"), col("doc_id")))
+      .drop("component_id")
+    graft.operators.Serving.topKPerKey(labeled, 1, Seq("cid"), orderDescCols)
+      .drop("cid")
+  }
+
   def dupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = dupComponents(pairs)
     val sizes = comp.groupBy("component_id").agg(count(lit(1)).as("csz"))

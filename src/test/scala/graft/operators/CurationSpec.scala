@@ -403,4 +403,47 @@ class CurationSpec extends SparkSuite with Matchers {
     val expect = keys.sortBy { case (id, k) => (-k, id) }.take(50).map(_._1)
     s1.sorted.toSeq shouldBe expect.sorted.toSeq
   }
+
+  test("decontaminateByBloom == decontaminateByContainment; zero-overlap corpus untouched") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Curation.decontaminateByContainment(corpus, bench, n = 2, threshold = 0.5)
+    val bloomed = Curation.decontaminateByBloom(corpus, bench, n = 2, threshold = 0.5)
+    bloomed.count() shouldBe exact.count()
+    bloomed.select("doc_id").exceptAll(exact.select("doc_id")).count() shouldBe 0
+    // and at a tighter fpp the answer is the same set (one-sided error
+    // only changes how much the exact verify has to discard)
+    Curation.decontaminateByBloom(corpus, bench, n = 2, threshold = 0.5, fpp = 0.2)
+      .select("doc_id").exceptAll(exact.select("doc_id")).count() shouldBe 0
+    // disjoint-vocabulary benchmark: nothing shares a shingle, so the
+    // whole corpus survives and no candidate ever reaches the join
+    val alien = Seq((9001L, "zzq wwx yyk vvm uun"))
+      .toDF("doc_id", "text")
+    Curation.decontaminateByBloom(corpus, alien, n = 2, threshold = 0.1)
+      .count() shouldBe corpus.count()
+  }
+
+  test("capPerStratum: cap binds exactly, deterministic under repartitioning, seeds draw independent orders") {
+    val capped = Curation.capPerStratum(docs, "source", "doc_id", k = 10)
+    val perSource = capped.groupBy("source").count().as[(String, Long)].collect()
+    perSource.foreach { case (_, c) => c should be <= 10L }
+    // every source with ≥ 10 docs contributes exactly 10
+    val full = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    perSource.foreach { case (s, c) =>
+      c shouldBe math.min(full(s), 10L)
+    }
+    // pure function of (seed, id): repartitioning changes nothing
+    val again = Curation.capPerStratum(docs.repartition(7), "source", "doc_id", k = 10)
+    again.select("doc_id").exceptAll(capped.select("doc_id")).count() shouldBe 0
+    // a different seed draws a genuinely different survivor set
+    val other = Curation.capPerStratum(docs, "source", "doc_id", k = 10, seed = "epoch1")
+    other.select("doc_id").exceptAll(capped.select("doc_id")).count() should be > 0L
+    // and equals the window-rank formulation over the same draw
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("draw").desc, col("doc_id").desc)
+    val viaWindow = docs.withColumn("draw", Curation.seededBucket("doc_id", "cap0"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    capped.select("doc_id").exceptAll(viaWindow.select("doc_id")).count() shouldBe 0
+  }
 }

@@ -785,4 +785,25 @@ class DedupSpec extends SparkSuite with Matchers {
     w(6L) shouldBe 1.0
     w(7L) shouldBe 1.0
   }
+
+  test("keepBestPerComponent: best-by-ranking survives, singletons always survive, differs from min-id policy") {
+    // triangle {1,2,3} where the BEST copy (longest) is 3, pair {4,5}
+    // where the best is 4, singletons 6 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val d = Seq(
+      (1L, 10L), (2L, 20L), (3L, 30L), (4L, 50L), (5L, 40L),
+      (6L, 5L), (7L, 99L)
+    ).toDF("doc_id", "n_chars")
+    val kept = Dedup.keepBestPerComponent(d, pairs, Seq("n_chars", "doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(3L, 4L, 6L, 7L)
+    // the min-id policy keeps {1, 4} instead — the policies genuinely differ
+    Dedup.dropTransitiveDups(d, pairs)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 4L, 6L, 7L)
+    // ties on the ranking column fall to the trailing id, descending
+    val tied = Seq((1L, 10L), (2L, 10L)).toDF("doc_id", "n_chars")
+    Dedup.keepBestPerComponent(tied, Seq((1L, 2L)).toDF("doc_a", "doc_b"),
+        Seq("n_chars", "doc_id"))
+      .select("doc_id").as[Long].collect() shouldBe Array(2L)
+  }
 }
