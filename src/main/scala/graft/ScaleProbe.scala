@@ -129,6 +129,29 @@ object ScaleProbe {
       graft.operators.Curation.decontaminateByBloom(
         bc, bb, n = 2, threshold = 0.5).count())
     println(s"""{"probe":"bloom_decon","exact_survivors":$exactSurv,"bloom_survivors":$bloomSurv}""")
+
+    // 5b. the same pair at the REALISTIC geometry — a bounded eval
+    // suite (0.5% split) against the big corpus. The %10 split above
+    // makes half the corpus contamination-adjacent, so both paths pay
+    // the containment join on a corpus-sized input; here the bloom
+    // path's join input is the genuinely small adjacent sliver while
+    // the exact path still runs the full corpus through the index
+    // join — THIS ratio is the 100 TB argument.
+    // n sweeps selectivity: word bigrams on a template-vocab corpus
+    // are shared by almost every doc (the prefilter can't prune what
+    // everything contains), while longer shingles are selective — the
+    // GPT-3/Pile decon recipe uses 13-grams for exactly this reason.
+    val sc2 = docs.filter(col("doc_id") % 200 =!= 0)
+    val sb2 = docs.filter(col("doc_id") % 200 === 0)
+    for (nn <- Seq(2, 3, 5)) {
+      val exactSurv2 = timed(s"decon_small_bench_exact_n$nn")(
+        graft.operators.Curation.decontaminateByContainment(
+          sc2, sb2, n = nn, threshold = 0.5).count())
+      val bloomSurv2 = timed(s"decon_small_bench_bloom_n$nn")(
+        graft.operators.Curation.decontaminateByBloom(
+          sc2, sb2, n = nn, threshold = 0.5).count())
+      println(s"""{"probe":"bloom_decon_small","n":$nn,"exact_survivors":$exactSurv2,"bloom_survivors":$bloomSurv2}""")
+    }
     }
 
     if (sections("edit")) {

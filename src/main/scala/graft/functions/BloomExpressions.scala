@@ -54,3 +54,63 @@ case class BloomMightContainLong(child: Expression, holder: BloomHolder)
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
     copy(child = newChild)
 }
+
+/** `∃ element of the array: bloom.mightContainLong(element)` as one
+  * codegen'd predicate with FIRST-HIT EARLY EXIT — the map-only corpus
+  * side of Bloom-prefiltered decontamination
+  * ([[graft.operators.Curation.decontaminateByBloom]]). Compared to
+  * `explode(shingles)` + per-element probe + `distinct` on doc ids,
+  * this never leaves the scan: no row multiplication, no shuffle, and
+  * a contaminated doc stops probing at its first shared shingle.
+  *
+  * Same one-sided contract as [[BloomMightContainLong]], lifted to the
+  * array: `false` means NO element is in the built set (the doc cannot
+  * share a shingle, so containment is 0 and it is safe to bypass the
+  * verification join); `true` may be a false positive, which the exact
+  * containment verify downstream removes. Null elements are skipped;
+  * a null array yields null.
+  */
+case class BloomMightContainAnyLong(child: Expression, holder: BloomHolder)
+  extends UnaryExpression with Predicate {
+
+  override def prettyName: String = "graft_bloom_might_contain_any"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = holder.bloom
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) && b.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftBloom", holder,
+        classOf[BloomHolder].getName)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = false;
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i) && $ref.bloom().mightContainLong($c.getLong($i))) {
+         |    ${ev.value} = true;
+         |    break;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainAnyLong =
+    copy(child = newChild)
+}

@@ -105,9 +105,11 @@ object Curation {
     * of [[decontaminateByContainment]], BIT-IDENTICAL to it: the
     * benchmark's distinct shingle hashes are folded into one Bloom
     * filter (benchmarks are MBs; the filter is KBs–MBs), compiled into
-    * the corpus scan ([[graft.functions.BloomMightContainLong]], inside
-    * WholeStageCodegen), and only docs with at least one possible
-    * shared shingle ever reach the exact containment join. A doc with
+    * the corpus scan ([[graft.functions.BloomMightContainAnyLong]] — one
+    * codegen'd any-element probe over the shingle array with first-hit
+    * early exit, no explode, no shuffle), and only docs with at least
+    * one possible shared shingle ever reach the exact containment
+    * join. A doc with
     * ZERO shared shingles has containment 0 < t, so non-candidates
     * survive by construction; Bloom's one-sided error (false positives
     * only) means the candidate set is a superset of the true flagged
@@ -124,6 +126,15 @@ object Curation {
     * difference between shuffling the corpus and shuffling megabytes.
     * The benchmark pays one count + one filter build (driver-merged
     * over its partitions — bounded by the declared key volume).
+    *
+    * Measured boundary (ScaleProbe `bloom` section, sf1): the win
+    * tracks shingle SELECTIVITY. On the template-vocab corpus word
+    * bigrams appear in nearly every doc, so the prefilter prunes
+    * nothing and costs its probe scan (~12% CPU over exact — the
+    * bounded worst case); at n=5 the candidate sliver is real and CPU
+    * halves (119 → 64 CPU-s). Production decon recipes use long
+    * n-grams (the GPT-3/Pile 13-gram rule) precisely because they are
+    * selective — the regime this path is built for.
     */
   def decontaminateByBloom(corpus: DataFrame, benchmark: DataFrame,
                            n: Int = 2, threshold: Double = 0.5,
@@ -137,15 +148,17 @@ object Curation {
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     val holder = new graft.functions.BloomHolder(bos.toByteArray)
-    val candIds = corpus
-      .select(col("doc_id"),
-        explode(VectorFunctions.shingleHashes(col("text"), n)).as("sh"))
-      .filter(ColumnBridge.column(graft.functions.BloomMightContainLong(
-        ColumnBridge.expression(col("sh")), holder)))
-      .select("doc_id").distinct()
-    val cand = corpus.join(candIds, Seq("doc_id"), "left_semi")
-    corpus.join(candIds, Seq("doc_id"), "left_anti")
-      .unionByName(decontaminateByContainment(cand, benchmark, n, threshold))
+    // the corpus side never leaves the scan: one codegen'd
+    // any-element probe with first-hit early exit partitions the
+    // corpus into non-candidates (bypass — containment provably 0)
+    // and the candidate sliver that pays the exact verification
+    val mightShare = ColumnBridge.column(
+      graft.functions.BloomMightContainAnyLong(
+        ColumnBridge.expression(VectorFunctions.shingleHashes(col("text"), n)),
+        holder))
+    corpus.filter(!mightShare)
+      .unionByName(decontaminateByContainment(
+        corpus.filter(mightShare), benchmark, n, threshold))
   }
 
   /** SURGICAL decontamination — scrub verbatim benchmark n-gram runs
