@@ -1807,6 +1807,20 @@ object SparkEntry {
     "cur_temperature_weights" -> ((s, dir) =>
       Curation.temperatureWeights(Tables.documents(s, dir), "lang",
         "doc_id", alpha = 0.5)),
+    // token-budget epoch allocation: the (α, B) data-recipe table —
+    // per-source token mass, temperature weight, allocated tokens and
+    // implied epochs for a 1M-token run at α = 0.7
+    "cur_epoch_allocation" -> ((s, dir) =>
+      Curation.epochAllocation(Tables.documents(s, dir), "source",
+        "n_chars", alpha = 0.7, budgetTokens = 1000000L)),
+    // per-doc novelty of the held-out slice vs the rest of the corpus:
+    // fraction of distinct bigrams the reference has never seen
+    "text_novelty" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextOps.noveltyScore(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
+        n = 2)
+    }),
     // surgical decontamination: scrub verbatim benchmark 8-token runs
     // out of corpus text (all alignments), keep the documents
     "cur_scrub_spans" -> ((s, dir) => {
@@ -4043,6 +4057,38 @@ object SparkEntry {
          SELECT d.doc_id, d.lang,
                 round(s.ps_a / (SELECT z FROM z) / s.n_s, 6) AS weight
          FROM documents d JOIN s USING (lang)""",
+    "cur_epoch_allocation" ->
+      """WITH c AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS a_s
+                    FROM documents GROUP BY 1),
+         t AS (SELECT sum(a_s) AS total FROM c),
+         s AS (SELECT source, a_s,
+                 pow(a_s / (SELECT total FROM t), 0.7) AS ps_a FROM c),
+         z AS (SELECT sum(ps_a) AS z FROM s)
+         SELECT source, CAST(a_s AS BIGINT) AS avail_tokens,
+                round(ps_a / (SELECT z FROM z), 6) AS weight,
+                round(1000000.0 * ps_a / (SELECT z FROM z), 2) AS alloc_tokens,
+                round(1000000.0 * ps_a / (SELECT z FROM z) / a_s, 6) AS epochs
+         FROM s""",
+    "text_novelty" ->
+      """WITH rt AS (SELECT string_split(text, ' ') AS t FROM documents
+                     WHERE doc_id % 10 <> 0),
+         rg AS (SELECT DISTINCT unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+                FROM rt),
+         tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE doc_id % 10 = 0),
+         tg AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+                FROM tt),
+         st AS (SELECT tg.doc_id, count(*) AS n_grams,
+                       count(*) - count(rg.g) AS n_new
+                FROM tg LEFT JOIN rg ON tg.g = rg.g GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(st.n_grams, 0) AS n_grams,
+                coalesce(st.n_new, 0) AS n_new,
+                coalesce(round(st.n_new * 1.0 / st.n_grams, 6), 0.0) AS novelty
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         LEFT JOIN st USING (doc_id)""",
     "cur_mixture_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,
                       md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),

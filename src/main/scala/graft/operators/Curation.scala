@@ -347,6 +347,40 @@ object Curation {
         round(col("w"), 6).as("weight"))
   }
 
+  /** Token-budget epoch allocation — the data-recipe step AFTER
+    * [[temperatureWeights]]: given a total training token budget `B`
+    * and per-stratum available token mass `a_s`, allocate
+    * `alloc_s = B · q_s` tokens to each stratum under the temperature
+    * mix `q_s ∝ (a_s/A)^α`, and report `epochs_s = alloc_s / a_s` —
+    * how many passes over each source the run will make (the
+    * LLaMA-recipe table: rare high-quality sources repeat > 1 epoch,
+    * bulk crawl < 1). Emitting epochs makes the repetition cost of a
+    * chosen (α, B) point explicit BEFORE a run is launched.
+    *
+    * Scale shape: one stratum-sized aggregation over the corpus, two
+    * driver scalars (total mass, normalizer), closed-form per-stratum
+    * arithmetic — output is strata-sized, nothing joins back to the
+    * corpus. All doubles rounded (≤6 dp) with division order fixed so
+    * the DuckDB oracle replays bit-equal.
+    */
+  def epochAllocation(df: DataFrame, stratumCol: String, tokenCol: String,
+                      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0, s"epochAllocation: alpha must be > 0, got $alpha")
+    require(budgetTokens > 0,
+      s"epochAllocation: budget must be > 0, got $budgetTokens")
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("double").as("a_s"))
+    val total = avail.agg(sum("a_s")).head().getDouble(0)
+    val scaled = avail.withColumn("ps_a", pow(col("a_s") / total, alpha))
+    val z = scaled.agg(sum("ps_a")).head().getDouble(0)
+    val b = lit(budgetTokens.toDouble)
+    scaled.select(col(stratumCol),
+      col("a_s").cast("long").as("avail_tokens"),
+      round(col("ps_a") / z, 6).as("weight"),
+      round(b * col("ps_a") / z, 2).as("alloc_tokens"),
+      round(b * col("ps_a") / z / col("a_s"), 6).as("epochs"))
+  }
+
   /** Weighted mixture sampling: keep a per-stratum deterministic hash
     * fraction of rows ("all English, half German, a quarter Chinese")
     * — how a training mix is drawn from a curated pool. Strata absent

@@ -113,6 +113,47 @@ object TextOps {
       .limit(topK)
   }
 
+  /** N-gram novelty score — per target document, the fraction of its
+    * distinct word n-grams NEVER seen in a reference corpus. The
+    * memorization/novelty axis of data QA: near 0 flags a doc that is
+    * (re)combined reference material (synthetic data echoing its
+    * training set, a scrape of an already-ingested source); near 1
+    * flags genuinely new text worth the marginal training token. The
+    * complement of the containment family — decontamination asks "does
+    * the doc CONTAIN a benchmark item", novelty asks "does the doc add
+    * anything at all".
+    *
+    * Scale shape: the reference's distinct-gram set is a distributed
+    * aggregation (never a driver structure); the target's grams LEFT
+    * JOIN it on the gram hash — one shuffle keyed by gram, partial
+    * counts map-side. Zero-gram targets (< n tokens) score 0.0 by
+    * definition rather than null, via the final id-keyed left join.
+    * Gram hashing is the same single-pass kernel the dedup family
+    * uses ([[graft.functions.VectorFunctions.shingleHashes]]), so the
+    * whole pipeline shares one tokenization.
+    */
+  def noveltyScore(target: DataFrame, reference: DataFrame,
+                   n: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(n >= 1, s"noveltyScore: n must be ≥ 1, got $n")
+    val refG = reference
+      .select(explode(VectorFunctions.shingleHashes(col("text"), n)).as("g"))
+      .distinct()
+    val tg = target.select(col("doc_id"),
+      explode(VectorFunctions.shingleHashes(col("text"), n)).as("g"))
+    val stats = tg.join(refG.withColumn("seen", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        (count(lit(1)) - count(col("seen"))).as("n_new"))
+    target.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(round(col("n_new").cast("double") / col("n_grams"), 6),
+          lit(0.0)).as("novelty"))
+  }
+
   // ── incremental unigram vocabulary store ──────────────────────────
   //
   // The daily form of [[unigramLogprob]]: corpus token frequencies are

@@ -404,6 +404,29 @@ class CurationSpec extends SparkSuite with Matchers {
     s1.sorted.toSeq shouldBe expect.sorted.toSeq
   }
 
+  test("epochAllocation: α=1 is the natural mix (1 global epoch everywhere at B=A), weights sum to 1, rare-source epochs lift with α") {
+    val total = docs.agg(sum("n_chars")).head().getLong(0)
+    // α = 1, budget = full corpus mass → every source runs exactly 1 epoch
+    val nat = Curation.epochAllocation(docs, "source", "n_chars",
+      alpha = 1.0, budgetTokens = total)
+      .as[(String, Long, Double, Double, Double)].collect()
+    nat.foreach { case (_, _, _, _, ep) => ep shouldBe 1.0 +- 1e-4 }
+    // weights are a distribution at any α
+    val a7 = Curation.epochAllocation(docs, "source", "n_chars",
+      alpha = 0.7, budgetTokens = 1000000L)
+      .as[(String, Long, Double, Double, Double)].collect()
+    a7.map(_._3).sum shouldBe 1.0 +- 1e-4
+    // allocations exhaust the budget
+    a7.map(_._4).sum shouldBe 1000000.0 +- 1.0
+    // temperature flattens: the SMALLEST source's epoch count at α=0.7
+    // strictly exceeds its α=1 epoch count at the same budget
+    val a1 = Curation.epochAllocation(docs, "source", "n_chars",
+      alpha = 1.0, budgetTokens = 1000000L)
+      .as[(String, Long, Double, Double, Double)].collect()
+    val smallest = a1.minBy(_._2)._1
+    a7.find(_._1 == smallest).get._5 should be > a1.find(_._1 == smallest).get._5
+  }
+
   test("decontaminateByBloom == decontaminateByContainment; zero-overlap corpus untouched") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val bench = docs.filter(col("doc_id") % 10 === 0)

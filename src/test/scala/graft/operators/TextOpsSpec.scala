@@ -502,4 +502,25 @@ class TextOpsSpec extends SparkSuite with Matchers {
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     d.map(r => r.getString(0) -> r.getDouble(3)).toMap shouldBe sw
   }
+
+  test("noveltyScore: 0 for fully-seen docs, 1 for disjoint vocab, fractional mixes, zero-gram docs score 0.0") {
+    val ref = Seq((10L, "a b c d"), (11L, "c d e")).toDF("doc_id", "text")
+    // ref bigrams: {a b, b c, c d, d e}
+    val tgt = Seq(
+      (1L, "a b c"),        // {a b, b c} both seen → novelty 0
+      (2L, "x y z"),        // {x y, y z} both new → novelty 1
+      (3L, "a b q r"),      // {a b, b q, q r}: 2 of 3 new
+      (4L, "solo")          // zero bigrams → 0.0 by definition
+    ).toDF("doc_id", "text")
+    val r = TextOps.noveltyScore(tgt, ref, n = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    r(0) shouldBe ((1L, 2L, 0L, 0.0))
+    r(1) shouldBe ((2L, 2L, 2L, 1.0))
+    r(2) shouldBe ((3L, 3L, 2L, BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    r(3) shouldBe ((4L, 0L, 0L, 0.0))
+    // a corpus is never novel against itself
+    TextOps.noveltyScore(ref, ref, n = 2).as[(Long, Long, Long, Double)]
+      .collect().foreach(_._4 shouldBe 0.0)
+  }
 }
