@@ -64,6 +64,21 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the persisted reference-GRAM store the
+    * `text_novelty_store` gate probes — built on 2/3 of the reference
+    * split, extended with the rest, like [[containmentGateIndex]].
+    */
+  private val gramStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gramStoreIndex(s: SparkSession, dir: String): String =
+    gramStoreMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-gram-store")
+      val ref = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+      TextOps.buildGramStore(ref.filter(col("doc_id") % 3 =!= 1), idx, n = 2)
+      TextOps.extendGramStore(ref.filter(col("doc_id") % 3 === 1),
+        idx, shardId = Some("g1"))
+      idx
+    })
+
   /** Per-(JVM, sfDir) memo of the persisted EDIT index the
     * `cur_decon_edit_indexed` gate probes — built on 2/3 of the
     * corpus keys, extended with the rest, like [[containmentGateIndex]]
@@ -1046,6 +1061,19 @@ object SparkEntry {
         stageKey = Some(s"$dir:documents"), resume = true)
       TextOps.scoreAgainstVocab(Tables.documents(s, dir), idx)
     }),
+    // streaming maintenance of the novelty reference-gram store:
+    // batch 0 builds, later micro-batches append their genuinely-new
+    // grams (ledgered); set union is the from-scratch distinct, so
+    // scoring the held-out slice against the streamed store shares
+    // text_novelty's oracle. Stable store + resume.
+    "stream_novelty_extend" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val store = streamStoreDir("graft-stream-grams", dir)
+      graft.streaming.StreamedBatch.replayIntoGramStore(s,
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "doc_id", store,
+        n = 2, stageKey = Some(s"$dir:documents-ref"), resume = true)
+      TextOps.noveltyAgainstStore(d.filter(col("doc_id") % 10 === 0), store)
+    }),
     // streaming maintenance of the PCA moment store: batch 0 builds,
     // later micro-batches append their batch-id-ledgered moment rows;
     // moments are additive, so refitting from the streamed store
@@ -1821,6 +1849,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
         n = 2)
     }),
+    // same answer from the PERSISTED gram store (build on 2/3 of the
+    // reference, rest folded in through the ledgered extend) — set
+    // union is exactly the from-scratch distinct, so the stored-probe
+    // path shares text_novelty's oracle verbatim
+    "text_novelty_store" -> ((s, dir) =>
+      TextOps.noveltyAgainstStore(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        gramStoreIndex(s, dir))),
     // surgical decontamination: scrub verbatim benchmark 8-token runs
     // out of corpus text (all alignments), keep the documents
     "cur_scrub_spans" -> ((s, dir) => {
@@ -2583,6 +2619,27 @@ object SparkEntry {
     * (`cur_decon_containment_indexed`) gates, whose answers must be
     * identical.
     */
+  private val noveltySql =
+    """WITH rt AS (SELECT string_split(text, ' ') AS t FROM documents
+                   WHERE doc_id % 10 <> 0),
+       rg AS (SELECT DISTINCT unnest(list_distinct(
+                list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+              FROM rt),
+       tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE doc_id % 10 = 0),
+       tg AS (SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+              FROM tt),
+       st AS (SELECT tg.doc_id, count(*) AS n_grams,
+                     count(*) - count(rg.g) AS n_new
+              FROM tg LEFT JOIN rg ON tg.g = rg.g GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(st.n_grams, 0) AS n_grams,
+              coalesce(st.n_new, 0) AS n_new,
+              coalesce(round(st.n_new * 1.0 / st.n_grams, 6), 0.0) AS novelty
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       LEFT JOIN st USING (doc_id)"""
+
   private val deconContainmentSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(
@@ -4069,26 +4126,12 @@ object SparkEntry {
                 round(1000000.0 * ps_a / (SELECT z FROM z), 2) AS alloc_tokens,
                 round(1000000.0 * ps_a / (SELECT z FROM z) / a_s, 6) AS epochs
          FROM s""",
-    "text_novelty" ->
-      """WITH rt AS (SELECT string_split(text, ' ') AS t FROM documents
-                     WHERE doc_id % 10 <> 0),
-         rg AS (SELECT DISTINCT unnest(list_distinct(
-                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
-                FROM rt),
-         tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-                WHERE doc_id % 10 = 0),
-         tg AS (SELECT doc_id, unnest(list_distinct(
-                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
-                FROM tt),
-         st AS (SELECT tg.doc_id, count(*) AS n_grams,
-                       count(*) - count(rg.g) AS n_new
-                FROM tg LEFT JOIN rg ON tg.g = rg.g GROUP BY 1)
-         SELECT d.doc_id,
-                coalesce(st.n_grams, 0) AS n_grams,
-                coalesce(st.n_new, 0) AS n_new,
-                coalesce(round(st.n_new * 1.0 / st.n_grams, 6), 0.0) AS novelty
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-         LEFT JOIN st USING (doc_id)""",
+    "text_novelty" -> noveltySql,
+    // the stored-gram probe and the streamed-store maintenance path
+    // must reproduce the from-scratch answer verbatim (set union IS
+    // the distinct) — all three share one oracle
+    "text_novelty_store" -> noveltySql,
+    "stream_novelty_extend" -> noveltySql,
     "cur_mixture_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,
                       md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),

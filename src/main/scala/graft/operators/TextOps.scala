@@ -134,11 +134,16 @@ object TextOps {
     */
   def noveltyScore(target: DataFrame, reference: DataFrame,
                    n: Int = 2): DataFrame = {
-    import graft.functions.VectorFunctions
     require(n >= 1, s"noveltyScore: n must be ≥ 1, got $n")
-    val refG = reference
-      .select(explode(VectorFunctions.shingleHashes(col("text"), n)).as("g"))
-      .distinct()
+    noveltyVs(target, distinctGrams(reference, n), n)
+  }
+
+  /** The shared scoring tail: target grams LEFT JOIN a distinct
+    * reference gram set (however obtained — from-scratch or stored).
+    */
+  private def noveltyVs(target: DataFrame, refG: DataFrame,
+                        n: Int): DataFrame = {
+    import graft.functions.VectorFunctions
     val tg = target.select(col("doc_id"),
       explode(VectorFunctions.shingleHashes(col("text"), n)).as("g"))
     val stats = tg.join(refG.withColumn("seen", lit(1L)), Seq("g"), "left")
@@ -152,6 +157,84 @@ object TextOps {
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         coalesce(round(col("n_new").cast("double") / col("n_grams"), 6),
           lit(0.0)).as("novelty"))
+  }
+
+  // ── persisted reference-gram store (novelty serving) ──────────────
+  //
+  // The daily form of [[noveltyScore]]: the reference's distinct-gram
+  // set IS the model, and it is UNION-additive — a shard's grams fold
+  // in by set union, so the reference maintains incrementally while
+  // scoring stays a read-only join against the store. Same lifecycle
+  // as the vocab/ANN/containment stores: build → extend per shard →
+  // score many, committed through [[graft.util.Manifest]] generations
+  // (crash-safe, atomically visible, ledgered no-op re-delivery,
+  // `asOf` time travel).
+
+  private def gramsPath(path: String) = s"$path/grams"
+
+  private def distinctGrams(docs: DataFrame, n: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    docs.select(explode(VectorFunctions.shingleHashes(col("text"), n)).as("g"))
+      .distinct()
+  }
+
+  /** Initialize the gram store with `docs`' distinct n-grams as
+    * generation 0; `n` is pinned in `params` — probes score with the
+    * stored geometry.
+    */
+  def buildGramStore(docs: DataFrame, path: String, n: Int = 2): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.util.Manifest.init(spark, path) {
+      Seq(n).toDF("n")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/params")
+      distinctGrams(docs, n)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(gramsPath(path))
+    }
+    ()
+  }
+
+  /** Fold a shard's grams into the store — append-only, and only the
+    * grams the committed generation does not already hold (the
+    * anti-join keeps the store at the true set size; a racing extend
+    * can at worst duplicate a gram row, which the reader's distinct
+    * absorbs — set union is idempotent). Ledgered by `shardId` so a
+    * re-delivered shard is a no-op.
+    */
+  def extendGramStore(newDocs: DataFrame, path: String,
+                      shardId: Option[String] = None): Unit = {
+    val spark = newDocs.sparkSession
+    val n = graft.util.Manifest.read(spark, path, "params")
+      .head().getInt(0)
+    val existing = graft.util.Manifest.read(spark, path, "grams")
+    graft.util.Manifest.extend(spark, path, shardId) {
+      distinctGrams(newDocs, n)
+        .join(existing, Seq("g"), "left_anti")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(gramsPath(path))
+    }
+    ()
+  }
+
+  /** Score docs' novelty against the STORED reference — the serving
+    * side of the loop: old reference text is never re-shingled, the
+    * gram set joins in as stored rows. After build + k extends this
+    * equals [[noveltyScore]] against everything folded in (set union
+    * is exactly what the from-scratch distinct computes — spec- and
+    * gate-verified). `asOf` scores against a retained earlier
+    * generation.
+    */
+  def noveltyAgainstStore(target: DataFrame, path: String,
+                          asOf: Option[Int] = None): DataFrame = {
+    val spark = target.sparkSession
+    val n = graft.util.Manifest.read(spark, path, "params")
+      .head().getInt(0)
+    noveltyVs(target,
+      graft.util.Manifest.read(spark, path, "grams", asOf)
+        .select(col("g")).distinct(),
+      n)
   }
 
   // ── incremental unigram vocabulary store ──────────────────────────

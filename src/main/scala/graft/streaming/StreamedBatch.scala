@@ -517,6 +517,44 @@ object StreamedBatch {
     }
   }
 
+  /** Replay `input` (a documents table — the REFERENCE corpus) as a
+    * file stream folding each micro-batch's distinct n-grams into a
+    * persisted [[graft.operators.TextOps]] gram store — the novelty
+    * reference maintained as a live stream: batch 0 initializes the
+    * store, later batches append their genuinely-new grams
+    * ([[graft.operators.TextOps.extendGramStore]], batch id = shard
+    * id, so a Spark retry is a ledgered no-op; set union is idempotent
+    * anyway, making this the most benign of the stores under
+    * re-delivery). Scoring against the streamed store equals
+    * from-scratch [[graft.operators.TextOps.noveltyScore]] over
+    * everything streamed — the gate shares that oracle.
+    */
+  def replayIntoGramStore(spark: SparkSession, input: DataFrame,
+                          orderCol: String, tieCol: String, storePath: String,
+                          n: Int = 2, chunks: Int = 3,
+                          stageKey: Option[String] = None,
+                          resume: Boolean = false): Unit = {
+    import graft.operators.TextOps
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0)
+            resumableBuild(spark, storePath, resume)(
+              TextOps.buildGramStore(batch, storePath, n))
+          else TextOps.extendGramStore(batch, storePath,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `labeled` (a documents table carrying a label column) as a
     * file stream folding each micro-batch's per-class token counts
     * into a persisted [[graft.operators.Classifier]] Naive Bayes model

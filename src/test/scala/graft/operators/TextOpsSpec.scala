@@ -523,4 +523,26 @@ class TextOpsSpec extends SparkSuite with Matchers {
     TextOps.noveltyScore(ref, ref, n = 2).as[(Long, Long, Long, Double)]
       .collect().foreach(_._4 shouldBe 0.0)
   }
+
+  test("gram store: build + extend == from-scratch over the union; asOf scores the retained generation; re-delivery is a no-op") {
+    val refA = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val refB = Seq((11L, "c d e")).toDF("doc_id", "text")
+    val tgt = Seq((1L, "a b c"), (2L, "d e f"), (3L, "x y")).toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("gram-store").toString
+    TextOps.buildGramStore(refA, store, n = 2)
+    TextOps.extendGramStore(refB, store, shardId = Some("s1"))
+    val got = TextOps.noveltyAgainstStore(tgt, store).orderBy("doc_id").collect()
+    got shouldBe TextOps.noveltyScore(tgt, refA.unionByName(refB), n = 2)
+      .orderBy("doc_id").collect()
+    // doc 2's {d e} is only in the extend shard: asOf gen 0 (pre-extend)
+    // scores it novel, the head generation does not
+    val asOf0 = TextOps.noveltyAgainstStore(tgt, store, asOf = Some(0))
+      .orderBy("doc_id").collect()
+    asOf0 shouldBe TextOps.noveltyScore(tgt, refA, n = 2)
+      .orderBy("doc_id").collect()
+    asOf0.map(_.getDouble(3)).toSeq should not be got.map(_.getDouble(3)).toSeq
+    // ledgered shard re-delivery changes nothing
+    TextOps.extendGramStore(refB, store, shardId = Some("s1"))
+    TextOps.noveltyAgainstStore(tgt, store).orderBy("doc_id").collect() shouldBe got
+  }
 }

@@ -393,6 +393,31 @@ class StreamingSpec extends SparkSuite with Matchers {
       .orderBy("doc_id", "probe_id").collect() shouldBe got1
   }
 
+  test("replayIntoGramStore: streamed store's novelty == from-scratch " +
+      "noveltyScore; resume replays into ledgered no-ops") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val reference = docs.filter(col("doc_id") % 3 =!= 0)
+    val target = docs.filter(col("doc_id") % 3 === 0)
+    val store = java.nio.file.Files.createTempDirectory("stream-gram-resume").toString
+    def replay(): Unit = StreamedBatch.replayIntoGramStore(spark,
+      reference, "doc_id", "doc_id", store, n = 2, chunks = 4,
+      stageKey = Some("gram-resume-spec"), resume = true)
+    replay()
+    val gen1 = graft.util.Manifest.snapshot(spark, store).gen
+    val got1 = TextOps.noveltyAgainstStore(target, store)
+      .orderBy("doc_id").collect()
+    // exact vs the from-scratch form, across batch boundaries
+    got1 shouldBe TextOps.noveltyScore(target, reference, n = 2)
+      .orderBy("doc_id").collect()
+    got1.length should be > 0
+    // a second replay of the same input is all ledgered no-ops
+    replay()
+    graft.util.Manifest.snapshot(spark, store).gen shouldBe gen1
+    TextOps.noveltyAgainstStore(target, store)
+      .orderBy("doc_id").collect() shouldBe got1
+  }
+
   test("replayIntoEditIndex: streamed store's probe == from-scratch " +
       "cross-set edit join; resume replays into ledgered no-ops") {
     import org.apache.spark.sql.functions.{col, substring}
