@@ -2032,6 +2032,26 @@ object SparkEntry {
     // over the survivors' language mix, deterministic ES draw of the
     // final 50. Output carries n_scrubbed so the scrub stage is
     // visible in the answer.
+    // pipeline 7 — this round's additions composed end-to-end in ONE
+    // plan, ending in the launchable data recipe: bloom-prefiltered
+    // containment decon → quality-aware canonical selection (longest
+    // copy per exact-Jaccard component) → seeded per-source cap →
+    // token-budget epoch allocation over the final pool. Output is the
+    // strata-sized (α=0.7, B=1M) recipe table.
+    "cur_pipeline7" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      val clean = Curation.decontaminateByBloom(corpus, bench,
+        n = 2, threshold = 0.5)
+      val canon = Dedup.keepBestPerComponent(clean,
+        Dedup.ngramJaccard(clean, n = 2, threshold = 0.5),
+        orderDescCols = Seq("n_chars", "doc_id"))
+      val capped = Curation.capPerStratum(canon, "source", "doc_id",
+        k = 20, seed = "p7")
+      Curation.epochAllocation(capped, "source", "n_chars",
+        alpha = 0.7, budgetTokens = 1000000L)
+    }),
     "cur_pipeline6" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val corpus = d.filter(col("doc_id") % 10 =!= 0)
@@ -3941,6 +3961,71 @@ object SparkEntry {
     // both leak sets re-derived exactly: containment ≥ 0.5 against the
     // benchmark split AND rounded cosine ≥ 0.45 against the benchmark
     // embeddings — survivors counted per language
+    // pipeline 7: containment decon feeds the Jaccard closure's argmax
+    // survivor, the seeded cap, and the epoch recipe — every stage
+    // re-derived over the previous stage's survivors in one statement
+    "cur_pipeline7" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         binter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
+                    FROM sh a JOIN sh b
+                      ON a.s = b.s AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+                    GROUP BY 1, 2),
+         bad AS (SELECT DISTINCT ca FROM binter
+                 JOIN sizes sa ON ca = sa.doc_id
+                 JOIN sizes sb ON bb = sb.doc_id
+                 WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5),
+         clean AS (SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+                   WHERE d.doc_id % 10 != 0
+                     AND d.doc_id NOT IN (SELECT ca FROM bad)),
+         jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    WHERE a.doc_id IN (SELECT doc_id FROM clean)
+                      AND b.doc_id IN (SELECT doc_id FROM clean)
+                    GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM jinter
+                   JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+         comp AS (SELECT src AS doc_id, min(node) AS component_id
+                  FROM reach GROUP BY src),
+         lab AS (SELECT c.doc_id, c.lang, c.source, c.n_chars,
+                   coalesce(cm.component_id, c.doc_id) AS cid
+                 FROM clean c LEFT JOIN comp cm ON c.doc_id = cm.doc_id),
+         canon AS (SELECT doc_id, lang, source, n_chars FROM lab
+                   QUALIFY row_number() OVER
+                     (PARTITION BY cid ORDER BY n_chars DESC, doc_id DESC) = 1),
+         hh AS (SELECT doc_id, source, n_chars,
+                  md5('p7|' || CAST(doc_id AS VARCHAR)) AS m FROM canon),
+         drawn AS (SELECT doc_id, source, n_chars,
+                     (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                     (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                     (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS draw
+                   FROM hh),
+         capped AS (SELECT doc_id, source, n_chars FROM drawn
+                    QUALIFY row_number() OVER
+                      (PARTITION BY source ORDER BY draw DESC, doc_id DESC) <= 20),
+         c AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS a_s
+               FROM capped GROUP BY 1),
+         t2 AS (SELECT sum(a_s) AS total FROM c),
+         s2 AS (SELECT source, a_s,
+                  pow(a_s / (SELECT total FROM t2), 0.7) AS ps_a FROM c),
+         z AS (SELECT sum(ps_a) AS z FROM s2)
+         SELECT source, CAST(a_s AS BIGINT) AS avail_tokens,
+                round(ps_a / (SELECT z FROM z), 6) AS weight,
+                round(1000000.0 * ps_a / (SELECT z FROM z), 2) AS alloc_tokens,
+                round(1000000.0 * ps_a / (SELECT z FROM z) / a_s, 6) AS epochs
+         FROM s2""",
     // pipeline 6: the scrub CTE chain feeds the edit NOT-EXISTS, the
     // temperature weights recompute over survivors, and the ES order
     // draws the final 50 — every stage re-derived in one statement
