@@ -1825,6 +1825,14 @@ object SparkEntry {
     "cur_hash_split" -> ((s, dir) =>
       Curation.hashSplit(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("split"))),
+    // component-keyed split: near-dup copies can never straddle the
+    // train/test boundary; pairs from the same miner as cur_keep_best,
+    // so the same recursive-closure SQL drives the oracle
+    "cur_split_leakage_safe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.leakageSafeSplit(d, Dedup.ngramJaccard(d, n = 2, threshold = 0.5))
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
     "cur_mixture_sample" -> ((s, dir) =>
       Curation.mixtureSample(Tables.documents(s, dir), "lang", "doc_id",
         Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
@@ -3928,6 +3936,41 @@ object SparkEntry {
          SELECT doc_id, lang, source, n_chars FROM b
          QUALIFY row_number() OVER
            (PARTITION BY source ORDER BY draw DESC, doc_id DESC) <= 10""",
+    "cur_split_leakage_safe" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, node) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
+         comp AS (SELECT src AS doc_id, min(node) AS component_id
+                  FROM reach GROUP BY src),
+         lab AS (SELECT d.doc_id, d.lang,
+                   coalesce(c.component_id, d.doc_id) AS cid
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         h AS (SELECT doc_id, lang, md5(CAST(cid AS VARCHAR)) AS m FROM lab),
+         b AS (SELECT doc_id, lang,
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+               FROM h)
+         SELECT doc_id, lang,
+           CASE WHEN bucket < 52428 THEN 'train'
+                WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split"
+         FROM b""",
     "cur_keep_best" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

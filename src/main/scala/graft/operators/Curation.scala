@@ -244,6 +244,30 @@ object Curation {
       when(b < trainMax, "train").when(b < valMax, "val").otherwise("test"))
   }
 
+  /** Leakage-safe split — [[hashSplit]] keyed by DUPLICATE COMPONENT
+    * instead of document: every member of a near-dup component lands
+    * in the SAME split, so a paraphrase/near-copy pair can never
+    * straddle the train/test boundary. This is the split-level
+    * contamination that doc-keyed hashing silently reintroduces even
+    * after deduplication-by-downweighting ([[graft.operators.Dedup
+    * .dupWeights]] keeps all copies — so the split key must be the
+    * component). Docs outside the pair graph are their own component
+    * (cid = doc_id), reducing exactly to [[hashSplit]] for them.
+    *
+    * Scale shape: component labels are output-sized (docs in the pair
+    * graph only), one id-keyed join back (AQE broadcasts the small
+    * side); the split assignment itself stays the map-only md5
+    * bucket, now over the component id.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val labeled = docs
+      .join(graft.operators.Dedup.dupComponents(pairs), Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("component_id"), col("doc_id")))
+      .drop("component_id")
+    hashSplit(labeled, "cid", trainPct, valPct).drop("cid")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement — the
     * Efraimidis–Spirakis order-statistic scheme with the RNG replaced
     * by the [[hashBucket]] id hash: each row gets key `u^(1/w)`

@@ -404,6 +404,27 @@ class CurationSpec extends SparkSuite with Matchers {
     s1.sorted.toSeq shouldBe expect.sorted.toSeq
   }
 
+  test("leakageSafeSplit: every component shares one split, singletons match hashSplit exactly") {
+    // triangle {1,2,3}, pair {4,5}, singletons 6..30 (enough ids that
+    // all three split labels appear among them)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val d = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Curation.leakageSafeSplit(d, pairs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // components are split-atomic
+    Set(got(1L), got(2L), got(3L)).size shouldBe 1
+    Set(got(4L), got(5L)).size shouldBe 1
+    // singletons get exactly their doc-keyed hashSplit label
+    val solo = Curation.hashSplit(d, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (6L to 30L).foreach { i => got(i) shouldBe solo(i) }
+    // and the component's label is its min-id member's solo label
+    got(1L) shouldBe solo(1L)
+    got(4L) shouldBe solo(4L)
+    // fixture covers more than one split label (else the test is vacuous)
+    got.values.toSet.size should be > 1
+  }
+
   test("epochAllocation: α=1 is the natural mix (1 global epoch everywhere at B=A), weights sum to 1, rare-source epochs lift with α") {
     val total = docs.agg(sum("n_chars")).head().getLong(0)
     // α = 1, budget = full corpus mass → every source runs exactly 1 epoch
