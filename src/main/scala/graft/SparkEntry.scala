@@ -2050,8 +2050,11 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val corpus = d.filter(col("doc_id") % 10 =!= 0)
       val bench = d.filter(col("doc_id") % 10 === 0)
-      val clean = Curation.decontaminateByBloom(corpus, bench,
-        n = 2, threshold = 0.5)
+      // the survivor set feeds the miner, the canonical-selection join
+      // AND (transitively) the cap — materialize it once so the three
+      // references scan a snapshot instead of re-running the decon
+      val clean = Dedup.materialize(Curation.decontaminateByBloom(
+        corpus, bench, n = 2, threshold = 0.5))
       val canon = Dedup.keepBestPerComponent(clean,
         Dedup.ngramJaccard(clean, n = 2, threshold = 0.5),
         orderDescCols = Seq("n_chars", "doc_id"))

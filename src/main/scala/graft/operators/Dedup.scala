@@ -1235,6 +1235,17 @@ object Dedup {
       println(f"[probe]   snap ${(System.nanoTime() - s) / 1e9}%.2f s"); r
     } else writeThroughAt(df)._1
 
+  /** Public [[snap]] for multi-stage pipeline composition: materialize
+    * an expensive intermediate (a decon survivor set, a scored pool)
+    * ONCE so every later stage scans the snapshot instead of
+    * re-deriving the whole upstream subtree — the same write-through
+    * device the pair miners use internally, exposed for callers
+    * chaining operators whose plans each reference the intermediate.
+    * Files live in the session checkpoint dir (cluster) or a
+    * JVM-exit-scoped temp dir (local).
+    */
+  def materialize(df: DataFrame): DataFrame = snap(df)
+
   /** The [[ngramJaccard]] `maxShingleDf` recall guard. The prefix-filter
     * recall theorem needs every prefix entry present; the cap deletes
     * index entries with df above it, so any doc with a capped PREFIX
