@@ -1747,6 +1747,11 @@ object SparkEntry {
     // window survives, docs reassemble from surviving spans
     "dedup_spans" -> ((s, dir) =>
       Dedup.dedupSpans(Tables.documents(s, dir))),
+    // content-defined chunk dedup: boundaries from the rolling 3-token
+    // window hash (mean chunk ~8 tokens), so shared regions dedup
+    // regardless of token-offset misalignment
+    "dedup_chunks_cdc" -> ((s, dir) =>
+      Dedup.dedupChunksCdc(Tables.documents(s, dir))),
     // the DAILY form: the last doc_id tercile deduped read-only
     // against the stored seen-span set (built on tercile 1, extended
     // with tercile 2) — must equal the from-scratch election over the
@@ -3760,6 +3765,31 @@ object SparkEntry {
     // in-doc position — identical grouping, ordering, and clipping of
     // the final short span
     "dedup_spans" -> spanElectionSql,
+    // CDC: the same election/reassembly, boundaries re-derived from
+    // the rolling 3-token md5 band (first two hex chars mod 8)
+    "dedup_chunks_cdc" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         f AS (SELECT doc_id, toks, list_transform(range(1, len(toks) + 1), i ->
+                 CASE WHEN i >= 3 AND
+                   ((strpos('0123456789abcdef',
+                       substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 1)) - 1) * 16 +
+                    (strpos('0123456789abcdef',
+                       substr(md5(array_to_string(toks[i-2:i], ' ')), 2, 1)) - 1)) % 8 = 0
+                 THEN 1 ELSE 0 END) AS b
+               FROM t),
+         pos AS (SELECT doc_id, toks, b, unnest(range(1, len(toks) + 1)) AS i FROM f),
+         cid AS (SELECT doc_id, i, toks[i] AS tok,
+                   1 + coalesce(list_sum(b[1:i-1]), 0) AS c
+                 FROM pos),
+         chunks AS (SELECT doc_id, c, string_agg(tok, ' ' ORDER BY i) AS chunk
+                    FROM cid GROUP BY 1, 2),
+         k AS (SELECT doc_id, c, chunk,
+                 row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, c) AS rn
+               FROM chunks),
+         g AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY c) AS text_dedup
+               FROM k WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(g.text_dedup, '') AS text_dedup
+         FROM documents d LEFT JOIN g USING (doc_id)""",
     // incremental lifecycle vs the same full-corpus election, output
     // restricted to the gate's tercile (integer // division matches
     // the Scala memo's Long arithmetic)

@@ -86,6 +86,70 @@ object Dedup {
       .na.fill("", Seq("text_dedup"))
   }
 
+  /** Content-defined chunk dedup — [[dedupSpans]] with BOUNDARIES
+    * DERIVED FROM CONTENT instead of fixed 16-token tiles: a chunk
+    * ends at token `i` when the hash of the last `w` tokens falls in
+    * a 1/`modulus` band (the Rabin/CDC recipe storage dedup uses,
+    * applied to text). The property fixed tiles lack: ONE inserted
+    * token shifts every downstream tile (nothing re-aligns, dup
+    * regions survive), while CDC boundaries re-synchronize within ~w
+    * tokens of the edit, so shared regions between near-copies dedup
+    * regardless of offset — spec-proven against the fixed-tile
+    * behavior. Expected chunk length ≈ `modulus` tokens.
+    *
+    * Scale shape: boundary flags and chunk assembly are ONE
+    * left-to-right pass inside the token array (higher-order
+    * `aggregate` — map-only, no per-token explode, no shuffle until
+    * chunks exist); election and reassembly are [[dedupSpans]]'s own
+    * two hash-partitioned exchanges (md5(chunk), then doc_id).
+    */
+  def dedupChunksCdc(docs: DataFrame, w: Int = 3,
+                     modulus: Int = 8): DataFrame = {
+    require(w >= 1 && modulus >= 2,
+      s"dedupChunksCdc: need w ≥ 1 and modulus ≥ 2, got w=$w modulus=$modulus")
+    reassembleSpans(docs, electFirst(cdcChunkRows(docs, w, modulus)))
+  }
+
+  /** The (doc_id, pos, span, h) rows [[dedupChunksCdc]] elects over —
+    * same shape as [[spanRows]], so the election/reassembly machinery
+    * is shared. The cut decision hashes the JOINED last-`w`-token
+    * window with md5 (first two hex chars mod `modulus`), replayable
+    * verbatim in the DuckDB oracle.
+    */
+  private def cdcChunkRows(docs: DataFrame, w: Int,
+                           modulus: Int): DataFrame = {
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val flags = transform(sequence(lit(1), size(col("toks"))),
+      i => when((i >= w) &&
+        (conv(substring(md5(
+          concat_ws(" ", slice(col("toks"), i - (w - 1), lit(w)))), 1, 2), 16, 10)
+          .cast("int") % modulus === 0), 1).otherwise(0))
+    // one pass: grow the current chunk token by token, flush it on a
+    // cut; `first` disambiguates "empty current chunk" from a chunk
+    // whose accumulated text is the empty string (empty tokens exist
+    // wherever the raw text has doubled separators)
+    val parts = zip_with(col("toks"), col("b"),
+      (t, f) => struct(t.as("t"), f.as("f")))
+    val chunks = aggregate(
+      parts,
+      struct(array().cast("array<string>").as("done"),
+        lit("").as("cur"), lit(true).as("first")),
+      (acc, x) => {
+        val cur2 = when(acc.getField("first"), x.getField("t"))
+          .otherwise(concat(acc.getField("cur"), lit(" "), x.getField("t")))
+        when(x.getField("f") === 1,
+          struct(concat(acc.getField("done"), array(cur2)).as("done"),
+            lit("").as("cur"), lit(true).as("first")))
+          .otherwise(struct(acc.getField("done").as("done"),
+            cur2.as("cur"), lit(false).as("first")))
+      },
+      acc => when(acc.getField("first"), acc.getField("done"))
+        .otherwise(concat(acc.getField("done"), array(acc.getField("cur")))))
+    toked.withColumn("b", flags)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "span")))
+      .withColumn("h", md5(col("span")))
+  }
+
   // ── incremental span dedup ────────────────────────────────────────
   //
   // The daily form of [[dedupSpans]]: the "seen spans" set IS the

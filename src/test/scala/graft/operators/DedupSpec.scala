@@ -786,6 +786,31 @@ class DedupSpec extends SparkSuite with Matchers {
     w(7L) shouldBe 1.0
   }
 
+  test("dedupChunksCdc: boundaries resync after an insertion (fixed tiles don't), first occurrence wins, unique corpora pass through") {
+    // 64 tokens of shared material, then B = one junk token + A's text:
+    // every 16-token tile of B is offset by 1 and matches nothing, but
+    // CDC boundaries re-derive from content and re-align within ~w
+    val base = (1 to 64).map(i => s"tok${i % 23}w${(i * 7) % 19}").mkString(" ")
+    val d = Seq((1L, base), (2L, s"zz $base")).toDF("doc_id", "text")
+    val cdc = Dedup.dedupChunksCdc(d).orderBy("doc_id")
+      .select("text_dedup").as[String].collect()
+    // doc 1 is the first occurrence of everything: untouched
+    cdc(0) shouldBe base
+    // doc 2 loses most of its shared region to doc 1's chunks
+    cdc(1).split(" ").length should be < (base.split(" ").length / 2)
+    // the fixed-tile form keeps doc 2 nearly whole — the misalignment
+    // this operator exists to fix
+    val tiled = Dedup.dedupSpans(d).orderBy("doc_id")
+      .select("text_dedup").as[String].collect()
+    tiled(1).split(" ").length should be > (base.split(" ").length / 2)
+    // a corpus with no repeated chunks passes through identically
+    val uniq = Seq((1L, "alpha beta gamma delta"), (2L, "ten eleven twelve"))
+      .toDF("doc_id", "text")
+    Dedup.dedupChunksCdc(uniq).orderBy("doc_id")
+      .select("text_dedup").as[String].collect() shouldBe
+      Array("alpha beta gamma delta", "ten eleven twelve")
+  }
+
   test("keepBestPerComponent: best-by-ranking survives, singletons always survive, differs from min-id policy") {
     // triangle {1,2,3} where the BEST copy (longest) is 3, pair {4,5}
     // where the best is 4, singletons 6 and 7
