@@ -25,9 +25,9 @@ object ScaleProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val threshold = args.lift(1).map(_.toDouble).getOrElse(0.4)
     // optional third arg: comma-separated section filter
-    // (lsh,ngram,edit,bloom) — default all
+    // (lsh,ngram,edit,bloom,cdc) — default all
     val sections = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("lsh", "ngram", "edit", "bloom"))
+      .getOrElse(Set("lsh", "ngram", "edit", "bloom", "cdc"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -152,6 +152,21 @@ object ScaleProbe {
           sc2, sb2, n = nn, threshold = 0.5).count())
       println(s"""{"probe":"bloom_decon_small","n":$nn,"exact_survivors":$exactSurv2,"bloom_survivors":$bloomSurv2}""")
     }
+    }
+
+    if (sections("cdc")) {
+    // 6. the r12-session-4 map-only families at 10×: CDC chunk dedup
+    // (one in-array pass + two hash exchanges) and novelty scoring
+    // (one gram-keyed left join) should both track the input ~linearly
+    // — the probe makes that checkable instead of asserted.
+    val cdcSurv = timed("cdc_chunk_dedup")(
+      graft.operators.Dedup.dedupChunksCdc(docs).count())
+    println(s"""{"probe":"cdc","rows":$cdcSurv}""")
+    val novCnt = timed("novelty_score")(
+      graft.operators.TextOps.noveltyScore(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), n = 2).count())
+    println(s"""{"probe":"novelty","rows":$novCnt}""")
     }
 
     if (sections("edit")) {
