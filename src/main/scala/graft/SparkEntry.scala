@@ -1061,6 +1061,20 @@ object SparkEntry {
         stageKey = Some(s"$dir:documents"), resume = true)
       TextOps.scoreAgainstVocab(Tables.documents(s, dir), idx)
     }),
+    // streaming maintenance of the seen-span index: batch 0 builds
+    // (its own elected spans), later micro-batches append only unseen
+    // span hashes (ledgered). The stored set is the distinct span set
+    // of the streamed terciles, so deduping tercile 3 against it
+    // shares dedup_spans_incremental's oracle. Stable store + resume.
+    "stream_span_extend" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val (_, cut2) = spanGateIndex(s, dir)
+      val store = streamStoreDir("graft-stream-spans", dir)
+      graft.streaming.StreamedBatch.replayIntoSpanIndex(s,
+        d.filter(col("doc_id") <= cut2), "doc_id", "doc_id", store,
+        stageKey = Some(s"$dir:documents-spans"), resume = true)
+      Dedup.dedupSpansIncremental(d.filter(col("doc_id") > cut2), store)
+    }),
     // streaming maintenance of the novelty reference-gram store:
     // batch 0 builds, later micro-batches append their genuinely-new
     // grams (ledgered); set union is the from-scratch distinct, so
@@ -3794,6 +3808,10 @@ object SparkEntry {
     // restricted to the gate's tercile (integer // division matches
     // the Scala memo's Long arithmetic)
     "dedup_spans_incremental" ->
+      s"""$spanElectionSql
+         WHERE d.doc_id > (SELECT max(doc_id) * 2 // 3 FROM documents)""",
+    // the streamed store must reproduce the batch lifecycle's answer
+    "stream_span_extend" ->
       s"""$spanElectionSql
          WHERE d.doc_id > (SELECT max(doc_id) * 2 // 3 FROM documents)""",
     "dedup_minhash_lsh" -> exactJaccardPairsSql,

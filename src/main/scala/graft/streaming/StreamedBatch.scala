@@ -517,6 +517,46 @@ object StreamedBatch {
     }
   }
 
+  /** Replay `input` (a documents table) as a file stream folding each
+    * micro-batch's NEW span hashes into a persisted
+    * [[graft.operators.Dedup]] seen-span index — the span-dedup state
+    * maintained as a live stream: batch 0 initializes the index with
+    * its own elected spans, later batches append only spans the store
+    * has not seen ([[graft.operators.Dedup.extendSpanIndex]], batch id
+    * = shard id, ledgered no-op on re-delivery; membership anti-joins
+    * make duplicate hashes answer-neutral anyway, the ledger keeps the
+    * stored set tight). The final stored set is the DISTINCT span set
+    * of everything streamed — batch-order-independent — so deduping a
+    * later tranche against the streamed store equals the from-scratch
+    * election restricted to that tranche: the gate shares
+    * `dedup_spans_incremental`'s oracle.
+    */
+  def replayIntoSpanIndex(spark: SparkSession, input: DataFrame,
+                          orderCol: String, tieCol: String, storePath: String,
+                          spanTokens: Int = 16, chunks: Int = 3,
+                          stageKey: Option[String] = None,
+                          resume: Boolean = false): Unit = {
+    import graft.operators.Dedup
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0)
+            resumableBuild(spark, storePath, resume)(
+              Dedup.buildSpanIndex(batch, storePath, spanTokens))
+          else Dedup.extendSpanIndex(batch, storePath, spanTokens,
+            shardId = Some(s"replay-batch-$id"))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` (a documents table — the REFERENCE corpus) as a
     * file stream folding each micro-batch's distinct n-grams into a
     * persisted [[graft.operators.TextOps]] gram store — the novelty

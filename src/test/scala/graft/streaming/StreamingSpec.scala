@@ -393,6 +393,34 @@ class StreamingSpec extends SparkSuite with Matchers {
       .orderBy("doc_id", "probe_id").collect() shouldBe got1
   }
 
+  test("replayIntoSpanIndex: streamed seen-span store == batch lifecycle; " +
+      "resume replays into ledgered no-ops") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mx = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val ref = docs.filter(col("doc_id") <= mx * 2 / 3)
+    val tranche = docs.filter(col("doc_id") > mx * 2 / 3)
+    val store = java.nio.file.Files.createTempDirectory("stream-span-resume").toString
+    def replay(): Unit = StreamedBatch.replayIntoSpanIndex(spark,
+      ref, "doc_id", "doc_id", store, chunks = 4,
+      stageKey = Some("span-resume-spec"), resume = true)
+    replay()
+    val gen1 = graft.util.Manifest.snapshot(spark, store).gen
+    val got1 = graft.operators.Dedup.dedupSpansIncremental(tranche, store)
+      .orderBy("doc_id").collect()
+    // equals the from-scratch election over everything, restricted to
+    // the tranche — the batch-lifecycle contract through the stream
+    got1 shouldBe graft.operators.Dedup.dedupSpans(docs)
+      .join(tranche.select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy("doc_id").collect()
+    got1.length should be > 0
+    replay()
+    graft.util.Manifest.snapshot(spark, store).gen shouldBe gen1
+    graft.operators.Dedup.dedupSpansIncremental(tranche, store)
+      .orderBy("doc_id").collect() shouldBe got1
+  }
+
   test("replayIntoGramStore: streamed store's novelty == from-scratch " +
       "noveltyScore; resume replays into ledgered no-ops") {
     import org.apache.spark.sql.functions.col
