@@ -366,7 +366,9 @@ object SparkEntry {
   private def heavyGateStore(s: SparkSession, dir: String): String =
     heavyStoreMemo.computeIfAbsent(dir, _ => {
       val store = tempIndexDir("graft-heavy-store")
-      val docs = Tables.documents(s, dir)
+      // widen the DOC side before the explode: the sketch passes then
+      // run at full parallelism and the (wide) gram rows never shuffle
+      val docs = FreqSketch.widenToCores(Tables.documents(s, dir))
       val t = pmod(col("doc_id"), lit(3))
       def grams(tr: Int) = TextOps.ngrams(docs.filter(t === tr), 2)
       FreqSketch.buildHeavyStore(grams(0), "ngram", store)
@@ -2257,8 +2259,8 @@ object SparkEntry {
     // recount — same plain GROUP-BY oracle as the one-shot gate
     "text_heavy_store" -> ((s, dir) =>
       FreqSketch.heavyTopKExact(
-        TextOps.ngrams(Tables.documents(s, dir), 2), "ngram",
-        heavyGateStore(s, dir), k = 20)),
+        TextOps.ngrams(FreqSketch.widenToCores(Tables.documents(s, dir)), 2),
+        "ngram", heavyGateStore(s, dir), k = 20)),
     // store-vs-corpus contract row: the merged sketch's total N must
     // equal the exact corpus bigram count — un-ledgered double
     // application (an anonymous retry re-writing its summary under a
@@ -2267,8 +2269,8 @@ object SparkEntry {
     // makes this non-vacuous: the ledger no-op is what keeps n_ok true.
     "text_heavy_check" -> ((s, dir) =>
       FreqSketch.heavyStoreCheck(
-        TextOps.ngrams(Tables.documents(s, dir), 2), "ngram",
-        heavyGateStore(s, dir))
+        TextOps.ngrams(FreqSketch.widenToCores(Tables.documents(s, dir)), 2),
+        "ngram", heavyGateStore(s, dir))
         .select(col("sketch_n"), col("corpus_n"), col("n_ok"))),
     // streaming maintenance of the heavy-hitter store: batch 0 builds,
     // later micro-batches append their batch-id-ledgered summaries.
@@ -2279,7 +2281,8 @@ object SparkEntry {
       graft.streaming.StreamedBatch.replayIntoHeavyStore(s, docs,
         "doc_id", "doc_id", store, stageKey = Some(s"$dir:documents"),
         resume = true)
-      FreqSketch.heavyTopKExact(TextOps.ngrams(docs, 2), "ngram", store, k = 20)
+      FreqSketch.heavyTopKExact(
+        TextOps.ngrams(FreqSketch.widenToCores(docs), 2), "ngram", store, k = 20)
     }),
     // inverted text index (term → postings, build + 2 ledgered
     // extends): searches read the stored posting lists only, never the

@@ -90,6 +90,20 @@ object FreqSketch {
 
   private def sketchPath(p: String) = s"$p/sketch"
 
+  /** Widen a narrow-partitioned input to the session's parallelism
+    * before a sketch/recount pass: the MG update is embarrassingly
+    * parallel (the merge rule is associative and error-additive), but
+    * a one-file parquet scan hands the whole pass to ONE task — at
+    * gate scale that serialized the sketch (wall ≈ CPU ≈ 6 s
+    * measured, cores idle). Conditional: an input already at or above
+    * core count (any real corpus) passes through untouched, so no
+    * shuffle is added at scale.
+    */
+  def widenToCores(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private def writeShard(items: DataFrame, itemCol: String, path: String,
                          shardId: String, capacity: Int,
                          mode: SaveMode): Unit = {

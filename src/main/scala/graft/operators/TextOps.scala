@@ -622,7 +622,10 @@ object TextOps {
     require(k >= 1 && capacity >= k && maxDoublings >= 0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = ngrams(docs, n)
+    // widen BEFORE the explode: the doc rows shuffle (narrow), the
+    // gram rows never do, and both the sketch pass and the recounts
+    // run at full parallelism instead of one-file-one-task
+    val grams = ngrams(FreqSketch.widenToCores(docs), n)
     var cap = capacity
     var attempt = 0
     var result: Option[Seq[(String, Long)]] = None

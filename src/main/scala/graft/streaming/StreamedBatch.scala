@@ -736,7 +736,9 @@ object StreamedBatch {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          lazy val grams = TextOps.ngrams(batch, n)
+          // widen the doc batch before the explode (narrow shuffle) so
+          // the shard's sketch pass is not one-file-one-task serial
+          lazy val grams = TextOps.ngrams(FreqSketch.widenToCores(batch), n)
           if (id == 0)
             resumableBuild(spark, storePath, resume)(
               FreqSketch.buildHeavyStore(grams, "ngram", storePath, capacity))
