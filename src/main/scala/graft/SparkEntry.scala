@@ -64,6 +64,28 @@ object SparkEntry {
       idx
     })
 
+  /** Per-(JVM, sfDir) memo of the `sim_ann_rebalance` gate's index:
+    * built on the first HALF of vec_ids (quantizer fits that tranche),
+    * extended with the drifted rest, then REBALANCED on the whole
+    * corpus — the OPTIMIZE of the ANN store. The gate then asserts the
+    * post-rebalance index is self-describing again (stored search ==
+    * recompute on the current corpus), the same contract the
+    * build/extend gates pin.
+    */
+  private val annRebalanceMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annRebalanceGateIndex(s: SparkSession, dir: String): String =
+    annRebalanceMemo.computeIfAbsent(dir, _ => {
+      val idx = tempIndexDir("graft-ann-rebalance")
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(max("vec_id")).head().getLong(0) / 2
+      Pq.buildAnnIndex(emb.filter(col("vec_id") <= cut), idx)
+      Pq.extendAnnIndex(emb.filter(col("vec_id") > cut), idx)
+      Pq.rebalanceAnnIndex(emb, idx, coarseIters = 0,
+        centsOpt = Some(trainedCentsMemo(s"$dir#flat16x0",
+          Similarity.coarseCentroids(emb, nlist = 16, iters = 0))))
+      idx
+    })
+
   /** Per-(JVM, sfDir) memo of the exact-Jaccard PAIR SET the survivor-
     * policy gates consume (`cur_keep_best`, `cur_split_leakage_safe`).
     * The miner itself stays measured by its own gates
@@ -2543,6 +2565,20 @@ object SparkEntry {
     // folded in with the frozen quantizers — searching the extended
     // index must equal recomputation over the WHOLE corpus (holds
     // bit-exactly for unrefined books; see annExtendGateIndex)
+    // the OPTIMIZE of the ANN store: drifted extends, then a
+    // quantizer-retraining rewrite (PQ codes kept — only the cell
+    // partitioning changes); the post-rebalance index must be
+    // self-describing again, i.e. stored search == recompute with the
+    // rebalanced quantizer on the current corpus
+    "sim_ann_rebalance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pq.annIndexSelfCheck(emb, emb.filter(col("vec_id") < 5),
+        annRebalanceGateIndex(s, dir), k = 10,
+        centsOpt = Some(trainedCentsMemo(s"$dir#flat16x0",
+          Similarity.coarseCentroids(emb, nlist = 16, iters = 0))),
+        booksOpt = Some(trainedBooksMemo(s"$dir#books8x64x0",
+          Pq.trainedBooks(emb))))
+    }),
     "sim_topk_ann_extend" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // unrefined (iters=0) quantizers are the deterministic lowest-id
@@ -5286,6 +5322,10 @@ object SparkEntry {
     // append-lifecycle contract: build 2/3 + extend 1/3 == from-scratch
     // recompute over the whole corpus (frozen quantizers)
     "sim_topk_ann_extend" ->
+      """SELECT true AS stored_equals_recompute""",
+    // rebalance contract: after the quantizer-retraining rewrite the
+    // index is self-describing again
+    "sim_ann_rebalance" ->
       """SELECT true AS stored_equals_recompute""",
     "stream_ann_extend" ->
       """SELECT true AS stored_equals_recompute""",

@@ -494,18 +494,29 @@ object Pq {
     * recomputed with the identical expression, so cell assignment and
     * probe ranking are bit-equal to build time.
     */
-  private def loadCents(spark: SparkSession, path: String): Array[(Int, Array[Float], Double)] =
-    spark.read.parquet(centsPath(path)).collect()
+  private def loadCents(spark: SparkSession, path: String,
+                        asOf: Option[Int] = None): Array[(Int, Array[Float], Double)] =
+    // manifest-resolved (not a raw directory scan): a REBALANCE
+    // rewrites cents/ and the superseded files stay on disk for the
+    // retention window — a raw read would double them up; this also
+    // makes `asOf` searches see that generation's quantizer, not the
+    // current one
+    graft.util.Manifest.read(spark, path, "cents", asOf).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
       .map { case (cid, v) =>
         (cid, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
       }
 
+  private def loadParams(spark: SparkSession, path: String,
+                         asOf: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    graft.util.Manifest.read(spark, path, "params", asOf)
+
   private def loadBooks(spark: SparkSession, path: String,
-                        m: Int, numCentroids: Int): Array[Array[Array[Double]]] = {
+                        m: Int, numCentroids: Int,
+                        asOf: Option[Int] = None): Array[Array[Array[Double]]] = {
     val books = Array.ofDim[Array[Double]](m, numCentroids)
-    spark.read.parquet(booksPath(path)).collect().foreach { r =>
+    graft.util.Manifest.read(spark, path, "books", asOf).collect().foreach { r =>
       books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
     books
@@ -540,10 +551,60 @@ object Pq {
     // atomically visible (a racing search keeps the previous
     // generation's code files)
     graft.util.Manifest.extend(spark, path, shardId) {
-      val p = spark.read.parquet(paramsPath(path)).collect().head
+      val p = loadParams(spark, path).collect().head
       val cents = loadCents(spark, path)
       val books = loadBooks(spark, path, p.getInt(1), p.getInt(2))
       writeCodes(newEmbeddings, cents, books, path, SaveMode.Append)
+    }
+    ()
+  }
+
+  /** REBALANCE the stored index — the ANN store's OPTIMIZE: retrain
+    * the coarse quantizer on the CURRENT corpus and rewrite the code
+    * table partitioned by the new cells. [[extendAnnIndex]] keeps
+    * centroids frozen (the standard IVF append), which is exact but
+    * drifts: shards far from the build-time distribution crowd into a
+    * few cells, so a fixed `nprobe` budget scans ever-bigger
+    * partitions — the probe-pruning the layout exists for erodes one
+    * append at a time. Rebalancing restores it without touching what
+    * makes answers exact: PQ codebooks are KEPT (codes quantize the
+    * vectors, not the cells — the rewritten code values are
+    * bit-identical; only the partition key changes), and the rerank
+    * stays exact cosine.
+    *
+    * Committed as ONE [[graft.util.Manifest.rewriteFiles]] generation
+    * (drop old params/cents/codes, stage new): racing searches keep
+    * resolving the previous generation, `asOf` searches see that
+    * generation's OWN quantizer (cents/params/books reads are
+    * manifest-pinned), and a crash leaves only unreferenced staging.
+    * Params are rewritten with the rebalance's `coarseIters` so the
+    * index stays self-describing
+    * ([[annIndexSelfCheck]] == recompute-on-current-corpus holds again
+    * after the rebalance, exactly as after a fresh build).
+    */
+  def rebalanceAnnIndex(embeddings: DataFrame, path: String,
+                        coarseIters: Int = 1,
+                        centsOpt: Option[Similarity.Cents] = None): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val snap = graft.util.Manifest.snapshot(spark, path)
+    val p = loadParams(spark, path).collect().head
+    val (nlist, m) = (p.getInt(0), p.getInt(1))
+    val books = loadBooks(spark, path, m, p.getInt(2))
+    val cents = centsOpt.getOrElse(
+      Similarity.coarseCentroids(embeddings, nlist, coarseIters))
+    val old = snap.files.filter(f =>
+      f.startsWith("codes/") || f.startsWith("cents/") ||
+        f.startsWith("params/")).toSet
+    graft.util.Manifest.rewriteFiles(spark, path, drop = old,
+        baseGen = Some(snap.gen)) { stage =>
+      Seq((nlist, m, p.getInt(2), p.getInt(3), p.getInt(4), coarseIters))
+        .toDF("nlist", "m", "num_centroids", "dim", "kmeans_iters", "coarse_iters")
+        .write.mode(SaveMode.Append).parquet(s"$stage/params")
+      cents.toSeq.map { case (cid, v, _) => (cid, v.toSeq) }
+        .toDF("cid", "vec")
+        .write.mode(SaveMode.Append).parquet(s"$stage/cents")
+      writeCodes(embeddings, cents, books, stage, SaveMode.Append)
     }
     ()
   }
@@ -564,12 +625,12 @@ object Pq {
               nprobe: Int = 4, oversample: Int = 12,
               asOf: Option[Int] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val p = spark.read.parquet(paramsPath(path)).collect().head
+    val p = loadParams(spark, path, asOf).collect().head
     val (nlist, m) = (p.getInt(0), p.getInt(1))
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe must be in [1, $nlist], got $nprobe")
-    val cents = loadCents(spark, path)
-    val books = loadBooks(spark, path, m, p.getInt(2))
+    val cents = loadCents(spark, path, asOf)
+    val books = loadBooks(spark, path, m, p.getInt(2), asOf)
     val q = Similarity.withProbeCells(
       queries.select(col("vec_id").as("query_id"), col("embedding"),
         VectorFunctions.norm(col("embedding")).as("q_nrm"),
@@ -613,7 +674,7 @@ object Pq {
                         centsOpt: Option[Similarity.Cents] = None,
                         booksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
-    val pdf = spark.read.parquet(paramsPath(path))
+    val pdf = loadParams(spark, path)
     val p = pdf.collect().head
     // pre-coarse-training indexes have no coarse_iters column — they
     // were built with the untrained sample, i.e. 0 iterations

@@ -205,6 +205,56 @@ class PqSpec extends SparkSuite with Matchers {
     row.head.getBoolean(0) shouldBe true
   }
 
+  test("rebalanceAnnIndex: drifted extends re-balance, answers stay exact, asOf pins the old quantizer") {
+    import spark.implicits._
+    // planted drift: first half clustered near axis 0, second half
+    // near axis 1 — a build on the first half trains centroids that
+    // crowd every later vector into few cells
+    def noise(i: Int, d: Int): Float = ((i * 31 + d * 7) % 13) * 0.5f
+    // first tranche must cover the default 64 PQ sample (codebooks
+    // train on the lowest-id 64 vectors)
+    val a = (0 until 80).map(i => (i.toLong,
+      Seq.tabulate(64)(d => (if (d == 0) 10f else 0f) + noise(i, d))))
+    // the drift tranche shares ONE dominant new axis (so build-time
+    // centroids cram it all into a single cell) but carries four
+    // internal subclusters on secondary axes — structure the
+    // starved-cell splitting can discover once the quantizer retrains
+    val b = (80 until 160).map(i => (i.toLong,
+      Seq.tabulate(64)(d =>
+        (if (d == 1) 10f else 0f) +
+          (if (d == 2 + i % 4) 5f else 0f) + noise(i, d))))
+    val drifted = (a ++ b).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ann-rebal").toString
+    Pq.buildAnnIndex(a.toDF("vec_id", "embedding"), path, nlist = 8)
+    Pq.extendAnnIndex(b.toDF("vec_id", "embedding"), path)
+    def maxCell(asOf: Option[Int] = None): Long =
+      graft.util.Manifest.read(spark, path, "codes", asOf)
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+    val queries = drifted.filter(col("vec_id").isin(0L, 81L))
+    val before = Pq.annTopK(drifted, queries, path, k = 5, nprobe = 8)
+      .orderBy("query_id", "rank").collect()
+    val skewBefore = maxCell()
+    val genBefore = graft.util.Manifest.snapshot(spark, path).gen
+    Pq.rebalanceAnnIndex(drifted, path, coarseIters = 5)
+    // occupancy: the biggest cell shrinks once centroids see the drift
+    maxCell() should be < skewBefore
+    // answers at full probe budget are exhaustive either way — the
+    // rebalance moved partitions, not semantics
+    Pq.annTopK(drifted, queries, path, k = 5, nprobe = 8)
+      .orderBy("query_id", "rank").collect() shouldBe before
+    // self-describing again: stored == recompute on the CURRENT corpus
+    val row = Pq.annIndexSelfCheck(drifted, queries, path, k = 5,
+      nprobe = 8).collect()
+    row.length shouldBe 1
+    row.head.getBoolean(0) shouldBe true
+    // time travel: the pre-rebalance generation still serves with its
+    // OWN quantizer and layout
+    maxCell(Some(genBefore)) shouldBe skewBefore
+    Pq.annTopK(drifted, queries, path, k = 5, nprobe = 8,
+        asOf = Some(genBefore))
+      .orderBy("query_id", "rank").collect() shouldBe before
+  }
+
   test("extendAnnIndex with a shardId is idempotent under re-application") {
     val path = java.nio.file.Files.createTempDirectory("ann-ledger").toString
     val queries = emb.filter(col("vec_id") < 5)
