@@ -535,7 +535,8 @@ object StreamedBatch {
                           orderCol: String, tieCol: String, storePath: String,
                           spanTokens: Int = 16, chunks: Int = 3,
                           stageKey: Option[String] = None,
-                          resume: Boolean = false): Unit = {
+                          resume: Boolean = false,
+                          autoCompactFiles: Int = 0): Unit = {
     import graft.operators.Dedup
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -549,8 +550,15 @@ object StreamedBatch {
           if (id == 0)
             resumableBuild(spark, storePath, resume)(
               Dedup.buildSpanIndex(batch, storePath, spanTokens))
-          else Dedup.extendSpanIndex(batch, storePath, spanTokens,
-            shardId = Some(s"replay-batch-$id"))
+          else {
+            Dedup.extendSpanIndex(batch, storePath, spanTokens,
+              shardId = Some(s"replay-batch-$id"))
+            // flat-store file-count policy
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, storePath,
+                "spans", autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -573,7 +581,8 @@ object StreamedBatch {
                           orderCol: String, tieCol: String, storePath: String,
                           n: Int = 2, chunks: Int = 3,
                           stageKey: Option[String] = None,
-                          resume: Boolean = false): Unit = {
+                          resume: Boolean = false,
+                          autoCompactFiles: Int = 0): Unit = {
     import graft.operators.TextOps
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -587,8 +596,16 @@ object StreamedBatch {
           if (id == 0)
             resumableBuild(spark, storePath, resume)(
               TextOps.buildGramStore(batch, storePath, n))
-          else TextOps.extendGramStore(batch, storePath,
-            shardId = Some(s"replay-batch-$id"))
+          else {
+            TextOps.extendGramStore(batch, storePath,
+              shardId = Some(s"replay-batch-$id"))
+            // flat-store file-count policy (the text-index
+            // autoCompact cadence)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, storePath,
+                "grams", autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

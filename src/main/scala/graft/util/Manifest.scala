@@ -702,6 +702,22 @@ object Manifest {
     }
   }
 
+  /** Threshold-triggered [[compactSub]] — run it only when the live
+    * file count under `sub` exceeds `maxFiles` (a snapshot read
+    * otherwise), the policy the streamed flat-store sinks (gram and
+    * span stores) wire in so a long-running extend loop cannot grow
+    * one file per shard toward a file-listing-bound read. Returns
+    * true when a compaction ran.
+    */
+  def autoCompactSub(spark: SparkSession, path: String, sub: String,
+                     maxFiles: Int, targetFileMB: Int = 128): Boolean = {
+    require(maxFiles >= 1, s"maxFiles must be ≥ 1, got $maxFiles")
+    val live = snapshot(spark, path).files.count(_.startsWith(s"$sub/"))
+    live > maxFiles && {
+      compactSub(spark, path, sub, targetFileMB); true
+    }
+  }
+
   /** Drop manifests older than the newest `retain` generations and
     * every data file only they reference — EXCEPT generations
     * committed within the store's retention horizon, which survive

@@ -393,6 +393,37 @@ class StreamingSpec extends SparkSuite with Matchers {
       .orderBy("doc_id", "probe_id").collect() shouldBe got1
   }
 
+  test("flat-store auto-compaction bounds the streamed gram store's files; answers and time travel unchanged") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val reference = docs.filter(col("doc_id") % 3 =!= 0)
+    val target = docs.filter(col("doc_id") % 3 === 0)
+    val store = java.nio.file.Files.createTempDirectory("stream-gram-compact").toString
+    StreamedBatch.replayIntoGramStore(spark, reference, "doc_id", "doc_id",
+      store, n = 2, chunks = 6, stageKey = Some("gram-compact-spec"),
+      autoCompactFiles = 2)
+    def liveGramFiles(asOf: Option[Int] = None): Int =
+      graft.util.Manifest.snapshot(spark, store, asOf)
+        .files.count(_.startsWith("grams/"))
+    // without the policy, 6 chunks leave ≥ 6 shard files; the policy
+    // holds the live count at the threshold + at most one fresh shard
+    liveGramFiles() should be <= 3
+    // compaction rewrote layout, never rows: the streamed store still
+    // equals from-scratch novelty over everything streamed
+    TextOps.noveltyAgainstStore(target, store).orderBy("doc_id").collect() shouldBe
+      TextOps.noveltyScore(target, reference, n = 2).orderBy("doc_id").collect()
+    // and a retained pre-compaction generation still serves its own
+    // (bigger) layout — compaction retires beyond its retain window,
+    // so probe only generations that survived
+    val snap = graft.util.Manifest.snapshot(spark, store)
+    val head = liveGramFiles()
+    val retained = (0 until snap.gen).filter { g =>
+      try { graft.util.Manifest.snapshot(spark, store, Some(g)); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+    retained.map(g => liveGramFiles(Some(g))).max should be > head
+  }
+
   test("replayIntoSpanIndex: streamed seen-span store == batch lifecycle; " +
       "resume replays into ledgered no-ops") {
     import org.apache.spark.sql.functions.col
