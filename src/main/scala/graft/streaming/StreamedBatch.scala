@@ -404,7 +404,8 @@ object StreamedBatch {
                           strCol: String, indexPath: String,
                           chunks: Int = 3, maxDist: Int = 2,
                           stageKey: Option[String] = None,
-                          resume: Boolean = false): Unit = {
+                          resume: Boolean = false,
+                          autoCompactFiles: Int = 0): Unit = {
     import graft.operators.Dedup
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -419,9 +420,20 @@ object StreamedBatch {
             resumableBuild(spark, indexPath, resume) {
               Dedup.buildEditIndex(batch, strCol, indexPath, maxDist)
             }
-          else
+          else {
             Dedup.extendEditIndex(batch, strCol, indexPath,
               shardId = Some(s"replay-batch-$id"))
+            // flat-store file-count policy on both row subs (segments
+            // are per-string-local — order-free, so a row-preserving
+            // compaction cannot change any probe answer)
+            if (autoCompactFiles > 0) {
+              graft.util.Manifest.autoCompactSub(spark, indexPath,
+                "strs", autoCompactFiles)
+              graft.util.Manifest.autoCompactSub(spark, indexPath,
+                "segs", autoCompactFiles)
+            }
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -424,6 +424,25 @@ class StreamingSpec extends SparkSuite with Matchers {
     retained.map(g => liveGramFiles(Some(g))).max should be > head
   }
 
+  test("edit-index auto-compaction bounds strs/segs files; probe answers unchanged") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val keyed = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("k"))
+    val corpus = keyed.filter(col("doc_id") % 3 =!= 0)
+    val probes = keyed.filter(col("doc_id") % 3 === 0)
+    val store = java.nio.file.Files.createTempDirectory("stream-edit-compact").toString
+    StreamedBatch.replayIntoEditIndex(spark, corpus, "doc_id", "doc_id",
+      "k", store, chunks = 6, stageKey = Some("edit-compact-spec"),
+      autoCompactFiles = 2)
+    val snap = graft.util.Manifest.snapshot(spark, store)
+    snap.files.count(_.startsWith("strs/")) should be <= 3
+    snap.files.count(_.startsWith("segs/")) should be <= 3
+    graft.operators.Dedup.editAcrossIndexed(probes, "k", store)
+      .orderBy("doc_id", "probe_id").collect() shouldBe
+      graft.operators.Dedup.editDistanceJoinAcross(corpus, probes, "k", maxDist = 2)
+        .orderBy("doc_id", "probe_id").collect()
+  }
+
   test("replayIntoSpanIndex: streamed seen-span store == batch lifecycle; " +
       "resume replays into ledgered no-ops") {
     import org.apache.spark.sql.functions.col
