@@ -327,6 +327,35 @@ class ManifestSpec extends SparkSuite {
       Set((1L, "rerun-1"), (2L, "rerun-2")))
   }
 
+  test("compactSub racing an extend: pure maintenance retries past the " +
+      "writer — no rows, generations, or ledger entries are lost") {
+    val p = tmp()
+    Manifest.init(spark, p) { writeRows(p, Seq((1L, "a")), SaveMode.Overwrite) }
+    Manifest.extend(spark, p, Some("s1"), retain = 5) {
+      writeRows(p, Seq((2L, "b")), SaveMode.Append)
+    }
+    // no barrier: extends serialize in-process, and compactSub's own
+    // retry loop is the contract under test — whichever commit loses
+    // re-runs against the new head ("pure maintenance — always safe")
+    val (ra, rb) = race(
+      Manifest.extend(spark, p, Some("s2"), retain = 5) {
+        writeRows(p, Seq((3L, "c")), SaveMode.Append)
+      },
+      Manifest.compactSub(spark, p, "data"))
+    assert(ra == Right(true), s"extend failed: $ra")
+    assert(rb.isRight, s"compactSub failed: $rb")
+    val head = Manifest.snapshot(spark, p)
+    assert(head.applied.contains("s1") && head.applied.contains("s2"))
+    assert(head.files.distinct == head.files, "head references a file twice")
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // a follow-up compaction on the quiesced store lands at one file
+    Manifest.compactSub(spark, p, "data")
+    assert(Manifest.snapshot(spark, p).files.count(_.startsWith("data/")) == 1)
+    assert(Manifest.read(spark, p, "data").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("replace racing an extend of a DIFFERENT sub: both rebase and land") {
     val p = tmp()
     Manifest.init(spark, p) {
