@@ -2212,6 +2212,10 @@ object SparkEntry {
       TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "text_token_bpe" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
+    // tokenizer fertility per language: tokens-per-word under the
+    // GPT-2-family pre-tokenizer — the context-length tax audit
+    "text_bpe_fertility" -> ((s, dir) =>
+      TextOps.bpeFertility(Tables.documents(s, dir), "lang")),
     // TRAINED BPE: the merge table is a function of corpus statistics
     // (no external oracle can re-derive it in SQL), so the gate
     // asserts the model contract as invariant rows — including the
@@ -4892,6 +4896,15 @@ object SparkEntry {
          len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
          len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_marks
          FROM documents""",
+    "text_bpe_fertility" ->
+      """WITH t AS (SELECT lang,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+           len(string_split(text, ' ')) AS ws FROM documents)
+         SELECT lang,
+                CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+                CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+                round(sum(bpe) * 1.0 / sum(ws), 6) AS fertility
+         FROM t GROUP BY 1""",
     // trained-BPE contract rows: each invariant is engine-asserted
     // (the reconciliation crosses the stats row, the merge ledger, the
     // segmentation cache, and a fresh corpus scan); the oracle pins

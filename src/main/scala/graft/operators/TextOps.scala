@@ -438,6 +438,27 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
         .cast("long").as("n_marks"))
 
+  /** Tokenizer fertility per stratum — tokens-per-word by language/
+    * source, THE tokenizer-QA number: a tokenizer tuned on English
+    * typically fragments other languages into far more pieces per
+    * word, which silently taxes their effective context length and
+    * training budget; the per-stratum fertility table is how that tax
+    * is audited before a run. Tokens come from the GPT-2-family
+    * pre-tokenizer counts ([[bpeTokenStats]]'s [[bpePattern]]), words
+    * from the whitespace split. Map-only per-doc counts + one
+    * strata-sized aggregation.
+    */
+  def bpeFertility(docs: DataFrame, stratumCol: String): DataFrame =
+    docs.select(col(stratumCol),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("bpe"),
+        size(split(col("text"), " ")).cast("long").as("ws"))
+      .groupBy(col(stratumCol))
+      .agg(sum(col("bpe")).as("n_bpe_tokens"),
+        sum(col("ws")).as("n_ws_tokens"),
+        round(sum(col("bpe")).cast("double") / sum(col("ws")), 6)
+          .as("fertility"))
+
   // ── trained BPE tokenizer ─────────────────────────────────────────
   //
   // Byte-pair-encoding TRAINING as a distributed operator — the other

@@ -524,6 +524,23 @@ class TextOpsSpec extends SparkSuite with Matchers {
       .collect().foreach(_._4 shouldBe 0.0)
   }
 
+  test("bpeFertility: per-stratum tokens-per-word; punctuation-heavy strata score higher") {
+    val d = Seq(
+      (1L, "en", "plain words here"),            // 3 bpe / 3 ws
+      (2L, "en", "more plain words"),            // 3 / 3
+      (3L, "xx", "it's punct-heavy, truly!")     // splits at every mark
+    ).toDF("doc_id", "lang", "text")
+    val f = TextOps.bpeFertility(d, "lang")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    f("en")._2 shouldBe 6L   // bpe tokens
+    f("en")._3 shouldBe 6L   // ws tokens
+    f("en")._4 shouldBe 1.0
+    // "it's punct-heavy, truly!" → it ' s punct - heavy , truly ! = 9
+    f("xx")._2 shouldBe 9L
+    f("xx")._3 shouldBe 3L
+    f("xx")._4 shouldBe 3.0
+  }
+
   test("gram store: build + extend == from-scratch over the union; asOf scores the retained generation; re-delivery is a no-op") {
     val refA = Seq((10L, "a b c d")).toDF("doc_id", "text")
     val refB = Seq((11L, "c d e")).toDF("doc_id", "text")
