@@ -1893,6 +1893,11 @@ object SparkEntry {
       Curation.leakageSafeSplit(Tables.documents(s, dir),
           jaccardGatePairs(s, dir))
         .select(col("doc_id"), col("lang"), col("split"))),
+    // per-source duplication-rate report over the same mined pairs —
+    // the dedup QA table a curation run publishes with its survivors
+    "cur_dedup_report" -> ((s, dir) =>
+      Dedup.dupReport(Tables.documents(s, dir),
+        jaccardGatePairs(s, dir), "source")),
     "cur_mixture_sample" -> ((s, dir) =>
       Curation.mixtureSample(Tables.documents(s, dir), "lang", "doc_id",
         Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
@@ -4082,6 +4087,28 @@ object SparkEntry {
            CASE WHEN bucket < 52428 THEN 'train'
                 WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS "split"
          FROM b""",
+    // report needs only pair MEMBERSHIP (a doc is dup when it appears
+    // in any mined pair), so the oracle stops at the pair CTE
+    "cur_dedup_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+         dup AS (SELECT doc_a AS doc_id FROM pairs
+                 UNION SELECT doc_b FROM pairs)
+         SELECT d.source, count(*) AS n_docs,
+                count(dup.doc_id) AS n_dup_docs,
+                round(count(dup.doc_id) * 1.0 / count(*), 6) AS dup_rate
+         FROM documents d LEFT JOIN dup USING (doc_id)
+         GROUP BY 1""",
     "cur_keep_best" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(

@@ -1432,6 +1432,27 @@ object Dedup {
       .drop("cid")
   }
 
+  /** Per-stratum duplication report — the dedup QA table: for each
+    * source/language, how many docs sit inside some duplicate
+    * component and what fraction of the stratum that is. This is the
+    * number a curation run publishes next to its survivor counts
+    * (crawl-quality regressions show up as a stratum's dup_rate
+    * jumping between snapshots, feeding the same monitoring loop as
+    * [[graft.operators.TextOps.vocabDivergence]]).
+    *
+    * Scale shape: component labels are output-sized, one id-keyed
+    * join back (AQE broadcasts the small side), then a strata-sized
+    * aggregation — nothing beyond what the dedup itself already paid.
+    */
+  def dupReport(docs: DataFrame, pairs: DataFrame,
+                stratumCol: String): DataFrame =
+    docs.join(dupComponents(pairs), Seq("doc_id"), "left")
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("component_id")).as("n_dup_docs"),
+        round(count(col("component_id")).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"))
+
   def dupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = dupComponents(pairs)
     val sizes = comp.groupBy("component_id").agg(count(lit(1)).as("csz"))

@@ -811,6 +811,20 @@ class DedupSpec extends SparkSuite with Matchers {
       Array("alpha beta gamma delta", "ten eleven twelve")
   }
 
+  test("dupReport: per-stratum dup counts and rates") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val d = Seq(
+      (1L, "web"), (2L, "web"), (3L, "web"), (6L, "web"),   // 3 of 4 dup
+      (4L, "books"), (5L, "books"),                          // 2 of 2 dup
+      (7L, "code")                                           // clean
+    ).toDF("doc_id", "source")
+    val r = Dedup.dupReport(d, pairs, "source")
+      .as[(String, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    r("web") shouldBe (("web", 4L, 3L, 0.75))
+    r("books") shouldBe (("books", 2L, 2L, 1.0))
+    r("code") shouldBe (("code", 1L, 0L, 0.0))
+  }
+
   test("keepBestPerComponent: best-by-ranking survives, singletons always survive, differs from min-id policy") {
     // triangle {1,2,3} where the BEST copy (longest) is 3, pair {4,5}
     // where the best is 4, singletons 6 and 7
