@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scratch measurement harness — NOT part of the library surface.
-  * Current probe: which gates THROW at sf0.1 (Bench used to swallow
-  * exceptions silently, so a throwing gate's board line was cost
-  * without an answer).
+  * Current probe: per-gate wall + executor-CPU for a named gate list
+  * (`args(1)` comma-separated; default the pair-miner family), run
+  * solo in one session — the dev loop for the r13 wall-gap work.
   */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
@@ -17,19 +17,25 @@ object ScratchProbe {
       .appName("scratch").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    var bad = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val n = fn(spark, dir).count()
-        if (n == 0) println(s"[probe] EMPTY $name")
-      } catch {
-        case e: Throwable =>
-          bad += 1
-          println(s"[probe] THROWS $name: ${e.getClass.getSimpleName}: " +
-            s"${Option(e.getMessage).getOrElse("").take(140)}")
-      }
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(Seq("dedup_ngram_jaccard", "dedup_components"))
+    val cpu = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            cpu.addAndGet(te.taskMetrics.executorCpuTime)
+      })
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val c0 = cpu.get(); val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      val w = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // listener drain
+      val c = (cpu.get() - c0) / 1e9
+      println(f"[probe] $name rows=$n wall=$w%.2f s cpu=$c%.1f s")
     }
-    println(s"[probe] done, $bad gates throw at $dir")
     spark.stop()
   }
 }

@@ -344,7 +344,7 @@ object Dedup {
     // the cap guard read nothing else, so the non-prefix tail never
     // hits disk.
     val prefix = snap(dfRankedPostings(sets).filter(
-      col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1))
+      col("pos") < col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1))
     checkShingleDfCap(prefix, maxShingleDf, "ngramJaccard")
     val index =
       if (maxShingleDf <= 0) prefix
@@ -391,7 +391,7 @@ object Dedup {
     // the probe bound (2t/(1+t) ≥ t), cutting the per-shingle match
     // mass by ~1/3 at t = 0.5 with recall untouched.
     val bShort = col("b.pos") <
-      col("b.sz") - ceil(lit(2 * threshold / (1 + threshold)) * col("b.sz")) + 1
+      col("b.sz") - ceil(lit(2 * threshold / (1 + threshold)) * col("b.sz") - 1e-9) + 1
     val aProbesB =
       col("b.sz") < col("a.sz") ||
         (col("b.sz") === col("a.sz") && col("b.doc_id") < col("a.doc_id"))
@@ -456,7 +456,7 @@ object Dedup {
     val full = snap(posts.join(dfTab, "h")
       .withColumn("pos", row_number().over(w) - 1))
     val prefix = full.filter(
-      col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      col("pos") < col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
     // the smaller set's prefix probes the OTHER side's full postings
     // (size ties break on (side, id) so each cross pair generates once)
     val smallerFirst =
@@ -765,7 +765,7 @@ object Dedup {
     // tracks rare-shingle df², not the dense tail
     val full = snap(dfRankedPostings(sets))
     val prefix = full.filter(
-      col("pos") < col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      col("pos") < col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
     // the smaller set's prefix probes the full index (size ties break
     // by id so each unordered pair is generated exactly once).
     // PER-MATCH positional predicate pushed into the join (see
@@ -1887,6 +1887,12 @@ object Dedup {
       s"containmentAcrossIndexed: threshold must be in (0, 1], got $threshold")
     val spark = probes.sparkSession
     val ps = snap(hashedShingles(probes, n))
+    // ONE store generation for the whole probe: sets / dftab / postings
+    // must come from the same committed snapshot, or a concurrent
+    // extend landing mid-probe can surface postings whose docs are
+    // absent from an older sets read — the verification join would
+    // then silently drop those pairs instead of scoring them.
+    val asOf = Some(graft.util.Manifest.snapshot(spark, path).gen)
     // dense-regime path choice, same statistic as ngramContainmentAcross
     // (the CURRENT stored corpus df, not the frozen order — the frozen
     // order is a correctness device, the decision wants live cost):
@@ -1894,7 +1900,7 @@ object Dedup {
     // small-side prefix, the posting join is Θ(nc·np) anyway and the
     // rectangle-blocked verification over the STORED sets does the
     // same merges without the posting join + candidate distinct.
-    val csetsAll = graft.util.Manifest.read(spark, path, "sets")
+    val csetsAll = graft.util.Manifest.read(spark, path, "sets", asOf)
     val (nc, np, density) = crossOverlapDensity(csetsAll, ps)
     if (sys.env.contains("GRAFT_PROBE"))
       println(f"[probe]   containmentAcrossIndexed nc=$nc np=$np " +
@@ -1903,11 +1909,11 @@ object Dedup {
     if (density * (1 - threshold) >= denseOverlapCutoff)
       return scoreAcrossAllPairs(allPairsBlockedAcross(csetsAll, nc, ps, np),
         threshold)
-    val dftab = graft.util.Manifest.read(spark, path, "dftab")
+    val dftab = graft.util.Manifest.read(spark, path, "dftab", asOf)
     val pposts = snap(frozenRankedPostings(ps, dftab))
-    val cposts = graft.util.Manifest.read(spark, path, "postings")
+    val cposts = graft.util.Manifest.read(spark, path, "postings", asOf)
     def plen(sz: org.apache.spark.sql.Column) =
-      sz - ceil(lit(threshold) * sz) + 1
+      sz - ceil(lit(threshold) * sz - 1e-9) + 1
     val smallerIsProbe = col("p.sz") <= col("c.sz")
     val prefixOk =
       (smallerIsProbe && col("p.pos") < plen(col("p.sz"))) ||
@@ -1923,9 +1929,8 @@ object Dedup {
         col("c.h") === col("p.h") && prefixOk && alphaOk)
       .select(col("c.doc_id").as("doc_id"), col("p.doc_id").as("probe_id"))
       .distinct()
-    val csets = graft.util.Manifest.read(spark, path, "sets")
     cand
-      .join(csets.select(col("doc_id"), col("hs").as("hs_c")), "doc_id")
+      .join(csetsAll.select(col("doc_id"), col("hs").as("hs_c")), "doc_id")
       .join(ps.select(col("doc_id").as("probe_id"), col("hs").as("hs_p")),
         "probe_id")
       .select(col("doc_id"), col("probe_id"),
@@ -2020,11 +2025,16 @@ object Dedup {
   def editAcrossIndexed(probes: DataFrame, strCol: String,
                         path: String): DataFrame = {
     val spark = probes.sparkSession
-    val d = graft.util.Manifest.read(spark, path, "params")
+    // one committed generation for params/segs/strs — a concurrent
+    // extend must not leave candidates (segs) pointing at strings the
+    // verification scan (strs) hasn't seen (same contract as
+    // [[containmentAcrossIndexed]])
+    val asOf = Some(graft.util.Manifest.snapshot(spark, path).gen)
+    val d = graft.util.Manifest.read(spark, path, "params", asOf)
       .head().getInt(0)
     val ps = editStrings(probes, strCol, "doc_id")
-    val segs = graft.util.Manifest.read(spark, path, "segs")
-    val cstrs = graft.util.Manifest.read(spark, path, "strs")
+    val segs = graft.util.Manifest.read(spark, path, "segs", asOf)
+    val cstrs = graft.util.Manifest.read(spark, path, "strs", asOf)
     val cand = segs.select(col("doc_id"), col("slot"), col("m"), col("h"))
       .join(editSubstrings(ps, d).select(col("doc_id").as("probe_id"),
         col("slot"), col("m"), col("h")), Seq("h", "slot", "m"))

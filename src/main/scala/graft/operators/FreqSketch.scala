@@ -185,20 +185,22 @@ object FreqSketch {
     * plain GROUP BY would pay never happens), their counts recount
     * exactly over `items`, and the answer is provably the true top-k
     * whenever the k-th count clears the merged error bound. That
-    * condition is ENFORCED, not assumed — but a shortfall now REPAIRS
-    * instead of refusing: the store can't be rebuilt at serving time,
-    * so the serve falls back to the exact full `GROUP BY` top-k over
-    * `items` (the corpus-distinct-sized aggregation the sketch
-    * normally avoids) with a loud warning. The fallback only fires in
-    * the regime where it is affordable — a vocabulary small/uniform
-    * enough to defeat the capacity is small enough to aggregate
-    * exactly; on Zipfian corpora at scale the bound holds and the
-    * candidate path serves. Never a silently incomplete "exact"
-    * answer either way (at gate scale the candidate-path margin is
-    * also spec-asserted; ties break by item text).
+    * condition is ENFORCED, not assumed: a shortfall REFUSES by
+    * default (the store can't be rebuilt at serving time, and the
+    * corpus-distinct-sized `GROUP BY` the sketch exists to avoid must
+    * not fire implicitly at production scale). A caller that knows its
+    * vocabulary is small may opt into the exact full-aggregation
+    * fallback by passing `exactFallbackMaxDistinct` > 0 — and even
+    * then the fallback only fires after an `approx_count_distinct`
+    * probe confirms the vocabulary is under that budget, so
+    * "affordable" is measured, not asserted. Never a silently
+    * incomplete "exact" answer on any path (at gate scale the
+    * candidate-path margin is also spec-asserted; ties break by item
+    * text).
     */
   def heavyTopKExact(items: DataFrame, itemCol: String, path: String,
-                     k: Int): DataFrame = {
+                     k: Int,
+                     exactFallbackMaxDistinct: Long = 0L): DataFrame = {
     val spark = items.sparkSession
     val (merged, _, bound) = mergedSketch(spark, path)
     val cands = merged.keys.toSeq
@@ -213,17 +215,36 @@ object FreqSketch {
     // completeness: every item with true count > bound survives in the
     // merged sketch, so if the recounted k-th candidate clears the
     // bound, no non-candidate can out-count it — the top-k is the true
-    // top-k. k-th below the bound means candidates may be missing —
-    // serve the exact aggregation instead.
+    // top-k. k-th below the bound means candidates may be missing.
     val proven = top.lastOption.forall(_._2.toDouble > bound)
     if (proven) top.toSeq.toDF(itemCol, "cnt")
     else {
+      val kth = top.lastOption.map(_._2).getOrElse(0L)
+      require(exactFallbackMaxDistinct > 0, f"heavyTopKExact: k-th " +
+        f"recounted count $kth does not clear the merged sketch error " +
+        f"bound $bound%.1f — store capacity is too small for this " +
+        "corpus. Rebuild the store with a larger capacity, or opt into " +
+        "the exact full-aggregation fallback by passing " +
+        "exactFallbackMaxDistinct (a distinct-vocabulary budget you " +
+        "can afford to GROUP BY).")
+      // measured guard: HLL distinct estimate (map-side partials, tiny
+      // shuffle) — orders of magnitude cheaper than the exact agg it
+      // gates, and it refuses loudly when the vocabulary is genuinely
+      // too large rather than launching an unbounded aggregation
+      val distinctEst =
+        items.agg(approx_count_distinct(col(itemCol)).as("d"))
+          .head().getLong(0)
+      require(distinctEst <= exactFallbackMaxDistinct,
+        s"heavyTopKExact: exact fallback refused — estimated distinct " +
+          s"items $distinctEst exceeds the opted-in budget " +
+          s"$exactFallbackMaxDistinct; rebuild the store with a larger " +
+          "capacity instead")
       org.apache.log4j.Logger.getLogger(getClass).warn(
-        s"heavyTopKExact: k-th recounted count ${top.last._2} does not " +
-          f"clear the merged sketch error bound $bound%.1f — store " +
-          "capacity is too small for this corpus; serving the exact " +
-          "full-aggregation top-k instead (consider rebuilding the " +
-          "store with a larger capacity)")
+        s"heavyTopKExact: k-th recounted count $kth does not clear the " +
+          f"merged sketch error bound $bound%.1f — serving the exact " +
+          s"full-aggregation top-k (estimated distinct $distinctEst ≤ " +
+          s"budget $exactFallbackMaxDistinct); consider rebuilding the " +
+          "store with a larger capacity")
       items.groupBy(itemCol).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col(itemCol)).limit(k)
     }

@@ -591,6 +591,21 @@ object Pq {
     val p = loadParams(spark, path).collect().head
     val (nlist, m) = (p.getInt(0), p.getInt(1))
     val books = loadBooks(spark, path, m, p.getInt(2))
+    // loud refusal (the store's guard idiom): codes/ is rewritten
+    // solely from the caller's frame, so that frame must be EXACTLY
+    // the indexed build+extend union — an id-set anti-check both ways,
+    // or indexed vectors silently vanish from (or strangers appear in)
+    // the store with no reconciliation
+    val oldIds = graft.util.Manifest
+      .read(spark, path, "codes", Some(snap.gen)).select("vec_id")
+    val newIds = embeddings.select("vec_id")
+    val vanished = oldIds.exceptAll(newIds).count()
+    val appeared = newIds.exceptAll(oldIds).count()
+    require(vanished == 0 && appeared == 0,
+      s"rebalanceAnnIndex: embeddings frame does not match the indexed " +
+        s"corpus ($vanished indexed vec_ids missing from the frame, " +
+        s"$appeared frame vec_ids not in the index) — pass exactly the " +
+        "build+extend union; use extendAnnIndex to add vectors")
     val cents = centsOpt.getOrElse(
       Similarity.coarseCentroids(embeddings, nlist, coarseIters))
     val old = snap.files.filter(f =>

@@ -41,4 +41,31 @@ class FreqSketchSpec extends SparkSuite with Matchers {
       c should be <= truth
     }
   }
+
+  test("heavyTopKExact: an unprovable bound REFUSES by default; the exact " +
+      "fallback is opt-in and itself guarded by a measured distinct budget") {
+    // uniform vocabulary that defeats a tiny capacity: 30 items × 2,
+    // capacity 2 → merged bound N/(cap+1) = 20 ≫ every true count, so
+    // the completeness condition can never be proven
+    val items = (0 until 30).flatMap(i => Seq.fill(2)(f"w$i%02d"))
+      .toDF("item")
+    val store = java.nio.file.Files.createTempDirectory("heavy-guard-").toString
+    FreqSketch.buildHeavyStore(items, "item", store, capacity = 2)
+    // default: loud refusal, never an implicit corpus-sized GROUP BY
+    val ex = intercept[IllegalArgumentException] {
+      FreqSketch.heavyTopKExact(items, "item", store, k = 5)
+    }
+    ex.getMessage should include("opt into")
+    // opted-in with a sufficient budget: the exact aggregation serves
+    val got = FreqSketch.heavyTopKExact(items, "item", store, k = 5,
+        exactFallbackMaxDistinct = 100)
+      .as[(String, Long)].collect().toSeq
+    got shouldBe (0 until 5).map(i => (f"w$i%02d", 2L))
+    // opted-in but the measured vocabulary exceeds the budget: refused
+    val ex2 = intercept[IllegalArgumentException] {
+      FreqSketch.heavyTopKExact(items, "item", store, k = 5,
+        exactFallbackMaxDistinct = 5)
+    }
+    ex2.getMessage should include("exceeds the opted-in budget")
+  }
 }

@@ -253,6 +253,20 @@ class PqSpec extends SparkSuite with Matchers {
     Pq.annTopK(drifted, queries, path, k = 5, nprobe = 8,
         asOf = Some(genBefore))
       .orderBy("query_id", "rank").collect() shouldBe before
+    // reconciliation guard: a frame that is NOT the indexed
+    // build+extend union is refused loudly — codes/ is rewritten from
+    // the caller's frame, so a subset would silently drop indexed
+    // vectors and a superset would smuggle unindexed ones in
+    val exSub = intercept[IllegalArgumentException] {
+      Pq.rebalanceAnnIndex(drifted.filter(col("vec_id") < 150), path)
+    }
+    exSub.getMessage should include("does not match the indexed corpus")
+    val exSup = intercept[IllegalArgumentException] {
+      Pq.rebalanceAnnIndex(drifted.unionByName(
+        drifted.filter(col("vec_id") === 0L)
+          .withColumn("vec_id", lit(999L))), path)
+    }
+    exSup.getMessage should include("does not match the indexed corpus")
   }
 
   test("extendAnnIndex with a shardId is idempotent under re-application") {
