@@ -37,6 +37,15 @@ object VectorFunctions {
     ColumnBridge.column(
       SortedIntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Early-exit [[sortedIntersectSize]]: exact count when ≥ `minInter`,
+    * -1 as soon as the remaining elements cannot reach it (see
+    * [[SortedIntersectAtLeast]]).
+    */
+  def sortedIntersectAtLeast(a: Column, b: Column, minInter: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectAtLeast(ColumnBridge.expression(a),
+        ColumnBridge.expression(b), ColumnBridge.expression(minInter)))
+
   /** Min + second-min MinHash values per seeded hash function over a
     * shingle-hash array (one-pass kernel; see [[MinHashMins]]).
     */

@@ -262,16 +262,19 @@ object Dedup {
     // the *input* is small — even though the pipelined join fan-out
     // downstream is thousands of rows per input row.
     //
-    // The shingle kernel runs BELOW the exchange: callers that use the
-    // same `sets` plan several times (signature agg + prefix index +
-    // both verification fetches) then share ONE shuffle's output via
-    // exchange/stage reuse instead of re-running the kernel per use —
-    // the shuffle carries the hash arrays (8·|shingles| bytes/doc),
-    // the same order of size as the text itself.
+    // The shingle kernel runs ABOVE the exchange (r13): the exchange
+    // carries raw text — the same order of bytes as the hash arrays —
+    // and the kernel then runs at full shuffle parallelism instead of
+    // one task per input file (the FreqSketch.widenToCores lesson: a
+    // one-file corpus otherwise serializes the single most expensive
+    // map of the whole miner). Re-use across consumers is NOT lost:
+    // every caller snap()s this frame, so the kernel runs once into
+    // the snapshot either way.
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    docs.select(col("doc_id"),
-      graft.functions.VectorFunctions.shingleHashes(col("text"), n).as("hs"))
+    docs.select(col("doc_id"), col("text"))
       .repartition(parts, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.shingleHashes(col("text"), n).as("hs"))
   }
 
   /** Exact n-gram Jaccard similarity for every pair at or above the
@@ -314,6 +317,26 @@ object Dedup {
     // (BENCH_r11 12× wall regression). Eager by design — same
     // contract as [[dupComponents]].
     val sets = snap(hashedShingles(docs, n))
+    // OVERLAPPED stage chain (r13): the indexed path's prefix snapshot
+    // and the density statistic both derive from `sets` alone and are
+    // independent of each other — the prefix write starts
+    // SPECULATIVELY on a second thread while the driver runs the
+    // density jobs (Spark sessions schedule concurrent jobs fine; the
+    // two writes target distinct UUID dirs). The sparse branch (the
+    // overwhelmingly common one — dense is the n²-output regime) then
+    // finds its snapshot already built; the dense branch awaits and
+    // retires the wasted write, a cost strictly smaller than the
+    // all-pairs verification it is about to run.
+    //
+    // prefix length |d| - ceil(t*|d|) + 1 (exact-recall bound), taken
+    // over the df-ascending order: each doc's prefix is its RAREST
+    // shingles. Only PREFIX rows are snapshotted — the self-join and
+    // the cap guard read nothing else, so the non-prefix tail never
+    // hits disk.
+    val prefixFut = scala.concurrent.Future {
+      writeThroughAt(dfRankedPostings(sets).filter(
+        col("pos") < col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1))
+    }(scala.concurrent.ExecutionContext.global)
     val (nDocs, density) = overlapDensity(sets)
     // Cost-based path choice (see [[denseOverlapCutoff]]): when the
     // expected PREFIX-JOIN overlap of a random pair reaches ~1,
@@ -330,21 +353,25 @@ object Dedup {
     if (sys.env.contains("GRAFT_PROBE"))
       println(f"[probe]   ngramJaccard n=$nDocs density=$density%.3f " +
         f"prefixDensity=$prefixDensity%.3f dense=${prefixDensity >= denseOverlapCutoff}")
-    if (maxShingleDf <= 0 && prefixDensity >= denseOverlapCutoff)
+    if (maxShingleDf <= 0 && prefixDensity >= denseOverlapCutoff) {
+      // retire the speculative snapshot once (if) it lands; a failed
+      // speculative write is irrelevant to this branch
+      prefixFut.onComplete {
+        case scala.util.Success((_, p)) => dropSnapshot(docs.sparkSession, p)
+        case _ => ()
+      }(scala.concurrent.ExecutionContext.global)
       scoreAllPairs(allPairsBlocked(sets, nDocs), threshold,
         jaccard = true)
-    else jaccardIndexed(sets, threshold, maxShingleDf)
+    } else {
+      val prefix = scala.concurrent.Await
+        .result(prefixFut, scala.concurrent.duration.Duration.Inf)._1
+      jaccardIndexed(sets, prefix, threshold, maxShingleDf)
+    }
   }
 
-  private def jaccardIndexed(sets: DataFrame, threshold: Double,
+  private def jaccardIndexed(sets: DataFrame, prefix: DataFrame,
+                             threshold: Double,
                              maxShingleDf: Int): DataFrame = {
-    // prefix length |d| - ceil(t*|d|) + 1 (exact-recall bound), taken
-    // over the df-ascending order: each doc's prefix is its RAREST
-    // shingles. Only PREFIX rows are snapshotted — the self-join and
-    // the cap guard read nothing else, so the non-prefix tail never
-    // hits disk.
-    val prefix = snap(dfRankedPostings(sets).filter(
-      col("pos") < col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1))
     checkShingleDfCap(prefix, maxShingleDf, "ngramJaccard")
     val index =
       if (maxShingleDf <= 0) prefix
@@ -401,14 +428,50 @@ object Dedup {
     // duplicate matches straight into the fetch joins (whose shuffled
     // rows carry the full hash arrays, so redundancy there is paid in
     // array bytes, not 16-byte pair keys)
-    val cand = index.as("a")
+    // widen the PROBE scan: the prefix snapshot is small in BYTES
+    // (8-byte keys), so file-combining packs it into one or two scan
+    // tasks — but the join fans each row out to its full match mass
+    // (16.5M rows at sf0.1), which would then burn in a single thread.
+    // Explicit num-partitions exchange (AQE never coalesces those);
+    // the build side stays a plain scan — it's one broadcast task
+    // either way.
+    // ROUND-ROBIN widen, deliberately not hash-by-h: the fan-out is
+    // heaviest exactly on the hot shingles, so a hash exchange lands
+    // the hot keys together (measured +0.5 s at sf0.1); round-robin
+    // spreads them evenly and the local sort it pays is over narrow
+    // 8-byte-key rows
+    val cand = widenToCores(index).as("a")
       .join(index.as("b"),
         col("a.h") === col("b.h") && aProbesB && bShort &&
           sizeOk && alphaOk)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      // EXPLICIT pair exchange feeding the distinct: the user
+      // repartition already satisfies the aggregate's clustering, so
+      // no second exchange is planned, the distinct fuses into the
+      // SAME stage as the verification joins, and — being
+      // REPARTITION_BY_NUM — AQE cannot coalesce the verify stage to
+      // one task the way it did the plain distinct's 24 MB output.
+      // Trade: the match rows shuffle pre-dedup (16-byte keys), one
+      // stage wave and one exchange fewer.
+      .repartition(index.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
       .distinct()
-    verifyJaccard(cand, sets, threshold)
+    verifyJaccard(cand, sets, threshold, widen = false)
+  }
+
+  /** Spread a compute-dense frame across the session's cores with an
+    * EXPLICIT-width round-robin exchange. AQE sizes stages by shuffle
+    * BYTES, and the pair miners' hot frames are byte-light but
+    * compute-heavy (16-byte candidate pairs each costing an array
+    * merge; tiny prefix rows each fanning out into thousands of join
+    * matches) — left to the coalescer they collapse into one task.
+    * An explicit partition count is exempt from AQE coalescing by
+    * contract, and the shuffle it adds moves only the narrow keys.
+    */
+  private def widenToCores(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(parts)
   }
 
   /** CROSS-SET [[ngramContainment]] — pairs (corpus doc, probe doc)
@@ -520,10 +583,15 @@ object Dedup {
     val posts = sets.select(col("doc_id"), size(col("hs")).as("sz"),
         explode_outer(col("hs")).as("h"))
       .filter(col("h").isNotNull)
-    val dfTab = posts.groupBy("h").agg(count(lit(1)).as("df"))
+    // df as a WINDOW count over h rather than groupBy + re-join: one
+    // shuffle of the postings (by h) instead of two (agg by h, then
+    // the join re-shuffling the posting side) — at the corpus sizes
+    // where this build dominates, dropping a full shuffle stage wave
+    // is a direct wall win and the aggregate is identical
+    val withDf = posts.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    posts.join(dfTab, "h")
-      .withColumn("pos", row_number().over(w) - 1)
+    withDf.withColumn("pos", row_number().over(w) - 1)
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:
@@ -536,17 +604,39 @@ object Dedup {
     * [[hashedShingles]] exchange with the candidate-generation stage.
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame,
-                            threshold: Double): DataFrame =
-    cand
+                            threshold: Double,
+                            widen: Boolean = true): DataFrame = {
+    // EARLY-EXIT merge: jaccard ≥ t needs inter ≥ t·(szA+szB)/(1+t);
+    // with the round(·,6) in the output filter a row can pass with
+    // jaccard as low as t − 5e-7, so the bound is taken at t − 1e-6
+    // (strictly looser) and survivors still face the EXACT original
+    // filter — identical answers, but the millions of non-qualifying
+    // candidates bail out of the merge the moment the remaining
+    // elements cannot reach the bound instead of walking both arrays.
+    val tSafe = math.max(threshold - 1e-6, 0.0)
+    val need = greatest(lit(0L), ceil(
+      lit(tSafe / (1 + tSafe)) *
+        (size(col("hs_a")) + size(col("hs_b"))).cast("double") - 1e-9))
+    // widen the candidate set before the merge-verification: its bytes
+    // (16/pair) invite AQE to coalesce the distinct output to one
+    // partition, but each row costs an O(|A|+|B|) array merge — the
+    // whole verification would run single-threaded (measured: the
+    // sf0.1 wall sat at 5.8× CPU/32 with exactly this stage serial).
+    // Callers that already feed an AQE-exempt explicit exchange pass
+    // widen = false and skip the redundant shuffle.
+    (if (widen) widenToCores(cand) else cand)
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        graft.functions.VectorFunctions.sortedIntersectSize(col("hs_a"), col("hs_b")).as("inter"),
+        graft.functions.VectorFunctions.sortedIntersectAtLeast(
+          col("hs_a"), col("hs_b"), need).as("inter"),
         size(col("hs_a")).cast("long").as("sz_a"), size(col("hs_b")).cast("long").as("sz_b"))
+      .filter(col("inter") >= 0)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** Dense-regime cutoff for the ngram pair operators' cost-based
     * path choice. The base statistic is the EXPECTED shingle-hash
@@ -580,12 +670,15 @@ object Dedup {
     * the df aggregate is vocabulary-sized.
     */
   private[graft] def overlapDensity(sets: DataFrame): (Long, Double) = {
+    val t0 = System.nanoTime()
     val n = sets.count()
     if (n < 2) return (n, 0.0)
     val m2 = sets.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)))
       .head().getLong(0)
+    if (sys.env.contains("GRAFT_PROBE"))
+      println(f"[probe]   overlapDensity ${(System.nanoTime() - t0) / 1e9}%.2f s")
     (n, m2.toDouble / (n.toDouble * (n - 1)))
   }
 
