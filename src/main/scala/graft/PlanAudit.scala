@@ -30,9 +30,14 @@ object PlanAudit {
   // recall), and the check embeds the brute-force reference — both the
   // sim_topk_bruteforce shape; the at-scale composition swaps the scan
   // for ivfTopK over projected vectors.
+  // sim_pairs_auto / sim_knn_auto: the dispatcher's COST-CHOSEN exact
+  // arm at this n — the all-pairs scan is the decision, not an
+  // accident (the banded arm is gated separately via
+  // sim_pairs_auto_banded, which plans the bucketed equi-join).
   private val allPairsByDesign =
     Set("sim_pairs_threshold", "dedup_simhash_pairs", "sim_topk_bruteforce",
-      "sim_topk_pq", "sim_topk_ivf_check", "sim_topk_pca")
+      "sim_topk_pq", "sim_topk_ivf_check", "sim_topk_pca",
+      "sim_pairs_auto", "sim_knn_auto")
   private val streaming =
     Set("stream_gold_candles_1m", "stream_silver_typed", "stream_spread_join",
       "stream_threshold_alerts", "stream_sessions", "stream_silver_dedup",

@@ -27,7 +27,7 @@ object ScaleProbe {
     // optional third arg: comma-separated section filter
     // (lsh,ngram,edit,bloom,cdc) — default all
     val sections = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("lsh", "ngram", "edit", "bloom", "cdc"))
+      .getOrElse(Set("lsh", "ngram", "edit", "bloom", "cdc", "dispatch"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,6 +67,25 @@ object ScaleProbe {
     val mpFound = mp.select("id_a", "id_b")
       .join(exact.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
     println(s"""{"probe":"lsh_recall","fixed_pairs":$fixed,"scaled_pairs":$scaled,"scaled_multiprobe_pairs":$mpN,"exact_pairs":$exactN,"scaled_found_of_exact":$found,"multiprobe_found_of_exact":$mpFound}""")
+    }
+
+    if (sections("dispatch")) {
+      // the r12-task-2 dispatcher: print BOTH cost-model stages
+      // (analytic uniform estimate + measured collision mass) at this
+      // corpus size for the low- and high-threshold regimes, then RUN
+      // the chosen path so the decision's cost lands in the record.
+      // Expected: exact at t=0.4 everywhere (recall bar); at t=0.9 the
+      // MEASURED mass keeps exact until the genuine crossover
+      // (n ≈ 10⁵⁺ — at n = 20k exact all-pairs still beats banded on
+      // the planted corpus, r12 table), where uniform-analytic alone
+      // would have flipped a decade early and lost.
+      for (t <- Seq(0.4, 0.9)) {
+        val d = Similarity.dispatchFor(emb, t)
+        println(f"""{"probe":"dispatch_plan","n":$n,"threshold":$t,"exact":${d.exact},"planes":${d.plan.numPlanes},"bands":${d.plan.bands},"est_recall":${d.plan.recall}%.4f,"exact_cost":${d.plan.exactCost}%.4g,"uniform_banded_cost":${d.plan.bandedCost}%.4g,"measured_mass":${d.mass},"measured_banded_cost":${d.measuredBandedCost}%.4g}""")
+        val pairs = timed(f"dispatch_auto_t$t%.1f")(
+          Similarity.similarPairsAuto(emb, t).count())
+        println(s"""{"probe":"dispatch_result","threshold":$t,"pairs":$pairs}""")
+      }
     }
 
     val docs = graft.util.Tables.documents(spark, dir)

@@ -2720,6 +2720,27 @@ object SparkEntry {
       Similarity.knnJoin(emb, 0.4, k = 3, numPlanes = planes, bands = bands,
         multiProbe = true)
     }),
+    // the COST-BASED dispatcher (r12 task 2): the engine itself picks
+    // exact vs occupancy-scaled banded mining from n, threshold, and
+    // the analytic recall bound — at t=0.4 the recall bar forces the
+    // exact path at every sf (dense mining is output-bound; measured
+    // r12), at t=0.9 and large n it hands the banded path its
+    // near-linear win (ScaleProbe `dispatch` section). The oracle is
+    // the same exact pair set either way.
+    "sim_pairs_auto" -> ((s, dir) =>
+      Similarity.similarPairsAuto(Tables.embeddings(s, dir), 0.4)),
+    // the BANDED branch of the same dispatcher, hash-pinned: force the
+    // branch the cost model would not take at this n so both arms of
+    // the dispatch are driver-verified against one oracle (the scaled
+    // multi-probe geometry holds recall 1.0 at this sf —
+    // sim_lsh_scaled's standing claim, re-derived every run)
+    "sim_pairs_auto_banded" -> ((s, dir) =>
+      Similarity.similarPairsAuto(Tables.embeddings(s, dir), 0.4,
+        force = Some(false))),
+    // kNN through the dispatcher — the serving-shaped operator whose
+    // pair-mining stage the cost model routes
+    "sim_knn_auto" -> ((s, dir) =>
+      Similarity.knnJoinAuto(Tables.embeddings(s, dir), 0.4, k = 3)),
   )
 
   /** Exact n-gram-Jaccard pair SQL over ALL documents — the shared
@@ -5413,6 +5434,13 @@ object SparkEntry {
     // ranking over them equals the exact kNN answer — same oracle as
     // sim_knn_join, at the n-derived geometry
     "sim_knn_scaled" -> knnJoinSql,
+    // the dispatcher's two arms against ONE oracle: the natural choice
+    // at this n is the exact scan (cost), the forced arm is the scaled
+    // banded geometry at its standing recall-1.0 sf — both must equal
+    // the exact pair set
+    "sim_pairs_auto" -> exactCosinePairsSql,
+    "sim_pairs_auto_banded" -> exactCosinePairsSql,
+    "sim_knn_auto" -> knnJoinSql,
     // cross-set kNN at the recall-1.0 LSH config: the oracle is the
     // exact query×corpus cosine ranking (queries = vec_id%5==0,
     // corpus = the rest)

@@ -444,6 +444,178 @@ object Similarity {
     (bands * r, bands)
   }
 
+  /** Analytic recall LOWER BOUND of banded hyperplane LSH for a pair
+    * at cosine exactly `threshold` (higher-cosine pairs only do
+    * better): per-plane agreement `p = 1 − arccos(t)/π` (Goemans–
+    * Williamson), per-band hit `p^r` — plus the r distance-1 probes'
+    * `r·p^(r−1)(1−p)` when multi-probing — and a pair is found when
+    * any of the `bands` bands hits.
+    */
+  private[graft] def bandRecall(threshold: Double, r: Int, bands: Int,
+                                multiProbe: Boolean): Double = {
+    val t = math.min(1.0, math.max(-1.0, threshold))
+    val p = 1.0 - math.acos(t) / math.Pi
+    val hit = math.pow(p, r) +
+      (if (multiProbe) r * math.pow(p, r - 1) * (1 - p) else 0.0)
+    1.0 - math.pow(1.0 - math.min(1.0, hit), bands)
+  }
+
+  /** The exact-vs-banded decision for threshold pair mining over `n`
+    * vectors — the cost model behind [[similarPairsAuto]], mirroring
+    * [[Dedup.ngramJaccard]]'s dense-regime dispatch. Costs are in
+    * dot-product equivalents: exact `n(n−1)/2`; banded = the signature
+    * pass `n·numPlanes` plus expected candidate verifications
+    * `bands·(1+r)·n·occ/2` (each of a vector's `(1+r)` bucket rows per
+    * band meets ~`occ` base rows under occupancy-scaled geometry; a
+    * random pair agrees on a plane with p≈1/2, so random collisions —
+    * not near-dups — dominate the estimate). The banded path is chosen
+    * only when it is BOTH cheaper and above `recallBar` at the scaled
+    * geometry: low thresholds force coarse bands to such low recall
+    * that exact mining is the honest winner there (measured: at t=0.4
+    * the exact path beat the scaled geometry at every probed sf —
+    * dense pair mining is output-bound), while high thresholds at
+    * large n hand the banded path its near-linear win.
+    */
+  case class PairPlan(exact: Boolean, numPlanes: Int, bands: Int,
+                      recall: Double, exactCost: Double, bandedCost: Double)
+
+  /** Per-candidate overhead of the banded path relative to one
+    * codegen'd dot product of the exact scan — the cost-model constant
+    * (the `cpu_tuple_cost` idiom): a banded candidate pays exploded
+    * bucket-row structs, the equi-join probe, the pair distinct's hash
+    * aggregation and the two vector-fetch joins, where the exact scan
+    * pays one tight broadcast-loop dot. Calibrated r13 on the planted
+    * sf1 corpus: banded ≈ 20 µs per cost unit vs exact ≈ 2 µs
+    * (628 CPU-s over 3.1e7 units vs 391 over 2.0e8). Without it the
+    * model flips to banded a decade before the real crossover.
+    */
+  @volatile var bandedRowCostFactor: Double = 10.0
+
+  def pairPlanFor(n: Long, threshold: Double, targetOccupancy: Int = 64,
+                  recallBar: Double = 0.97): PairPlan = {
+    val (numPlanes, bands) = scaledLshConfig(n, targetOccupancy)
+    val r = numPlanes / bands
+    val recall = bandRecall(threshold, r, bands, multiProbe = true)
+    val exactCost = n.toDouble * math.max(n - 1L, 0L) / 2
+    val bandedCost = n.toDouble * numPlanes + bandedRowCostFactor *
+      (bands.toDouble * (1 + r) * n * targetOccupancy / 2 +
+        n.toDouble * bands * (1 + r))
+    PairPlan(recall < recallBar || exactCost <= bandedCost,
+      numPlanes, bands, recall, exactCost, bandedCost)
+  }
+
+  /** MEASURED banded collision mass at a geometry: Σ over base
+    * buckets of occ·(occ−1)/2 — the exact number of (unordered)
+    * same-bucket id pairs the single-probe banded join would
+    * enumerate. This is the [[Dedup.overlapDensity]] analog for the
+    * embedding side: clustered corpora concentrate occupancy far
+    * beyond the uniform n/2^r estimate (real embeddings always
+    * cluster), so the dispatch must measure, not assume. Cost: one
+    * signature pass (n·numPlanes dots) + a tiny two-level aggregate —
+    * negligible against either mining path, and only paid when the
+    * optimistic-uniform estimate says banded might win.
+    */
+  private[graft] def collisionMass(embeddings: DataFrame, numPlanes: Int,
+                                   bands: Int, dim: Int): Long = {
+    val r = numPlanes / bands
+    val sig = spread(embeddings)
+      .select(lshSignature(col("embedding"), numPlanes, dim).as("sig"))
+    val bandCols = (0 until bands).map { bId =>
+      struct(lit(bId).as("band"),
+        shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1)).as("bucket"))
+    }
+    // sum c·(c−1) in LONGs (Spark's `/` is double division) and halve
+    // once at the end — exact at any occupancy
+    sig.select(explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+      .head().getLong(0) / 2
+  }
+
+  /** COST-BASED pair mining: all embedding pairs with cosine ≥
+    * `threshold`, dispatched in two stages —
+    *
+    *  1. ANALYTIC ([[pairPlanFor]]): if the occupancy-scaled geometry
+    *     cannot hold `recallBar` at this threshold (low-threshold
+    *     dense mining is output-bound — banding can only lose pairs
+    *     there), or if even the uniform-optimistic banded estimate
+    *     already loses to `n(n−1)/2` (small corpora), mine exactly.
+    *     No data is touched beyond a metadata count.
+    *  2. MEASURED: otherwise sign the corpus once and compare the
+    *     ACTUAL same-bucket collision mass (× the multi-probe factor)
+    *     against the exact cost — clustered corpora blow past the
+    *     uniform estimate and exact mining stays the honest winner
+    *     one decade of n beyond where the uniform model flips
+    *     (measured r12/r13: at n = 20k and t = 0.9 exact ≈ 0.86× the
+    *     banded CPU on the planted-twins corpus; the crossover is
+    *     n ≈ 10⁵⁺, which the measured mass finds by itself).
+    *
+    * Precision is exact on both paths (banded candidates are
+    * exact-cosine verified); recall is exact on the exact path and ≥
+    * the analytic [[bandRecall]] bound on the banded one. `force`
+    * pins a branch (Some(true) = exact) — the correctness gates use
+    * it to hash-pin BOTH branches against one oracle.
+    */
+  /** The two-stage decision behind [[similarPairsAuto]], exposed for
+    * the spec and ScaleProbe: `mass` is -1 when stage 1 decided
+    * without signing the corpus.
+    */
+  case class Dispatch(exact: Boolean, plan: PairPlan, mass: Long,
+                      measuredBandedCost: Double)
+
+  def dispatchFor(embeddings: DataFrame, threshold: Double,
+                  dim: Int = 64, targetOccupancy: Int = 64,
+                  recallBar: Double = 0.97): Dispatch = {
+    // parquet-metadata count: the one driver-side statistic stage 1
+    // needs (same device as Dedup's overlapDensity, cheaper)
+    val n = embeddings.count()
+    val plan = pairPlanFor(n, threshold, targetOccupancy, recallBar)
+    val r = plan.numPlanes / plan.bands
+    if (plan.recall < recallBar || plan.bandedCost >= plan.exactCost)
+      Dispatch(exact = true, plan, -1L, Double.NaN)
+    else {
+      val mass = collisionMass(embeddings, plan.numPlanes, plan.bands, dim)
+      val measured = n.toDouble * plan.numPlanes + bandedRowCostFactor *
+        ((1.0 + r) * mass + n.toDouble * plan.bands * (1 + r))
+      Dispatch(measured >= plan.exactCost, plan, mass, measured)
+    }
+  }
+
+  def similarPairsAuto(embeddings: DataFrame, threshold: Double,
+                       dim: Int = 64, targetOccupancy: Int = 64,
+                       recallBar: Double = 0.97,
+                       force: Option[Boolean] = None): DataFrame = {
+    val d = force match {
+      case Some(e) =>
+        Dispatch(e, pairPlanFor(embeddings.count(), threshold,
+          targetOccupancy, recallBar), -1L, Double.NaN)
+      case None =>
+        dispatchFor(embeddings, threshold, dim, targetOccupancy, recallBar)
+    }
+    if (sys.env.contains("GRAFT_PROBE"))
+      println(f"[probe]   similarPairsAuto t=$threshold " +
+        f"recall=${d.plan.recall}%.3f exactCost=${d.plan.exactCost}%.3g " +
+        f"uniformBanded=${d.plan.bandedCost}%.3g mass=${d.mass} " +
+        f"measuredBanded=${d.measuredBandedCost}%.3g -> " +
+        (if (d.exact) "exact" else "banded"))
+    if (d.exact) pairsAboveThreshold(embeddings, threshold)
+    else lshPairsMultiProbe(embeddings, threshold, d.plan.numPlanes,
+      d.plan.bands, dim)
+  }
+
+  /** [[knnJoin]] routed through the [[similarPairsAuto]] dispatcher:
+    * the per-vector top-k window over whichever pair-mining path the
+    * cost model picks.
+    */
+  def knnJoinAuto(embeddings: DataFrame, threshold: Double, k: Int,
+                  dim: Int = 64, targetOccupancy: Int = 64,
+                  recallBar: Double = 0.97,
+                  force: Option[Boolean] = None): DataFrame =
+    knnOverPairs(
+      similarPairsAuto(embeddings, threshold, dim, targetOccupancy,
+        recallBar, force), k)
+
   def lshPairs(embeddings: DataFrame, threshold: Double,
                numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(numPlanes % bands == 0)
@@ -500,6 +672,15 @@ object Similarity {
     val pairs =
       if (multiProbe) lshPairsMultiProbe(embeddings, threshold, numPlanes, bands, dim)
       else lshPairs(embeddings, threshold, numPlanes, bands, dim)
+    knnOverPairs(pairs, k)
+  }
+
+  /** Shared tail of [[knnJoin]]/[[knnJoinAuto]]: symmetric expansion
+    * of the undirected pair set, then a per-vector top-k window
+    * (independent k-row heaps; ties on rounded cosine break by
+    * neighbor id).
+    */
+  private def knnOverPairs(pairs: DataFrame, k: Int): DataFrame = {
     val sym = pairs
       .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos"))
       .unionByName(pairs

@@ -44,6 +44,75 @@ class SimilaritySpec extends SparkSuite with Matchers {
     lsh.count().toDouble should be >= exact.count() * 0.5
   }
 
+  test("pairPlanFor: exact at low thresholds (recall bar), banded at high " +
+      "threshold + large n, exact at small n (cost)") {
+    // t=0.4: the scaled geometry can't hold the recall bar at any
+    // probed n — the dispatcher must refuse the banded arm
+    for (n <- Seq(500L, 5000L, 50000L))
+      Similarity.pairPlanFor(n, 0.4).exact shouldBe true
+    // t=0.9 at large n: banded wins on cost with recall above the bar
+    // (the calibrated per-candidate factor puts the crossover past the
+    // n=20k regime where exact still measured faster — r13). Past
+    // n≈2e5 the 62-bit signature budget saturates (r must grow, bands
+    // shrink) and the recall bar refuses again — a wider-signature
+    // pass is the production knob there.
+    val big = Similarity.pairPlanFor(100000L, 0.9)
+    big.exact shouldBe false
+    big.recall should be >= 0.97
+    big.bandedCost should be < big.exactCost
+    // t=0.9 at n=20k: recall fine, but exact measured faster (r12/r13
+    // planted-corpus tables) and the weighted model agrees
+    Similarity.pairPlanFor(20000L, 0.9).exact shouldBe true
+    // t=0.9 at tiny n: recall fine, but the exact scan is cheaper
+    Similarity.pairPlanFor(500L, 0.9).exact shouldBe true
+    // recall bound is monotone in threshold and conservative at t=1
+    Similarity.bandRecall(1.0, 8, 4, multiProbe = false) shouldBe 1.0 +- 1e-9
+    Similarity.bandRecall(0.9, 8, 4, multiProbe = true) should be >
+      Similarity.bandRecall(0.9, 8, 4, multiProbe = false)
+  }
+
+  test("dispatchFor stage 2: measured collision mass overrides the " +
+      "uniform-optimistic banded estimate on clustered corpora") {
+    import spark.implicits._
+    val n = 50000
+    // DEGENERATE cluster: every vector identical — all collide in one
+    // bucket per band, mass = bands * n(n-1)/2. The uniform estimate
+    // says banded wins at this n; the measured mass must say exact.
+    val clustered = (0 until n)
+      .map(i => (i.toLong, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val dc = Similarity.dispatchFor(clustered, 0.9, dim = 8)
+    dc.plan.bandedCost should be < dc.plan.exactCost // stage 1 would flip
+    dc.mass should be > 0L                           // stage 2 measured
+    dc.exact shouldBe true                           // and refused banded
+    // spread-out corpus at the same n (full dim, so the hyperplane
+    // sign bits decorrelate): mass lands near the uniform estimate,
+    // banded genuinely wins and the dispatcher takes it
+    val rnd = new scala.util.Random(7)
+    val uniform = (0 until n)
+      .map(i => (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val du = Similarity.dispatchFor(uniform, 0.9, dim = 64)
+    du.mass should be >= 0L
+    du.exact shouldBe false
+  }
+
+  test("similarPairsAuto / knnJoinAuto: both dispatcher arms equal the " +
+      "exact answer on the recall-1.0 corpus") {
+    val exact = Similarity.pairsAboveThreshold(emb, 0.4)
+    val auto = Similarity.similarPairsAuto(emb, 0.4) // cost picks exact here
+    auto.exceptAll(exact).count() shouldBe 0
+    exact.exceptAll(auto).count() shouldBe 0
+    val banded = Similarity.similarPairsAuto(emb, 0.4, force = Some(false))
+    banded.exceptAll(exact).count() shouldBe 0
+    exact.exceptAll(banded).count() shouldBe 0
+    // kNN through the dispatcher == kNN over the exact pair set
+    val wantKnn = Similarity.knnJoin(emb, 0.4, k = 3, numPlanes = 32,
+      bands = 16, multiProbe = true)
+    val gotKnn = Similarity.knnJoinAuto(emb, 0.4, k = 3)
+    gotKnn.exceptAll(wantKnn).count() shouldBe 0
+    wantKnn.exceptAll(gotKnn).count() shouldBe 0
+  }
+
   test("lshPairs high-recall configuration (16 x 2-bit bands) finds every exact pair") {
     // the gate configuration: recall 1.0 on the test corpora backs the
     // exact-pairs SQL serving as sim_lsh_pairs' oracle
