@@ -433,6 +433,31 @@ object Candles {
     * one read+write of the LIVE data only — history never re-merges
     * (partials are already one row per (window, symbol) per date).
     */
+  /** File-count policy form of [[compactCandleStore]]: compact only
+    * when the live tree spans more than `maxVersions` owning `ver=`
+    * dirs (the quantity that grows one per update and degrades leaf
+    * listing). Returns whether a compaction ran — the streamed sink's
+    * default-on maintenance hook, same shape as
+    * [[graft.util.Manifest.autoCompactSub]].
+    */
+  /** Number of DISTINCT `ver=` dirs the current manifest references —
+    * the live-tree width [[autoCompactCandleStore]] bounds (retired
+    * generations' dirs may linger for time travel; they are not live).
+    */
+  def liveVersionCount(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int =
+    readState(spark, path).dates.values.toSet.size
+
+  def autoCompactCandleStore(spark: org.apache.spark.sql.SparkSession,
+                             path: String, maxVersions: Int,
+                             retainGenerations: Int = 2): Boolean = {
+    require(maxVersions >= 1, s"maxVersions must be ≥ 1, got $maxVersions")
+    val live = readState(spark, path).dates.values.toSet.size
+    live > maxVersions && {
+      compactCandleStore(spark, path, retainGenerations); true
+    }
+  }
+
   def compactCandleStore(spark: org.apache.spark.sql.SparkSession, path: String,
                          retainGenerations: Int = 2): Unit = {
     require(retainGenerations >= 2,

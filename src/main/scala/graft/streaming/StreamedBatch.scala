@@ -229,7 +229,8 @@ object StreamedBatch {
                             tsCol: String, tieCol: String, storePath: String,
                             windowDur: String = "1 minute",
                             chunks: Int = 3,
-                            stageKey: Option[String] = None): DataFrame = {
+                            stageKey: Option[String] = None,
+                            autoCompactVersions: Int = 64): DataFrame = {
     import graft.operators.Candles
     val in = stagedIn(input, tsCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -241,8 +242,17 @@ object StreamedBatch {
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
           if (id == 0) Candles.buildCandleStore(batch, storePath, windowDur)
-          else Candles.updateCandleStore(batch, storePath, windowDur,
-            shardId = Some(s"replay-batch-$id"))
+          else {
+            Candles.updateCandleStore(batch, storePath, windowDur,
+              shardId = Some(s"replay-batch-$id"))
+            // default-on maintenance: each update adds one owning ver=
+            // dir — bound the live tree (answers unchanged; the ledger
+            // carries through compaction)
+            if (autoCompactVersions > 0)
+              Candles.autoCompactCandleStore(spark, storePath,
+                autoCompactVersions)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -272,7 +282,8 @@ object StreamedBatch {
                          orderCol: String, tieCol: String, indexPath: String,
                          chunks: Int = 3,
                          stageKey: Option[String] = None,
-                         resume: Boolean = false): Unit = {
+                         resume: Boolean = false,
+                         autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Pq
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -285,8 +296,16 @@ object StreamedBatch {
         .foreachBatch { (batch: DataFrame, id: Long) =>
           if (id == 0)
             resumableBuild(spark, indexPath, resume)(Pq.buildAnnIndex(batch, indexPath))
-          else Pq.extendAnnIndex(batch, indexPath,
-            shardId = Some(s"replay-batch-$id"))
+          else {
+            Pq.extendAnnIndex(batch, indexPath,
+              shardId = Some(s"replay-batch-$id"))
+            // default-on: each shard appends per-cell files; compaction
+            // re-clusters by cell and preserves answers (spec-pinned)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, indexPath,
+                "codes", autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -318,7 +337,8 @@ object StreamedBatch {
                              chunks: Int = 3, n: Int = 2,
                              threshold: Double = 0.5,
                              stageKey: Option[String] = None,
-                             resume: Boolean = false): Unit = {
+                             resume: Boolean = false,
+                             autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Dedup
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -341,6 +361,13 @@ object StreamedBatch {
               n = n, threshold = threshold)
             Dedup.extendIndex(batch, pairs, indexPath, n = n,
               shardId = Some(s"replay-batch-$id"))
+            // default-on flat-store file-count policy on all three
+            // appended row subs (row-preserving — probe answers and
+            // the ledger are untouched)
+            if (autoCompactFiles > 0)
+              Seq("sets", "buckets", "pairs").foreach(sub =>
+                graft.util.Manifest.autoCompactSub(spark, indexPath,
+                  sub, autoCompactFiles))
           }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -365,7 +392,8 @@ object StreamedBatch {
                                  indexPath: String, chunks: Int = 3,
                                  n: Int = 2,
                                  stageKey: Option[String] = None,
-                                 resume: Boolean = false): Unit = {
+                                 resume: Boolean = false,
+                                 autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Dedup
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -380,9 +408,17 @@ object StreamedBatch {
             resumableBuild(spark, indexPath, resume) {
               Dedup.buildContainmentIndex(batch, indexPath, n = n)
             }
-          else
+          else {
             Dedup.extendContainmentIndex(batch, indexPath, n = n,
               shardId = Some(s"replay-batch-$id"))
+            // default-on flat-store policy; dftab is frozen (written
+            // once) so only the appended subs need bounding
+            if (autoCompactFiles > 0)
+              Seq("sets", "postings").foreach(sub =>
+                graft.util.Manifest.autoCompactSub(spark, indexPath,
+                  sub, autoCompactFiles))
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -405,7 +441,7 @@ object StreamedBatch {
                           chunks: Int = 3, maxDist: Int = 2,
                           stageKey: Option[String] = None,
                           resume: Boolean = false,
-                          autoCompactFiles: Int = 0): Unit = {
+                          autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Dedup
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -463,7 +499,7 @@ object StreamedBatch {
                           chunks: Int = 3,
                           stageKey: Option[String] = None,
                           resume: Boolean = false,
-                          autoCompactFiles: Int = 0): Unit = {
+                          autoCompactFiles: Int = 64): Unit = {
     import graft.operators.TextIndex
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -507,7 +543,8 @@ object StreamedBatch {
                       orderCol: String, tieCol: String, vocabPath: String,
                       chunks: Int = 3,
                       stageKey: Option[String] = None,
-                      resume: Boolean = false): Unit = {
+                      resume: Boolean = false,
+                      autoCompactFiles: Int = 64): Unit = {
     import graft.operators.TextOps
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -521,8 +558,16 @@ object StreamedBatch {
           if (id == 0)
             resumableBuild(spark, vocabPath, resume)(
               TextOps.buildVocab(batch, vocabPath))
-          else TextOps.extendVocab(batch, vocabPath,
-            shardId = Some(s"replay-batch-$id"))
+          else {
+            TextOps.extendVocab(batch, vocabPath,
+              shardId = Some(s"replay-batch-$id"))
+            // default-on flat-store policy (counts sum at read —
+            // row-preserving compaction cannot move any score)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, vocabPath,
+                "vocab", autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -548,7 +593,7 @@ object StreamedBatch {
                           spanTokens: Int = 16, chunks: Int = 3,
                           stageKey: Option[String] = None,
                           resume: Boolean = false,
-                          autoCompactFiles: Int = 0): Unit = {
+                          autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Dedup
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -594,7 +639,7 @@ object StreamedBatch {
                           n: Int = 2, chunks: Int = 3,
                           stageKey: Option[String] = None,
                           resume: Boolean = false,
-                          autoCompactFiles: Int = 0): Unit = {
+                          autoCompactFiles: Int = 64): Unit = {
     import graft.operators.TextOps
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -644,7 +689,8 @@ object StreamedBatch {
                         orderCol: String, tieCol: String, modelPath: String,
                         labelCol: String, chunks: Int = 3,
                         stageKey: Option[String] = None,
-                        resume: Boolean = false): Unit = {
+                        resume: Boolean = false,
+                        autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Classifier
     val in = stagedIn(labeled, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -658,8 +704,16 @@ object StreamedBatch {
           if (id == 0)
             resumableBuild(spark, modelPath, resume)(
               Classifier.buildNbModel(batch, modelPath, labelCol))
-          else Classifier.extendNbModel(batch, modelPath, labelCol,
-            shardId = Some(s"replay-batch-$id"))
+          else {
+            Classifier.extendNbModel(batch, modelPath, labelCol,
+              shardId = Some(s"replay-batch-$id"))
+            // default-on flat-store policy on both additive-count subs
+            if (autoCompactFiles > 0)
+              Seq("counts", "totals").foreach(sub =>
+                graft.util.Manifest.autoCompactSub(spark, modelPath,
+                  sub, autoCompactFiles))
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -680,7 +734,8 @@ object StreamedBatch {
                             orderCol: String, tieCol: String, storePath: String,
                             chunks: Int = 3,
                             stageKey: Option[String] = None,
-                            resume: Boolean = false): Unit = {
+                            resume: Boolean = false,
+                            autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Pca
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -694,8 +749,15 @@ object StreamedBatch {
           if (id == 0)
             resumableBuild(spark, storePath, resume)(
               Pca.buildMomentStore(batch, storePath))
-          else Pca.extendMomentStore(batch, storePath,
-            shardId = Some(s"replay-batch-$id"))
+          else {
+            Pca.extendMomentStore(batch, storePath,
+              shardId = Some(s"replay-batch-$id"))
+            // default-on flat-store policy (moments are additive rows)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, storePath,
+                "moments", autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -717,7 +779,8 @@ object StreamedBatch {
                               valueCol: String, storePath: String,
                               chunks: Int = 3, eps: Double = 0.01,
                               stageKey: Option[String] = None,
-                              resume: Boolean = false): Unit = {
+                              resume: Boolean = false,
+                              autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Quantiles
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -731,8 +794,16 @@ object StreamedBatch {
           if (id == 0)
             resumableBuild(spark, storePath, resume)(
               Quantiles.buildQuantileStore(batch, valueCol, storePath, eps))
-          else Quantiles.extendQuantileStore(batch, valueCol, storePath,
-            shardId = Some(s"replay-batch-$id"), eps = eps)
+          else {
+            Quantiles.extendQuantileStore(batch, valueCol, storePath,
+              shardId = Some(s"replay-batch-$id"), eps = eps)
+            // default-on flat-store policy (summaries merge by union —
+            // row-preserving compaction keeps the rank-error contract)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, storePath,
+                "summary", autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -754,7 +825,8 @@ object StreamedBatch {
                            storePath: String, n: Int = 2,
                            capacity: Int = 768, chunks: Int = 3,
                            stageKey: Option[String] = None,
-                           resume: Boolean = false): Unit = {
+                           resume: Boolean = false,
+                           autoCompactFiles: Int = 64): Unit = {
     import graft.operators.{FreqSketch, TextOps}
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -771,8 +843,16 @@ object StreamedBatch {
           if (id == 0)
             resumableBuild(spark, storePath, resume)(
               FreqSketch.buildHeavyStore(grams, "ngram", storePath, capacity))
-          else FreqSketch.extendHeavyStore(grams, "ngram", storePath,
-            shardId = Some(s"replay-batch-$id"), capacity = capacity)
+          else {
+            FreqSketch.extendHeavyStore(grams, "ngram", storePath,
+              shardId = Some(s"replay-batch-$id"), capacity = capacity)
+            // default-on flat-store policy (shard summaries keep their
+            // shard_uid rows — the MG merge is file-layout-blind)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, storePath,
+                "sketch", autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -796,7 +876,8 @@ object StreamedBatch {
                            expectedKeys: Long = 1000000L,
                            fpp: Double = 0.03, chunks: Int = 3,
                            stageKey: Option[String] = None,
-                           resume: Boolean = false): Unit = {
+                           resume: Boolean = false,
+                           autoCompactFiles: Int = 64): Unit = {
     import graft.operators.Bloom
     val in = stagedIn(dim, orderCol, tieCol, chunks, stageKey)
     val work = Files.createTempDirectory("graft-stream-run-").toFile
@@ -810,8 +891,16 @@ object StreamedBatch {
           if (id == 0)
             resumableBuild(spark, storePath, resume)(
               Bloom.buildBloomStore(batch, keyCol, storePath, expectedKeys, fpp))
-          else Bloom.extendBloomStore(batch, keyCol, storePath,
-            shardId = Some(s"replay-batch-$id"))
+          else {
+            Bloom.extendBloomStore(batch, keyCol, storePath,
+              shardId = Some(s"replay-batch-$id"))
+            // default-on flat-store policy (shard filters OR at read —
+            // file layout is invisible to membership)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, storePath,
+                "filter", autoCompactFiles)
+            ()
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -857,7 +946,7 @@ object StreamedBatch {
                            opCol: Option[String] = None,
                            deleteOp: String = "D",
                            resume: Boolean = false,
-                           autoOptimizeFiles: Int = 0): Unit = {
+                           autoOptimizeFiles: Int = 64): Unit = {
     import graft.util.{Lake, Manifest}
     import org.apache.spark.sql.expressions.Window
     val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)

@@ -718,4 +718,110 @@ class StreamingSpec extends SparkSuite with Matchers {
     hist.select("action").distinct().as[String].collect() shouldBe Array("add")
     hist.select("batch_id").distinct().count() shouldBe 2
   }
+
+  test("default-on auto-compaction: N micro-batches leave every streamed " +
+      "store family's live file count bounded by the policy") {
+    // every replay sink now defaults autoCompactFiles = 64; here each
+    // family runs with a TINY threshold and many chunks so the policy
+    // provably fires, and the live per-sub file count after the replay
+    // sits at/under it (the hook runs after each applied extend, so
+    // the final state is post-compaction). The merge sink's equivalent
+    // is covered by the replayIntoMergeTable resume spec.
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.util.Tables.events(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val t = 2 // maxFiles per sub
+    def live(store: String, sub: String): Int =
+      graft.util.Manifest.snapshot(spark, store).files
+        .count(_.startsWith(s"$sub/"))
+    def assertBounded(store: String, subs: Seq[String]): Unit =
+      subs.foreach { sub =>
+        withClue(s"$store sub=$sub: ") { live(store, sub) should be <= t }
+      }
+
+    val candle = tmp("ac-candle-")
+    StreamedBatch.replayIntoCandleStore(spark, events, "ts", "event_id",
+      candle, chunks = 6, autoCompactVersions = 1)
+    Candles.liveVersionCount(spark, candle) should be <= 1
+
+    val ann = tmp("ac-ann-")
+    StreamedBatch.replayIntoAnnIndex(spark, emb, "vec_id", "vec_id", ann,
+      chunks = 3, autoCompactFiles = t)
+    // codes/ is cell-partitioned: the post-compaction floor is one
+    // file per live cell (nlist = 16 default), not the flat threshold
+    // — the policy bounds growth at shards × cells → cells
+    live(ann, "codes") should be <= 16
+
+    val ndup = tmp("ac-ndup-")
+    StreamedBatch.replayIntoNearDupIndex(spark, docs, "doc_id", "doc_id",
+      ndup, chunks = 6, autoCompactFiles = t)
+    assertBounded(ndup, Seq("sets", "buckets", "pairs"))
+
+    val cont = tmp("ac-cont-")
+    StreamedBatch.replayIntoContainmentIndex(spark, docs, "doc_id",
+      "doc_id", cont, chunks = 6, autoCompactFiles = t)
+    assertBounded(cont, Seq("sets", "postings"))
+
+    val edit = tmp("ac-edit-")
+    StreamedBatch.replayIntoEditIndex(spark,
+      docs.select(col("doc_id"), substring(col("text"), 1, 24).as("k")),
+      "doc_id", "doc_id", "k", edit, chunks = 6, autoCompactFiles = t)
+    assertBounded(edit, Seq("strs", "segs"))
+
+    val tidx = tmp("ac-tidx-")
+    StreamedBatch.replayIntoTextIndex(spark, docs, "doc_id", "doc_id",
+      tidx, chunks = 6, autoCompactFiles = t)
+    assertBounded(tidx, Seq("data"))
+
+    val vocab = tmp("ac-vocab-")
+    StreamedBatch.replayIntoVocab(spark, docs, "doc_id", "doc_id", vocab,
+      chunks = 6, autoCompactFiles = t)
+    assertBounded(vocab, Seq("vocab"))
+
+    val span = tmp("ac-span-")
+    StreamedBatch.replayIntoSpanIndex(spark, docs, "doc_id", "doc_id",
+      span, chunks = 6, autoCompactFiles = t)
+    assertBounded(span, Seq("spans"))
+
+    val gram = tmp("ac-gram-")
+    StreamedBatch.replayIntoGramStore(spark, docs, "doc_id", "doc_id",
+      gram, chunks = 6, autoCompactFiles = t)
+    assertBounded(gram, Seq("grams"))
+
+    val nb = tmp("ac-nb-")
+    StreamedBatch.replayIntoNbModel(spark, docs, "doc_id", "doc_id", nb,
+      "lang", chunks = 6, autoCompactFiles = t)
+    assertBounded(nb, Seq("counts", "totals"))
+
+    val mom = tmp("ac-mom-")
+    StreamedBatch.replayIntoMomentStore(spark, emb, "vec_id", "vec_id",
+      mom, chunks = 6, autoCompactFiles = t)
+    assertBounded(mom, Seq("moments"))
+
+    val qs = tmp("ac-q-")
+    StreamedBatch.replayIntoQuantileStore(spark, events, "ts", "event_id",
+      "value", qs, chunks = 6, autoCompactFiles = t)
+    assertBounded(qs, Seq("summary"))
+
+    val heavy = tmp("ac-heavy-")
+    StreamedBatch.replayIntoHeavyStore(spark, docs, "doc_id", "doc_id",
+      heavy, chunks = 6, autoCompactFiles = t)
+    assertBounded(heavy, Seq("sketch"))
+
+    val bloom = tmp("ac-bloom-")
+    StreamedBatch.replayIntoBloomStore(spark, events
+        .select(col("user_id")).distinct(), "user_id", "user_id",
+      bloom, "user_id", chunks = 6, autoCompactFiles = t)
+    assertBounded(bloom, Seq("filter"))
+
+    // compaction preserved answers + the ledger on a representative
+    // store of each merge style: additive counts (vocab) and
+    // membership union (bloom)
+    val scored = TextOps.scoreAgainstVocab(docs, vocab)
+    val want = TextOps.unigramLogprob(docs)
+    scored.exceptAll(want).count() shouldBe 0
+    want.exceptAll(scored).count() shouldBe 0
+    graft.util.Manifest.applied(spark, vocab) should contain("replay-batch-1")
+  }
 }
