@@ -678,9 +678,10 @@ object Similarity {
   /** Shared tail of [[knnJoin]]/[[knnJoinAuto]]: symmetric expansion
     * of the undirected pair set, then a per-vector top-k window
     * (independent k-row heaps; ties on rounded cosine break by
-    * neighbor id).
+    * neighbor id). Package-visible so a pipeline (or gate) holding an
+    * already-mined pair table can rank it without re-mining.
     */
-  private def knnOverPairs(pairs: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnOverPairs(pairs: DataFrame, k: Int): DataFrame = {
     val sym = pairs
       .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"), col("cos"))
       .unionByName(pairs

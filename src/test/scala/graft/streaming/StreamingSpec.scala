@@ -114,6 +114,32 @@ class StreamingSpec extends SparkSuite with Matchers {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("flagship stateful gates replay byte-identical under RocksDB: " +
+      "stateful agg, stream-stream join, session windows") {
+    // T4's scale path, exercised on the REAL gate queries (not a toy
+    // stream): the same chronological replay that the driver verifies
+    // on the default HDFS provider must produce the identical row
+    // multiset with state in RocksDB — provider choice is an
+    // operational knob, never a semantic one.
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    Seq("stream_gold_candles_1m", "stream_spread_join", "stream_sessions")
+      .foreach { gate =>
+        val fn = graft.SparkEntry.queries(gate)
+        val base = fn(spark, dir).collect().map(_.toString).sorted
+        spark.conf.set(key, rocks)
+        val got =
+          try fn(spark, dir).collect().map(_.toString).sorted
+          finally spark.conf.unset(key)
+        withClue(s"$gate under RocksDB: ") {
+          got.length shouldBe base.length
+          got shouldBe base
+        }
+      }
+  }
+
   test("stream-stream spread join pairs trades within the time band") {
     implicit val sqlCtx = spark.sqlContext
     val inA = MemoryStream[(Timestamp, String, Double)]
