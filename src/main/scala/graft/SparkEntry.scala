@@ -1347,10 +1347,15 @@ object SparkEntry {
         "value", lit(30.0), lit(40.0))),
     // incremental HLL distinct-count store: per-key estimates served
     // from sketches (build + 2 ledgered extends + a re-delivered
-    // shard) must equal the one-shot sketch over everything (union
-    // additivity, exact equality) and sit within the lgK=12 error
-    // contract of the exact count. n_exact rows make the oracle
-    // non-vacuous; the ok_* columns carry the sketch contract.
+    // shard) checked against the one-shot sketch and the exact count.
+    // The merge contract is the ERROR ENVELOPE, not bit-equality: a
+    // STREAM-built DataSketches HLL serves the HIP estimator, a UNION
+    // result can only serve the composite one, so the two agree
+    // exactly in the coupon-exact regime (the sf0.01 driver run) but
+    // only within ~2× the lgK=12 relative standard error once the
+    // sketches go dense — the r13 sf0.1 sweep caught the old
+    // bit-equality claim flipping at 1,500 distincts/key. Both ok_*
+    // are TRUE at every sf; the envelope is the honest invariant.
     "q_distinct_store" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val fromStore = Hll.distinctCounts(s, hllGateStore(s, dir), Seq("event_type"))
@@ -1358,9 +1363,11 @@ object SparkEntry {
         .withColumnRenamed("n_distinct", "n_oneshot")
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
+      // 2 × 1.04/√2^12 ≈ 3.3% — HIP vs composite, each within ~one RSE
       fromStore.join(oneShot, "event_type").join(exact, "event_type")
         .select(col("event_type"), col("n_exact"),
-          (col("n_distinct") === col("n_oneshot")).as("ok_merge"),
+          (abs(col("n_distinct") - col("n_oneshot")) <=
+            greatest(lit(1.0), col("n_oneshot") * 0.033)).as("ok_merge"),
           (abs(col("n_distinct") - col("n_exact")) <=
             col("n_exact") * 0.05).as("ok_err"))
     }),
@@ -5115,7 +5122,7 @@ object SparkEntry {
                 WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
            CASE WHEN d.doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
            s.n AS n_samples,
-           round(s.n / 16000.0, 6) AS duration_s,
+           round(s.n / 16000.0, 7) AS duration_s,
            round(list_sum(list_transform(s.v, x -> abs(x))) / CAST(s.n AS DOUBLE), 6)
              AS amp_mean,
            CAST(list_max(list_transform(s.v, x -> abs(x))) AS INT) AS amp_peak,

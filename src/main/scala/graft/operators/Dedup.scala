@@ -669,17 +669,43 @@ object Dedup {
     * snapshot — see [[denseOverlapCutoff]]. Linear in the postings;
     * the df aggregate is vocabulary-sized.
     */
+  /** How many docs the density statistic reads in full before it
+    * switches to a bounded deterministic sample. The dispatch needs
+    * ONE bit (dense vs indexed) from `density`, and both paths are
+    * exact — a full-corpus pass just to decide how to pass the corpus
+    * is exactly the 100 TB anti-pattern. Above the bound, docs enter
+    * by `xxhash64(doc_id)` (deterministic per corpus, uncorrelated
+    * with id layout) at rate p = bound/n, and
+    * `Σ_h df_s(df_s−1) / p²` is an unbiased estimator of the full m2
+    * (each unordered co-occurring doc pair survives with prob p²).
+    * The estimate concentrates wherever the decision is clear-cut and
+    * is only noisy near the cutoff — where the two exact paths cost
+    * about the same anyway. Below the bound (every hash gate's sf)
+    * the statistic is exact and decisions are bit-stable.
+    */
+  @volatile var densitySampleDocs: Long = 2000L
+
   private[graft] def overlapDensity(sets: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val n = sets.count()
     if (n < 2) return (n, 0.0)
-    val m2 = sets.select(explode(col("hs")).as("h"))
+    val bound = densitySampleDocs
+    val (src, p) =
+      if (n <= bound || bound <= 0) (sets, 1.0)
+      else {
+        val perMille = math.max(1L, bound * 1000L / n)
+        (sets.filter(pmod(xxhash64(col("doc_id")), lit(1000L)) < perMille),
+          perMille / 1000.0)
+      }
+    val m2s = src.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)))
       .head().getLong(0)
+    val m2 = m2s / (p * p)
     if (sys.env.contains("GRAFT_PROBE"))
-      println(f"[probe]   overlapDensity ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    (n, m2.toDouble / (n.toDouble * (n - 1)))
+      println(f"[probe]   overlapDensity ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        (if (p < 1.0) f" (sampled p=$p%.3f)" else ""))
+    (n, m2 / (n.toDouble * (n - 1)))
   }
 
   /** [[overlapDensity]] straight from a documents frame — the

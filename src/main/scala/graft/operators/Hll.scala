@@ -81,9 +81,14 @@ object Hll {
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("n_distinct"))
 
   /** One-shot estimate over `df` directly — the reference the store
-    * must match: sketch-union additivity means build + extends == one
-    * sketch over everything (bit-identical estimates, since the
-    * Datasketches union is order-insensitive).
+    * must track. NOT bit-identical in general: a stream-built
+    * DataSketches HLL serves the HIP estimator while a union result
+    * can only serve the composite one, so store == one-shot exactly
+    * in the coupon-exact regime (small per-key cardinalities) and
+    * within the lgK error envelope once sketches go dense (measured
+    * r13 at 1,500 distincts/key, lgK=12). The UNION itself is
+    * order-insensitive — shard order can never change the store's
+    * registers, only the estimator mode differs from the stream path.
     */
   def distinctOneShot(df: DataFrame, keyCols: Seq[String], valueCol: String,
                       lgK: Int = 12): DataFrame =

@@ -780,7 +780,14 @@ object Multimodal {
         "abs_sum", "amp_peak", "n_zero_cross")
       .select(col("doc_id"), col("media_type"), col("sample_rate"),
         col("n_samples"),
-        round(col("n_samples") / col("sample_rate"), 6).as("duration_s"),
+        // 7 dp, NOT 6: n/16000 carries exactly seven decimals
+        // (1/16000 = 0.0000625), so every odd n puts a literal 5 in
+        // the 7th digit — a STRUCTURAL round-half tie at 6 dp that
+        // Spark (BigDecimal HALF_UP on the binary value) and DuckDB
+        // (scaled-multiply) break differently (caught by the r13
+        // sf0.1 sweep: 3,365 rows flipped). At 7 dp the true value is
+        // ON the grid and both engines recover it exactly.
+        round(col("n_samples") / col("sample_rate"), 7).as("duration_s"),
         round(col("abs_sum") / col("n_samples"), 6).as("amp_mean"),
         col("amp_peak"), col("n_zero_cross"))
   }
