@@ -405,10 +405,13 @@ object SparkEntry {
 
   /** Per-(JVM, sfDir) memo of the `text_heavy_store` gate's
     * heavy-hitter sketch store: per-tercile Misra-Gries bigram
-    * summaries (capacity 768 — each shard's sketch really evicts on
-    * this corpus), ledgered appends including a deliberate re-delivery
-    * of shard `t1`, which must no-op (doubled sketch counts would
-    * promote t1's items in the merged candidate set).
+    * summaries (capacity SELF-DERIVED from the corpus bigram count —
+    * `FreqSketch.capacityFor`, floor 768, so the exact-serve
+    * completeness bound stays provable at every sf; the floor keeps
+    * the sf0.01 geometry, where each shard's sketch really evicts,
+    * bit-identical), ledgered appends including a deliberate
+    * re-delivery of shard `t1`, which must no-op (doubled sketch
+    * counts would promote t1's items in the merged candidate set).
     */
   private val heavyStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def heavyGateStore(s: SparkSession, dir: String): String =
@@ -417,12 +420,13 @@ object SparkEntry {
       // widen the DOC side before the explode: the sketch passes then
       // run at full parallelism and the (wide) gram rows never shuffle
       val docs = FreqSketch.widenToCores(Tables.documents(s, dir))
+      val cap = FreqSketch.capacityFor(TextOps.ngrams(docs, 2).count())
       val t = pmod(col("doc_id"), lit(3))
       def grams(tr: Int) = TextOps.ngrams(docs.filter(t === tr), 2)
-      FreqSketch.buildHeavyStore(grams(0), "ngram", store)
-      FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"))
-      FreqSketch.extendHeavyStore(grams(2), "ngram", store, Some("t2"))
-      FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"))
+      FreqSketch.buildHeavyStore(grams(0), "ngram", store, cap)
+      FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"), cap)
+      FreqSketch.extendHeavyStore(grams(2), "ngram", store, Some("t2"), cap)
+      FreqSketch.extendHeavyStore(grams(1), "ngram", store, Some("t1"), cap)
       store
     })
 
@@ -2342,9 +2346,13 @@ object SparkEntry {
     "stream_heavy_extend" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val store = streamStoreDir("graft-stream-heavy", dir)
+      // self-derived capacity (capacityFor): the exact serve below
+      // must stay PROVABLE at every sf — see heavyGateStore
       graft.streaming.StreamedBatch.replayIntoHeavyStore(s, docs,
         "doc_id", "doc_id", store, stageKey = Some(s"$dir:documents"),
-        resume = true)
+        resume = true,
+        capacity = FreqSketch.capacityFor(
+          TextOps.ngrams(FreqSketch.widenToCores(docs), 2).count()))
       FreqSketch.heavyTopKExact(
         TextOps.ngrams(FreqSketch.widenToCores(docs), 2), "ngram", store, k = 20)
     }),

@@ -104,6 +104,22 @@ object FreqSketch {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** SELF-DERIVING sketch capacity for a store that must PROVE its
+    * exact-top-k serve: the completeness condition needs the k-th
+    * heaviest recounted item to clear the merged bound Σ Nᵢ/(cap+1) ≈
+    * N/(cap+1), so a capacity fixed while the corpus grows fails the
+    * proof one scale-up at a time (the r13 sf0.1 sweep caught the
+    * 768-capacity gate store at bound 345 vs k-th 332 — the refusal
+    * fired exactly as designed). `cap = max(floor, N/divisor)` pins
+    * the bound at ≈ `divisor` regardless of N: any item heavier than
+    * ~128 occurrences stays provable forever, and the sketch stays
+    * tiny relative to the corpus (N/128 entries ≈ 0.8 % of item rows).
+    * The floor keeps small-corpus geometries unchanged.
+    */
+  def capacityFor(nItems: Long, floor: Int = 768,
+                  divisor: Int = 128): Int =
+    math.max(floor, (nItems / divisor + 1).toInt)
+
   private def writeShard(items: DataFrame, itemCol: String, path: String,
                          shardId: String, capacity: Int,
                          mode: SaveMode): Unit = {

@@ -320,7 +320,8 @@ object Pca {
     val spark = emb.sparkSession
     val queries = emb.filter(col("vec_id") < 5)
     val model = modelOpt.getOrElse(fit(emb, kDims))
-    val approx = pcaIvfTopK(emb, queries, model, k, nlist, nprobe, coarseIters, mult)
+    val approx = pcaIvfTopK(emb, queries, model, k, nlist, nprobe,
+      coarseIters, adaptiveMult(emb.count(), mult))
     val exact = Similarity.bruteForceTopK(emb, queries, k)
     val total = exact.count()
     val hits = exact.select(col("query_id"), col("neighbor_id"))
@@ -345,13 +346,27 @@ object Pca {
     * (the rerank really is exact, only the candidate SET is
     * approximate). Driver state: two counts.
     */
+  /** Oversample that holds the reduced-space recall contract as the
+    * corpus grows: a FIXED candidate pool over more vectors packs more
+    * near-ties into the reduced space and recall decays with n — the
+    * r13 sf0.1 sweep caught the old fixed `mult = 8` dropping
+    * `recall_ok` at n = 2,000 where the sf0.01 tuning had passed. The
+    * pool scales as n/25 (4 % of the corpus, floor 8×k): reduced-space
+    * scoring already touches every vector, so the growth lands only on
+    * the exact full-dim rerank of the pool — still the d/kDims cost
+    * win the projection exists for.
+    */
+  private def adaptiveMult(n: Long, mult: Int): Int =
+    math.max(mult, math.ceil(n / 25.0).toInt)
+
   def pcaSearchCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
                      mult: Int = 8, minRecall: Double = 0.9,
                      modelOpt: Option[PcaModel] = None): DataFrame = {
     val spark = emb.sparkSession
     val queries = emb.filter(col("vec_id") < 5)
     val model = modelOpt.getOrElse(fit(emb, kDims))
-    val approx = pcaTopK(emb, queries, model, k, mult)
+    val approx = pcaTopK(emb, queries, model, k,
+      adaptiveMult(emb.count(), mult))
     val exact = Similarity.bruteForceTopK(emb, queries, k)
     val total = exact.count()
     val hits = exact.select(col("query_id"), col("neighbor_id"))
