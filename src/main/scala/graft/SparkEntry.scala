@@ -1951,6 +1951,16 @@ object SparkEntry {
     "cur_epoch_allocation" -> ((s, dir) =>
       Curation.epochAllocation(Tables.documents(s, dir), "source",
         "n_chars", alpha = 0.7, budgetTokens = 1000000L)),
+    // DSIR importance weights (r13): every raw doc scored by how much
+    // its hashed-bigram bag looks like the TARGET slice's distribution
+    // (doc_id % 7 — an arbitrary deterministic "curated set") vs the
+    // raw corpus's own — add-0.5 smoothing over 4096 md5 buckets. The
+    // oracle re-derives grams, buckets, both distributions and the
+    // per-doc sum from raw text.
+    "cur_dsir_weights" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.dsirLogWeights(d, d.filter(col("doc_id") % 7 === 0))
+    }),
     // per-doc novelty of the held-out slice vs the rest of the corpus:
     // fraction of distinct bigrams the reference has never seen
     "text_novelty" -> ((s, dir) => {
@@ -4446,6 +4456,36 @@ object SparkEntry {
                 round(1000000.0 * ps_a / (SELECT z FROM z), 2) AS alloc_tokens,
                 round(1000000.0 * ps_a / (SELECT z FROM z) / a_s, 6) AS epochs
          FROM s""",
+    // the full DSIR derivation in SQL: raw bigram BAG (no distinct),
+    // the 16-bit md5 bucket (cur_hash_split's device) mod 4096, both
+    // smoothed distributions over a complete bucket spine, per-doc
+    // Σ llr + |doc|·norm — docs under 2 tokens carry 0
+    "cur_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         gr AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+                FROM toks),
+         gb AS (SELECT doc_id,
+                  ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 4096 AS bucket
+                FROM gr),
+         craw AS (SELECT bucket, count(*) AS c FROM gb GROUP BY 1),
+         ctgt AS (SELECT bucket, count(*) AS c FROM gb WHERE doc_id % 7 = 0 GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM gb) AS nraw,
+                        (SELECT count(*) FROM gb WHERE doc_id % 7 = 0) AS ntgt),
+         llr AS (SELECT r.range AS bucket,
+                   ln(coalesce(ct.c, 0) + 0.5) - ln(coalesce(cr.c, 0) + 0.5) AS llr
+                 FROM range(4096) r
+                 LEFT JOIN craw cr ON cr.bucket = r.range
+                 LEFT JOIN ctgt ct ON ct.bucket = r.range),
+         per AS (SELECT gb.doc_id, sum(l.llr) AS s, count(*) AS cnt
+                 FROM gb JOIN llr l ON l.bucket = gb.bucket GROUP BY 1)
+         SELECT d.doc_id,
+           round(coalesce(p.s + p.cnt *
+             (ln(t.nraw + 0.5 * 4096) - ln(t.ntgt + 0.5 * 4096)), 0.0), 6) AS log_w
+         FROM documents d CROSS JOIN tot t LEFT JOIN per p ON p.doc_id = d.doc_id""",
     "text_novelty" -> noveltySql,
     // the stored-gram probe and the streamed-store maintenance path
     // must reproduce the from-scratch answer verbatim (set union IS

@@ -405,6 +405,78 @@ object Curation {
       round(b * col("ps_a") / z / col("a_s"), 6).as("epochs"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every RAW document by how
+    * much its hashed n-gram BAG looks like the TARGET corpus's gram
+    * distribution rather than the raw corpus's own —
+    * `log_w(doc) = Σ_{g∈doc} log p̂_tgt(bucket(g)) / p̂_raw(bucket(g))`
+    * with add-α smoothing over `buckets` hashed feature buckets. The
+    * standard pretraining-data selection stage: follow with
+    * [[weightedSample]] / top-k to draw a target-flavored subset from
+    * a bulk crawl.
+    *
+    * Determinism & oracle parity: the bucket is the first four hex
+    * chars of `md5(gram)` mod `buckets` (the [[hashBucket]] device —
+    * identical bytes in any engine), grams are the raw whitespace
+    * n-gram BAG (duplicates count: importance weights are about the
+    * doc's distribution, not its vocabulary), and the per-gram
+    * normalizer `log (N_raw+αB)/(N_tgt+αB)` enters once per gram so
+    * the whole weight re-derives in SQL.
+    *
+    * Scale shape: two linear gram passes (grouped counts over ≤
+    * `buckets` keys — map-side combined, uniform by hash so no skew),
+    * one BROADCAST join of the bucket-ratio table (≤ `buckets` rows —
+    * tiny by construction at any corpus size), one per-doc sum. Docs
+    * with fewer than n tokens carry weight 0 (no evidence either way).
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
+                     buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
+    require(n >= 1, s"dsirLogWeights: n must be >= 1, got $n")
+    require(buckets >= 2 && buckets <= 65536,
+      s"dsirLogWeights: buckets must be in [2, 65536], got $buckets")
+    require(alpha > 0, s"dsirLogWeights: alpha must be > 0, got $alpha")
+    val spark = raw.sparkSession
+    // raw whitespace n-gram BAG (no distinct — counts matter)
+    def grams(df: DataFrame): DataFrame = {
+      val toks = split(col("text"), " ")
+      val idx = sequence(lit(0), size(toks) - n)
+      val bag = when(size(toks) >= n,
+        transform(idx, i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*)))
+        .otherwise(array().cast("array<string>"))
+      df.select(col("doc_id"), explode_outer(bag).as("g"))
+        .filter(col("g").isNotNull)
+    }
+    def bucketOf(g: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(encode(g, "UTF-8")), 1, 4), 16, 10).cast("int"),
+        lit(buckets))
+    def tab(g: DataFrame, name: String) =
+      g.groupBy(bucketOf(col("g")).as("bucket"))
+        .agg(count(lit(1)).as(name))
+    val rawG = grams(raw)
+    val tgtG = grams(target)
+    // totals: two bounded driver scalars (the epochAllocation idiom)
+    val nRaw = rawG.count()
+    val nTgt = tgtG.count()
+    val perGramNorm =
+      math.log(nRaw + alpha * buckets) - math.log(nTgt + alpha * buckets)
+    // complete bucket spine so absent buckets still smooth to α/α = 1
+    val spine = spark.range(buckets).select(col("id").cast("int").as("bucket"))
+    val llr = spine
+      .join(tab(rawG, "c_raw"), Seq("bucket"), "left")
+      .join(tab(tgtG, "c_tgt"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_raw", "c_tgt"))
+      .select(col("bucket"),
+        (log(col("c_tgt") + alpha) - log(col("c_raw") + alpha)).as("llr"))
+    val scored = rawG.select(col("doc_id"), bucketOf(col("g")).as("bucket"))
+      .join(broadcast(llr), "bucket")
+      .groupBy("doc_id")
+      .agg(round(sum(col("llr")) + count(lit(1)) * perGramNorm, 6)
+        .as("log_w"))
+    raw.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("log_w"), lit(0.0)).as("log_w"))
+  }
+
   /** Weighted mixture sampling: keep a per-stratum deterministic hash
     * fraction of rows ("all English, half German, a quarter Chinese")
     * — how a training mix is drawn from a curated pool. Strata absent

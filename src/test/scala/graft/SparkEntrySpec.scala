@@ -20,7 +20,7 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
   test("registered gate count matches the declared coverage") {
     // bump alongside SURVEY.md §8 when adding gates — a mismatch means
     // either a silently-shadowed duplicate key or a stale coverage map
-    SparkEntry.queries.size shouldBe 218
+    SparkEntry.queries.size shouldBe 219
     // the BPE-model-dependent oracles embed the TRAINED model
     // artifacts, so they exist only after a gate run trains the model
     // in this JVM (Verify's dump order guarantees that); every other
@@ -37,7 +37,10 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
 
   test("oracle SQL mentions only tables the testdata provides") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+      "orders", "lineitem", "events", "documents", "embeddings",
+      // DuckDB built-in TABLE FUNCTION, not testdata: the DSIR oracle
+      // spines its smoothed distributions over `FROM range(4096)`
+      "range")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val froms = "(?i)\\bFROM\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

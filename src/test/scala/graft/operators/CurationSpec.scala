@@ -490,4 +490,30 @@ class CurationSpec extends SparkSuite with Matchers {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
     capped.select("doc_id").exceptAll(viaWindow.select("doc_id")).count() shouldBe 0
   }
+
+  test("dsirLogWeights: target-flavored docs outscore off-target ones, " +
+      "short docs carry zero, deterministic under repartitioning") {
+    import spark.implicits._
+    // two disjoint vocabularies: the target corpus speaks only style A,
+    // so raw docs in style A must carry higher importance than style B
+    val styleA = (0L until 20L).map(i => (i, s"alpha bravo charlie delta ${i % 3}"))
+    val styleB = (20L until 40L).map(i => (i, s"zulu yankee xray whiskey ${i % 3}"))
+    val short = Seq((99L, "solo")) // 1 token < n: no evidence, weight 0
+    val raw = (styleA ++ styleB ++ short).toDF("doc_id", "text")
+    val target = styleA.toDF("doc_id", "text")
+    val w = Curation.dsirLogWeights(raw, target, n = 2)
+      .as[(Long, Double)].collect().toMap
+    w(99L) shouldBe 0.0
+    val aMin = styleA.map(d => w(d._1)).min
+    val bMax = styleB.map(d => w(d._1)).max
+    aMin should be > bMax
+    // target-side grams are strictly over-represented in the target
+    // distribution, so style-A weights are positive, style-B negative
+    aMin should be > 0.0
+    bMax should be < 0.0
+    // layout invariance: the hash buckets and sums are content-pure
+    val w2 = Curation.dsirLogWeights(raw.repartition(7), target, n = 2)
+      .as[(Long, Double)].collect().toMap
+    w2 shouldBe w
+  }
 }
