@@ -1951,6 +1951,17 @@ object SparkEntry {
     "cur_epoch_allocation" -> ((s, dir) =>
       Curation.epochAllocation(Tables.documents(s, dir), "source",
         "n_chars", alpha = 0.7, budgetTokens = 1000000L)),
+    // margin-reliability calibration of the NB curation filter (r13):
+    // held-out predictions binned by margin (width 0.05, top bin
+    // open), per-bin agreement with the recorded label — the QA table
+    // that justifies cur_pipeline3's margin threshold. Oracle nests
+    // the full NB SQL re-derivation and re-bins it.
+    "cur_calibration" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = pmod(col("doc_id"), lit(5))
+      Classifier.calibrationReport(d.filter(t === 0), d.filter(t =!= 0),
+        "lang")
+    }),
     // DSIR importance weights (r13): every raw doc scored by how much
     // its hashed-bigram bag looks like the TARGET slice's distribution
     // (doc_id % 7 — an arbitrary deterministic "curated set") vs the
@@ -4456,6 +4467,19 @@ object SparkEntry {
                 round(1000000.0 * ps_a / (SELECT z FROM z), 2) AS alloc_tokens,
                 round(1000000.0 * ps_a / (SELECT z FROM z) / a_s, 6) AS epochs
          FROM s""",
+    // the calibration table over the SAME full NB re-derivation the
+    // classifier gates use, nested as a subquery and re-binned
+    "cur_calibration" ->
+      s"""WITH base AS ($naiveBayesOracleSql),
+         j AS (SELECT b.doc_id, b.margin,
+                 CASE WHEN b.pred = d.lang THEN 1 ELSE 0 END AS ok
+               FROM base b JOIN documents d USING (doc_id))
+         SELECT LEAST(9, CAST(floor(margin / 0.05) AS INT)) AS bin,
+           round(LEAST(9, CAST(floor(margin / 0.05) AS INT)) * 0.05, 6)
+             AS margin_lo,
+           count(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
+           round(sum(ok) * 1e0 / count(*), 6) AS accuracy
+         FROM j GROUP BY 1, 2""",
     // the full DSIR derivation in SQL: raw bigram BAG (no distinct),
     // the 16-bit md5 bucket (cur_hash_split's device) mod 4096, both
     // smoothed distributions over a complete bucket spine, per-doc

@@ -131,6 +131,41 @@ object Classifier {
       classTokenCounts(labeled, labelCol, unicode),
       classTotals(labeled, labelCol, unicode), unicode)
 
+  /** Margin-reliability (calibration) table of the classifier on a
+    * held-out labeled split: predictions bin by margin (width
+    * `binWidth`, top bin open) and each bin reports how often the
+    * prediction actually agreed with the recorded label. This is the
+    * QA step that justifies a model-based curation threshold — a
+    * pipeline keeping `margin ≥ 0.05` (cur_pipeline3's filter) should
+    * be able to SHOW that high-margin predictions are more reliable,
+    * not assert it. Output: (bin, margin_lo, n, n_correct, accuracy),
+    * one row per non-empty bin.
+    *
+    * Scale shape: classification is the existing linear pass; the
+    * report adds one ≤`bins`-key aggregation. Cross-engine parity:
+    * margins are already rounded 6 dp by [[naiveBayes]], and
+    * `floor(margin / binWidth)` divides the same doubles in IEEE on
+    * both engines.
+    */
+  def calibrationReport(test: DataFrame, train: DataFrame,
+                        labelCol: String, binWidth: Double = 0.05,
+                        bins: Int = 10): DataFrame = {
+    require(binWidth > 0 && bins >= 2,
+      s"calibrationReport: need binWidth > 0 and bins >= 2")
+    val preds = naiveBayes(test, train, labelCol)
+    val bin = least(lit(bins - 1),
+      floor(col("margin") / binWidth)).cast("int")
+    preds
+      .join(test.select(col("doc_id"), col(labelCol).as("__y")), "doc_id")
+      .withColumn("bin", bin)
+      .withColumn("ok", when(col("pred") === col("__y"), 1L).otherwise(0L))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"))
+      .select(col("bin"), round(col("bin") * binWidth, 6).as("margin_lo"),
+        col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+  }
+
   // ── incremental model store ───────────────────────────────────────
   //
   // Counts and totals are additive, so the trained model maintains

@@ -113,4 +113,33 @@ class ClassifierSpec extends SparkSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Classifier.naiveBayes(unlabeled, one, "lang").collect()
   }
+
+  test("calibrationReport: bins partition the predictions, counts " +
+      "reconcile with a direct margin/agreement recompute") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val t = pmod(col("doc_id"), lit(5))
+    val (test0, train0) = (d.filter(t === 0), d.filter(t =!= 0))
+    val rep = Classifier.calibrationReport(test0, train0, "lang")
+      .as[(Int, Double, Long, Long, Double)].collect().sortBy(_._1)
+    // the bins partition every held-out prediction exactly once
+    rep.map(_._3).sum shouldBe test0.count()
+    // per-bin counts reconcile with the raw predictions re-binned here
+    val preds = Classifier.naiveBayes(test0, train0, "lang")
+      .join(test0.select(col("doc_id"), col("lang").as("truth")), "doc_id")
+      .select(col("margin"), (col("pred") === col("truth")).as("ok"))
+      .as[(Double, Boolean)].collect()
+    val want = preds.groupBy(p => math.min(9, math.floor(p._1 / 0.05).toInt))
+      .map { case (b, ps) => (b, ps.length.toLong,
+        ps.count(_._2).toLong) }.toSeq.sortBy(_._1)
+    rep.map(r => (r._1, r._3, r._4)).toSeq shouldBe want
+    // margin_lo/accuracy arithmetic
+    rep.foreach { case (b, lo, n, c, acc) =>
+      lo shouldBe BigDecimal(b * 0.05).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      acc shouldBe BigDecimal(c.toDouble / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    }
+  }
 }
