@@ -132,6 +132,24 @@ object SparkEntry {
     s.read.parquet(s"$p/pairs")
   }
 
+  /** Per-(JVM, sfDir) memo of the `cur_dsir_store` gate's persisted
+    * DSIR target store: bucket counts of the target slice built on its
+    * first doc_id tercile, extended with the other two as ledgered
+    * appends — count summation is the union, so scoring against the
+    * store must equal the from-scratch [[Curation.dsirLogWeights]].
+    */
+  private val dsirStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dsirGateStore(s: SparkSession, dir: String): String =
+    dsirStoreMemo.computeIfAbsent(dir, _ => {
+      val store = tempIndexDir("graft-dsir-store")
+      val tgt = Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+      val t = pmod(col("doc_id"), lit(3))
+      Curation.buildDsirTarget(tgt.filter(t === 0), store)
+      Curation.extendDsirTarget(tgt.filter(t === 1), store, Some("t1"))
+      Curation.extendDsirTarget(tgt.filter(t === 2), store, Some("t2"))
+      store
+    })
+
   /** Per-(JVM, sfDir) memo of the persisted reference-GRAM store the
     * `text_novelty_store` gate probes — built on 2/3 of the reference
     * split, extended with the rest, like [[containmentGateIndex]].
@@ -1972,6 +1990,25 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       Curation.dsirLogWeights(d, d.filter(col("doc_id") % 7 === 0))
     }),
+    // the same scoring against the PERSISTED target store (built on
+    // the target slice's first tercile, extended with the other two —
+    // ledgered): bucket counts are additive, so the answer must equal
+    // the from-scratch gate verbatim — one oracle serves both
+    "cur_dsir_store" -> ((s, dir) =>
+      Curation.dsirAgainstStore(Tables.documents(s, dir),
+        dsirGateStore(s, dir))),
+    // streaming maintenance of the DSIR reference (16th streamed
+    // store): batch 0 pins the feature space, later micro-batches
+    // append ledgered count rows; scoring after the replay shares the
+    // from-scratch oracle. Stable store + resume.
+    "stream_dsir_extend" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val store = streamStoreDir("graft-stream-dsir", dir)
+      graft.streaming.StreamedBatch.replayIntoDsirStore(s,
+        d.filter(col("doc_id") % 7 === 0), "doc_id", "doc_id", store,
+        stageKey = Some(s"$dir:documents-dsir-target"), resume = true)
+      Curation.dsirAgainstStore(d, store)
+    }),
     // per-doc novelty of the held-out slice vs the rest of the corpus:
     // fraction of distinct bigrams the reference has never seen
     "text_novelty" -> ((s, dir) => {
@@ -2893,6 +2930,33 @@ object SparkEntry {
     * via the LEFT JOIN's coalesce), and reproduces the round-6dp
     * argmax with ascending-label tiebreak plus the runner-up margin.
     */
+  private val dsirWeightsSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         gr AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+                FROM toks),
+         gb AS (SELECT doc_id,
+                  ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096 +
+                   (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 4096 AS bucket
+                FROM gr),
+         craw AS (SELECT bucket, count(*) AS c FROM gb GROUP BY 1),
+         ctgt AS (SELECT bucket, count(*) AS c FROM gb WHERE doc_id % 7 = 0 GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM gb) AS nraw,
+                        (SELECT count(*) FROM gb WHERE doc_id % 7 = 0) AS ntgt),
+         llr AS (SELECT r.range AS bucket,
+                   ln(coalesce(ct.c, 0) + 0.5) - ln(coalesce(cr.c, 0) + 0.5) AS llr
+                 FROM range(4096) r
+                 LEFT JOIN craw cr ON cr.bucket = r.range
+                 LEFT JOIN ctgt ct ON ct.bucket = r.range),
+         per AS (SELECT gb.doc_id, sum(l.llr) AS s, count(*) AS cnt
+                 FROM gb JOIN llr l ON l.bucket = gb.bucket GROUP BY 1)
+         SELECT d.doc_id,
+           round(coalesce(p.s + p.cnt *
+             (ln(t.nraw + 0.5 * 4096) - ln(t.ntgt + 0.5 * 4096)), 0.0), 6) AS log_w
+         FROM documents d CROSS JOIN tot t LEFT JOIN per p ON p.doc_id = d.doc_id"""
+
   private val naiveBayesOracleSql =
     """WITH train AS (SELECT lang AS y, text FROM documents WHERE doc_id % 5 <> 0),
        test AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
@@ -4483,33 +4547,14 @@ object SparkEntry {
     // the full DSIR derivation in SQL: raw bigram BAG (no distinct),
     // the 16-bit md5 bucket (cur_hash_split's device) mod 4096, both
     // smoothed distributions over a complete bucket spine, per-doc
-    // Σ llr + |doc|·norm — docs under 2 tokens carry 0
-    "cur_dsir_weights" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         gr AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
-                FROM toks),
-         gb AS (SELECT doc_id,
-                  ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096 +
-                   (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256 +
-                   (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16 +
-                   (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 4096 AS bucket
-                FROM gr),
-         craw AS (SELECT bucket, count(*) AS c FROM gb GROUP BY 1),
-         ctgt AS (SELECT bucket, count(*) AS c FROM gb WHERE doc_id % 7 = 0 GROUP BY 1),
-         tot AS (SELECT (SELECT count(*) FROM gb) AS nraw,
-                        (SELECT count(*) FROM gb WHERE doc_id % 7 = 0) AS ntgt),
-         llr AS (SELECT r.range AS bucket,
-                   ln(coalesce(ct.c, 0) + 0.5) - ln(coalesce(cr.c, 0) + 0.5) AS llr
-                 FROM range(4096) r
-                 LEFT JOIN craw cr ON cr.bucket = r.range
-                 LEFT JOIN ctgt ct ON ct.bucket = r.range),
-         per AS (SELECT gb.doc_id, sum(l.llr) AS s, count(*) AS cnt
-                 FROM gb JOIN llr l ON l.bucket = gb.bucket GROUP BY 1)
-         SELECT d.doc_id,
-           round(coalesce(p.s + p.cnt *
-             (ln(t.nraw + 0.5 * 4096) - ln(t.ntgt + 0.5 * 4096)), 0.0), 6) AS log_w
-         FROM documents d CROSS JOIN tot t LEFT JOIN per p ON p.doc_id = d.doc_id""",
+    // Σ llr + |doc|·norm — docs under 2 tokens carry 0. Shared by the
+    // from-scratch, persisted-store, and streamed-store gates: bucket
+    // counts are additive, so every maintenance strategy must serve
+    // the identical answer.
+    "cur_dsir_weights" -> dsirWeightsSql,
+    "cur_dsir_store" -> dsirWeightsSql,
+    "stream_dsir_extend" -> dsirWeightsSql,
+
     "text_novelty" -> noveltySql,
     // the stored-gram probe and the streamed-store maintenance path
     // must reproduce the from-scratch answer verbatim (set union IS

@@ -429,52 +429,134 @@ object Curation {
     * tiny by construction at any corpus size), one per-doc sum. Docs
     * with fewer than n tokens carry weight 0 (no evidence either way).
     */
-  def dsirLogWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
-                     buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
-    require(n >= 1, s"dsirLogWeights: n must be >= 1, got $n")
-    require(buckets >= 2 && buckets <= 65536,
-      s"dsirLogWeights: buckets must be in [2, 65536], got $buckets")
-    require(alpha > 0, s"dsirLogWeights: alpha must be > 0, got $alpha")
+  /** Raw whitespace n-gram BAG per doc (no distinct — importance
+    * weights are about the doc's distribution, not its vocabulary).
+    */
+  private def gramBag(df: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val idx = sequence(lit(0), size(toks) - n)
+    val bag = when(size(toks) >= n,
+      transform(idx, i => concat_ws(" ",
+        (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col("doc_id"), explode_outer(bag).as("g"))
+      .filter(col("g").isNotNull)
+  }
+
+  /** The engine-portable feature bucket: 16-bit md5 value mod B. */
+  private def dsirBucket(g: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(conv(substring(md5(encode(g, "UTF-8")), 1, 4), 16, 10).cast("int"),
+      lit(buckets))
+
+  /** (bucket, c) table of a gram frame. */
+  private def bucketCounts(g: DataFrame, buckets: Int,
+                           name: String): DataFrame =
+    g.groupBy(dsirBucket(col("g"), buckets).as("bucket"))
+      .agg(count(lit(1)).as(name))
+
+  /** Shared scoring tail of [[dsirLogWeights]] / [[dsirAgainstStore]]:
+    * raw-side counts computed in-plan, target counts supplied (live or
+    * from the store — additive either way), smoothing over a complete
+    * bucket spine, per-doc Σ llr + |doc|·norm.
+    */
+  private def dsirScore(raw: DataFrame, rawG: DataFrame,
+                        tgtCounts: DataFrame, nTgt: Long,
+                        buckets: Int, alpha: Double): DataFrame = {
     val spark = raw.sparkSession
-    // raw whitespace n-gram BAG (no distinct — counts matter)
-    def grams(df: DataFrame): DataFrame = {
-      val toks = split(col("text"), " ")
-      val idx = sequence(lit(0), size(toks) - n)
-      val bag = when(size(toks) >= n,
-        transform(idx, i => concat_ws(" ",
-          (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*)))
-        .otherwise(array().cast("array<string>"))
-      df.select(col("doc_id"), explode_outer(bag).as("g"))
-        .filter(col("g").isNotNull)
-    }
-    def bucketOf(g: org.apache.spark.sql.Column) =
-      pmod(conv(substring(md5(encode(g, "UTF-8")), 1, 4), 16, 10).cast("int"),
-        lit(buckets))
-    def tab(g: DataFrame, name: String) =
-      g.groupBy(bucketOf(col("g")).as("bucket"))
-        .agg(count(lit(1)).as(name))
-    val rawG = grams(raw)
-    val tgtG = grams(target)
-    // totals: two bounded driver scalars (the epochAllocation idiom)
     val nRaw = rawG.count()
-    val nTgt = tgtG.count()
     val perGramNorm =
       math.log(nRaw + alpha * buckets) - math.log(nTgt + alpha * buckets)
     // complete bucket spine so absent buckets still smooth to α/α = 1
     val spine = spark.range(buckets).select(col("id").cast("int").as("bucket"))
     val llr = spine
-      .join(tab(rawG, "c_raw"), Seq("bucket"), "left")
-      .join(tab(tgtG, "c_tgt"), Seq("bucket"), "left")
+      .join(bucketCounts(rawG, buckets, "c_raw"), Seq("bucket"), "left")
+      .join(tgtCounts, Seq("bucket"), "left")
       .na.fill(0L, Seq("c_raw", "c_tgt"))
       .select(col("bucket"),
         (log(col("c_tgt") + alpha) - log(col("c_raw") + alpha)).as("llr"))
-    val scored = rawG.select(col("doc_id"), bucketOf(col("g")).as("bucket"))
+    val scored = rawG.select(col("doc_id"), dsirBucket(col("g"), buckets).as("bucket"))
       .join(broadcast(llr), "bucket")
       .groupBy("doc_id")
       .agg(round(sum(col("llr")) + count(lit(1)) * perGramNorm, 6)
         .as("log_w"))
     raw.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("log_w"), lit(0.0)).as("log_w"))
+  }
+
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
+                     buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
+    require(n >= 1, s"dsirLogWeights: n must be >= 1, got $n")
+    require(buckets >= 2 && buckets <= 65536,
+      s"dsirLogWeights: buckets must be in [2, 65536], got $buckets")
+    require(alpha > 0, s"dsirLogWeights: alpha must be > 0, got $alpha")
+    val tgtG = gramBag(target, n)
+    dsirScore(raw, gramBag(raw, n),
+      bucketCounts(tgtG, buckets, "c_tgt"), tgtG.count(), buckets, alpha)
+  }
+
+  // ── persisted DSIR target-distribution store ──────────────────────
+  //
+  // The TARGET distribution is the fixed reference of DSIR scoring
+  // (the curated set); the raw side is whatever corpus is being scored
+  // today. Bucket counts are ADDITIVE, so the reference maintains
+  // exactly like the vocabulary store: per-shard append of the shard's
+  // own (bucket, c) rows, summation on read, ledgered retries, params
+  // (n, buckets) pinned at build so every extend and probe agrees on
+  // the feature space. After build + k extends, scoring equals
+  // [[dsirLogWeights]] against everything folded in — exactly.
+
+  /** Initialize the persisted target store at `path`. */
+  def buildDsirTarget(target: DataFrame, path: String, n: Int = 2,
+                      buckets: Int = 4096): Unit = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buildDsirTarget: buckets must be in [2, 65536], got $buckets")
+    val spark = target.sparkSession
+    import spark.implicits._
+    graft.util.Manifest.init(spark, path) {
+      Seq((n, buckets)).toDF("n", "buckets")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/params")
+      bucketCounts(gramBag(target, n), buckets, "c")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/counts")
+    }
+    ()
+  }
+
+  /** Fold a new target shard in — the shard's OWN count rows append
+    * under the ledgered `shardId` (a retry is a no-op); the stored
+    * feature space (n, buckets) is pinned by params.
+    */
+  def extendDsirTarget(newTarget: DataFrame, path: String,
+                       shardId: Option[String] = None): Unit = {
+    val spark = newTarget.sparkSession
+    val p = graft.util.Manifest.read(spark, path, "params").head()
+    val (n, buckets) = (p.getInt(0), p.getInt(1))
+    graft.util.Manifest.extend(spark, path, shardId) {
+      bucketCounts(gramBag(newTarget, n), buckets, "c")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/counts")
+    }
+    ()
+  }
+
+  /** Score `raw` against the STORED target distribution — equals
+    * [[dsirLogWeights]](raw, everything folded into the store)
+    * verbatim (count summation IS the union). One committed store
+    * generation serves the whole call (params/counts pinned — the
+    * [[graft.operators.Dedup.containmentAcrossIndexed]] contract).
+    */
+  def dsirAgainstStore(raw: DataFrame, path: String,
+                       alpha: Double = 0.5): DataFrame = {
+    val spark = raw.sparkSession
+    val asOf = Some(graft.util.Manifest.snapshot(spark, path).gen)
+    val p = graft.util.Manifest.read(spark, path, "params", asOf).head()
+    val (n, buckets) = (p.getInt(0), p.getInt(1))
+    val tgt = graft.util.Manifest.read(spark, path, "counts", asOf)
+      .groupBy("bucket").agg(sum(col("c")).as("c_tgt"))
+    val nTgt = tgt.agg(coalesce(sum(col("c_tgt")), lit(0L)))
+      .head().getLong(0)
+    dsirScore(raw, gramBag(raw, n), tgt, nTgt, buckets, alpha)
   }
 
   /** Weighted mixture sampling: keep a per-stratum deterministic hash

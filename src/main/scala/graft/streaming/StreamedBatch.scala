@@ -669,6 +669,51 @@ object StreamedBatch {
     }
   }
 
+  /** Replay a documents table (the TARGET/curated corpus) as a file
+    * stream folding each micro-batch's hashed-gram bucket counts into
+    * a persisted [[graft.operators.Curation]] DSIR target store — the
+    * importance-resampling reference maintained as a live stream:
+    * batch 0 builds (pinning the (n, buckets) feature space), later
+    * batches append their own ledgered count rows. Counts sum on
+    * read, so scoring any raw corpus against the streamed store
+    * equals from-scratch [[graft.operators.Curation.dsirLogWeights]]
+    * over everything streamed — the gate shares that oracle.
+    */
+  def replayIntoDsirStore(spark: SparkSession, input: DataFrame,
+                          orderCol: String, tieCol: String, storePath: String,
+                          n: Int = 2, buckets: Int = 4096,
+                          chunks: Int = 3,
+                          stageKey: Option[String] = None,
+                          resume: Boolean = false,
+                          autoCompactFiles: Int = 64): Unit = {
+    import graft.operators.Curation
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0)
+            resumableBuild(spark, storePath, resume)(
+              Curation.buildDsirTarget(batch, storePath, n, buckets))
+          else {
+            Curation.extendDsirTarget(batch, storePath,
+              shardId = Some(s"replay-batch-$id"))
+            // default-on flat-store policy (counts sum at read)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, storePath,
+                "counts", autoCompactFiles)
+            ()
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `labeled` (a documents table carrying a label column) as a
     * file stream folding each micro-batch's per-class token counts
     * into a persisted [[graft.operators.Classifier]] Naive Bayes model

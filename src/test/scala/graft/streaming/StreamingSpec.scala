@@ -841,6 +841,11 @@ class StreamingSpec extends SparkSuite with Matchers {
       bloom, "user_id", chunks = 6, autoCompactFiles = t)
     assertBounded(bloom, Seq("filter"))
 
+    val dsir = tmp("ac-dsir-")
+    StreamedBatch.replayIntoDsirStore(spark, docs, "doc_id", "doc_id",
+      dsir, chunks = 6, autoCompactFiles = t)
+    assertBounded(dsir, Seq("counts"))
+
     // compaction preserved answers + the ledger on a representative
     // store of each merge style: additive counts (vocab) and
     // membership union (bloom)
