@@ -439,7 +439,10 @@ object Curation {
       transform(idx, i => concat_ws(" ",
         (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*)))
       .otherwise(array().cast("array<string>"))
-    df.select(col("doc_id"), explode_outer(bag).as("g"))
+    // widen the DOC side before the explode (the FreqSketch lesson):
+    // one-file corpora otherwise run the gram fan-out in one task
+    graft.operators.FreqSketch.widenToCores(df)
+      .select(col("doc_id"), explode_outer(bag).as("g"))
       .filter(col("g").isNotNull)
   }
 
