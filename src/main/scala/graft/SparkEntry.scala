@@ -2730,8 +2730,15 @@ object SparkEntry {
     // have something real to preserve
     "sim_topk_pca_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(clusteredGateCorpus(s, dir))
-      Pca.pcaIvfCheck(emb,
-        modelOpt = Some(fittedPcaMemo(s"$dir#clustered-pca16", Pca.fit(emb, 16))))
+      val model = fittedPcaMemo(s"$dir#clustered-pca16", Pca.fit(emb, 16))
+      // Lloyd-trained centroids over the PROJECTED corpus, memoized
+      // like every trained artifact (the sim_ann_* convention): the
+      // gate times the composed SEARCH, training amortizes
+      Pca.pcaIvfCheck(emb, modelOpt = Some(model),
+        centsOpt = Some(trainedCentsMemo(s"$dir#pca16-ivf16x3",
+          Similarity.coarseCentroids(
+            Pca.project(emb, model, projCol = "embedding"),
+            nlist = 16, iters = 3))))
     }),
     // the INCREMENTAL PCA lifecycle: moment store built on tranche 1,
     // tranches 2-3 folded in as ledgered shard rows (re-delivered t1 a

@@ -288,11 +288,13 @@ object Pca {
     */
   def pcaIvfTopK(emb: DataFrame, queries: DataFrame, model: PcaModel, k: Int,
                  nlist: Int = 16, nprobe: Int = 4, coarseIters: Int = 3,
-                 mult: Int = 8): DataFrame = {
+                 mult: Int = 8,
+                 centsOpt: Option[Similarity.Cents] = None): DataFrame = {
     val projAll = project(emb, model, projCol = "embedding")
     val projQ = project(queries, model, projCol = "embedding")
     val cand = Similarity.ivfTopK(projAll, projQ, mult * k,
-        nlist = nlist, nprobe = nprobe, coarseIters = coarseIters)
+        nlist = nlist, nprobe = nprobe, coarseIters = coarseIters,
+        centsOpt = centsOpt)
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(cand, emb, queries, k)
   }
@@ -316,12 +318,13 @@ object Pca {
   def pcaIvfCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
                   nlist: Int = 16, nprobe: Int = 8, coarseIters: Int = 3,
                   mult: Int = 8, minRecall: Double = 0.9,
-                  modelOpt: Option[PcaModel] = None): DataFrame = {
+                  modelOpt: Option[PcaModel] = None,
+                  centsOpt: Option[Similarity.Cents] = None): DataFrame = {
     val spark = emb.sparkSession
     val queries = emb.filter(col("vec_id") < 5)
     val model = modelOpt.getOrElse(fit(emb, kDims))
     val approx = pcaIvfTopK(emb, queries, model, k, nlist, nprobe,
-      coarseIters, adaptiveMult(emb.count(), mult))
+      coarseIters, adaptiveMult(emb.count(), mult), centsOpt)
     val exact = Similarity.bruteForceTopK(emb, queries, k)
     val total = exact.count()
     val hits = exact.select(col("query_id"), col("neighbor_id"))
