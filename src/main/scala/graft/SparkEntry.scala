@@ -2957,8 +2957,9 @@ object SparkEntry {
                  FROM range(4096) r
                  LEFT JOIN craw cr ON cr.bucket = r.range
                  LEFT JOIN ctgt ct ON ct.bucket = r.range),
-         per AS (SELECT gb.doc_id, sum(l.llr) AS s, count(*) AS cnt
-                 FROM gb JOIN llr l ON l.bucket = gb.bucket GROUP BY 1)
+         db AS (SELECT doc_id, bucket, count(*) AS cnt FROM gb GROUP BY 1, 2),
+         per AS (SELECT db.doc_id, sum(l.llr * db.cnt) AS s, sum(db.cnt) AS cnt
+                 FROM db JOIN llr l ON l.bucket = db.bucket GROUP BY 1)
          SELECT d.doc_id,
            round(coalesce(p.s + p.cnt *
              (ln(t.nraw + 0.5 * 4096) - ln(t.ntgt + 0.5 * 4096)), 0.0), 6) AS log_w

@@ -466,21 +466,36 @@ object Curation {
                         tgtCounts: DataFrame, nTgt: Long,
                         buckets: Int, alpha: Double): DataFrame = {
     val spark = raw.sparkSession
-    val nRaw = rawG.count()
+    // ONE raw gram fan-out (r13 ADVICE): the tokenize + n-gram explode
+    // over the full raw corpus is the dominant pass of DSIR's stated
+    // use case (scoring a bulk crawl), and it previously re-executed
+    // three times — corpus total, per-bucket counts, per-doc scoring
+    // join. The fan-out now collapses once into per-(doc, bucket) gram
+    // counts, materialized with the repo's snap convention for
+    // expensive intermediates; the corpus total and the raw bucket
+    // counts are second-level aggregates of that small frame, and the
+    // scoring sum weights each bucket's llr by the doc's gram count —
+    // the identical multiset sum.
+    val docBucket = graft.operators.Dedup.materialize(
+      rawG.select(col("doc_id"), dsirBucket(col("g"), buckets).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt")))
+    val nRaw = docBucket.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0)
     val perGramNorm =
       math.log(nRaw + alpha * buckets) - math.log(nTgt + alpha * buckets)
     // complete bucket spine so absent buckets still smooth to α/α = 1
     val spine = spark.range(buckets).select(col("id").cast("int").as("bucket"))
     val llr = spine
-      .join(bucketCounts(rawG, buckets, "c_raw"), Seq("bucket"), "left")
+      .join(docBucket.groupBy("bucket").agg(sum(col("cnt")).as("c_raw")),
+        Seq("bucket"), "left")
       .join(tgtCounts, Seq("bucket"), "left")
       .na.fill(0L, Seq("c_raw", "c_tgt"))
       .select(col("bucket"),
         (log(col("c_tgt") + alpha) - log(col("c_raw") + alpha)).as("llr"))
-    val scored = rawG.select(col("doc_id"), dsirBucket(col("g"), buckets).as("bucket"))
+    val scored = docBucket
       .join(broadcast(llr), "bucket")
       .groupBy("doc_id")
-      .agg(round(sum(col("llr")) + count(lit(1)) * perGramNorm, 6)
+      .agg(round(sum(col("llr") * col("cnt")) + sum(col("cnt")) * perGramNorm, 6)
         .as("log_w"))
     raw.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("log_w"), lit(0.0)).as("log_w"))
@@ -492,9 +507,14 @@ object Curation {
     require(buckets >= 2 && buckets <= 65536,
       s"dsirLogWeights: buckets must be in [2, 65536], got $buckets")
     require(alpha > 0, s"dsirLogWeights: alpha must be > 0, got $alpha")
-    val tgtG = gramBag(target, n)
-    dsirScore(raw, gramBag(raw, n),
-      bucketCounts(tgtG, buckets, "c_tgt"), tgtG.count(), buckets, alpha)
+    // one target gram fan-out: the ≤`buckets`-row count table is
+    // materialized once and serves both the llr join and the target
+    // total (previously the fan-out ran twice — count + counts)
+    val tgtCounts = graft.operators.Dedup.materialize(
+      bucketCounts(gramBag(target, n), buckets, "c_tgt"))
+    val nTgt = tgtCounts.agg(coalesce(sum(col("c_tgt")), lit(0L)))
+      .head().getLong(0)
+    dsirScore(raw, gramBag(raw, n), tgtCounts, nTgt, buckets, alpha)
   }
 
   // ── persisted DSIR target-distribution store ──────────────────────

@@ -333,9 +333,31 @@ object Dedup {
     // shingles. Only PREFIX rows are snapshotted — the self-join and
     // the cap guard read nothing else, so the non-prefix tail never
     // hits disk.
+    // The speculative job must stay CANCELLABLE from both directions:
+    // the caller's cancelJobGroup must reach it (pool threads don't
+    // inherit the caller's thread-local job group, so it is re-set
+    // inside the closure), and the dense branch must be able to kill
+    // the abandoned write instead of letting it run to completion
+    // against scoreAllPairs' executors. Job TAGS give the second
+    // handle without disturbing the first (tags are a set; group id is
+    // a single slot the caller owns).
+    val sc = docs.sparkSession.sparkContext
+    val callerGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val callerDesc = sc.getLocalProperty("spark.job.description")
+    val specTag = s"graft-ngram-prefix-spec-${java.util.UUID.randomUUID()}"
     val prefixFut = scala.concurrent.Future {
-      writeThroughAt(dfRankedPostings(sets).filter(
+      val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+      val prevDesc = sc.getLocalProperty("spark.job.description")
+      sc.setLocalProperty("spark.jobGroup.id", callerGroup)
+      sc.setLocalProperty("spark.job.description", callerDesc)
+      sc.addJobTag(specTag)
+      try writeThroughAt(dfRankedPostings(sets).filter(
         col("pos") < col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1))
+      finally {
+        sc.removeJobTag(specTag)
+        sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+        sc.setLocalProperty("spark.job.description", prevDesc)
+      }
     }(scala.concurrent.ExecutionContext.global)
     val (nDocs, density) = overlapDensity(sets)
     // Cost-based path choice (see [[denseOverlapCutoff]]): when the
@@ -354,11 +376,26 @@ object Dedup {
       println(f"[probe]   ngramJaccard n=$nDocs density=$density%.3f " +
         f"prefixDensity=$prefixDensity%.3f dense=${prefixDensity >= denseOverlapCutoff}")
     if (maxShingleDf <= 0 && prefixDensity >= denseOverlapCutoff) {
-      // retire the speculative snapshot once (if) it lands; a failed
-      // speculative write is irrelevant to this branch
+      // the dense branch won: CANCEL the in-flight speculative write
+      // (it would otherwise compete with scoreAllPairs for executors
+      // to produce a snapshot nobody reads), then retire whatever
+      // landed. Cleanup failures are LOGGED — a leaked snapshot dir is
+      // disk the operator owes an explanation for, not a silent drop.
+      sc.cancelJobsWithTag(specTag)
       prefixFut.onComplete {
-        case scala.util.Success((_, p)) => dropSnapshot(docs.sparkSession, p)
-        case _ => ()
+        case scala.util.Success((_, p)) =>
+          try dropSnapshot(docs.sparkSession, p)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              org.apache.log4j.Logger.getLogger(getClass).warn(
+                s"ngramJaccard: failed to retire speculative prefix snapshot $p", e)
+          }
+        case scala.util.Failure(e) =>
+          // cancellation lands here by design; anything else is logged
+          if (!e.isInstanceOf[org.apache.spark.SparkException] ||
+              !String.valueOf(e.getMessage).contains("cancelled"))
+            org.apache.log4j.Logger.getLogger(getClass).warn(
+              "ngramJaccard: speculative prefix snapshot failed", e)
       }(scala.concurrent.ExecutionContext.global)
       scoreAllPairs(allPairsBlocked(sets, nDocs), threshold,
         jaccard = true)
@@ -583,15 +620,22 @@ object Dedup {
     val posts = sets.select(col("doc_id"), size(col("hs")).as("sz"),
         explode_outer(col("hs")).as("h"))
       .filter(col("h").isNotNull)
-    // df as a WINDOW count over h rather than groupBy + re-join: one
-    // shuffle of the postings (by h) instead of two (agg by h, then
-    // the join re-shuffling the posting side) — at the corpus sizes
-    // where this build dominates, dropping a full shuffle stage wave
-    // is a direct wall win and the aggregate is identical
-    val withDf = posts.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("h"))))
+    // df via groupBy + join, NOT count().over(Window.partitionBy(h)):
+    // the window form saves one stage wave but loses map-side partial
+    // aggregation — every posting row of a hot shingle buffers and
+    // sorts inside a single window task, which on a Zipfian corpus
+    // (df of the hottest shingle ~ a constant fraction of all
+    // postings) is a one-task spill exactly where the build is
+    // hottest. The aggregate shape keeps partials (hot shingles
+    // collapse to one row per map task before the exchange) and the
+    // join is a plain equi-join AQE can skew-split — neither property
+    // has a window equivalent. The extra wave is the small df frame's
+    // aggregation; the posting-side exchange is paid either way.
+    val dfs = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val withDf = posts.join(dfs, "h")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     withDf.withColumn("pos", row_number().over(w) - 1)
+      .select(col("doc_id"), col("sz"), col("h"), col("df"), col("pos"))
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs:

@@ -115,10 +115,22 @@ object FreqSketch {
     * ~128 occurrences stays provable forever, and the sketch stays
     * tiny relative to the corpus (N/128 entries ≈ 0.8 % of item rows).
     * The floor keeps small-corpus geometries unchanged.
+    *
+    * The capacity is CLAMPED at `ceiling` (2²¹ entries ≈ low hundreds
+    * of MB of driver map at merge time): a raw `(n/divisor).toInt`
+    * silently WRAPS NEGATIVE past n ≈ 2.7e11 items, and an unclamped
+    * linear capacity turns [[mergedSketch]]'s driver-side collect into
+    * an OOM instead of a loud refusal. Past the ceiling the merged
+    * error bound grows with N again, so an over-ceiling corpus that can
+    * no longer prove its k-th item simply REFUSES in [[heavyTopKExact]]
+    * — the designed failure mode — rather than crashing the driver.
     */
   def capacityFor(nItems: Long, floor: Int = 768,
-                  divisor: Int = 128): Int =
-    math.max(floor, (nItems / divisor + 1).toInt)
+                  divisor: Int = 128,
+                  ceiling: Int = 1 << 21): Int = {
+    require(nItems >= 0 && floor > 0 && divisor > 0 && ceiling >= floor)
+    math.min(ceiling.toLong, math.max(floor.toLong, nItems / divisor + 1)).toInt
+  }
 
   private def writeShard(items: DataFrame, itemCol: String, path: String,
                          shardId: String, capacity: Int,
@@ -175,9 +187,27 @@ object FreqSketch {
     * itself is associative and error-additive). Returns (candidate
     * map, N = Σ shard_n, error bound Σᵢ Nᵢ/(minCap+1)).
     */
+  /** Hard bound on the sketch rows [[mergedSketch]] may pull to the
+    * driver (shards × capacity entries). The merge is a driver fold by
+    * design — the whole point of the sketch is that this set is tiny —
+    * but shard count grows with extend frequency and capacity with
+    * corpus size ([[capacityFor]]), so at the 100 TB scale the docs
+    * advertise an unbounded collect becomes a silent driver OOM. The
+    * guard turns that into a loud refusal naming the fix (compact the
+    * shard ledger: re-build the store from the merged summary, which
+    * collapses the shard count back to 1).
+    */
+  @volatile var maxMergeRows: Long = 8L << 20
+
   def mergedSketch(spark: SparkSession, path: String,
                    asOf: Option[Int] = None): (Map[String, Long], Long, Double) = {
-    val rows = graft.util.Manifest.read(spark, path, "sketch", asOf)
+    val src = graft.util.Manifest.read(spark, path, "sketch", asOf)
+    val nRows = src.count()
+    require(nRows <= maxMergeRows, s"mergedSketch: $nRows sketch rows " +
+      s"across shards exceed the driver-merge bound $maxMergeRows — " +
+      "compact the store (rebuild from the merged summary to collapse " +
+      "the shard ledger) before serving")
+    val rows = src
       .select("shard_uid", "item", "cnt", "shard_n", "capacity").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getInt(4)))
