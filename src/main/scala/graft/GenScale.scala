@@ -52,6 +52,11 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table filter — a probe that
+    // needs one big table (the 5e5-vector LSH saturation corpus)
+    // shouldn't pay for a full factor-25 lakehouse
+    val only = args.lift(3).map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,11 +66,12 @@ object GenScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def write(name: String, df: DataFrame, files: Int): Unit = {
-      df.repartition(files)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
-      println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
-    }
+    def write(name: String, df: => DataFrame, files: Int): Unit =
+      if (wanted(name)) {
+        df.repartition(files)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+        println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+      }
     def load(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
     val rep = replicas(factor)
@@ -151,8 +157,14 @@ object GenScale {
     // an sf0.1-sized planted corpus for the small-scale point.
     val nrm = sqrt(aggregate(col("embedding"), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
+    // twin-id offset: 5·10⁸ clears every replica stride up to factor
+    // 40 (the sf1/sf25e geometries keep their ids verbatim); a bigger
+    // factor — the r14 n ≥ 5e5 LSH-saturation corpus runs factor 250 —
+    // would collide base ids of replica ≥ 50 with earlier replicas'
+    // twins, so the offset steps to 10¹⁰ there
+    val twinOff = if (factor <= 40) 500000000L else 10000000000L
     val planted = rotated.filter(pmod(col("vec_id"), lit(100)) === 1)
-      .select((col("vec_id") + lit(500000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(twinOff)).as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)), i =>
           (element_at(col("embedding"), (i + 1).cast("int")) +
             (when(pmod(hash(col("vec_id"), i), lit(2)) === 0, 1.0d)

@@ -28,10 +28,25 @@ object ScaleProbe {
     // (lsh,ngram,edit,bloom,cdc) — default all
     val sections = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("lsh", "ngram", "edit", "bloom", "cdc", "dispatch"))
+    // "planted": the r14 saturation proof — on a GenScale planted-twin
+    // corpus past n ≈ 2e5 (factor ≥ 100), the dispatcher must choose
+    // the BANDED arm via the multi-word escalated geometry (the r13
+    // 62-bit budget could only refuse there), and the banded output's
+    // measured recall against the exact planted ground truth must hold
+    // the bar. Ground truth is linear: the twins are the only cos ≥
+    // 0.9 pairs by construction (GenScale), and their exact cosines
+    // come from one keyed join — no O(n²) reference pass needed.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle-partition override: the saturation corpora (n ≥ 5e5)
+    // push ~2e9 candidate rows through the pair distinct — at 32
+    // partitions that is >1 GB of hash table per task × 32 concurrent,
+    // which thrashes the GC; 8× more partitions keeps each task's
+    // build inside executor memory (exactly the
+    // spark.sql.shuffle.partitions sizing rule the brief names)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -86,6 +101,75 @@ object ScaleProbe {
           Similarity.similarPairsAuto(emb, t).count())
         println(s"""{"probe":"dispatch_result","threshold":$t,"pairs":$pairs}""")
       }
+    }
+
+    if (sections("planted")) {
+      import graft.functions.VectorFunctions
+      val maxId = emb.agg(max("vec_id")).head().getLong(0)
+      val twinOff = if (maxId < 10000000000L) 500000000L else 10000000000L
+      val twins = emb.filter(col("vec_id") >= twinOff)
+        .select((col("vec_id") - twinOff).as("vec_id"),
+          col("embedding").as("emb_t"))
+      // exact cosine of every planted (base, twin) pair — one keyed
+      // join, linear in the planted population
+      val truth = emb.join(twins, "vec_id")
+        .select(col("vec_id").as("id_a"),
+          (col("vec_id") + twinOff).as("id_b"),
+          round(VectorFunctions.dot(col("embedding"), col("emb_t")) /
+            (VectorFunctions.norm(col("embedding")) *
+             VectorFunctions.norm(col("emb_t"))), 6).as("cos"))
+        .filter(col("cos") >= threshold)
+      val nTruth = truth.count()
+      val d = Similarity.dispatchFor(emb, threshold)
+      println(f"""{"probe":"planted_dispatch","n":$n,"threshold":$threshold,"exact":${d.exact},"planes":${d.plan.numPlanes},"bands":${d.plan.bands},"est_recall":${d.plan.recall}%.4f,"exact_cost":${d.plan.exactCost}%.4g,"uniform_banded_cost":${d.plan.bandedCost}%.4g,"measured_mass":${d.mass},"measured_banded_cost":${d.measuredBandedCost}%.4g,"planted_pairs":$nTruth}""")
+      val pairs = Similarity.similarPairsAuto(emb, threshold)
+      val found = timed(f"planted_auto_t$threshold%.1f")(pairs.count())
+      val hit = truth.select("id_a", "id_b")
+        .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+        .count()
+      println(f"""{"probe":"planted_recall","found_pairs":$found,"planted_pairs":$nTruth,"planted_found":$hit,"recall":${if (nTruth == 0) 1.0 else hit.toDouble / nTruth}%.4f}""")
+    }
+
+    if (sections("ivf")) {
+      // r14 task 2: the occupancy-scaled IVF geometry's two claims,
+      // measured at this corpus scale — (1) the recall bar holds under
+      // nlist ≈ √n + probed-mass rerank pool (pcaIvfCheck's own
+      // contract row), (2) the per-query candidate mass is sublinear
+      // in n (the table across sf0.01/0.1/sf25e/sf250e is the
+      // evidence; the fixed-16-cell r13 shape grew it linearly).
+      import graft.operators.Pca
+      val (nl, np) = Similarity.scaledIvfConfig(n)
+      val model = Pca.fit(emb, 16)
+      val proj = Pca.project(emb, model, projCol = "embedding")
+      val cents = timed(s"ivf_train_${nl}x3")(
+        Similarity.coarseCentroids(proj, nl, iters = 3))
+      val check = timed("ivf_pca_check")(
+        Pca.pcaIvfCheck(emb, modelOpt = Some(model), centsOpt = Some(cents))
+          .head())
+      val queries = emb.filter(col("vec_id") < 5)
+      val cand = Similarity.probedCandidateCount(proj, queries, cents,
+        math.max(8, np))
+      val nq = math.max(queries.count(), 1L)
+      println(s"""{"probe":"ivf_scaled","n":$n,"nlist":$nl,"nprobe":${math.max(8, np)},"recall_ok":${check.getBoolean(0)},"cosines_exact":${check.getBoolean(1)},"candidates_per_query":${cand / nq},"corpus_fraction":${"%.4f".format(cand.toDouble / nq / n)}}""")
+    }
+
+    if (sections("alerts")) {
+      // r14 task 6: the hot-key slice-and-stitch plan vs the
+      // one-task-per-key batch shape, on the adversarial input the
+      // Alerts scaladoc names — ONE key owning the whole corpus. The
+      // events table is collapsed onto a single symbol; unsliced must
+      // sort+scan it in one task while the sliced plan's phase-1 job
+      // spreads the sort/scan over `slices` tasks.
+      import graft.operators.Alerts
+      val ev = graft.util.Tables.events(spark, dir)
+        .withColumn("event_type", lit("HOT"))
+      val un = timed("alerts_hotkey_unsliced")(
+        Alerts.thresholdAlerts(ev, "event_type", "ts", "event_id",
+          "value", 150.0).count())
+      val sl = timed("alerts_hotkey_sliced32")(
+        Alerts.thresholdAlertsSliced(ev, "event_type", "ts", "event_id",
+          "value", 150.0, slices = 32).count())
+      println(s"""{"probe":"alerts_hotkey","unsliced_alerts":$un,"sliced_alerts":$sl}""")
     }
 
     val docs = graft.util.Tables.documents(spark, dir)

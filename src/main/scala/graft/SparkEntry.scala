@@ -2731,14 +2731,17 @@ object SparkEntry {
     "sim_topk_pca_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(clusteredGateCorpus(s, dir))
       val model = fittedPcaMemo(s"$dir#clustered-pca16", Pca.fit(emb, 16))
-      // Lloyd-trained centroids over the PROJECTED corpus, memoized
-      // like every trained artifact (the sim_ann_* convention): the
-      // gate times the composed SEARCH, training amortizes
+      // Lloyd-trained centroids over the PROJECTED corpus at the
+      // OCCUPANCY-SCALED geometry (nlist ≈ √n — the r14 config layer;
+      // 16 at sf0.01, 45 at sf0.1), memoized like every trained
+      // artifact (the sim_ann_* convention): the gate times the
+      // composed SEARCH, training amortizes
+      val (nl, _) = Similarity.scaledIvfConfig(emb.count())
       Pca.pcaIvfCheck(emb, modelOpt = Some(model),
-        centsOpt = Some(trainedCentsMemo(s"$dir#pca16-ivf16x3",
+        centsOpt = Some(trainedCentsMemo(s"$dir#pca16-ivf${nl}x3",
           Similarity.coarseCentroids(
             Pca.project(emb, model, projCol = "embedding"),
-            nlist = 16, iters = 3))))
+            nlist = nl, iters = 3))))
     }),
     // the INCREMENTAL PCA lifecycle: moment store built on tranche 1,
     // tranches 2-3 folded in as ledgered shard rows (re-delivered t1 a
@@ -3057,58 +3060,101 @@ object SparkEntry {
        SELECT src AS doc_id, min(node) AS component_id
        FROM reach GROUP BY src"""
 
-  /** Reference-reset alert recurrence re-derived as a recursive CTE —
-    * the shared oracle of both executions of the alert operator
-    * (serve_threshold_alerts batch, stream_threshold_alerts
-    * flatMapGroupsWithState): walk each symbol's (ts, event_id)-ordered
-    * rows, carrying the reference price; a row at |move| ≥ 150 flags an
-    * alert and resets the reference. The recursion advances all symbols
-    * in lockstep (one row per symbol per step), so its depth is the
-    * largest per-symbol row count, not the table size.
-    */
-  /** EWMA recurrence oracle (shared by the batch scan and the
-    * streamed GroupState execution): `(1 - 0.2)` is spelled as the
-    * same subtraction the engine computes so the doubles agree
-    * bitwise before the round-6 presentation edge.
+  /** The per-key sequential recurrences (EWMA, reference-reset alerts)
+    * re-derived LINEARLY in DuckDB — the r13 "oracle-infeasible at
+    * sf0.1" closure. The old row-per-step recursive CTE probed the
+    * whole spine every iteration (O(N²/symbols), > 300 s at 100 k
+    * rows); now each symbol's rows group into 512-row blocks whose
+    * price lists fold SEQUENTIALLY with `list_reduce` — the exact same
+    * IEEE operation sequence the engine's scan executes, so values are
+    * bit-identical before the round-6 presentation edge — and only the
+    * tiny block-level recursion (≤ rows/512 steps over a blocks-sized
+    * table) remains recursive. Per-row values re-fold their block
+    * prefix from the block's carried-in state: O(N·512) lambda steps
+    * total, ~4 s at sf0.1 vs the old kill.
+    *
+    * `SET threads TO 1` is part of the oracle: DuckDB 1.0.0 evaluates
+    * comparison-lambda folds joined against a recursive CTE
+    * NON-DETERMINISTICALLY under parallelism (measured: the alert
+    * oracle flapped 446/447 rows across identical runs, with a
+    * spurious row whose own re-evaluation said no-alert); pinned to
+    * one thread it is stable across runs and still ~1 s at sf0.01.
+    * `(1 - 0.2)` is spelled as the same subtraction the engine
+    * computes so the constant's double agrees bitwise.
     */
   private val ewmaSql =
-    """WITH RECURSIVE ev AS (
+    """SET threads TO 1;
+       WITH RECURSIVE ev AS (
          SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts,
-                event_id, value AS price,
+                event_id, CAST(value AS DOUBLE) AS price,
                 row_number() OVER (PARTITION BY event_type
                                    ORDER BY ts, event_id) AS rn
          FROM events),
-       walk(symbol, rn, ts, event_id, price, e) AS (
-         SELECT symbol, rn, ts, event_id, price, price
-         FROM ev WHERE rn = 1
+       blocks AS (SELECT symbol, CAST((rn - 1) // 512 AS BIGINT) AS blk,
+                         list(price ORDER BY rn) AS ps, min(rn) AS rn0
+                  FROM ev GROUP BY 1, 2),
+       bwalk(symbol, blk, e_in) AS (
+         SELECT symbol, blk, CAST(NULL AS DOUBLE) FROM blocks WHERE blk = 0
          UNION ALL
-         SELECT v.symbol, v.rn, v.ts, v.event_id, v.price,
-                v.price * 0.2 + w.e * (1 - 0.2)
-         FROM walk w JOIN ev v ON v.symbol = w.symbol AND v.rn = w.rn + 1)
-       SELECT symbol, ts, event_id, price, round(e, 6) AS ewma
-       FROM walk"""
+         SELECT b.symbol, b.blk,
+                CASE WHEN w.blk = 0
+                     THEN list_reduce(b2.ps,
+                            (acc, x) -> x * 0.2 + acc * (1 - 0.2))
+                     ELSE list_reduce(list_prepend(w.e_in, b2.ps),
+                            (acc, x) -> x * 0.2 + acc * (1 - 0.2))
+                END
+         FROM bwalk w JOIN blocks b2 ON b2.symbol = w.symbol AND b2.blk = w.blk
+                      JOIN blocks b ON b.symbol = w.symbol AND b.blk = w.blk + 1)
+       SELECT e.symbol, e.ts, e.event_id, e.price,
+         round(CASE WHEN b.blk = 0
+               THEN list_reduce(list_slice(b.ps, 1, e.rn - b.rn0 + 1),
+                      (acc, x) -> x * 0.2 + acc * (1 - 0.2))
+               ELSE list_reduce(list_prepend(w.e_in,
+                      list_slice(b.ps, 1, e.rn - b.rn0 + 1)),
+                      (acc, x) -> x * 0.2 + acc * (1 - 0.2))
+               END, 6) AS ewma
+       FROM ev e JOIN blocks b ON b.symbol = e.symbol AND b.blk = (e.rn - 1) // 512
+                 JOIN bwalk w ON w.symbol = e.symbol AND w.blk = b.blk"""
 
   private val thresholdAlertsSql =
-    """WITH RECURSIVE ev AS (
+    """SET threads TO 1;
+       WITH RECURSIVE ev AS (
          SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts,
-                event_id, value AS price,
+                event_id, CAST(value AS DOUBLE) AS price,
                 row_number() OVER (PARTITION BY event_type
                                    ORDER BY ts, event_id) AS rn
          FROM events),
-       walk(symbol, rn, ref, ts, event_id, price, ref_price, is_alert) AS (
-         SELECT symbol, rn, price, ts, event_id, price,
-                CAST(NULL AS DOUBLE), FALSE
-         FROM ev WHERE rn = 1
+       blocks AS (SELECT symbol, CAST((rn - 1) // 512 AS BIGINT) AS blk,
+                         list(price ORDER BY rn) AS ps, min(rn) AS rn0
+                  FROM ev GROUP BY 1, 2),
+       bwalk(symbol, blk, ref_in) AS (
+         SELECT symbol, blk, CAST(NULL AS DOUBLE) FROM blocks WHERE blk = 0
          UNION ALL
-         SELECT e.symbol, e.rn,
-                CASE WHEN abs(e.price - w.ref) >= 150.0
-                     THEN e.price ELSE w.ref END,
-                e.ts, e.event_id, e.price, w.ref,
-                abs(e.price - w.ref) >= 150.0
-         FROM walk w JOIN ev e ON e.symbol = w.symbol AND e.rn = w.rn + 1)
+         SELECT b.symbol, b.blk,
+                CASE WHEN w.blk = 0
+                     THEN list_reduce(b2.ps, (r, p) ->
+                            CASE WHEN abs(p - r) >= 150.0 THEN p ELSE r END)
+                     ELSE list_reduce(list_prepend(w.ref_in, b2.ps), (r, p) ->
+                            CASE WHEN abs(p - r) >= 150.0 THEN p ELSE r END)
+                END
+         FROM bwalk w JOIN blocks b2 ON b2.symbol = w.symbol AND b2.blk = w.blk
+                      JOIN blocks b ON b.symbol = w.symbol AND b.blk = w.blk + 1),
+       scanned AS (
+         SELECT e.symbol, e.ts, e.event_id, e.price,
+           CASE WHEN b.blk = 0
+                THEN list_reduce(list_slice(b.ps, 1, e.rn - b.rn0),
+                       (r, p) -> CASE WHEN abs(p - r) >= 150.0 THEN p ELSE r END)
+                ELSE list_reduce(list_prepend(w.ref_in,
+                       list_slice(b.ps, 1, e.rn - b.rn0)),
+                       (r, p) -> CASE WHEN abs(p - r) >= 150.0 THEN p ELSE r END)
+           END AS ref_before
+         FROM ev e JOIN blocks b ON b.symbol = e.symbol AND b.blk = (e.rn - 1) // 512
+                   JOIN bwalk w ON w.symbol = e.symbol AND w.blk = b.blk
+         WHERE e.rn > 1)
        SELECT symbol, ts AS trade_timestamp, event_id AS trade_id,
-              price, ref_price, round(price - ref_price, 6) AS move
-       FROM walk WHERE is_alert"""
+              price, ref_before AS ref_price,
+              round(price - ref_before, 6) AS move
+       FROM scanned WHERE abs(price - ref_before) >= 150.0"""
 
   /** Exact cosine pair SQL over the embeddings — the shared oracle of
     * the hyperplane-LSH gates at their recall-1.0 configurations

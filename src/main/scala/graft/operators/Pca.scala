@@ -299,6 +299,25 @@ object Pca {
     rerankExact(cand, emb, queries, k)
   }
 
+  /** Rerank-pool size (as the `mult` of [[pcaIvfTopK]]) derived from
+    * PROBED-CELL MASS, not global n — the r14 replacement for the
+    * linear n/25 [[adaptiveMult]] on the IVF path. What degrades
+    * reduced-space recall as the corpus grows is the count of
+    * projection-error near-ties around the k-th neighbor, and on the
+    * IVF path those near-ties live INSIDE the probed cells — so the
+    * pool takes a fixed share of the expected probed mass
+    * `nprobe · n / nlist`. Under the scaled geometry
+    * ([[Similarity.scaledIvfConfig]], nlist ≈ √n) that is
+    * `share · nprobe · √n` — sublinear in n, against n/25's
+    * constant-factor-25 scan — while the floor keeps the small-corpus
+    * budgets the sf0.01 gates were calibrated at.
+    */
+  private[operators] def probedMassMult(n: Long, nlist: Int, nprobe: Int,
+                                        k: Int, mult: Int,
+                                        share: Double = 0.25): Int =
+    math.max(mult,
+      math.ceil(share * nprobe * (n.toDouble / nlist) / k).toInt)
+
   /** Search-quality contract of [[pcaIvfTopK]] on a corpus, ONE
     * invariant row mirroring [[pcaSearchCheck]]: recall@k against the
     * exact full-space reference ≥ `minRecall` AND every emitted cosine
@@ -309,22 +328,31 @@ object Pca {
     * The probe budget is wider than full-space IVF's (nprobe 8/16 vs
     * 4/16): the composition stacks projection loss on probe loss, and
     * the reduced-space cell ranking is itself computed on projections.
-    * Defaults are calibrated on the clustered gate corpus at the
-    * verification scale (recall 0.96 at sf0.01, 1.0 at mult=16) — like
-    * `sim_topk_ivf`, the contract is a fixed-config empirical bar, and
-    * the at-scale remedy for a denser corpus is the same knob a real
-    * deployment turns: more probes or a larger rerank budget.
+    * Geometry is the OCCUPANCY-SCALED config by default (`nlist = 0`
+    * sentinel → [[Similarity.scaledIvfConfig]]: nlist ≈ √n, log-scaled
+    * nprobe ≥ this method's old fixed 8) and the rerank pool derives
+    * from probed-cell mass ([[probedMassMult]]) — both sublinear in n,
+    * replacing the r13 fixed-16-cells + n/25-pool shape whose
+    * per-query cost was a constant fraction of the corpus. At the
+    * sf0.01 gate scale the scaled config IS the old one (√202 < 16
+    * floor, nprobe floor 8), so the calibrated bars carry over; at
+    * every larger probed scale the bar is re-measured
+    * (sf0.1/ScaleProbe).
     */
   def pcaIvfCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
-                  nlist: Int = 16, nprobe: Int = 8, coarseIters: Int = 3,
+                  nlist: Int = 0, nprobe: Int = 0, coarseIters: Int = 3,
                   mult: Int = 8, minRecall: Double = 0.9,
                   modelOpt: Option[PcaModel] = None,
                   centsOpt: Option[Similarity.Cents] = None): DataFrame = {
     val spark = emb.sparkSession
     val queries = emb.filter(col("vec_id") < 5)
     val model = modelOpt.getOrElse(fit(emb, kDims))
-    val approx = pcaIvfTopK(emb, queries, model, k, nlist, nprobe,
-      coarseIters, adaptiveMult(emb.count(), mult), centsOpt)
+    val n = emb.count()
+    val (nl, np) = Similarity.scaledIvfConfig(n)
+    val nlistUse = if (nlist > 0) nlist else nl
+    val nprobeUse = math.min(nlistUse, if (nprobe > 0) nprobe else math.max(8, np))
+    val approx = pcaIvfTopK(emb, queries, model, k, nlistUse, nprobeUse,
+      coarseIters, probedMassMult(n, nlistUse, nprobeUse, k, mult), centsOpt)
     val exact = Similarity.bruteForceTopK(emb, queries, k)
     val total = exact.count()
     val hits = exact.select(col("query_id"), col("neighbor_id"))
@@ -350,14 +378,15 @@ object Pca {
     * approximate). Driver state: two counts.
     */
   /** Oversample that holds the reduced-space recall contract as the
-    * corpus grows: a FIXED candidate pool over more vectors packs more
-    * near-ties into the reduced space and recall decays with n — the
-    * r13 sf0.1 sweep caught the old fixed `mult = 8` dropping
-    * `recall_ok` at n = 2,000 where the sf0.01 tuning had passed. The
-    * pool scales as n/25 (4 % of the corpus, floor 8×k): reduced-space
-    * scoring already touches every vector, so the growth lands only on
-    * the exact full-dim rerank of the pool — still the d/kDims cost
-    * win the projection exists for.
+    * corpus grows — ON THE NON-IVF PATH ONLY ([[pcaSearchCheck]] /
+    * [[pcaTopK]], whose candidate stage is a full reduced-space scan
+    * and therefore linear BY DESIGN; a linear pool is consistent with
+    * a linear operator there). A FIXED candidate pool over more
+    * vectors packs more near-ties into the reduced space and recall
+    * decays with n — the r13 sf0.1 sweep caught the old fixed
+    * `mult = 8` dropping `recall_ok` at n = 2,000. The IVF path uses
+    * [[probedMassMult]] instead (sublinear, matching its sublinear
+    * candidate stage).
     */
   private def adaptiveMult(n: Long, mult: Int): Int =
     math.max(mult, math.ceil(n / 25.0).toInt)

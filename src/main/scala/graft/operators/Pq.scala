@@ -233,8 +233,8 @@ object Pq {
     // explicit count, AQE would coalesce a column-only repartition of a
     // small build side even though the probe join fans out
     val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
-    val codes = embeddings.select(col("vec_id"),
-        Similarity.cellOf(col("embedding"), cents).as("cell"),
+    val codes = Similarity.cellAssign(embeddings, cents, "cell")
+      .select(col("vec_id"), col("cell"),
         VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
       .repartition(parts, col("cell"))
     // per-query ADC tables computed ONCE (before the probe explode),
@@ -321,11 +321,11 @@ object Pq {
                         cents: Similarity.Cents): DataFrame = {
     val nrm = VectorFunctions.norm(col("embedding"))
     val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
-    embeddings.select(col("vec_id"),
-      Similarity.cellOf(col("embedding"), cents).as("cell"),
-      zip_with(col("embedding"),
-        element_at(centDirsLit(cents), col("cell") + 1),
-        (a, b) => a / safe - b).as("resid"))
+    Similarity.cellAssign(embeddings, cents, "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"),
+          element_at(centDirsLit(cents), col("cell") + 1),
+          (a, b) => a / safe - b).as("resid"))
   }
 
   /** Residual-space codebooks: the deterministic first-`k` sample (of
@@ -482,8 +482,8 @@ object Pq {
                          cents: Array[(Int, Array[Float], Double)],
                          books: Array[Array[Array[Double]]],
                          path: String, mode: SaveMode): Unit =
-    embeddings.select(col("vec_id"),
-        Similarity.cellOf(col("embedding"), cents).as("cell"),
+    Similarity.cellAssign(embeddings, cents, "cell")
+      .select(col("vec_id"), col("cell"),
         VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
       .repartition(cents.length, col("cell"))
       .write.partitionBy("cell").mode(mode)

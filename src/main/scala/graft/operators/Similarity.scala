@@ -98,7 +98,10 @@ object Similarity {
     * codegen'd dot per plane against a literal weight array. Capped at
     * 64 planes: the bits pack into one long, and Java's shift
     * semantics wrap the shift distance mod 64 — a plane index ≥ 64
-    * would silently OR onto bit `p-64` instead of failing.
+    * would silently OR onto bit `p-64` instead of failing. The banded
+    * operators no longer go through this packed form (see
+    * [[bandBucketArray]]); it remains the single-word building block
+    * and the reference the multi-word layout is spec-checked against.
     */
   def lshSignature(emb: Column, numPlanes: Int, dim: Int): Column = {
     require(numPlanes >= 1 && numPlanes <= 64,
@@ -108,6 +111,35 @@ object Similarity {
         shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** MULTI-WORD signature: one long PER BAND, band `b`'s bucket being
+    * the packed sign bits of planes `[b·r, (b+1)·r)` — bit `j` of word
+    * `b` is plane `b·r + j`, exactly the slice
+    * `(sig >> b·r) & (2^r − 1)` of the single-long [[lshSignature]]
+    * whenever `bands·r ≤ 62` (spec-pinned bit equality). Because each
+    * band owns a whole word there is NO total-signature budget: the
+    * r13 dispatcher saturated at 62 packed bits, which capped `bands ≤
+    * 62/r` and forced exact O(n²) mining precisely where n (and hence
+    * r = log₂(n/occ)) grew — the one open scale-killer. With per-band
+    * words, `bands` grows with the recall requirement
+    * ([[scaledLshConfigWide]]) while r grows with n, and the only cost
+    * is the honest one: `bands·r` codegen'd dots per row at signature
+    * time. Same deterministic [[planeRow]] planes, so configurations
+    * inside the old budget produce bit-identical candidates.
+    */
+  private[graft] def bandBucketArray(emb: Column, numPlanes: Int,
+                                     bands: Int, dim: Int): Column = {
+    require(bands >= 1 && numPlanes % bands == 0,
+      "bands must divide numPlanes")
+    val r = numPlanes / bands
+    require(r >= 1 && r <= 62, s"bits per band must be in [1, 62], got $r")
+    array((0 until bands).map { b =>
+      (0 until r).map { j =>
+        when(VectorFunctions.dot(emb, lit(planeRow(b * r + j, dim))) >= 0,
+          shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }: _*)
   }
 
   /** The `k` lowest-`vec_id` rows of `df` (which must carry `vec_id`),
@@ -189,8 +221,8 @@ object Similarity {
       val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
       // one exploded agg: per-(cell, component) means + cell populations
       // (count carried on every component row; component 0's is read)
-      val means = embeddings
-        .select(safe.as("nrm"), cellOf(col("embedding"), cents).as("cell"),
+      val means = cellAssign(embeddings.select(col("embedding")), cents, "cell")
+        .select(safe.as("nrm"), col("cell"),
           posexplode(col("embedding")).as(Seq("i", "v")))
         .groupBy("cell", "i")
         .agg(round(avg((col("v") / col("nrm")).cast("decimal(38,20)"))
@@ -234,12 +266,113 @@ object Similarity {
     cents
   }
 
+  /** Occupancy-scaled IVF geometry — the [[scaledLshConfig]] analog the
+    * r13 VERDICT named as the missing config layer: a FIXED `nlist`
+    * while the corpus grows makes every cell's population — and hence
+    * every probe — linear in n, so the "inverted file" degenerates into
+    * a constant-factor scan. Holding `nlist ≈ √n` keeps cell occupancy
+    * at √n, so a query's candidate set is `nprobe·√n` — genuinely
+    * sublinear — and the centroid table stays driver-light (√n × dim
+    * floats; 10⁸ vectors → 10⁴ × 64 ≈ 2.5 MB). `nprobe` grows only
+    * logarithmically with the cell count (a clustered corpus needs a
+    * few more probes as cells split, not a constant fraction of them —
+    * probing a fixed fraction would re-linearize the scan); the floor
+    * of 8 keeps small-corpus geometries at the empirically-gated
+    * configurations. Recall at this budget is an empirical contract
+    * ([[ivfTrainedCheck]], [[Pca.pcaIvfCheck]]) measured at every
+    * probed scale, like every ANN family here.
+    */
+  def scaledIvfConfig(n: Long): (Int, Int) = {
+    require(n >= 0)
+    val nlist = math.max(16, math.ceil(math.sqrt(math.max(n, 1).toDouble)).toInt)
+    val nprobe = math.min(nlist,
+      math.max(8, math.ceil(2 * math.log(nlist.toDouble)).toInt))
+    (nlist, nprobe)
+  }
+
   /** Score of `emb` against centroid c: dot(e, c)/|c| — |e| is constant
     * across centroids so it can't change the argmax; negated for
     * min-ordering.
     */
   private def negScore(emb: Column, c: (Int, Array[Float], Double)): Column =
     -VectorFunctions.dot(emb, lit(c._2)) / lit(c._3)
+
+  /** Cell-count ceiling of the literal-expression assignment path:
+    * [[bestCell]]/[[withProbeCells]] embed `nlist × dim` multiply-adds
+    * as ONE expression tree, and past ~50 cells the generated method
+    * exceeds the JVM's 64 KB/constant-pool budgets — Catalyst falls
+    * back to interpreted eval exactly where the scaled geometry
+    * (nlist ≈ √n) needs speed most. Above the ceiling, assignment runs
+    * as a typed mapPartitions kernel over broadcast centroid triples
+    * (the [[Alerts]] convention: per-partition imperative numeric work
+    * Spark has no operator shape for), with arithmetic replicated
+    * BIT-EXACTLY from the literal path — index-order double
+    * accumulation ([[graft.functions.DotProduct]]'s loop), `−dot/|c|`
+    * scoring, and ascending-(score, cid) selection matching `least()`
+    * and `array_sort` struct ordering (spec-pinned equal on a 64-cell
+    * layout evaluated through both paths).
+    */
+  private[operators] val maxLiteralCells = 48
+
+  /** The `nprobe` best cell ids of one vector, ascending (score, cid) —
+    * the kernel-side replica of the `array_sort(struct(s, cid))` slice.
+    */
+  private[operators] def probeCellsOf(emb: Array[Float], cents: Cents,
+                                      nprobe: Int): Array[Int] = {
+    val scored = new Array[(Double, Int)](cents.length)
+    var ci = 0
+    while (ci < cents.length) {
+      val (cid, v, nrm) = cents(ci)
+      val m = math.min(emb.length, v.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += emb(i).toDouble * v(i).toDouble; i += 1 }
+      scored(ci) = (-acc / nrm, cid)
+      ci += 1
+    }
+    scored.sortInPlace()
+    scored.take(math.min(nprobe, scored.length)).map(_._2)
+  }
+
+  /** Append an `array<int>` column `probe_cells` (the `nprobe` best
+    * cells, ascending score) to `df` — literal expressions under
+    * [[maxLiteralCells]], the broadcast-centroid kernel above it.
+    * Requires the vector in a column named `embedding`.
+    */
+  private def withProbeCellArray(df: DataFrame, cents: Cents,
+                                 nprobe: Int): DataFrame =
+    if (cents.length <= maxLiteralCells)
+      df.withColumn("probe_cells", slice(array_sort(array(
+        cents.toIndexedSeq.map(c => struct(negScore(col("embedding"), c).as("s"),
+          lit(c._1).as("cid"))): _*)), 1, nprobe).getField("cid"))
+    else {
+      val spark = df.sparkSession
+      import org.apache.spark.sql.{Encoders, Row}
+      val schema = df.schema.add("probe_cells",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false))
+      val bc = spark.sparkContext.broadcast(cents)
+      val embIdx = df.schema.fieldIndex("embedding")
+      df.mapPartitions { it =>
+        val cs = bc.value
+        it.map { row =>
+          val emb = row.getSeq[Float](embIdx).toArray
+          Row.fromSeq(row.toSeq :+ probeCellsOf(emb, cs, nprobe).toSeq)
+        }
+      }(Encoders.row(schema))
+    }
+
+  /** Append the nearest-cell id as `outCol` — the IVF assignment,
+    * dispatched literal-vs-kernel like [[withProbeCellArray]].
+    */
+  private[operators] def cellAssign(df: DataFrame, cents: Cents,
+                                    outCol: String): DataFrame =
+    if (cents.length <= maxLiteralCells)
+      df.withColumn(outCol, cellOf(col("embedding"), cents))
+    else
+      withProbeCellArray(df, cents, 1)
+        .withColumn(outCol, element_at(col("probe_cells"), 1))
+        .drop("probe_cells")
 
   /** Best (nearest) cell of a vector as a (s, cid) struct — `s` is the
     * winning negated score (scales with |emb|; divide by the row norm
@@ -263,15 +396,14 @@ object Similarity {
     */
   private[operators] def withProbeCells(queries: DataFrame,
       cents: Array[(Int, Array[Float], Double)], nprobe: Int): DataFrame = {
-    val probeCells = slice(array_sort(array(
-      cents.toIndexedSeq.map(c => struct(negScore(col("embedding"), c).as("s"), lit(c._1).as("cid"))): _*)),
-      1, nprobe)
     // explode_outer: a plain explode would infer a size(...) > 0
     // pre-filter re-evaluating the nlist-dot probe-cell ranking per
     // query row (see TextOps.repetition); nprobe >= 1 makes the null
     // row impossible, the filter just blocks the inference
-    queries.withColumn("probe_cell", explode_outer(probeCells.getField("cid")))
+    withProbeCellArray(queries, cents, nprobe)
+      .withColumn("probe_cell", explode_outer(col("probe_cells")))
       .filter(col("probe_cell").isNotNull)
+      .drop("probe_cells")
   }
 
   /** IVF-style approximate top-k: partition the vector space into
@@ -302,9 +434,10 @@ object Similarity {
   private def ivfTopKAt(embeddings: DataFrame, queries: DataFrame, k: Int,
                         cents: Array[(Int, Array[Float], Double)],
                         nprobe: Int): DataFrame = {
-    val assigned = spread(embeddings).select(col("vec_id").as("neighbor_id"),
-      col("embedding"), VectorFunctions.norm(col("embedding")).as("c_nrm"),
-      cellOf(col("embedding"), cents).as("cell"))
+    val assigned = cellAssign(
+      spread(embeddings).select(col("vec_id").as("neighbor_id"),
+        col("embedding"), VectorFunctions.norm(col("embedding")).as("c_nrm")),
+      cents, "cell")
     // per query: the nprobe best cells, exploded into probe rows
     val q = withProbeCells(
       queries.select(col("vec_id").as("query_id"), col("embedding"),
@@ -400,8 +533,8 @@ object Similarity {
                       balanceFactor: Double = 2.0,
                       centsOpt: Option[Cents] = None): DataFrame = {
     val cents = centsOpt.getOrElse(coarseCentroids(embeddings, nlist, coarseIters))
-    val balance = embeddings
-      .select(cellOf(col("embedding"), cents).as("cell"))
+    val balance = cellAssign(embeddings.select(col("embedding")), cents, "cell")
+      .select(col("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .agg((max(col("n")) <= lit(balanceFactor) * avg(col("n"))).as("ok"))
       .select(lit("cell_balance").as("invariant"), col("ok"))
@@ -415,6 +548,23 @@ object Similarity {
         .as("ok"))
       .select(lit("recall_at_nprobe").as("invariant"), col("ok"))
     balance.unionByName(recall)
+  }
+
+  /** Per-query candidate mass of an IVF layout: the number of
+    * (query, candidate) rows the probe equi-join materializes — the
+    * statistic that proves (or falsifies) the sublinearity claim of
+    * the scaled geometry. ScaleProbe prints it across corpus scales;
+    * under [[scaledIvfConfig]] it must grow ~√n·log n, not n.
+    */
+  def probedCandidateCount(embeddings: DataFrame, queries: DataFrame,
+                           cents: Cents, nprobe: Int): Long = {
+    val assigned = cellAssign(
+      embeddings.select(col("vec_id"), col("embedding")), cents, "cell")
+    val q = withProbeCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      cents, nprobe)
+    assigned.join(broadcast(q.select(col("query_id"), col("probe_cell"))),
+      col("cell") === col("probe_cell")).count()
   }
 
   /** LSH-bucketed near-neighbor pairs: bucket on band prefixes of the
@@ -442,6 +592,41 @@ object Similarity {
       math.log(math.max(n, 1).toDouble / targetOccupancy) / math.log(2)).toInt)
     val bands = math.max(1, math.min(maxBands, 62 / r))
     (bands * r, bands)
+  }
+
+  /** Recall-driven, budget-free geometry (the r13 "production knob",
+    * now implemented): bits-per-band `r` is still the occupancy rule
+    * `log₂(n/occ)` — that is what keeps the banded join near-linear —
+    * but the BAND COUNT is chosen from the recall requirement instead
+    * of a 62-bit packing budget. Within the legacy budget (`bands·r ≤
+    * 62`) the legacy geometry is returned VERBATIM whenever it already
+    * holds `recallBar` at this threshold, so every configuration the
+    * gates pinned is unchanged; past it — the regime where r grows
+    * with n until `62/r` bands can't hold the bar and the r13
+    * dispatcher had to fall back to exact O(n²) — bands escalate to
+    * the smallest count whose analytic multi-probe [[bandRecall]]
+    * lower bound clears the bar (one long per band,
+    * [[bandBucketArray]]; 7 bands × 13 bits = 91 planes at t = 0.9,
+    * n = 5e5). `maxBands` caps the escalation: a threshold so low the
+    * cap can't reach the bar returns the capped geometry and the
+    * dispatcher sees `recall < recallBar` — the honest exact fallback,
+    * now reserved for genuinely band-hostile thresholds instead of
+    * every large corpus.
+    */
+  def scaledLshConfigWide(n: Long, threshold: Double,
+                          targetOccupancy: Int = 64,
+                          recallBar: Double = 0.97,
+                          maxBands: Int = 32): (Int, Int) = {
+    val (legacyPlanes, legacyBands) = scaledLshConfig(n, targetOccupancy)
+    val r = legacyPlanes / legacyBands
+    if (bandRecall(threshold, r, legacyBands, multiProbe = true) >= recallBar)
+      (legacyPlanes, legacyBands)
+    else {
+      val bands = (legacyBands to maxBands)
+        .find(b => bandRecall(threshold, r, b, multiProbe = true) >= recallBar)
+        .getOrElse(maxBands)
+      (bands * r, bands)
+    }
   }
 
   /** Analytic recall LOWER BOUND of banded hyperplane LSH for a pair
@@ -493,7 +678,8 @@ object Similarity {
 
   def pairPlanFor(n: Long, threshold: Double, targetOccupancy: Int = 64,
                   recallBar: Double = 0.97): PairPlan = {
-    val (numPlanes, bands) = scaledLshConfig(n, targetOccupancy)
+    val (numPlanes, bands) = scaledLshConfigWide(n, threshold,
+      targetOccupancy, recallBar)
     val r = numPlanes / bands
     val recall = bandRecall(threshold, r, bands, multiProbe = true)
     val exactCost = n.toDouble * math.max(n - 1L, 0L) / 2
@@ -517,17 +703,12 @@ object Similarity {
     */
   private[graft] def collisionMass(embeddings: DataFrame, numPlanes: Int,
                                    bands: Int, dim: Int): Long = {
-    val r = numPlanes / bands
     val sig = spread(embeddings)
-      .select(lshSignature(col("embedding"), numPlanes, dim).as("sig"))
-    val bandCols = (0 until bands).map { bId =>
-      struct(lit(bId).as("band"),
-        shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1)).as("bucket"))
-    }
+      .select(bandBucketArray(col("embedding"), numPlanes, bands, dim).as("bb"))
     // sum c·(c−1) in LONGs (Spark's `/` is double division) and halve
     // once at the end — exact at any occupancy
-    sig.select(explode(array(bandCols: _*)).as("bb"))
-      .groupBy(col("bb.band"), col("bb.bucket"))
+    sig.select(posexplode(col("bb")).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
       .head().getLong(0) / 2
@@ -619,18 +800,14 @@ object Similarity {
   def lshPairs(embeddings: DataFrame, threshold: Double,
                numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(numPlanes % bands == 0)
-    val r = numPlanes / bands
     val sig = spread(embeddings).select(col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"),
-      lshSignature(col("embedding"), numPlanes, dim).as("sig"))
-    val bandCols = (0 until bands).map { bId =>
-      struct(lit(bId).as("band"),
-        shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1)).as("bucket"))
-    }
-    // lean bucket rows: the 24x explode and the self-join exchange
-    // carry (vec_id, band, bucket) only — never the vectors
-    val buckets = sig.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      bandBucketArray(col("embedding"), numPlanes, bands, dim).as("bb"))
+    // lean bucket rows: the explode and the self-join exchange carry
+    // (vec_id, band, bucket) only — never the vectors. posexplode's
+    // position IS the band id (the array is band-ordered).
+    val buckets = sig.select(col("vec_id"),
+        posexplode(col("bb")).as(Seq("band", "bucket")))
     // dedup candidates on the 16-byte id pair BEFORE touching vectors:
     // a pair colliding in k bands would otherwise flow k copies of both
     // embeddings through the exchange and hash full arrays in the
@@ -717,15 +894,14 @@ object Similarity {
     def sigOf(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("embedding"),
         VectorFunctions.norm(col("embedding")).as("nrm"),
-        lshSignature(col("embedding"), numPlanes, dim).as("sig"))
+        bandBucketArray(col("embedding"), numPlanes, bands, dim).as("bb"))
     // `probe = true` emits each band's base bucket PLUS its r
     // distance-1 flips (the multi-probe extension — one-sided probing
     // covers every cross pair within Hamming distance 1 of agreeing
     // on a band, the same coverage as lshPairsMultiProbe's self-join
     // form, at the same r-fold bucket-row cost on ONE side only)
     def bucketsOf(sig: DataFrame, probe: Boolean): DataFrame = {
-      def bandBucket(bId: Int) =
-        shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1))
+      def bandBucket(bId: Int) = element_at(col("bb"), bId + 1)
       val bandCols = (0 until bands).flatMap { bId =>
         val base = struct(lit(bId).as("band"), bandBucket(bId).as("bucket"))
         if (!probe) Seq(base)
@@ -814,9 +990,12 @@ object Similarity {
     val r = numPlanes / bands
     val sig = spread(embeddings).select(col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"),
-      lshSignature(col("embedding"), numPlanes, dim).as("sig"))
-    def bandBucket(bId: Int) =
-      shiftright(col("sig"), bId * r).bitwiseAND(lit((1L << r) - 1))
+      bandBucketArray(col("embedding"), numPlanes, bands, dim).as("bb"))
+    // the signature dots are computed ONCE into the `bb` attribute;
+    // base + probe rows are bit ops on that column, exactly as the
+    // packed form's shift/xor were — the (r+1)× fan-out never
+    // re-evaluates a hyperplane
+    def bandBucket(bId: Int) = element_at(col("bb"), bId + 1)
     val rows = (0 until bands).flatMap { bId =>
       val base = struct(lit(bId).as("band"), bandBucket(bId).as("bucket"),
         lit(true).as("is_base"))

@@ -88,6 +88,72 @@ class AlertsSpec extends SparkSuite with Matchers {
     shuffled shouldBe base
   }
 
+  private def runSliced(df: DataFrame, minMove: Double, slices: Int) =
+    Alerts.thresholdAlertsSliced(df, "symbol", "ts", "event_id", "price",
+        minMove, slices = slices)
+      .orderBy("symbol", "trade_timestamp", "trade_id")
+      .select("trade_id", "price", "ref_price", "move")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+
+  test("thresholdAlertsSliced == thresholdAlerts on random data at several " +
+      "slice counts (PASS/ADOPT classes exercised)") {
+    val rng = new scala.util.Random(42)
+    val syms = Seq("A", "B", "C")
+    val rows = (1 to 3000).map { i =>
+      (syms(rng.nextInt(syms.size)),
+        new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L),
+        i.toLong, math.rint(rng.nextDouble() * 50000) / 100.0)
+    }
+    val df = rows.toDF("symbol", "ts", "event_id", "price")
+    val base = run(df, 150.0)
+    for (s <- Seq(2, 5, 16))
+      runSliced(df, 150.0, s) shouldBe base
+  }
+
+  test("thresholdAlertsSliced == thresholdAlerts on a single dominant key " +
+      "with forced divergence (RESCAN class)") {
+    // one hot key; prices engineered so the true incoming reference of
+    // a later slice differs enough from its first row that the first
+    // passage moves — the chains diverge and the batched rescan path
+    // must fire. A sawtooth with drifting amplitude exercises all
+    // three classes across slices.
+    val rows = (1 to 4000).map { i =>
+      val p = 1000.0 + 120.0 * math.sin(i / 7.0) + (i % 13) * 25.0 +
+        (if (i % 97 == 0) 400.0 else 0.0)
+      ("HOT", new Timestamp(1700000000000L + i * 1000L), i.toLong, p)
+    }
+    val df = rows.toDF("symbol", "ts", "event_id", "price")
+    for (m <- Seq(150.0, 300.0); s <- Seq(4, 16)) {
+      val base = run(df, m)
+      runSliced(df, m, s) shouldBe base
+    }
+  }
+
+  test("thresholdAlertsSliced == thresholdAlerts on the sf0.001 events " +
+      "table (the gate recurrence)") {
+    val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
+    val base = Alerts.thresholdAlerts(ev, "event_type", "ts", "event_id",
+        "value", 150.0)
+      .orderBy("symbol", "trade_timestamp", "trade_id")
+      .select("trade_id", "price", "ref_price", "move")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    val sliced = Alerts.thresholdAlertsSliced(ev, "event_type", "ts",
+        "event_id", "value", 150.0, slices = 8)
+      .orderBy("symbol", "trade_timestamp", "trade_id")
+      .select("trade_id", "price", "ref_price", "move")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    sliced shouldBe base
+  }
+
+  test("thresholdAlertsSliced refuses past the driver-stitch bound") {
+    val df = frame(
+      ("BTC", "2026-01-01 10:00:00", 1L, 100.0),
+      ("BTC", "2026-01-01 10:01:00", 2L, 300.0))
+    an[IllegalArgumentException] should be thrownBy
+      Alerts.thresholdAlertsSliced(df, "symbol", "ts", "event_id", "price",
+        50.0, slices = 4, maxStitchRows = 1L)
+  }
+
   test("thresholdAlertsStream carries the reference across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Timestamp, Long, Double)]

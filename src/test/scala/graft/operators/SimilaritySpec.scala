@@ -53,9 +53,9 @@ class SimilaritySpec extends SparkSuite with Matchers {
     // t=0.9 at large n: banded wins on cost with recall above the bar
     // (the calibrated per-candidate factor puts the crossover past the
     // n=20k regime where exact still measured faster — r13). Past
-    // n≈2e5 the 62-bit signature budget saturates (r must grow, bands
-    // shrink) and the recall bar refuses again — a wider-signature
-    // pass is the production knob there.
+    // n≈2e5 the legacy 62-bit budget saturates; the r14 multi-word
+    // escalation (scaledLshConfigWide) grows bands past it instead of
+    // refusing — pinned below.
     val big = Similarity.pairPlanFor(100000L, 0.9)
     big.exact shouldBe false
     big.recall should be >= 0.97
@@ -222,9 +222,116 @@ class SimilaritySpec extends SparkSuite with Matchers {
     scaled.size should be > 0
   }
 
-  test("lshSignature rejects more than 64 planes (bits pack into one long)") {
+  test("lshSignature rejects more than 64 planes; bandBucketArray rejects " +
+      "only words over 62 bits (band count is unbounded)") {
     an[IllegalArgumentException] should be thrownBy
-      Similarity.lshPairs(emb, 0.4, numPlanes = 96, bands = 24)
+      Similarity.lshSignature(col("embedding"), numPlanes = 96, dim = 64)
+    // 96 planes in 24 bands = 4-bit words — VALID under the multi-word
+    // layout (this exact call was the r13 saturation refusal)
+    Similarity.lshPairs(emb, 0.4, numPlanes = 96, bands = 24)
+      .count() should be >= 0L
+    // a single band wider than 62 bits still refuses (shift semantics)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshPairs(emb, 0.4, numPlanes = 126, bands = 1)
+  }
+
+  test("bandBucketArray is bit-identical to the packed lshSignature slices " +
+      "within the legacy 62-bit budget") {
+    // the multi-word layout must reproduce the exact bucket values the
+    // packed form produced, so every configuration the gates pinned
+    // yields identical candidates — band b of (numPlanes=32, bands=8)
+    // is bits [4b, 4b+4) of the 32-plane signature
+    val (numPlanes, bands) = (32, 8)
+    val r = numPlanes / bands
+    val rows = emb.limit(50).select(
+      Similarity.bandBucketArray(col("embedding"), numPlanes, bands, 64).as("bb"),
+      Similarity.lshSignature(col("embedding"), numPlanes, 64).as("sig"))
+    val bad = (0 until bands).map { b =>
+      rows.filter(element_at(col("bb"), b + 1) =!=
+        shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))).count()
+    }.sum
+    bad shouldBe 0L
+  }
+
+  test("scaledLshConfigWide: legacy geometry within budget, band escalation " +
+      "past saturation, capped refusal at band-hostile thresholds") {
+    // within the legacy budget at a recall-holding threshold: VERBATIM
+    // legacy geometry (gate configurations unchanged)
+    Similarity.scaledLshConfigWide(20000L, 0.9) shouldBe
+      Similarity.scaledLshConfig(20000L)
+    Similarity.scaledLshConfigWide(100000L, 0.9) shouldBe
+      Similarity.scaledLshConfig(100000L)
+    // past n≈2e5 at t=0.9: r=13 forces legacy bands to 62/13=4 and
+    // recall 0.889 < bar; the wide config escalates to 7 bands × 13
+    // bits = 91 planes (recall bound 0.979) — the regime the r13
+    // dispatcher could only serve with exact O(n²)
+    val (p9, b9) = Similarity.scaledLshConfigWide(500000L, 0.9)
+    b9 shouldBe 7
+    p9 shouldBe 91
+    Similarity.bandRecall(0.9, p9 / b9, b9, multiProbe = true) should be >= 0.97
+    // the width grows as the threshold loosens (t=0.8 needs 15 bands)
+    val (p8, b8) = Similarity.scaledLshConfigWide(500000L, 0.8)
+    b8 should be > b9
+    Similarity.bandRecall(0.8, p8 / b8, b8, multiProbe = true) should be >= 0.97
+    // band-hostile threshold at large n: even 32 bands can't hold the
+    // bar — the capped geometry comes back and pairPlanFor refuses
+    val (pl, bl) = Similarity.scaledLshConfigWide(50000L, 0.4)
+    bl shouldBe 32
+    Similarity.bandRecall(0.4, pl / bl, bl, multiProbe = true) should be < 0.97
+  }
+
+  test("pairPlanFor chooses banded past the legacy saturation point at " +
+      "high threshold (the r13 scale-killer regime)") {
+    val plan = Similarity.pairPlanFor(500000L, 0.9)
+    plan.exact shouldBe false
+    plan.recall should be >= 0.97
+    plan.bandedCost should be < plan.exactCost
+    plan.numPlanes shouldBe 91 // 7 bands × 13 bits — beyond one long
+  }
+
+  test("wide-config lshPairsMultiProbe (91 planes, 7 bands) executes and " +
+      "keeps exact precision") {
+    val exact = Similarity.pairsAboveThreshold(emb, 0.4)
+      .withColumnRenamed("cos", "cos_exact")
+    val wide = Similarity.lshPairsMultiProbe(emb, 0.4, numPlanes = 91, bands = 7)
+    // precision: every reported pair is a true pair with the exact cosine
+    wide.join(exact, Seq("id_a", "id_b"), "left_anti").count() shouldBe 0
+    wide.join(exact, Seq("id_a", "id_b"))
+      .filter(col("cos") =!= col("cos_exact")).count() shouldBe 0
+  }
+
+  test("cellAssign/withProbeCells kernel path (nlist > 48) is bit-identical " +
+      "to the literal expression path") {
+    import graft.functions.VectorFunctions
+    // 64 cells: above the literal ceiling, so cellAssign/withProbeCells
+    // dispatch to the broadcast-centroid mapPartitions kernel; the
+    // literal expressions still EVALUATE at this size (just without the
+    // codegen headroom), giving the exact reference
+    val cents = Similarity.coarseCentroids(emb, nlist = 64)
+    val kernelCell = Similarity.cellAssign(emb, cents, "cell")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val literalCell = emb.select(col("vec_id"),
+        Similarity.cellOf(col("embedding"), cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    kernelCell shouldBe literalCell
+    // probe cells: kernel (score, cid)-sort == array_sort struct slice.
+    // Compared as SETS per query: collect_list order after the groupBy
+    // shuffle is partition-arrival order (not probe rank), and
+    // downstream the probe rows are an unordered join fan-out anyway —
+    // the rank-sensitive first element is pinned by the cellAssign
+    // comparison above.
+    val kernelProbes = Similarity.withProbeCells(
+        emb.select(col("vec_id"), col("embedding")), cents, nprobe = 4)
+      .groupBy("vec_id").agg(collect_list(col("probe_cell")).as("p"))
+      .as[(Long, Seq[Int])].collect().map { case (k, v) => k -> v.toSet }.toMap
+    val negScores = cents.toIndexedSeq.map { case (cid, v, nrm) =>
+      struct((-VectorFunctions.dot(col("embedding"), lit(v)) / lit(nrm)).as("s"),
+        lit(cid).as("cid"))
+    }
+    val literalProbes = emb.select(col("vec_id"),
+        slice(array_sort(array(negScores: _*)), 1, 4).getField("cid").as("p"))
+      .as[(Long, Seq[Int])].collect().map { case (k, v) => k -> v.toSet }.toMap
+    kernelProbes shouldBe literalProbes
   }
 
   test("ivfTopK: exact cosines, deterministic, recall vs brute force") {
