@@ -62,9 +62,49 @@ object Bench {
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // ── drift verdict (r13 VERDICT task 5) ────────────────────────────
+    // Wall times on this box drift ±20-30% between windows, so every
+    // cross-round wall comparison needed hand attribution. The
+    // listener-measured per-gate PROCESS CPU is the stable signal
+    // (load-invariant on an otherwise-idle box): bench_bands.json pins
+    // each gate's reference CPU (a prior board's queries_cpu_sec map,
+    // refreshed when a gate legitimately changes shape), and a gate is
+    // FLAGGED only when its measured CPU moves past 1.5x its band with
+    // an absolute floor of 0.5 s (sub-second gates jitter multiplicatively).
+    // The verdict is machine-readable in both JSON lines, so a judge
+    // can diff rounds without re-running solo probes.
+    val bandFile = new java.io.File("bench_bands.json")
+    val bands: Map[String, Double] =
+      if (!bandFile.exists()) Map.empty
+      else {
+        // flat {"gate": cpu, ...} — parsed with the json4s that ships
+        // on the Spark classpath
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(new String(
+            java.nio.file.Files.readAllBytes(bandFile.toPath), "UTF-8"))
+          .asInstanceOf[JObject].obj.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+      }
+    val flagged = results.flatMap { case (name, (_, c)) =>
+      bands.get(name).collect {
+        case band if c > band * 1.5 && c - band > 0.5 =>
+          (name, band, c)
+      }
+    }
+    def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val flaggedJson = flagged.map { case (n, b, c) =>
+      s"\"" + n + s"\":{\"band\":${f2(b)},\"cpu\":${f2(c)}}"
+    }.mkString("{", ",", "}")
+    val driftJson = s"""{"band_file":"bench_bands.json",""" +
+      s""""bands_known":${bands.size},"cpu_flagged":$flaggedJson,""" +
+      s""""n_flagged":${flagged.size}}"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_cpu_sec":$cpu,"total_cpu_sec":${fmt(totalCpu)},""" +
-      s""""errors":$errJson,"cpus":$cpus,"sf":"$sfDir"}"""
+      s""""errors":$errJson,"drift":$driftJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // the driver keeps only the LAST 2000 chars of output and parses the
     // JSON line out of that tail; with 100+ queries the full per-query map
     // is ~3.5 KB, so every round's `parsed` came back null (BENCH_r07/r08).
@@ -90,9 +130,15 @@ object Bench {
       def f3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       s"\"" + k + s"\":{\"w\":${f3(w)},\"c\":${f3(c)}}"
     }).mkString("{", ",", "}")
+    // compact drift: flagged names only (normally empty) — the full
+    // band/cpu pairs live in BENCH_SELF.json
+    val compactDrift = s"""{"bands_known":${bands.size},""" +
+      s""""n_flagged":${flagged.size},"cpu_flagged":[""" +
+      flagged.take(8).map("\"" + _._1 + "\"").mkString(",") + "]}"
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$hq,"total_cpu_sec":${fmt(totalCpu)},""" +
       s""""n_queries":${results.size},"n_errors":${errors.size},""" +
+      s""""drift":$compactDrift,""" +
       s""""full":"BENCH_SELF.json",""" +
       s""""cpus":$cpus,"sf":"$sfDir"}"""
     println(compact)

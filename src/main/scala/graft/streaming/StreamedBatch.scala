@@ -140,16 +140,41 @@ object StreamedBatch {
                       tsCol: String, tieCol: String,
                       agg: DataFrame => DataFrame,
                       chunks: Int = 3,
-                      stageKey: Option[String] = None): DataFrame = {
+                      stageKey: Option[String] = None,
+                      stopAfterBatches: Option[Int] = None,
+                      workDirOpt: Option[File] = None): DataFrame = {
     val in = stagedIn(input, tsCol, tieCol, chunks, stageKey)
-    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val work = workDirOpt.getOrElse(
+      Files.createTempDirectory("graft-stream-run-").toFile)
     val stream = spark.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(in.getAbsolutePath)
     val outDir = new File(work, "out").getAbsolutePath
-    runClamped(spark, parts = 8) {
-      StreamJobs.parquetAppend(agg(stream), outDir,
-        new File(work, "ckpt").getAbsolutePath)
+    stopAfterBatches match {
+      case None =>
+        runClamped(spark, parts = 8) {
+          StreamJobs.parquetAppend(agg(stream), outDir,
+            new File(work, "ckpt").getAbsolutePath)
+        }
+      case Some(k) =>
+        // interrupted run for the restart matrix: kill the query once k
+        // micro-batches have committed, leaving the checkpoint and the
+        // file sink's _spark_metadata mid-stream; a later call with the
+        // SAME workDir resumes from the checkpoint and must converge to
+        // the uninterrupted output (the file sink's exactly-once
+        // contract at replay scale)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(8, prevParts.toInt))
+        try {
+          val q = StreamJobs.parquetAppend(agg(stream), outDir,
+            new File(work, "ckpt").getAbsolutePath)
+          while (q.isActive &&
+              q.recentProgress.count(_.numInputRows >= 0) < k)
+            Thread.sleep(50)
+          q.stop()
+          q.awaitTermination()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     spark.read.parquet(outDir)
   }
@@ -225,32 +250,56 @@ object StreamedBatch {
     * Returns the store's final candles; the store at `storePath`
     * remains live for further shards or serving.
     */
+  /** Injected mid-micro-batch crash for the kill-point matrix
+    * (E2eProbe, r13 VERDICT task 4): the stream dies with THIS
+    * exception at a chosen (batch, phase), leaving the sink exactly as
+    * a real executor/driver loss would — phase `"before"` crashes with
+    * none of the batch's store work done, `"after-apply"` with the
+    * store updated but the micro-batch UNCOMMITTED (the re-delivery
+    * case the manifest ledger exists for), `"after-compact"`
+    * additionally after the auto-compaction rewrite. A restart on the
+    * same checkpoint + store must converge to the uninterrupted run's
+    * bytes.
+    */
+  final class InjectedKill(msg: String) extends RuntimeException(msg)
+
   def replayIntoCandleStore(spark: SparkSession, input: DataFrame,
                             tsCol: String, tieCol: String, storePath: String,
                             windowDur: String = "1 minute",
                             chunks: Int = 3,
                             stageKey: Option[String] = None,
-                            autoCompactVersions: Int = 64): DataFrame = {
+                            autoCompactVersions: Int = 64,
+                            killPoint: Option[(Long, String)] = None,
+                            workDirOpt: Option[File] = None): DataFrame = {
     import graft.operators.Candles
     val in = stagedIn(input, tsCol, tieCol, chunks, stageKey)
-    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val work = workDirOpt.getOrElse(
+      Files.createTempDirectory("graft-stream-run-").toFile)
     val stream = spark.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(in.getAbsolutePath)
+    def kill(id: Long, phase: String): Unit = killPoint.foreach {
+      case (kb, kp) if kb == id && kp == phase =>
+        throw new InjectedKill(s"injected kill at batch $id phase $phase")
+      case _ => ()
+    }
     runClamped(spark, parts = 8) {
       stream.writeStream
         .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
         .foreachBatch { (batch: DataFrame, id: Long) =>
+          kill(id, "before")
           if (id == 0) Candles.buildCandleStore(batch, storePath, windowDur)
           else {
             Candles.updateCandleStore(batch, storePath, windowDur,
               shardId = Some(s"replay-batch-$id"))
+            kill(id, "after-apply")
             // default-on maintenance: each update adds one owning ver=
             // dir — bound the live tree (answers unchanged; the ledger
             // carries through compaction)
             if (autoCompactVersions > 0)
               Candles.autoCompactCandleStore(spark, storePath,
                 autoCompactVersions)
+            kill(id, "after-compact")
             ()
           }
         }
