@@ -2842,6 +2842,28 @@ object SparkEntry {
     // pair-mining stage the cost model routes
     "sim_knn_auto" -> ((s, dir) =>
       Similarity.knnJoinAuto(Tables.embeddings(s, dir), 0.4, k = 3)),
+    // the MULTI-WORD signature layout (r14: one long per band,
+    // unbounded band count) exercised BEYOND the legacy 62-bit budget
+    // and hash-pinned: 96 planes in 24 bands was the r13 saturation
+    // refusal (lshSignature's one-long cap), and is exactly the shape
+    // the escalated dispatcher runs past n ≈ 2e5 — here at a geometry
+    // whose recall is 1.0 on this corpus (24 bands of 4-bit buckets +
+    // multi-probe), so the exact-pairs oracle re-derives the claim on
+    // every driver run, like the other recall-1.0 LSH gates
+    "sim_lsh_wide" -> ((s, dir) =>
+      Similarity.lshPairsMultiProbe(Tables.embeddings(s, dir), 0.4,
+        numPlanes = 96, bands = 24)),
+    // the hot-key slice-and-stitch execution of the alert recurrence
+    // (r13 VERDICT task 6): one parallel fresh-scan job + a scalar
+    // driver stitch (PASS/ADOPT by the coalescence theorem, batched
+    // rescans on genuine divergence) — hash-pinned against the SAME
+    // linear-fold oracle as the one-task-per-key batch shape, so
+    // sliced == unsliced is driver-verified, not just spec-asserted
+    "serve_threshold_alerts_sliced" -> ((s, dir) =>
+      Alerts.thresholdAlertsSliced(Tables.events(s, dir),
+          "event_type", "ts", "event_id", "value", minMove = 150.0,
+          slices = 8)
+        .withColumn("move", round(col("move"), 6))),
   )
 
   /** Exact n-gram-Jaccard pair SQL over ALL documents — the shared
@@ -3639,6 +3661,7 @@ object SparkEntry {
     "serve_distinct_symbols" ->
       "SELECT DISTINCT event_type FROM events",
     "serve_threshold_alerts" -> thresholdAlertsSql,
+    "serve_threshold_alerts_sliced" -> thresholdAlertsSql,
     "stream_threshold_alerts" -> thresholdAlertsSql,
     "serve_spread_by_window" ->
       """WITH e AS (
@@ -5621,6 +5644,7 @@ object SparkEntry {
     // pairs) and verification keeps precision exact — the same
     // exact-pairs SQL is the oracle with half the hyperplane budget
     "sim_lsh_multiprobe" -> exactCosinePairsSql,
+    "sim_lsh_wide" -> exactCosinePairsSql,
     // occupancy-scaled geometry + multi-probe holds recall 1.0 at this
     // sf (measured 59/59; re-derived every run since the oracle is the
     // exact pair set) — the scale-safe configuration is itself
