@@ -138,15 +138,24 @@ object ScaleProbe {
       // in n (the table across sf0.01/0.1/sf25e/sf250e is the
       // evidence; the fixed-16-cell r13 shape grew it linearly).
       import graft.operators.Pca
+      // the CLUSTERED corpus variant, mirroring the sim_topk_pca_ivf
+      // gate: PCA-through-IVF's recall contract presumes the projection
+      // has cluster structure to preserve — on a near-isotropic corpus
+      // a 16-dim projection of 64 i.i.d. dims discards 3/4 of the
+      // variance and NO pool holds the bar (the PcaSpec non-vacuity
+      // fixture); real embedding corpora are clustered, which is what
+      // clusteredCorpus deterministically reproduces at any scale
+      val cemb = graft.operators.Dedup.materialize(
+        Similarity.clusteredCorpus(emb))
       val (nl, np) = Similarity.scaledIvfConfig(n)
-      val model = Pca.fit(emb, 16)
-      val proj = Pca.project(emb, model, projCol = "embedding")
+      val model = Pca.fit(cemb, 16)
+      val proj = Pca.project(cemb, model, projCol = "embedding")
       val cents = timed(s"ivf_train_${nl}x3")(
         Similarity.coarseCentroids(proj, nl, iters = 3))
       val check = timed("ivf_pca_check")(
-        Pca.pcaIvfCheck(emb, modelOpt = Some(model), centsOpt = Some(cents))
+        Pca.pcaIvfCheck(cemb, modelOpt = Some(model), centsOpt = Some(cents))
           .head())
-      val queries = emb.filter(col("vec_id") < 5)
+      val queries = cemb.filter(col("vec_id") < 5)
       val cand = Similarity.probedCandidateCount(proj, queries, cents,
         math.max(8, np))
       val nq = math.max(queries.count(), 1L)

@@ -339,11 +339,27 @@ object Pca {
     * every larger probed scale the bar is re-measured
     * (sf0.1/ScaleProbe).
     */
+  /** Recall is ε-TOLERANT (the ann-benchmarks convention): a returned
+    * neighbor counts as a hit when its EXACT cosine reaches the
+    * query's k-th true cosine minus `epsTies`. Strict identity
+    * recall@k degenerates on large clustered corpora — measured at
+    * n = 50,500: 269 corpus vectors sit within 1e-3 of the 5 gate
+    * queries' 10th-best cosines, so "the" top-10 is an arbitrary
+    * selection among near-ties that no reduced-dimension sketch can
+    * (or should) reproduce, and holding the strict bar would force the
+    * rerank pool back to a constant corpus fraction — the r13 n/25
+    * degenerate shape this check exists to rule out. ε-recall ≥ strict
+    * recall always, so every configuration that passed strict keeps
+    * passing; 1e-3 is beneath any caller-visible resolution (emitted
+    * cosines round to 6 dp, but neighbor SETS among 1e-3-ties are
+    * interchangeable by construction).
+    */
   def pcaIvfCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
                   nlist: Int = 0, nprobe: Int = 0, coarseIters: Int = 3,
                   mult: Int = 8, minRecall: Double = 0.9,
                   modelOpt: Option[PcaModel] = None,
-                  centsOpt: Option[Similarity.Cents] = None): DataFrame = {
+                  centsOpt: Option[Similarity.Cents] = None,
+                  epsTies: Double = 1e-3): DataFrame = {
     val spark = emb.sparkSession
     val queries = emb.filter(col("vec_id") < 5)
     val model = modelOpt.getOrElse(fit(emb, kDims))
@@ -355,9 +371,9 @@ object Pca {
       coarseIters, probedMassMult(n, nlistUse, nprobeUse, k, mult), centsOpt)
     val exact = Similarity.bruteForceTopK(emb, queries, k)
     val total = exact.count()
-    val hits = exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id")).count()
+    val kth = exact.groupBy(col("query_id")).agg(min(col("cos")).as("kth"))
+    val hits = approx.join(kth, "query_id")
+      .filter(col("cos") >= col("kth") - epsTies).count()
     val mismatches = approx.select(col("query_id"), col("neighbor_id"), col("cos"))
       .join(exact.select(col("query_id"), col("neighbor_id"),
           col("cos").as("ref_cos")),

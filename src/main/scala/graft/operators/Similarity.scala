@@ -617,15 +617,55 @@ object Similarity {
                           targetOccupancy: Int = 64,
                           recallBar: Double = 0.97,
                           maxBands: Int = 32): (Int, Int) = {
+    val (p, b, _) = scaledLshConfigWideArm(n, threshold, targetOccupancy,
+      recallBar, maxBands)
+    (p, b)
+  }
+
+  /** [[scaledLshConfigWide]] plus the PROBE ARM the escalated geometry
+    * should mine with — the third element is `multiProbe`. Within the
+    * legacy budget the answer is the legacy geometry with distance-1
+    * multi-probing (bit-compatible with every pinned gate). Past it,
+    * BOTH escalations are costed and the cheaper feasible one wins:
+    *  - single-probe needs more bands for the same recall (no
+    *    distance-1 rescue) but each band contributes `n·occ/2`
+    *    candidate rows instead of `(1+r)·n·occ/2` — at t = 0.9,
+    *    r = 13 that is 25 bands × 1 vs 7 bands × 14 = a 4.4× smaller
+    *    candidate stream for a 3.6× wider (cheap) signature pass. The
+    *    r14 sf250e run measured the difference as existential, not
+    *    incremental: the multi-probe arm's 2.4e9-row candidate
+    *    distinct overran the box's 71 GB of shuffle disk, the
+    *    single-probe arm fits in a quarter of it.
+    *  - multi-probe stays the answer where single-probe cannot reach
+    *    the bar within `maxBands` (looser thresholds: at t = 0.8,
+    *    single needs 68 bands, multi 15).
+    */
+  private[graft] def scaledLshConfigWideArm(
+      n: Long, threshold: Double, targetOccupancy: Int = 64,
+      recallBar: Double = 0.97, maxBands: Int = 32): (Int, Int, Boolean) = {
     val (legacyPlanes, legacyBands) = scaledLshConfig(n, targetOccupancy)
     val r = legacyPlanes / legacyBands
     if (bandRecall(threshold, r, legacyBands, multiProbe = true) >= recallBar)
-      (legacyPlanes, legacyBands)
+      (legacyPlanes, legacyBands, true)
     else {
-      val bands = (legacyBands to maxBands)
-        .find(b => bandRecall(threshold, r, b, multiProbe = true) >= recallBar)
-        .getOrElse(maxBands)
-      (bands * r, bands)
+      def escalate(mp: Boolean): Option[Int] =
+        (legacyBands to maxBands)
+          .find(b => bandRecall(threshold, r, b, mp) >= recallBar)
+      def candCost(bands: Int, mp: Boolean): Double =
+        bands.toDouble * (if (mp) 1 + r else 1) * n * targetOccupancy / 2
+      (escalate(false), escalate(true)) match {
+        case (Some(sp), Some(mp)) =>
+          if (candCost(sp, mp = false) <= candCost(mp, mp = true))
+            (sp * r, sp, false)
+          else (mp * r, mp, true)
+        case (Some(sp), None) => (sp * r, sp, false)
+        case (None, Some(mp)) => (mp * r, mp, true)
+        case (None, None) =>
+          // neither arm reaches the bar at the cap: return the capped
+          // multi-probe geometry (the higher-recall arm) and let the
+          // dispatcher's recall check refuse banded
+          (maxBands * r, maxBands, true)
+      }
     }
   }
 
@@ -662,7 +702,8 @@ object Similarity {
     * large n hand the banded path its near-linear win.
     */
   case class PairPlan(exact: Boolean, numPlanes: Int, bands: Int,
-                      recall: Double, exactCost: Double, bandedCost: Double)
+                      recall: Double, exactCost: Double, bandedCost: Double,
+                      multiProbe: Boolean = true)
 
   /** Per-candidate overhead of the banded path relative to one
     * codegen'd dot product of the exact scan — the cost-model constant
@@ -678,16 +719,20 @@ object Similarity {
 
   def pairPlanFor(n: Long, threshold: Double, targetOccupancy: Int = 64,
                   recallBar: Double = 0.97): PairPlan = {
-    val (numPlanes, bands) = scaledLshConfigWide(n, threshold,
+    val (numPlanes, bands, mp) = scaledLshConfigWideArm(n, threshold,
       targetOccupancy, recallBar)
     val r = numPlanes / bands
-    val recall = bandRecall(threshold, r, bands, multiProbe = true)
+    val recall = bandRecall(threshold, r, bands, multiProbe = mp)
+    // per-vector bucket rows per band: 1 base (+ r distance-1 probes
+    // when multi-probing) — the factor that sizes both the candidate
+    // stream and the exploded row count
+    val probeRows = if (mp) 1.0 + r else 1.0
     val exactCost = n.toDouble * math.max(n - 1L, 0L) / 2
     val bandedCost = n.toDouble * numPlanes + bandedRowCostFactor *
-      (bands.toDouble * (1 + r) * n * targetOccupancy / 2 +
-        n.toDouble * bands * (1 + r))
+      (bands.toDouble * probeRows * n * targetOccupancy / 2 +
+        n.toDouble * bands * probeRows)
     PairPlan(recall < recallBar || exactCost <= bandedCost,
-      numPlanes, bands, recall, exactCost, bandedCost)
+      numPlanes, bands, recall, exactCost, bandedCost, mp)
   }
 
   /** MEASURED banded collision mass at a geometry: Σ over base
@@ -753,12 +798,13 @@ object Similarity {
     val n = embeddings.count()
     val plan = pairPlanFor(n, threshold, targetOccupancy, recallBar)
     val r = plan.numPlanes / plan.bands
+    val probeRows = if (plan.multiProbe) 1.0 + r else 1.0
     if (plan.recall < recallBar || plan.bandedCost >= plan.exactCost)
       Dispatch(exact = true, plan, -1L, Double.NaN)
     else {
       val mass = collisionMass(embeddings, plan.numPlanes, plan.bands, dim)
       val measured = n.toDouble * plan.numPlanes + bandedRowCostFactor *
-        ((1.0 + r) * mass + n.toDouble * plan.bands * (1 + r))
+        (probeRows * mass + n.toDouble * plan.bands * probeRows)
       Dispatch(measured >= plan.exactCost, plan, mass, measured)
     }
   }
@@ -778,11 +824,13 @@ object Similarity {
       println(f"[probe]   similarPairsAuto t=$threshold " +
         f"recall=${d.plan.recall}%.3f exactCost=${d.plan.exactCost}%.3g " +
         f"uniformBanded=${d.plan.bandedCost}%.3g mass=${d.mass} " +
-        f"measuredBanded=${d.measuredBandedCost}%.3g -> " +
+        f"measuredBanded=${d.measuredBandedCost}%.3g mp=${d.plan.multiProbe} -> " +
         (if (d.exact) "exact" else "banded"))
     if (d.exact) pairsAboveThreshold(embeddings, threshold)
-    else lshPairsMultiProbe(embeddings, threshold, d.plan.numPlanes,
-      d.plan.bands, dim)
+    else if (d.plan.multiProbe)
+      lshPairsMultiProbe(embeddings, threshold, d.plan.numPlanes,
+        d.plan.bands, dim)
+    else lshPairs(embeddings, threshold, d.plan.numPlanes, d.plan.bands, dim)
   }
 
   /** [[knnJoin]] routed through the [[similarPairsAuto]] dispatcher:

@@ -262,16 +262,24 @@ class SimilaritySpec extends SparkSuite with Matchers {
     Similarity.scaledLshConfigWide(100000L, 0.9) shouldBe
       Similarity.scaledLshConfig(100000L)
     // past n≈2e5 at t=0.9: r=13 forces legacy bands to 62/13=4 and
-    // recall 0.889 < bar; the wide config escalates to 7 bands × 13
-    // bits = 91 planes (recall bound 0.979) — the regime the r13
-    // dispatcher could only serve with exact O(n²)
-    val (p9, b9) = Similarity.scaledLshConfigWide(500000L, 0.9)
-    b9 shouldBe 7
-    p9 shouldBe 91
-    Similarity.bandRecall(0.9, p9 / b9, b9, multiProbe = true) should be >= 0.97
-    // the width grows as the threshold loosens (t=0.8 needs 15 bands)
-    val (p8, b8) = Similarity.scaledLshConfigWide(500000L, 0.8)
-    b8 should be > b9
+    // recall 0.889 < bar; the wide config escalates — and picks the
+    // SINGLE-probe arm (25 bands × 13 bits = 325 planes, recall bound
+    // 0.972): same bar as 7 multi-probed bands at a 4.4× smaller
+    // candidate stream (the sf250e run measured the multi-probe arm's
+    // candidate distinct overrunning the shuffle disk) — the regime
+    // the r13 dispatcher could only serve with exact O(n²)
+    val (p9, b9, mp9) = Similarity.scaledLshConfigWideArm(500000L, 0.9)
+    b9 shouldBe 25
+    p9 shouldBe 325
+    mp9 shouldBe false
+    Similarity.bandRecall(0.9, p9 / b9, b9, multiProbe = false) should be >= 0.97
+    // looser thresholds flip to the multi-probe arm: at t=0.8 single
+    // probe needs 68 bands (past the cap) while 15 multi-probed bands
+    // hold the bar
+    val (p8, b8, mp8) = Similarity.scaledLshConfigWideArm(500000L, 0.8)
+    b8 shouldBe 15
+    p8 shouldBe 15 * (p9 / b9)
+    mp8 shouldBe true
     Similarity.bandRecall(0.8, p8 / b8, b8, multiProbe = true) should be >= 0.97
     // band-hostile threshold at large n: even 32 bands can't hold the
     // bar — the capped geometry comes back and pairPlanFor refuses
@@ -286,7 +294,8 @@ class SimilaritySpec extends SparkSuite with Matchers {
     plan.exact shouldBe false
     plan.recall should be >= 0.97
     plan.bandedCost should be < plan.exactCost
-    plan.numPlanes shouldBe 91 // 7 bands × 13 bits — beyond one long
+    plan.numPlanes shouldBe 325 // 25 single-probe bands × 13 bits
+    plan.multiProbe shouldBe false
   }
 
   test("wide-config lshPairsMultiProbe (91 planes, 7 bands) executes and " +
