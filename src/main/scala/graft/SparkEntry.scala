@@ -2862,7 +2862,7 @@ object SparkEntry {
     "serve_threshold_alerts_sliced" -> ((s, dir) =>
       Alerts.thresholdAlertsSliced(Tables.events(s, dir),
           "event_type", "ts", "event_id", "value", minMove = 150.0,
-          slices = 8)
+          slices = 4)
         .withColumn("move", round(col("move"), 6))),
   )
 

@@ -305,6 +305,7 @@ object Alerts {
     val adopt = Seq.newBuilder[(String, Int, Double)]        // ADOPT + r_in
     val maxSlice = if (summaries.isEmpty) -1 else summaries.map(_.slice).max
     var alertFrames = List.empty[DataFrame]
+    var nRescan = 0
     for (s <- 0 to maxSlice) {
       val rescan = Seq.newBuilder[(String, Int, Double)]
       byKey.foreach { case (key, ss) =>
@@ -333,18 +334,23 @@ object Alerts {
         }
       }
       val todo = rescan.result()
+      nRescan += todo.size
       if (todo.nonEmpty) {
         // batched divergence rescan for slice index s: the seeded scan
         // over just those groups' rows (exact recurrence, tiny input)
         val refMap = todo.map { case (k, sl, r) => (k, sl) -> r }.toMap
         val keysDf = todo.map { case (k, sl, _) => (k, sl) }.toDF("symbol", "slice")
-        val part = graft.operators.Dedup.materialize(
-          slicedDs.toDF().join(broadcast(keysDf), Seq("symbol", "slice"))
-            .as[(String, Int, Timestamp, Long, Double)]
-            .repartition(col("symbol"), col("slice"))
-            .sortWithinPartitions(col("symbol"), col("slice"), col("ts"), col("tie"))
-            .mapPartitions(it => scanPartition(it, refMap, fresh = false, minMove))
-            .toDF())
+        // persist, not snap: the rescan part is tiny (diverged groups
+        // only) and is read exactly twice in quick succession (ref-out
+        // collect + alert union) — a disk write-through would double
+        // the per-batch job latency the stitch loop pays S times
+        val part = slicedDs.toDF().join(broadcast(keysDf), Seq("symbol", "slice"))
+          .as[(String, Int, Timestamp, Long, Double)]
+          .repartition(col("symbol"), col("slice"))
+          .sortWithinPartitions(col("symbol"), col("slice"), col("ts"), col("tie"))
+          .mapPartitions(it => scanPartition(it, refMap, fresh = false, minMove))
+          .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         part.filter(col("kind") === 1).select("symbol", "ref_out")
           .as[(String, Double)].collect()
           .foreach { case (k, r) => refs(k) = r }
@@ -353,6 +359,14 @@ object Alerts {
             col("tie").as("trade_id"), col("price"), col("ref_price"),
             col("move"))
       }
+    }
+    if (sys.env.contains("GRAFT_PROBE")) {
+      val nKeep = keep.result().size
+      val nAdopt = adopt.result().size
+      println(s"[probe]   thresholdAlertsSliced: groups=$nSumm " +
+        s"fresh=$nKeep adopt=$nAdopt rescan=$nRescan " +
+        s"rescanJobs=${alertFrames.size} " +
+        s"pass=${nSumm - nKeep - nAdopt - nRescan}")
     }
     val keepDf = keep.result().toDF("symbol", "slice")
       .withColumn("act", lit(0)).withColumn("r_in", lit(0.0))
