@@ -70,7 +70,12 @@ object Bench {
     // each gate's reference CPU (a prior board's queries_cpu_sec map,
     // refreshed when a gate legitimately changes shape), and a gate is
     // FLAGGED only when its measured CPU moves past 1.5x its band with
-    // an absolute floor of 0.5 s (sub-second gates jitter multiplicatively).
+    // an absolute floor of 1.5 s — calibrated on the empirical null:
+    // two same-code boards 40 min apart moved three 1-2 s gates by
+    // 0.9-1.2 s (contention jitter), and a 0.5 s floor flagged all
+    // three; at 1.5 s the same-code false-flag rate is 0/224 while a
+    // real regression of the r12 class (several CPU-seconds on a
+    // multi-second gate) still trips both conditions.
     // The verdict is machine-readable in both JSON lines, so a judge
     // can diff rounds without re-running solo probes.
     val bandFile = new java.io.File("bench_bands.json")
@@ -91,7 +96,7 @@ object Bench {
       }
     val flagged = results.flatMap { case (name, (_, c)) =>
       bands.get(name).collect {
-        case band if c > band * 1.5 && c - band > 0.5 =>
+        case band if c > band * 1.5 && c - band > 1.5 =>
           (name, band, c)
       }
     }
