@@ -121,10 +121,19 @@ object SparkEntry {
     val p = scaledPairsMemo.computeIfAbsent(dir, _ => {
       val out = tempIndexDir("graft-scaled-pairs")
       val emb = Tables.embeddings(s, dir)
-      val (planes, bands) =
-        Similarity.scaledLshConfig(emb.count(), targetOccupancy = 64)
-      Similarity.lshPairsMultiProbe(emb, 0.4, numPlanes = planes,
-          bands = bands)
+      // r14: geometry from the multi-word escalation at a HIGH recall
+      // bar (0.9999) — within the legacy budget where that bar already
+      // holds, this IS the legacy config verbatim (sf0.01: 48×16, gate
+      // hashes untouched); where legacy banding leaks (sf0.1: 60×12
+      // measured 916/920 — the standing r12 "0.996 boundary"), the
+      // band count escalates past the old 62-bit cap (95×19) and the
+      // measured recall reaches 1.0, so the gate verifies at BOTH
+      // scale factors now. The production dispatcher keeps its own
+      // 0.97 cost bar; this bar is the GATE's exactness requirement.
+      val (planes, bands, mp) = Similarity.scaledLshConfigWideArm(
+        emb.count(), 0.4, targetOccupancy = 64, recallBar = 0.9999)
+      (if (mp) Similarity.lshPairsMultiProbe(emb, 0.4, planes, bands)
+       else Similarity.lshPairs(emb, 0.4, planes, bands))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$out/pairs")
       out
