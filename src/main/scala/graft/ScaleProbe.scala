@@ -148,16 +148,28 @@ object ScaleProbe {
       // variance and NO pool holds the bar (the PcaSpec non-vacuity
       // fixture); real embedding corpora are clustered, which is what
       // clusteredCorpus deterministically reproduces at any scale
+      // DENSIFY ids first: clusteredCorpus blobs by contiguous vec_id
+      // RANGES, and GenScale's big-factor layouts (replica strides +
+      // the 1e10 twin offset) leave the id space so sparse that the
+      // range cut collapses to one giant blob + one tiny one — a
+      // degenerate "clustered" corpus that benchmarks nothing. The
+      // gate corpora have dense 0..n-1 ids, so this matches their
+      // construction. (One global row_number window — probe-only cost.)
+      val dense = emb.select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("long").as("vec_id"),
+        col("embedding"))
       val cemb = graft.operators.Dedup.materialize(
-        Similarity.clusteredCorpus(emb))
+        Similarity.clusteredCorpus(dense))
       val (nl, np) = Similarity.scaledIvfConfig(n)
       val model = Pca.fit(cemb, 16)
       val proj = Pca.project(cemb, model, projCol = "embedding")
-      val cents = timed(s"ivf_train_${nl}x3")(
-        Similarity.coarseCentroids(proj, nl, iters = 3))
+      val iters = Similarity.scaledIvfIters(nl)
+      val cents = timed(s"ivf_train_${nl}x$iters")(
+        Similarity.coarseCentroids(proj, nl, iters = iters))
       val check = timed("ivf_pca_check")(
-        Pca.pcaIvfCheck(cemb, modelOpt = Some(model), centsOpt = Some(cents))
-          .head())
+        Pca.pcaIvfCheck(cemb, coarseIters = iters, modelOpt = Some(model),
+          centsOpt = Some(cents)).head())
       val queries = cemb.filter(col("vec_id") < 5)
       val cand = Similarity.probedCandidateCount(proj, queries, cents,
         math.max(8, np))

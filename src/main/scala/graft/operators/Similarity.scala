@@ -290,6 +290,20 @@ object Similarity {
     (nlist, nprobe)
   }
 
+  /** Lloyd rounds that scale WITH the cell count — the missing third
+    * knob of the scaled geometry: the starved-cell splitting policy
+    * grows a blob's populated cells at most ~2× per round (each split
+    * halves one donor), so seeding `nlist` cells inside a handful of
+    * clusters needs ~log₂(nlist/clusters) rounds before the layout is
+    * balanced enough for fixed-nprobe recall. The fixed 3 rounds the
+    * small-corpus gates pin are exactly this rule at their nlist ≤ 45;
+    * at nlist = 711 (n = 5e5) three rounds leave the probe budget
+    * reading giant unsplit cells — measured: 14 probed cells held 25 %
+    * of the corpus.
+    */
+  def scaledIvfIters(nlist: Int): Int =
+    math.max(3, math.ceil(math.log(nlist.toDouble) / math.log(2)).toInt - 2)
+
   /** Score of `emb` against centroid c: dot(e, c)/|c| — |e| is constant
     * across centroids so it can't change the argmax; negated for
     * min-ordering.
