@@ -175,6 +175,20 @@ object ScaleProbe {
         math.max(8, np))
       val nq = math.max(queries.count(), 1L)
       println(s"""{"probe":"ivf_scaled","n":$n,"nlist":$nl,"nprobe":${math.max(8, np)},"recall_ok":${check.getBoolean(0)},"cosines_exact":${check.getBoolean(1)},"candidates_per_query":${cand / nq},"corpus_fraction":${"%.4f".format(cand.toDouble / nq / n)}}""")
+
+      // r14 follow-through: the per-cell RESIDUAL projection arm (the
+      // IVF-residual recipe) at the same scaled geometry and budgets —
+      // the named fix for the 505k frontier, where the global 16-dim
+      // projection's within-blob ranking noise missed the ε-recall bar
+      // at every budget. Same clustered corpus, same candidate
+      // measurement, so the two ranking designs print comparable rows.
+      val rmodel = timed(s"ivf_rproj_fit_${nl}x$iters")(
+        Pca.fitIvfResidual(cemb, kDims = 16, nlist = nl, coarseIters = iters))
+      val rcheck = timed("ivf_rproj_check")(
+        Pca.ivfResidualCheck(cemb, modelOpt = Some(rmodel)).head())
+      val rcand = Similarity.probedCandidateCount(cemb, queries, rmodel.cents,
+        math.max(8, np))
+      println(s"""{"probe":"ivf_rproj","n":$n,"nlist":$nl,"nprobe":${math.max(8, np)},"recall_ok":${rcheck.getBoolean(0)},"cosines_exact":${rcheck.getBoolean(1)},"candidates_per_query":${rcand / nq},"corpus_fraction":${"%.4f".format(rcand.toDouble / nq / n)}}""")
     }
 
     if (sections("alerts")) {

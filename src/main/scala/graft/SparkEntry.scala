@@ -899,6 +899,12 @@ object SparkEntry {
   private def trainedCentsMemo(key: String, train: => Similarity.Cents): Similarity.Cents =
     centsMemo.computeIfAbsent(key, _ => train)
 
+  private val ivfResidualModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.IvfResidualModel]()
+  private def ivfResidualMemo(key: String,
+                              train: => Pca.IvfResidualModel): Pca.IvfResidualModel =
+    ivfResidualModelMemo.computeIfAbsent(key, _ => train)
+
   /** The `cur_semantic_prototypes` gate's trained centroids, per
     * (JVM, sfDir) — 16 cells × 2 Lloyd rounds over the whole
     * embeddings table (bit-deterministic training). The most recent
@@ -2751,6 +2757,21 @@ object SparkEntry {
           Similarity.coarseCentroids(
             Pca.project(emb, model, projCol = "embedding"),
             nlist = nl, iters = 3))))
+    }),
+    // per-cell residual projection ranking (the IVF-residual recipe):
+    // candidates from the FULL-space probed-cell equi-join, ranked by
+    // the exact-plus-projected decomposition q̂·(ĉ+μ_c) + (W_c q̂)·(W_c ρ)
+    // — the r14 fix for the global projection's within-blob ranking
+    // noise at large blob sizes (BENCH_NOTES "occupancy-scaled IVF"
+    // frontier). Same clustered corpus, same scaled budgets, same
+    // contract row as sim_topk_pca_ivf, so the two ranking designs are
+    // directly comparable at every scale factor. Model memoized like
+    // every trained artifact (the sim_ann_* convention).
+    "sim_topk_ivf_rproj" -> ((s, dir) => {
+      val emb = s.read.parquet(clusteredGateCorpus(s, dir))
+      Pca.ivfResidualCheck(emb,
+        modelOpt = Some(ivfResidualMemo(s"$dir#rproj16",
+          Pca.fitIvfResidual(emb, kDims = 16))))
     }),
     // the INCREMENTAL PCA lifecycle: moment store built on tranche 1,
     // tranches 2-3 folded in as ledgered shard rows (re-delivered t1 a
@@ -5589,6 +5610,10 @@ object SparkEntry {
     // the composed at-scale path (projection -> trained-IVF probe in
     // reduced space -> exact full-space rerank): same contract shape
     "sim_topk_pca_ivf" ->
+      """SELECT true AS recall_ok, true AS cosines_exact""",
+    // per-cell residual projection (IVF-residual ranking): same
+    // contract shape, graded at the same scaled probe/pool budgets
+    "sim_topk_ivf_rproj" ->
       """SELECT true AS recall_ok, true AS cosines_exact""",
     // IVF-PQ search contract: invariants when cell probing at nprobe=4
     // keeps recall >= 0.5 and the exact rerank holds (computed vs the

@@ -497,6 +497,307 @@ object Pca {
         "lossless_ok", "ratio_ok").map(StructField(_, BooleanType, nullable = false))))
   }
 
+  // ── per-cell residual projection (IVF-residual ranking) ────────────
+  //
+  // The r14 scaled-IVF frontier (BENCH_NOTES "occupancy-scaled IVF"):
+  // ONE global 16-dim projection ranks every probed candidate, and at
+  // n = 505,000 the within-blob ranking noise of 126k-vector blobs
+  // swamps the ε-recall bar at every probe/pool budget tried — the
+  // global axes spend their variance separating blobs that cell
+  // assignment has ALREADY separated, leaving little resolution for
+  // the within-cell ordering that actually decides the top-k. The
+  // classical fix (the IVF-residual recipe; reference: Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", §IV — here
+  // applied to a projection instead of PQ codes) is to rank by the
+  // CELL-LOCAL geometry. Decompose the exact cosine of unit vectors
+  //
+  //     q̂·û = q̂·(ĉ + μ_c)  +  q̂·ρ,      ρ = û − ĉ − μ_c
+  //
+  // (ĉ the cell's unit centroid direction, μ_c the cell's mean
+  // residual — both per-cell constants) and approximate ONLY the small
+  // within-cell term q̂·ρ by (W_c q̂)·(W_c ρ), with W_c the cell's top
+  // kDims RESIDUAL principal axes. Because W_c is fit on the cell's
+  // own residual cloud, its kDims axes capture the within-cell
+  // variance the global projection dilutes across blob separation —
+  // and the first term is EXACT, so the approximation error is bounded
+  // by the residual energy outside W_c's span, which per-cell fitting
+  // minimizes by construction. At kDims = d the expansion is exact
+  // (W_c orthonormal ⇒ (W q̂)·(W ρ) = q̂·ρ), a spec-pinned invariant no
+  // fabricated ranking satisfies.
+  //
+  // Scale shape: per-cell moment accumulation is one distributed pass
+  // (map-side per-cell partials, cell-keyed combine — the groupBy
+  // analog of [[rawMoments]]); the driver eigendecomposes d×d blocks
+  // per cell in parallel (nlist × O(d³) — milliseconds each); the
+  // model broadcasts at nlist × (kDims+1) × d floats (√n-scaled: 10⁸
+  // vectors → 10⁴ cells × 17 × 64 × 4 B ≈ 44 MB — executor-resident,
+  // never per-row); index projection and query preparation are
+  // map-only kernels; candidates still come from the probed-cell
+  // equi-join, so the per-query cost stays nprobe·√n candidates ranked
+  // by a kDims-dot each plus a pool × d exact rerank.
+
+  /** Per-cell residual projection model: `centers(c) = ĉ_c + μ_c`
+    * (the effective per-cell offset the exact term scores against) and
+    * `axes(c)` = kDims orthonormal residual axes, both indexed by cell
+    * id; `cents` is the full-space coarse layout shared with every IVF
+    * entry point.
+    */
+  case class IvfResidualModel(cents: Similarity.Cents,
+                              centers: Array[Array[Double]],
+                              axes: Array[Array[Array[Double]]],
+                              d: Int, kDims: Int) {
+    def nlist: Int = cents.length
+  }
+
+  /** Unit-direction of one centroid (zero-norm guarded like the PQ
+    * kernels: a zero centroid must not NaN every residual).
+    */
+  private def centDir(c: (Int, Array[Float], Double)): Array[Double] = {
+    val nrm = if (c._3 == 0.0) 1.0 else c._3
+    c._2.map(_ / nrm)
+  }
+
+  /** Nearest-cell id of a raw vector against the broadcast layout —
+    * the kernel-side assignment ([[Similarity.probeCellsOf]] at
+    * nprobe = 1, shared arithmetic).
+    */
+  private def cellOfKernel(emb: Array[Float], cents: Similarity.Cents): Int =
+    Similarity.probeCellsOf(emb, cents, 1)(0)
+
+  /** Fit per-cell residual axes over a corpus: one distributed
+    * moment pass (per-partition per-cell partials combined cell-keyed
+    * in partition-index order — deterministic for a fixed layout, like
+    * [[rawMoments]]), then an nlist-parallel driver eigendecomposition.
+    * Cells too starved to support a covariance (fewer than
+    * `max(2·kDims, 8)` members) fall back to the GLOBAL residual axes
+    * (the summed moments — free), so a starved cell ranks no worse
+    * than the global-projection baseline.
+    */
+  def fitIvfResidual(emb: DataFrame, kDims: Int = 16, nlist: Int = 0,
+                     coarseIters: Int = -1, vecCol: String = "embedding",
+                     centsOpt: Option[Similarity.Cents] = None): IvfResidualModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = emb.count()
+    val nlistUse = if (nlist > 0) nlist else Similarity.scaledIvfConfig(n)._1
+    val itersUse = if (coarseIters >= 0) coarseIters
+                   else Similarity.scaledIvfIters(nlistUse)
+    val cents = centsOpt.getOrElse(
+      Similarity.coarseCentroids(emb.select(col("vec_id"), col(vecCol).as("embedding")),
+        nlistUse, itersUse))
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val dirs = cents.sortBy(_._1).map(centDir)
+    val bcDirs = spark.sparkContext.broadcast(dirs)
+    // per-partition per-cell moment partials [n | Σr | Σ r⊗r upper],
+    // combined per cell in partition-index order (grouped partials are
+    // ≤ numPartitions fixed-size arrays per cell — distributed, small)
+    val partials = emb.select(col(vecCol)).as[Array[Float]].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val cs = bcCents.value
+        val ds = bcDirs.value
+        val acc = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+        var d = 0
+        it.foreach { v =>
+          if (d == 0) d = v.length
+          require(v.length == d, s"ragged embedding width: ${v.length} vs $d")
+          val cell = cellOfKernel(v, cs)
+          val a = acc.getOrElseUpdate(cell, new Array[Double](1 + d + d * d))
+          val nrm0 = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+          val nrm = if (nrm0 == 0.0) 1.0 else nrm0
+          val dir = ds(cell)
+          val r = new Array[Double](d)
+          var i = 0
+          while (i < d) { r(i) = v(i) / nrm - dir(i); i += 1 }
+          a(0) += 1d
+          i = 0
+          while (i < d) {
+            a(1 + i) += r(i)
+            var j = i
+            while (j < d) { a(1 + d + i * d + j) += r(i) * r(j); j += 1 }
+            i += 1
+          }
+        }
+        acc.iterator.map { case (cell, a) => (cell, (pid, a)) }
+      }
+    val combined = partials.groupByKey(math.min(
+        spark.sessionState.conf.numShufflePartitions, math.max(nlistUse, 1)))
+      .mapValues { ps =>
+        val sorted = ps.toArray.sortBy(_._1).map(_._2)
+        val out = sorted.head.clone()
+        sorted.tail.foreach { a =>
+          var i = 0
+          while (i < out.length) { out(i) += a(i); i += 1 }
+        }
+        out
+      }.collect().sortBy(_._1)
+    require(combined.nonEmpty, "cannot fit residual axes on an empty table")
+    val d = math.sqrt((combined.head._2.length - 1).toDouble).toInt match {
+      case s if 1 + s + s * s == combined.head._2.length => s
+      case _ =>
+        // length = 1 + d + d²  ⇒  d from the positive quadratic root
+        ((math.sqrt(4.0 * (combined.head._2.length - 1) + 1) - 1) / 2).toInt
+    }
+    require(kDims >= 1 && kDims <= d, s"kDims must be in [1, $d]")
+    // global residual moments: the starved-cell fallback axes
+    val global = new Array[Double](1 + d + d * d)
+    combined.foreach { case (_, a) =>
+      var i = 0
+      while (i < global.length) { global(i) += a(i); i += 1 }
+    }
+    def eigenAxes(a: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+      val cn = a(0)
+      val mu = Array.tabulate(d)(i => a(1 + i) / cn)
+      val cov = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val c = a(1 + d + i * d + j) / cn - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      val (values, vectors) = jacobiEigen(cov)
+      val order = values.indices.sortBy(i => (-values(i), i))
+      (mu, order.take(kDims).map(vectors(_)).toArray)
+    }
+    val (_, globalAxes) = eigenAxes(global)
+    val starvedFloor = math.max(2 * kDims, 8)
+    val byCell = combined.toMap
+    val fitted = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Double], Array[Array[Double]])]()
+    // independent per-cell eigenproblems — driver-parallel, results
+    // keyed by cell id so the parallelism cannot reorder anything
+    import scala.collection.parallel.CollectionConverters._
+    combined.par.foreach { case (cell, a) =>
+      fitted.put(cell,
+        if (a(0) < starvedFloor) (Array.tabulate(d)(i => a(1 + i) / a(0)), globalAxes)
+        else eigenAxes(a))
+    }
+    val centers = Array.tabulate(cents.length) { cell =>
+      val dir = dirs(cell)
+      Option(fitted.get(cell)) match {
+        case Some((mu, _)) => Array.tabulate(d)(i => dir(i) + mu(i))
+        case None          => dir // empty cell: no members, exact term only
+      }
+    }
+    val axes = Array.tabulate(cents.length) { cell =>
+      Option(fitted.get(cell)).map(_._2).getOrElse(globalAxes)
+    }
+    IvfResidualModel(cents, centers, axes, d, kDims)
+  }
+
+  /** Approximate top-k through the per-cell residual projection:
+    * probed-cell equi-join candidates (the IVF shape), ranked by the
+    * exact-plus-projected decomposition above, top `pool` per query
+    * reranked by exact full-space cosine. Output matches
+    * [[Similarity.bruteForceTopK]]: (query_id, neighbor_id, cos, rank)
+    * with EXACT emitted cosines — only the candidate set approximates.
+    */
+  def ivfResidualTopK(emb: DataFrame, queries: DataFrame,
+                      model: IvfResidualModel, k: Int, nprobe: Int,
+                      pool: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.nlist)
+    require(pool >= k, "rerank pool must cover k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bc = spark.sparkContext.broadcast(model)
+    // index side: (neighbor_id, cell, W_c ρ) — one map-only pass
+    val indexed = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, v) =>
+          val cell = cellOfKernel(v, m.cents)
+          val nrm0 = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+          val nrm = if (nrm0 == 0.0) 1.0 else nrm0
+          val ctr = m.centers(cell)
+          val rho = Array.tabulate(m.d)(i => v(i) / nrm - ctr(i))
+          val w = m.axes(cell)
+          val proj = new Array[Float](m.kDims)
+          var j = 0
+          while (j < m.kDims) {
+            var s = 0d; var i = 0
+            while (i < m.d) { s += w(j)(i) * rho(i); i += 1 }
+            proj(j) = s.toFloat; j += 1
+          }
+          (id, cell, proj)
+        }
+      }.toDF("neighbor_id", "cell", "rproj")
+    // query side: explode into probed cells, then per (query, cell)
+    // the exact offset term and the projected query — tiny, broadcast
+    val q = Similarity.withProbeCells(
+        queries.select(col("vec_id").cast("long").as("query_id"), col("embedding")),
+        model.cents, nprobe)
+      .select(col("query_id"), col("embedding"), col("probe_cell"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (qid, v, cell) =>
+          val nrm0 = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+          val nrm = if (nrm0 == 0.0) 1.0 else nrm0
+          val ctr = m.centers(cell)
+          var base = 0d
+          var i = 0
+          while (i < m.d) { base += (v(i) / nrm) * ctr(i); i += 1 }
+          val w = m.axes(cell)
+          val qp = new Array[Float](m.kDims)
+          var j = 0
+          while (j < m.kDims) {
+            var s = 0d; i = 0
+            while (i < m.d) { s += w(j)(i) * (v(i) / nrm); i += 1 }
+            qp(j) = s.toFloat; j += 1
+          }
+          (qid, cell, base, qp)
+        }
+      }.toDF("query_id", "probe_cell", "base", "qproj")
+    import graft.functions.VectorFunctions
+    val cand = indexed.join(broadcast(q),
+        col("cell") === col("probe_cell") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        col("base") + VectorFunctions.dot(col("qproj"), col("rproj")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val top = cand.withColumn("r", row_number().over(w))
+      .filter(col("r") <= pool)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(top, emb, queries, k)
+  }
+
+  /** Search-quality contract of [[ivfResidualTopK]], mirroring
+    * [[pcaIvfCheck]] row-for-row (ε-tolerant recall vs the exact
+    * full-space reference; emitted-cosine exactness): geometry from
+    * the occupancy-scaled config, rerank pool from probed-cell mass —
+    * the same sublinear budgets the global-projection path is graded
+    * at, so the two checks are directly comparable at every scale.
+    */
+  def ivfResidualCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
+                       nprobe: Int = 0, mult: Int = 8,
+                       minRecall: Double = 0.9,
+                       modelOpt: Option[IvfResidualModel] = None,
+                       epsTies: Double = 1e-3): DataFrame = {
+    val spark = emb.sparkSession
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count()
+    val model = modelOpt.getOrElse(fitIvfResidual(emb, kDims))
+    val (_, np) = Similarity.scaledIvfConfig(n)
+    val nprobeUse = math.min(model.nlist,
+      if (nprobe > 0) nprobe else math.max(8, np))
+    val pool = probedMassMult(n, model.nlist, nprobeUse, k, mult) * k
+    val approx = ivfResidualTopK(emb, queries, model, k, nprobeUse, pool)
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+    val total = exact.count()
+    val kth = exact.groupBy(col("query_id")).agg(min(col("cos")).as("kth"))
+    val hits = approx.join(kth, "query_id")
+      .filter(col("cos") >= col("kth") - epsTies).count()
+    val mismatches = approx.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+          col("cos").as("ref_cos")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("ref_cos")).count()
+    spark.createDataFrame(
+      java.util.List.of(Row(hits.toDouble >= minRecall * total, mismatches == 0L)),
+      StructType(Seq(
+        StructField("recall_ok", BooleanType, nullable = false),
+        StructField("cosines_exact", BooleanType, nullable = false))))
+  }
+
   // ── incremental moment store ────────────────────────────────────────
   //
   // PCA's sufficient statistics (n, Σv, Σv⊗v) are additive, so the

@@ -107,6 +107,47 @@ class PcaSpec extends SparkSuite with Matchers {
       .getSeq[Float](1).length shouldBe 8
   }
 
+  test("ivfResidual: full-rank residual expansion reproduces exact " +
+      "cosines (the decomposition is exact at kDims = d)") {
+    // q̂·û = q̂·(ĉ+μ_c) + (W q̂)·(W ρ) EXACTLY when W is d×d orthonormal
+    // — so the residual ranking at kDims = d must recover the true
+    // top-k (ε only absorbs float-projection rounding) and the rerank
+    // must emit exact cosines. A fabricated ranking cannot pass: the
+    // identity ties the approx score to the true cosine value.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    // nprobe = nlist (all cells): the invariant isolates RANKING
+    // fidelity — probe loss is a separate, budgeted approximation the
+    // clustered-corpus test below grades at the scaled config
+    val row = Pca.ivfResidualCheck(emb, kDims = d, nprobe = Int.MaxValue,
+      minRecall = 0.999, epsTies = 1e-4).head()
+    row.getBoolean(0) shouldBe true
+    row.getBoolean(1) shouldBe true
+  }
+
+  test("ivfResidual: per-cell axes hold the recall bar on the clustered " +
+      "corpus at the scaled budgets") {
+    val plain = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clustered = Similarity.clusteredCorpus(plain)
+    val row = Pca.ivfResidualCheck(clustered).head()
+    row.getBoolean(0) shouldBe true
+    row.getBoolean(1) shouldBe true
+  }
+
+  test("ivfResidual: fit is deterministic for a fixed input layout") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Pca.fitIvfResidual(emb, kDims = 8)
+    val b = Pca.fitIvfResidual(emb, kDims = 8)
+    a.nlist shouldBe b.nlist
+    a.centers.zip(b.centers).foreach { case (x, y) =>
+      x.toSeq shouldBe y.toSeq
+    }
+    a.axes.zip(b.axes).foreach { case (x, y) =>
+      x.map(_.toSeq).toSeq shouldBe y.map(_.toSeq).toSeq
+    }
+  }
+
   test("incremental moment store: lifecycle contract + ledger no-op") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val store = java.nio.file.Files.createTempDirectory("pca-spec-").toString
