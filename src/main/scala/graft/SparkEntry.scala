@@ -430,6 +430,27 @@ object SparkEntry {
       store
     })
 
+  /** Per-(JVM, sfDir) memo of the `sim_ann_rproj_store` gate's
+    * persisted residual-model store: coarse layout trained and FROZEN
+    * on the first vec_id tercile, the other two folded in as ledgered
+    * per-cell moment shards, the first re-delivered as a no-op — the
+    * gate then audits the stored moments and the store-fitted axes
+    * against a fresh full-corpus pass (the [[pcaGateStore]] shape, one
+    * level down: per-cell instead of global moments).
+    */
+  private val rprojStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def rprojGateStore(s: SparkSession, dir: String): String =
+    rprojStoreMemo.computeIfAbsent(dir, _ => {
+      val store = tempIndexDir("graft-rproj-store")
+      val emb = Tables.embeddings(s, dir)
+      val t = pmod(col("vec_id"), lit(3))
+      Pca.buildIvfResidualStore(emb.filter(t === 0), store)
+      Pca.extendIvfResidualStore(emb.filter(t === 1), store, Some("t1"))
+      Pca.extendIvfResidualStore(emb.filter(t === 2), store, Some("t2"))
+      Pca.extendIvfResidualStore(emb.filter(t === 1), store, Some("t1"))
+      store
+    })
+
   /** Per-(JVM, sfDir) memo of the `text_heavy_store` gate's
     * heavy-hitter sketch store: per-tercile Misra-Gries bigram
     * summaries (capacity SELF-DERIVED from the corpus bigram count —
@@ -2773,6 +2794,14 @@ object SparkEntry {
         modelOpt = Some(ivfResidualMemo(s"$dir#rproj16",
           Pca.fitIvfResidual(emb, kDims = 16))))
     }),
+    // the INCREMENTAL residual-model lifecycle: per-cell moments are
+    // additive against the frozen coarse layout, so extends fold in
+    // tranche scans only and the refit is a driver eigendecomposition
+    // — the stored moments and store-fitted axes audited against a
+    // fresh full-corpus pass (re-delivered tranche a ledgered no-op)
+    "sim_ann_rproj_store" -> ((s, dir) =>
+      Pca.ivfResidualStoreCheck(Tables.embeddings(s, dir),
+        rprojGateStore(s, dir), kDims = 16, expectShards = 3)),
     // the INCREMENTAL PCA lifecycle: moment store built on tranche 1,
     // tranches 2-3 folded in as ledgered shard rows (re-delivered t1 a
     // no-op), model refit from the store with ZERO corpus rescans —
@@ -5615,6 +5644,11 @@ object SparkEntry {
     // contract shape, graded at the same scaled probe/pool budgets
     "sim_topk_ivf_rproj" ->
       """SELECT true AS recall_ok, true AS cosines_exact""",
+    // incremental residual-store lifecycle contract (the
+    // pca_incremental shape, per-cell)
+    "sim_ann_rproj_store" ->
+      """SELECT true AS moments_match, true AS eigen_ok,
+           true AS orthonormal_ok, true AS shards_ok""",
     // IVF-PQ search contract: invariants when cell probing at nprobe=4
     // keeps recall >= 0.5 and the exact rerank holds (computed vs the
     // all-cells exact reference in-engine)

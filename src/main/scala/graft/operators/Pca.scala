@@ -585,12 +585,25 @@ object Pca {
     val cents = centsOpt.getOrElse(
       Similarity.coarseCentroids(emb.select(col("vec_id"), col(vecCol).as("embedding")),
         nlistUse, itersUse))
+    residualModelFrom(cents, residualMoments(emb, cents, vecCol), kDims)
+  }
+
+  /** Per-cell residual moments `[n | Σr | Σ r⊗r upper]` of one corpus
+    * tranche against a FIXED cell layout — the mergeable summary the
+    * whole residual family reduces to (two tranches' moments combine
+    * by per-cell addition, which is what the incremental store
+    * exploits). One distributed pass: per-partition per-cell partials,
+    * combined per cell in partition-index order (grouped partials are
+    * ≤ numPartitions fixed-size arrays per cell — distributed, small),
+    * nlist rows collected.
+    */
+  private def residualMoments(emb: DataFrame, cents: Similarity.Cents,
+                              vecCol: String): Array[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val bcCents = spark.sparkContext.broadcast(cents)
     val dirs = cents.sortBy(_._1).map(centDir)
     val bcDirs = spark.sparkContext.broadcast(dirs)
-    // per-partition per-cell moment partials [n | Σr | Σ r⊗r upper],
-    // combined per cell in partition-index order (grouped partials are
-    // ≤ numPartitions fixed-size arrays per cell — distributed, small)
     val partials = emb.select(col(vecCol)).as[Array[Float]].rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val cs = bcCents.value
@@ -619,8 +632,8 @@ object Pca {
         }
         acc.iterator.map { case (cell, a) => (cell, (pid, a)) }
       }
-    val combined = partials.groupByKey(math.min(
-        spark.sessionState.conf.numShufflePartitions, math.max(nlistUse, 1)))
+    partials.groupByKey(math.min(
+        spark.sessionState.conf.numShufflePartitions, math.max(cents.length, 1)))
       .mapValues { ps =>
         val sorted = ps.toArray.sortBy(_._1).map(_._2)
         val out = sorted.head.clone()
@@ -630,7 +643,17 @@ object Pca {
         }
         out
       }.collect().sortBy(_._1)
+  }
+
+  /** Eigendecompose combined per-cell moments into the ranking model —
+    * the shared tail of the one-shot fit and the store refit, so both
+    * derive models identically (the [[eigenModel]] convention).
+    */
+  private def residualModelFrom(cents: Similarity.Cents,
+                                combined: Array[(Int, Array[Double])],
+                                kDims: Int): IvfResidualModel = {
     require(combined.nonEmpty, "cannot fit residual axes on an empty table")
+    val dirs = cents.sortBy(_._1).map(centDir)
     val d = math.sqrt((combined.head._2.length - 1).toDouble).toInt match {
       case s if 1 + s + s * s == combined.head._2.length => s
       case _ =>
@@ -658,7 +681,6 @@ object Pca {
     }
     val (_, globalAxes) = eigenAxes(global)
     val starvedFloor = math.max(2 * kDims, 8)
-    val byCell = combined.toMap
     val fitted = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Double], Array[Array[Double]])]()
     // independent per-cell eigenproblems — driver-parallel, results
     // keyed by cell id so the parallelism cannot reorder anything
@@ -796,6 +818,210 @@ object Pca {
       StructType(Seq(
         StructField("recall_ok", BooleanType, nullable = false),
         StructField("cosines_exact", BooleanType, nullable = false))))
+  }
+
+  // ── persisted residual-model store ──────────────────────────────────
+  //
+  // The residual model's sufficient statistics are per-cell moment
+  // arrays against a FROZEN cell layout — additive across tranches, so
+  // the model has the same build-once/fold-in-shards lifecycle as the
+  // PCA moment store: the build trains and freezes the coarse layout,
+  // each extend scans ONLY its tranche (assignment against the frozen
+  // cells keeps the moments commensurable), re-delivery is a ledgered
+  // no-op, and refitting after an append is driver-side
+  // eigendecomposition over summed moments — the indexed corpus is
+  // never rescanned. The freeze is load-bearing the same way
+  // [[graft.operators.Pq]]'s persisted ANN index's is: re-training
+  // cells on an extended corpus would reassign OLD vectors, and their
+  // already-folded moments cannot follow — that lifecycle step is a
+  // rebuild (or [[Pq.rebalanceAnnIndex]]'s explicit migration), not an
+  // extend.
+  //
+  //   <path>/cents/    (cid, vec)              frozen coarse layout
+  //   <path>/moments/  (shard_id, cell, acc)   per-(shard, cell) rows
+  //   <path>/_meta/    generation manifests (graft.util.Manifest)
+
+  private def writeResidualShard(emb: DataFrame, path: String,
+                                 cents: Similarity.Cents, shardId: String,
+                                 vecCol: String,
+                                 mode: org.apache.spark.sql.SaveMode): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    residualMoments(emb, cents, vecCol).toSeq
+      .map { case (cell, acc) => (shardId, cell, acc.toSeq) }
+      .toDF("shard_id", "cell", "acc")
+      .coalesce(1)
+      .write.mode(mode).parquet(s"$path/moments")
+  }
+
+  private def writeCents(spark: SparkSession, path: String,
+                         cents: Similarity.Cents): Unit = {
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v, _) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cents")
+  }
+
+  private def readCents(spark: SparkSession, path: String,
+                        asOf: Option[Int]): Similarity.Cents =
+    graft.util.Manifest.read(spark, path, "cents", asOf).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+      .map { case (cid, v) =>
+        (cid, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+      }
+
+  /** Initialize the residual store: train (or adopt) the coarse
+    * layout, freeze it, and write the first tranche's per-cell
+    * moments. OVERWRITE semantics like every store build.
+    */
+  def buildIvfResidualStore(emb: DataFrame, path: String, nlist: Int = 0,
+                            coarseIters: Int = -1,
+                            vecCol: String = "embedding",
+                            centsOpt: Option[Similarity.Cents] = None): Unit = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val nlistUse = if (nlist > 0) nlist else Similarity.scaledIvfConfig(n)._1
+    val itersUse = if (coarseIters >= 0) coarseIters
+                   else Similarity.scaledIvfIters(nlistUse)
+    val cents = centsOpt.getOrElse(
+      Similarity.coarseCentroids(
+        emb.select(col("vec_id"), col(vecCol).as("embedding")),
+        nlistUse, itersUse))
+    graft.util.Manifest.init(spark, path) {
+      writeCents(spark, path, cents)
+      writeResidualShard(emb, path, cents, "_base", vecCol,
+        org.apache.spark.sql.SaveMode.Overwrite)
+    }
+  }
+
+  /** Fold a new tranche's moments in — one scan of the TRANCHE only,
+    * assigned against the frozen layout; `shardId` makes a retried
+    * re-application a ledgered no-op instead of double-counted moments
+    * silently rotating every cell's axes.
+    */
+  def extendIvfResidualStore(emb: DataFrame, path: String,
+                             shardId: Option[String] = None,
+                             vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val cents = readCents(spark, path, None)
+    graft.util.Manifest.extend(spark, path, shardId) {
+      writeResidualShard(emb, path, cents, shardId.getOrElse("_anon"), vecCol,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    ()
+  }
+
+  /** Combined store moments per cell, shard rows summed in shard_id
+    * order — deterministic for a given shard SET, independent of
+    * append order or read partitioning.
+    */
+  private def loadResidualMoments(spark: SparkSession, path: String,
+                                  asOf: Option[Int]): (Int, Array[(Int, Array[Double])]) = {
+    val rows = graft.util.Manifest.read(spark, path, "moments", asOf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "empty residual store")
+    val nShards = rows.map(_._1).distinct.length
+    val combined = rows.groupBy(_._2).map { case (cell, shardRows) =>
+      val sorted = shardRows.sortBy(_._1).map(_._3)
+      val out = sorted.head.clone()
+      sorted.tail.foreach { a =>
+        var i = 0
+        while (i < out.length) { out(i) += a(i); i += 1 }
+      }
+      (cell, out)
+    }.toArray.sortBy(_._1)
+    (nShards, combined)
+  }
+
+  /** Refit the ranking model from the stored moments alone — a
+    * driver-side eigendecomposition per populated cell, zero jobs over
+    * the corpus (the refit a serving pipeline runs after each append).
+    */
+  def ivfResidualFromStore(spark: SparkSession, path: String,
+                           kDims: Int = 16,
+                           asOf: Option[Int] = None): IvfResidualModel = {
+    val cents = readCents(spark, path, asOf)
+    val (_, combined) = loadResidualMoments(spark, path, asOf)
+    residualModelFrom(cents, combined, kDims)
+  }
+
+  /** Driver-visible contract of the incremental residual lifecycle,
+    * ONE row (the [[incrementalCheck]] shape):
+    *
+    *  - `moments_match`: the store's combined per-cell moments equal a
+    *    fresh full-corpus pass against the SAME frozen layout — counts
+    *    exactly, sums to 1e-9 relative (float association differs
+    *    shard-wise; a double-counted or dropped shard is off by whole
+    *    rows);
+    *  - `eigen_ok`: every store-fitted axis `w` of every non-starved
+    *    cell satisfies `C_cell·w = (wᵀC_cell w)·w` to 1e-6 against the
+    *    cell covariance REBUILT from the fresh moments — the store fit
+    *    solves each cell's eigenproblem, not a drifted one (starved
+    *    cells verify against the global covariance their fallback axes
+    *    come from);
+    *  - `orthonormal_ok`: max |WᵀW − I| ≤ 1e-8 per cell;
+    *  - `shards_ok`: exactly `expectShards` distinct shard ids — the
+    *    re-delivered shard appended NOTHING.
+    */
+  def ivfResidualStoreCheck(emb: DataFrame, path: String, kDims: Int,
+                            expectShards: Int,
+                            vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = readCents(spark, path, None)
+    val (nShards, stored) = loadResidualMoments(spark, path, None)
+    val fresh = residualMoments(emb, cents, vecCol)
+    def rel(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(1d, math.max(math.abs(a), math.abs(b)))
+    val momentsMatch = stored.length == fresh.length &&
+      stored.zip(fresh).forall { case ((ca, aa), (cb, ab)) =>
+        ca == cb && aa(0) == ab(0) && aa.indices.forall(i => rel(aa(i), ab(i)))
+      }
+    val model = residualModelFrom(cents, stored, kDims)
+    val freshByCell = fresh.toMap
+    val d = model.d
+    // fresh per-cell covariances (starved cells: the global fallback)
+    val starvedFloor = math.max(2 * kDims, 8)
+    val global = new Array[Double](1 + d + d * d)
+    fresh.foreach { case (_, a) =>
+      var i = 0
+      while (i < global.length) { global(i) += a(i); i += 1 }
+    }
+    def covOf(a: Array[Double]): Array[Array[Double]] = {
+      val cn = a(0)
+      val mu = Array.tabulate(d)(i => a(1 + i) / cn)
+      val cov = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val c = a(1 + d + i * d + j) / cn - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      cov
+    }
+    val globalCov = covOf(global)
+    var eigenOk = true
+    var orthoOk = true
+    model.cents.map(_._1).foreach { cell =>
+      freshByCell.get(cell).foreach { a =>
+        val cov = if (a(0) < starvedFloor) globalCov else covOf(a)
+        val w = model.axes(cell)
+        for (axis <- w) {
+          val cw = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * axis(j)).sum)
+          val lambda = (0 until d).map(i => axis(i) * cw(i)).sum
+          val resid = (0 until d).map(i => math.abs(cw(i) - lambda * axis(i))).max
+          if (resid > 1e-6) eigenOk = false
+        }
+        for (p <- w.indices; q <- w.indices) {
+          val dot = (0 until d).map(i => w(p)(i) * w(q)(i)).sum
+          if (math.abs(dot - (if (p == q) 1d else 0d)) > 1e-8) orthoOk = false
+        }
+      }
+    }
+    spark.createDataFrame(
+      java.util.List.of(Row(momentsMatch, eigenOk, orthoOk, nShards == expectShards)),
+      StructType(Seq("moments_match", "eigen_ok", "orthonormal_ok", "shards_ok")
+        .map(StructField(_, BooleanType, nullable = false))))
   }
 
   // ── incremental moment store ────────────────────────────────────────

@@ -148,6 +148,48 @@ class PcaSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("ivfResidual store: lifecycle contract + ledger no-op") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("rproj-spec-").toString
+    val t = pmod(col("vec_id"), lit(3))
+    Pca.buildIvfResidualStore(emb.filter(t === 0), store)
+    Pca.extendIvfResidualStore(emb.filter(t === 1), store, Some("t1"))
+    Pca.extendIvfResidualStore(emb.filter(t === 2), store, Some("t2"))
+    Pca.extendIvfResidualStore(emb.filter(t === 1), store, Some("t1")) // no-op
+    val row = Pca.ivfResidualStoreCheck(emb, store, kDims = 8,
+      expectShards = 3).head()
+    for (i <- 0 until 4) withClue(s"flag $i:") {
+      row.getBoolean(i) shouldBe true
+    }
+    // the store-fitted model ranks identically to a from-scratch fit
+    // against the SAME frozen layout: moments are additive, so the
+    // eigenproblems are the same up to shard-wise float association
+    val fromStore = Pca.ivfResidualFromStore(spark, store, kDims = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val a = Pca.ivfResidualTopK(emb, queries, fromStore, k = 5,
+      nprobe = fromStore.nlist, pool = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = Pca.fitIvfResidual(emb, kDims = 8,
+      centsOpt = Some(fromStore.cents))
+    val b = Pca.ivfResidualTopK(emb, queries, oneShot, k = 5,
+      nprobe = oneShot.nlist, pool = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    a shouldBe b
+  }
+
+  test("ivfResidual store: non-vacuous — an unledgered double apply " +
+      "breaks moments_match") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("rproj-spec-").toString
+    val t = pmod(col("vec_id"), lit(2))
+    Pca.buildIvfResidualStore(emb.filter(t === 0), store)
+    Pca.extendIvfResidualStore(emb.filter(t === 1), store)
+    Pca.extendIvfResidualStore(emb.filter(t === 1), store)
+    val row = Pca.ivfResidualStoreCheck(emb, store, kDims = 8,
+      expectShards = 3).head()
+    row.getBoolean(0) shouldBe false // moments_match
+  }
+
   test("incremental moment store: lifecycle contract + ledger no-op") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val store = java.nio.file.Files.createTempDirectory("pca-spec-").toString
