@@ -604,7 +604,20 @@ object Pca {
     val bcCents = spark.sparkContext.broadcast(cents)
     val dirs = cents.sortBy(_._1).map(centDir)
     val bcDirs = spark.sparkContext.broadcast(dirs)
-    val partials = emb.select(col(vecCol)).as[Array[Float]].rdd
+    // explicit-width exchange: the moment pass is nlist·d assignment
+    // MACs + d²/2 accumulation flops per byte-light row — a
+    // parquet-byte-sized scan would run it in 1-2 tasks (the
+    // trainCentroids failure mode). Float accumulation is
+    // order-sensitive and shuffle-fetch order is not deterministic, so
+    // the exchange hashes on vec_id (deterministic membership) and
+    // sorts within partitions (deterministic order) — bit-identical
+    // partials for a fixed corpus, whatever the input layout.
+    val partials = emb
+      .select(col("vec_id"), col(vecCol))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .select(col(vecCol))
+      .as[Array[Float]].rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val cs = bcCents.value
         val ds = bcDirs.value
@@ -719,8 +732,11 @@ object Pca {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val bc = spark.sparkContext.broadcast(model)
-    // index side: (neighbor_id, cell, W_c ρ) — one map-only pass
+    // index side: (neighbor_id, cell, W_c ρ) — one map-only pass,
+    // explicit-width like the fit (nlist·d + kDims·d flops per
+    // byte-light row)
     val indexed = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val m = bc.value

@@ -216,12 +216,22 @@ object Similarity {
       iters: Int): Cents = {
     val nlist = init.length
     var cents = init
+    // explicit-width exchange before the Lloyd loop: an embedding
+    // corpus is byte-LIGHT (35 MB at n = 5e5×16-dim) but each round is
+    // compute-heavy (n × nlist × dim assignment MACs + the decimal
+    // agg), so a parquet-byte-sized scan hands the whole round to 1-2
+    // tasks — measured 822 s wall ≈ 884 CPU-s at nlist = 711 on a
+    // 32-core box, the Dedup.widenToCores failure mode one family
+    // over. Safe by the determinism argument above: decimal addition
+    // is exact, so the means are bit-identical under ANY partitioning.
+    val wide = embeddings.select(col("embedding")).repartition(
+      embeddings.sparkSession.sessionState.conf.numShufflePartitions)
     for (_ <- 1 to iters) {
       val nrm = VectorFunctions.norm(col("embedding"))
       val safe = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
       // one exploded agg: per-(cell, component) means + cell populations
       // (count carried on every component row; component 0's is read)
-      val means = cellAssign(embeddings.select(col("embedding")), cents, "cell")
+      val means = cellAssign(wide, cents, "cell")
         .select(safe.as("nrm"), col("cell"),
           posexplode(col("embedding")).as(Seq("i", "v")))
         .groupBy("cell", "i")
