@@ -1230,6 +1230,19 @@ object SparkEntry {
         resume = true)
       Pca.incrementalCheck(emb, store, k = 16, expectShards = 3)
     }),
+    // streaming maintenance of the residual ANN ranking model: batch 0
+    // trains and freezes the coarse layout, later micro-batches fold
+    // their per-cell moment rows in (batch-id-ledgered); the audit
+    // compares the streamed moments and store-fitted axes against a
+    // fresh full-corpus pass over the same frozen cells
+    "stream_rproj_extend" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val store = streamStoreDir("graft-stream-rproj", dir)
+      graft.streaming.StreamedBatch.replayIntoResidualStore(s, emb,
+        "vec_id", "vec_id", store, stageKey = Some(s"$dir:embeddings"),
+        resume = true)
+      Pca.ivfResidualStoreCheck(emb, store, kDims = 16, expectShards = 3)
+    }),
     // streaming maintenance of the quantile-summary store: batch 0
     // builds, later micro-batches append their batch-id-ledgered
     // summary rows; summaries merge by union, so serving from the
@@ -5647,6 +5660,9 @@ object SparkEntry {
     // incremental residual-store lifecycle contract (the
     // pca_incremental shape, per-cell)
     "sim_ann_rproj_store" ->
+      """SELECT true AS moments_match, true AS eigen_ok,
+           true AS orthonormal_ok, true AS shards_ok""",
+    "stream_rproj_extend" ->
       """SELECT true AS moments_match, true AS eigen_ok,
            true AS orthonormal_ok, true AS shards_ok""",
     // IVF-PQ search contract: invariants when cell probing at nprobe=4

@@ -858,6 +858,52 @@ object StreamedBatch {
     }
   }
 
+  /** Replay an embeddings table as a file stream folding each
+    * micro-batch's per-cell residual moments into a persisted
+    * [[graft.operators.Pca.IvfResidualModel]] store — continuous ANN
+    * ranking-model maintenance: batch 0 trains and FREEZES the coarse
+    * layout and writes the base moments, later batches assign against
+    * the frozen cells and append their own (batch-id-ledgered) per-cell
+    * moment rows, so a Spark retry is a no-op instead of double-counted
+    * moments rotating every cell's axes. Moments are additive per cell,
+    * so refitting from the streamed store solves the same per-cell
+    * eigenproblems as a one-shot fit over everything streamed
+    * (gate-checked via [[graft.operators.Pca.ivfResidualStoreCheck]]).
+    */
+  def replayIntoResidualStore(spark: SparkSession, input: DataFrame,
+                              orderCol: String, tieCol: String,
+                              storePath: String, chunks: Int = 3,
+                              stageKey: Option[String] = None,
+                              resume: Boolean = false,
+                              autoCompactFiles: Int = 64): Unit = {
+    import graft.operators.Pca
+    val in = stagedIn(input, orderCol, tieCol, chunks, stageKey)
+    val work = Files.createTempDirectory("graft-stream-run-").toFile
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.getAbsolutePath)
+    runClamped(spark, parts = 8) {
+      stream.writeStream
+        .option("checkpointLocation", new File(work, "ckpt").getAbsolutePath)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (id == 0)
+            resumableBuild(spark, storePath, resume)(
+              Pca.buildIvfResidualStore(batch, storePath))
+          else {
+            Pca.extendIvfResidualStore(batch, storePath,
+              shardId = Some(s"replay-batch-$id"))
+            // default-on flat-store policy (moment rows are additive)
+            if (autoCompactFiles > 0)
+              graft.util.Manifest.autoCompactSub(spark, storePath,
+                "moments", autoCompactFiles)
+            ()
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+  }
+
   /** Replay `input` as a file stream folding each micro-batch's
     * rank-spaced quantile summary into a persisted
     * [[graft.operators.Quantiles]] store — continuous percentile

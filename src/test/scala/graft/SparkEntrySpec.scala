@@ -20,7 +20,7 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
   test("registered gate count matches the declared coverage") {
     // bump alongside SURVEY.md §8 when adding gates — a mismatch means
     // either a silently-shadowed duplicate key or a stale coverage map
-    SparkEntry.queries.size shouldBe 226
+    SparkEntry.queries.size shouldBe 227
     // the BPE-model-dependent oracles embed the TRAINED model
     // artifacts, so they exist only after a gate run trains the model
     // in this JVM (Verify's dump order guarantees that); every other
