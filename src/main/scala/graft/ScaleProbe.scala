@@ -184,11 +184,43 @@ object ScaleProbe {
       // measurement, so the two ranking designs print comparable rows.
       val rmodel = timed(s"ivf_rproj_fit_${nl}x$iters")(
         Pca.fitIvfResidual(cemb, kDims = 16, nlist = nl, coarseIters = iters))
+      // the measured probe-recall calibration the check's sentinel
+      // resolves to — computed here explicitly so the probed budget
+      // and candidate mass print alongside the verdict
+      val rnp = timed("ivf_rproj_calibrate")(
+        Similarity.calibratedNprobe(cemb, rmodel.cents, k = 10, bar = 0.9,
+          floor = math.max(8, np)))
       val rcheck = timed("ivf_rproj_check")(
-        Pca.ivfResidualCheck(cemb, modelOpt = Some(rmodel)).head())
+        Pca.ivfResidualCheck(cemb, nprobe = rnp,
+          modelOpt = Some(rmodel)).head())
       val rcand = Similarity.probedCandidateCount(cemb, queries, rmodel.cents,
-        math.max(8, np))
-      println(s"""{"probe":"ivf_rproj","n":$n,"nlist":$nl,"nprobe":${math.max(8, np)},"recall_ok":${rcheck.getBoolean(0)},"cosines_exact":${rcheck.getBoolean(1)},"candidates_per_query":${rcand / nq},"corpus_fraction":${"%.4f".format(rcand.toDouble / nq / n)}}""")
+        rnp)
+      println(s"""{"probe":"ivf_rproj","n":$n,"nlist":$nl,"nprobe":$rnp,"recall_ok":${rcheck.getBoolean(0)},"cosines_exact":${rcheck.getBoolean(1)},"candidates_per_query":${rcand / nq},"corpus_fraction":${"%.4f".format(rcand.toDouble / nq / n)}}""")
+    }
+
+    if (sections("ivfsweep")) {
+      // diagnosis harness for the 505k residual-arm miss: fit the
+      // residual model once, then sweep nprobe to separate PROBE loss
+      // (candidates too narrow — recall rises with nprobe) from
+      // RANKING loss (recall flat in nprobe)
+      import graft.operators.Pca
+      val dense = emb.select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("long").as("vec_id"),
+        col("embedding"))
+      val cemb = graft.operators.Dedup.materialize(
+        Similarity.clusteredCorpus(dense))
+      val (nl, np0) = Similarity.scaledIvfConfig(n)
+      val iters = Similarity.scaledIvfIters(nl)
+      val rmodel = timed(s"ivfsweep_fit_${nl}x$iters")(
+        Pca.fitIvfResidual(cemb, kDims = 16, nlist = nl, coarseIters = iters))
+      for (np <- Seq(math.max(8, np0), 2 * np0, 4 * np0, 8 * np0, 16 * np0)
+             .distinct.filter(_ <= nl)) {
+        val row = timed(s"ivfsweep_check_np$np")(
+          Pca.ivfResidualCheck(cemb, nprobe = np,
+            modelOpt = Some(rmodel)).head())
+        println(s"""{"probe":"ivfsweep","n":$n,"nlist":$nl,"nprobe":$np,"recall_ok":${row.getBoolean(0)},"cosines_exact":${row.getBoolean(1)}}""")
+      }
     }
 
     if (sections("alerts")) {

@@ -805,6 +805,13 @@ object Pca {
     * the same sublinear budgets the global-projection path is graded
     * at, so the two checks are directly comparable at every scale.
     */
+  /** `nprobe = 0` (the default) resolves by MEASURED probe-recall
+    * calibration ([[Similarity.calibratedNprobe]]) floored at the
+    * analytic scaled rule — at the gate scales the floor binds (true
+    * neighbors concentrate in the top cells), while at n = 505k the
+    * calibration lifts the budget to the measured crossover the
+    * analytic rule misses by 4× (see the scaladoc there).
+    */
   def ivfResidualCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
                        nprobe: Int = 0, mult: Int = 8,
                        minRecall: Double = 0.9,
@@ -816,7 +823,9 @@ object Pca {
     val model = modelOpt.getOrElse(fitIvfResidual(emb, kDims))
     val (_, np) = Similarity.scaledIvfConfig(n)
     val nprobeUse = math.min(model.nlist,
-      if (nprobe > 0) nprobe else math.max(8, np))
+      if (nprobe > 0) nprobe
+      else Similarity.calibratedNprobe(emb, model.cents, k, minRecall,
+        floor = math.max(8, np)))
     val pool = probedMassMult(n, model.nlist, nprobeUse, k, mult) * k
     val approx = ivfResidualTopK(emb, queries, model, k, nprobeUse, pool)
     val exact = Similarity.bruteForceTopK(emb, queries, k)

@@ -314,6 +314,61 @@ object Similarity {
   def scaledIvfIters(nlist: Int): Int =
     math.max(3, math.ceil(math.log(nlist.toDouble) / math.log(2)).toInt - 2)
 
+  /** MEASURED probe-recall calibration of `nprobe` — the collision-mass
+    * philosophy ([[collisionMass]]) applied to the IVF probe budget.
+    * The analytic rule `nprobe ≈ 2·ln(nlist)` presumes a query's true
+    * neighbors concentrate in its few best cells; measured at
+    * n = 505,000 / nlist = 711 on the clustered corpus that is false —
+    * in 64 dimensions a 10-NN ball straddles MANY Voronoi cells, the
+    * rule's 14 probes covered too few true neighbors at every rerank
+    * budget (recall_ok false), and the sweep flipped green only at
+    * nprobe ≈ 56. No closed form predicts that crossover — it depends
+    * on the corpus's cell-boundary geometry — so the engine measures
+    * it: take a deterministic bounded query sample, compute their EXACT
+    * top-k (one distributed pass, sample × n dots), assign each true
+    * neighbor to its cell, rank every cell by each query's own
+    * centroid scores, and return the smallest `nprobe` whose cell
+    * prefix covers a `bar`-plus-margin fraction of the true neighbors
+    * (margin (1−bar)/2 absorbs sample-vs-serving variance). Strict
+    * coverage lower-bounds ε-recall, so a budget that covers here
+    * recalls at serving.
+    *
+    * Scale shape: the exact pass is `sample` queries (default 32)
+    * against the corpus — linear, distributed, and amortized like
+    * training (calibrate once per (corpus, layout), serve many);
+    * everything else is sample × k rows on the driver.
+    */
+  def calibratedNprobe(embeddings: DataFrame, cents: Cents, k: Int,
+                       bar: Double, sample: Int = 32,
+                       floor: Int = 8): Int = {
+    require(bar > 0 && bar <= 1, s"bar must be in (0, 1], got $bar")
+    val nlist = cents.length
+    val qdf = embeddings
+      .filter(pmod(col("vec_id"), lit(101)) === 7)
+      .orderBy("vec_id").limit(sample)
+      .select(col("vec_id"), col("embedding"))
+    val qvecs = qdf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (qvecs.isEmpty) return math.min(nlist, math.max(1, floor))
+    val exact = bruteForceTopK(embeddings, qdf, k)
+    val nbCells = cellAssign(
+        exact.select(col("query_id"), col("neighbor_id"))
+          .join(embeddings.select(col("vec_id").as("neighbor_id"),
+            col("embedding")), "neighbor_id"),
+        cents, "cell")
+      .select(col("query_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // per query: position of every cell in ITS centroid-score order
+    val rankOf: Map[Long, Map[Int, Int]] = qvecs.map { case (qid, v) =>
+      qid -> probeCellsOf(v, cents, nlist).zipWithIndex.toMap
+    }.toMap
+    val ranks = nbCells.map { case (qid, cell) => rankOf(qid)(cell) + 1 }.sorted
+    val barUse = math.min(1.0, bar + (1.0 - bar) / 2)
+    val need = math.ceil(barUse * ranks.length).toInt
+    val p = ranks(math.max(0, need - 1))
+    math.min(nlist, math.max(math.max(1, floor), p))
+  }
+
   /** Score of `emb` against centroid c: dot(e, c)/|c| — |e| is constant
     * across centroids so it can't change the argmax; negated for
     * min-ordering.

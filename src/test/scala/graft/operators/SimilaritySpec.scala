@@ -411,6 +411,32 @@ class SimilaritySpec extends SparkSuite with Matchers {
     trained("cell_balance") shouldBe true
   }
 
+  test("calibratedNprobe: covers the measured true-neighbor cell ranks, " +
+      "floors at the analytic rule, deterministic") {
+    val cents = Similarity.coarseCentroids(emb, nlist = 16, iters = 2)
+    val np = Similarity.calibratedNprobe(emb, cents, k = 10, bar = 0.9,
+      floor = 4)
+    np should be >= 4
+    np should be <= 16
+    // the calibrated budget really serves the bar it was measured for:
+    // probing np cells finds >= 90% of the exact top-10 for the
+    // calibration-independent gate queries
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16,
+      nprobe = np, centsOpt = Some(cents))
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+    val hits = ivf.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    hits.toDouble / brute.count() should be >= 0.9
+    // a floor above any measured crossover binds verbatim
+    Similarity.calibratedNprobe(emb, cents, k = 10, bar = 0.9,
+      floor = 16) shouldBe 16
+    // deterministic (bounded sample, fixed cell layout)
+    Similarity.calibratedNprobe(emb, cents, k = 10, bar = 0.9,
+      floor = 4) shouldBe np
+  }
+
   test("clusteredCorpus is deterministic and preserves ids") {
     val a = Similarity.clusteredCorpus(emb).orderBy("vec_id").collect()
     val b = Similarity.clusteredCorpus(emb.repartition(7)).orderBy("vec_id").collect()
