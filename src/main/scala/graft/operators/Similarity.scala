@@ -321,26 +321,36 @@ object Similarity {
     * n = 505,000 / nlist = 711 on the clustered corpus that is false —
     * in 64 dimensions a 10-NN ball straddles MANY Voronoi cells, the
     * rule's 14 probes covered too few true neighbors at every rerank
-    * budget (recall_ok false), and the sweep flipped green only at
-    * nprobe ≈ 56. No closed form predicts that crossover — it depends
-    * on the corpus's cell-boundary geometry — so the engine measures
-    * it: take a deterministic bounded query sample, compute their EXACT
-    * top-k (one distributed pass, sample × n dots), assign each true
-    * neighbor to its cell, rank every cell by each query's own
-    * centroid scores, and return the smallest `nprobe` whose cell
-    * prefix covers a `bar`-plus-margin fraction of the true neighbors
-    * (margin (1−bar)/2 absorbs sample-vs-serving variance). Strict
-    * coverage lower-bounds ε-recall, so a budget that covers here
-    * recalls at serving.
+    * budget (recall_ok false), and the budget sweep flipped green only
+    * at nprobe ≈ 56. No closed form predicts that crossover — it
+    * depends on the corpus's cell-boundary geometry — so the engine
+    * measures it, and it measures the ε-AWARE quantity the recall
+    * contract actually grades: for each sampled query, the smallest
+    * cell-rank prefix holding at least `k` ε-ACCEPTABLE candidates
+    * (exact cosine ≥ the query's k-th best − `epsTies` — the
+    * ann-benchmarks accounting [[graft.operators.Pca.pcaIvfCheck]]
+    * uses). Strict coverage of the exact argmin SET would be the wrong
+    * bar on clustered corpora: near-ties make most top-k members
+    * interchangeable, and demanding the literal set measured nprobe
+    * 303 at n = 505k where ε-recall is already green at 56 — a 5×
+    * probe-cost overshoot for zero contract benefit.
     *
-    * Scale shape: the exact pass is `sample` queries (default 32)
-    * against the corpus — linear, distributed, and amortized like
-    * training (calibrate once per (corpus, layout), serve many);
-    * everything else is sample × k rows on the driver.
+    * One distributed pass scores the corpus against the broadcast
+    * sample (sample × n dots — the same cost class as training,
+    * calibrated once per (corpus, layout) and amortized over serving),
+    * reduced to per-(query, cell) acceptable counts (≤ sample × nlist
+    * rows); the driver walks each query's own centroid-score cell
+    * order until `k` acceptables accumulate and returns the max over
+    * queries (floored at the analytic rule, capped at nlist). `bar`
+    * picks the across-query quantile only when the sample is large
+    * enough to spare outliers (quantile `bar` at sample ≥ 16, else
+    * max) — a single adversarial sampled query must not force
+    * exhaustive probing, but small samples cannot afford to discard
+    * evidence.
     */
   def calibratedNprobe(embeddings: DataFrame, cents: Cents, k: Int,
                        bar: Double, sample: Int = 32,
-                       floor: Int = 8): Int = {
+                       floor: Int = 8, epsTies: Double = 1e-3): Int = {
     require(bar > 0 && bar <= 1, s"bar must be in (0, 1], got $bar")
     val nlist = cents.length
     val qdf = embeddings
@@ -350,22 +360,48 @@ object Similarity {
     val qvecs = qdf.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     if (qvecs.isEmpty) return math.min(nlist, math.max(1, floor))
-    val exact = bruteForceTopK(embeddings, qdf, k)
-    val nbCells = cellAssign(
-        exact.select(col("query_id"), col("neighbor_id"))
-          .join(embeddings.select(col("vec_id").as("neighbor_id"),
-            col("embedding")), "neighbor_id"),
-        cents, "cell")
-      .select(col("query_id"), col("cell")).collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
-    // per query: position of every cell in ITS centroid-score order
-    val rankOf: Map[Long, Map[Int, Int]] = qvecs.map { case (qid, v) =>
-      qid -> probeCellsOf(v, cents, nlist).zipWithIndex.toMap
-    }.toMap
-    val ranks = nbCells.map { case (qid, cell) => rankOf(qid)(cell) + 1 }.sorted
-    val barUse = math.min(1.0, bar + (1.0 - bar) / 2)
-    val need = math.ceil(barUse * ranks.length).toInt
-    val p = ranks(math.max(0, need - 1))
+    // per-query ε floor: k-th best exact cosine − eps
+    val kth = bruteForceTopK(embeddings, qdf, k)
+      .groupBy(col("query_id")).agg(min(col("cos")).as("kth"))
+    // one corpus pass: assign cells, score against every sampled query,
+    // keep ε-acceptable rows, reduce to (query, cell) counts
+    val q = qdf.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        VectorFunctions.norm(col("embedding")).as("q_nrm"))
+      .join(kth, "query_id")
+    val corpus = cellAssign(
+      spread(embeddings).select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("c_nrm")),
+      cents, "cell")
+    val counts = corpus.join(broadcast(q),
+        col("query_id") =!= col("vec_id"))
+      .filter(round(VectorFunctions.dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("c_nrm")), 6) >= col("kth") - epsTies)
+      .groupBy(col("query_id"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQuery = counts.groupBy(_._1)
+    val perQueryPrefix = qvecs.map { case (qid, v) =>
+      val cellCnt = byQuery.getOrElse(qid, Array.empty[(Long, Int, Long)])
+        .map { case (_, cell, cnt) => cell -> cnt }.toMap
+      val order = probeCellsOf(v, cents, nlist)
+      var acc = 0L
+      var p = 0
+      while (p < order.length && acc < k) {
+        acc += cellCnt.getOrElse(order(p), 0L)
+        p += 1
+      }
+      // a query with fewer than k acceptables anywhere (degenerate
+      // corpus) pins its prefix at nlist — the honest answer
+      if (acc < k) nlist else p
+    }.sorted
+    val p =
+      if (perQueryPrefix.length >= 16) {
+        val idx = math.min(perQueryPrefix.length - 1,
+          math.max(0, math.ceil(bar * perQueryPrefix.length).toInt - 1))
+        perQueryPrefix(idx)
+      } else perQueryPrefix.last
     math.min(nlist, math.max(math.max(1, floor), p))
   }
 

@@ -419,15 +419,17 @@ class SimilaritySpec extends SparkSuite with Matchers {
     np should be >= 4
     np should be <= 16
     // the calibrated budget really serves the bar it was measured for:
-    // probing np cells finds >= 90% of the exact top-10 for the
-    // calibration-independent gate queries
+    // probing np cells reaches >= 90% ε-recall (the contract's own
+    // ann-benchmarks accounting) for the calibration-independent gate
+    // queries
     val queries = emb.filter(col("vec_id") < 5)
     val ivf = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16,
       nprobe = np, centsOpt = Some(cents))
     val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
-    val hits = ivf.select("query_id", "neighbor_id")
-      .join(brute.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val kth = brute.groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.functions.min(col("cos")).as("kth"))
+    val hits = ivf.join(kth, "query_id")
+      .filter(col("cos") >= col("kth") - 1e-3).count()
     hits.toDouble / brute.count() should be >= 0.9
     // a floor above any measured crossover binds verbatim
     Similarity.calibratedNprobe(emb, cents, k = 10, bar = 0.9,
