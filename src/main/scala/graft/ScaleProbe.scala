@@ -188,7 +188,7 @@ object ScaleProbe {
       // resolves to — computed here explicitly so the probed budget
       // and candidate mass print alongside the verdict
       val rnp = timed("ivf_rproj_calibrate")(
-        Similarity.calibratedNprobe(cemb, rmodel.cents, k = 10, bar = 0.9,
+        Pca.calibrateResidualNprobe(cemb, rmodel, k = 10, bar = 0.9,
           floor = math.max(8, np)))
       val rcheck = timed("ivf_rproj_check")(
         Pca.ivfResidualCheck(cemb, nprobe = rnp,

@@ -805,12 +805,54 @@ object Pca {
     * the same sublinear budgets the global-projection path is graded
     * at, so the two checks are directly comparable at every scale.
     */
-  /** `nprobe = 0` (the default) resolves by MEASURED probe-recall
-    * calibration ([[Similarity.calibratedNprobe]]) floored at the
-    * analytic scaled rule — at the gate scales the floor binds (true
-    * neighbors concentrate in the top cells), while at n = 505k the
-    * calibration lifts the budget to the measured crossover the
-    * analytic rule misses by 4× (see the scaladoc there).
+  /** End-to-end probe-budget calibration for the residual pipeline:
+    * seed at the ε-prefix NECESSARY bound ([[Similarity.
+    * calibratedNprobe]] — fewer probes cannot even hold k acceptable
+    * candidates), then ladder ×1.5 until the PIPELINE's own sampled
+    * ε-recall (the full probe → residual-rank → pool → exact-rerank
+    * chain over a deterministic 32-query sample) reaches the bar plus
+    * a quarter-margin. Measured at n = 505k / nlist = 711: analytic
+    * rule 14 (red), ε-prefix seed 38 (red — holding k acceptables is
+    * necessary but ranking noise near the pool cut needs headroom),
+    * ladder lands in the 55–90 range where the budget sweep measured
+    * green — the end-to-end sample is the only signal that prices the
+    * ranking loss in. Calibration is training-class work (a few
+    * sample-sized searches + one corpus scoring pass), amortized like
+    * centroid training; serving cost is what it prices:
+    * nprobe · n/nlist candidates per query.
+    */
+  def calibrateResidualNprobe(emb: DataFrame, model: IvfResidualModel,
+                              k: Int = 10, bar: Double = 0.9,
+                              epsTies: Double = 1e-3, mult: Int = 8,
+                              sample: Int = 32, floor: Int = 8): Int = {
+    val n = emb.count()
+    val seed = Similarity.calibratedNprobe(emb, model.cents, k, bar,
+      sample, floor, epsTies)
+    val qdf = emb.filter(pmod(col("vec_id"), lit(101)) === 7)
+      .orderBy("vec_id").limit(sample)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, qdf, k)
+    val total = exact.count()
+    if (total == 0) return math.min(model.nlist, seed)
+    val kth = exact.groupBy(col("query_id")).agg(min(col("cos")).as("kth"))
+    val barUse = math.min(1.0, bar + (1.0 - bar) / 4)
+    var np = math.min(model.nlist, seed)
+    while (np < model.nlist) {
+      val pool = probedMassMult(n, model.nlist, np, k, mult) * k
+      val hits = ivfResidualTopK(emb, qdf, model, k, np, pool)
+        .join(kth, "query_id")
+        .filter(col("cos") >= col("kth") - epsTies).count()
+      if (hits.toDouble >= barUse * total) return np
+      np = math.min(model.nlist, math.ceil(np * 1.5).toInt)
+    }
+    model.nlist
+  }
+
+  /** `nprobe = 0` (the default) resolves by the MEASURED end-to-end
+    * calibration above, floored at the analytic scaled rule — at the
+    * gate scales the floor usually binds (true neighbors concentrate
+    * in the top cells), while at n = 505k the calibration lifts the
+    * budget to the crossover the analytic rule misses by 4×.
     */
   def ivfResidualCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
                        nprobe: Int = 0, mult: Int = 8,
@@ -824,8 +866,8 @@ object Pca {
     val (_, np) = Similarity.scaledIvfConfig(n)
     val nprobeUse = math.min(model.nlist,
       if (nprobe > 0) nprobe
-      else Similarity.calibratedNprobe(emb, model.cents, k, minRecall,
-        floor = math.max(8, np)))
+      else calibrateResidualNprobe(emb, model, k, minRecall,
+        epsTies = epsTies, mult = mult, floor = math.max(8, np)))
     val pool = probedMassMult(n, model.nlist, nprobeUse, k, mult) * k
     val approx = ivfResidualTopK(emb, queries, model, k, nprobeUse, pool)
     val exact = Similarity.bruteForceTopK(emb, queries, k)
