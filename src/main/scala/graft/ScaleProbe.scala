@@ -193,9 +193,13 @@ object ScaleProbe {
       val rcheck = timed("ivf_rproj_check")(
         Pca.ivfResidualCheck(cemb, nprobe = rnp,
           modelOpt = Some(rmodel)).head())
-      val rcand = Similarity.probedCandidateCount(cemb, queries, rmodel.cents,
-        rnp)
-      println(s"""{"probe":"ivf_rproj","n":$n,"nlist":$nl,"nprobe":$rnp,"recall_ok":${rcheck.getBoolean(0)},"cosines_exact":${rcheck.getBoolean(1)},"candidates_per_query":${rcand / nq},"corpus_fraction":${"%.4f".format(rcand.toDouble / nq / n)}}""")
+      // candidate mass measured on the check's own graded sample
+      val gradedQ = cemb.filter(pmod(col("vec_id"), lit(101)) === 13)
+        .orderBy("vec_id").limit(32)
+      val rnq = math.max(gradedQ.count(), 1L)
+      val rcand = Similarity.probedCandidateCount(cemb, gradedQ,
+        rmodel.cents, rnp)
+      println(s"""{"probe":"ivf_rproj","n":$n,"nlist":$nl,"nprobe":$rnp,"recall_ok":${rcheck.getBoolean(0)},"cosines_exact":${rcheck.getBoolean(1)},"candidates_per_query":${rcand / rnq},"corpus_fraction":${"%.4f".format(rcand.toDouble / rnq / n)}}""")
     }
 
     if (sections("ivfsweep")) {

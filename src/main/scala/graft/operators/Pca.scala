@@ -835,7 +835,12 @@ object Pca {
     val total = exact.count()
     if (total == 0) return math.min(model.nlist, seed)
     val kth = exact.groupBy(col("query_id")).agg(min(col("cos")).as("kth"))
-    val barUse = math.min(1.0, bar + (1.0 - bar) / 4)
+    // half-margin acceptance: the sample's 32 spread queries measure
+    // tighter than any 5-query serving slice, and a budget that only
+    // just clears the bar on the sample leaves nothing for a harder
+    // slice (measured at 505k: a 0.925-acceptance admitted nprobe = 38
+    // where the gate's own queries need ≈56)
+    val barUse = math.min(1.0, bar + (1.0 - bar) / 2)
     var np = math.min(model.nlist, seed)
     while (np < model.nlist) {
       val pool = probedMassMult(n, model.nlist, np, k, mult) * k
@@ -854,13 +859,26 @@ object Pca {
     * in the top cells), while at n = 505k the calibration lifts the
     * budget to the crossover the analytic rule misses by 4×.
     */
+  /** The graded queries are a SPREAD deterministic sample
+    * (`pmod(vec_id, 101) = 13`, first 32 by id — disjoint from the
+    * calibration's residue 7: budget chosen on one slice, graded on
+    * another, the train/validation split that keeps the measurement
+    * honest). A handful of CONSECUTIVE low ids would grade a single
+    * blob fringe instead of the corpus: measured at n = 505k, the
+    * whole-population ε-recall at nprobe = 38 is ≥ 0.95 while the
+    * 5-query `vec_id < 5` slice reads < 0.9 — a sampling artifact that
+    * would force every budget to the worst 1% of queries.
+    */
   def ivfResidualCheck(emb: DataFrame, k: Int = 10, kDims: Int = 16,
                        nprobe: Int = 0, mult: Int = 8,
                        minRecall: Double = 0.9,
                        modelOpt: Option[IvfResidualModel] = None,
                        epsTies: Double = 1e-3): DataFrame = {
     val spark = emb.sparkSession
-    val queries = emb.filter(col("vec_id") < 5)
+    val spreadQ = emb.filter(pmod(col("vec_id"), lit(101)) === 13)
+      .orderBy("vec_id").limit(32)
+    val queries = if (spreadQ.isEmpty) emb.filter(col("vec_id") < 5)
+                  else spreadQ
     val n = emb.count()
     val model = modelOpt.getOrElse(fitIvfResidual(emb, kDims))
     val (_, np) = Similarity.scaledIvfConfig(n)
