@@ -926,6 +926,11 @@ object SparkEntry {
                               train: => Pca.IvfResidualModel): Pca.IvfResidualModel =
     ivfResidualModelMemo.computeIfAbsent(key, _ => train)
 
+  private val rprojNprobeMemoMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def rprojNprobeMemo(key: String, calibrate: => Int): Int =
+    rprojNprobeMemoMap.computeIfAbsent(key, _ => Int.box(calibrate)).intValue()
+
   /** The `cur_semantic_prototypes` gate's trained centroids, per
     * (JVM, sfDir) — 16 cells × 2 Lloyd rounds over the whole
     * embeddings table (bit-deterministic training). The most recent
@@ -2803,9 +2808,17 @@ object SparkEntry {
     // every trained artifact (the sim_ann_* convention).
     "sim_topk_ivf_rproj" -> ((s, dir) => {
       val emb = s.read.parquet(clusteredGateCorpus(s, dir))
-      Pca.ivfResidualCheck(emb,
-        modelOpt = Some(ivfResidualMemo(s"$dir#rproj16",
-          Pca.fitIvfResidual(emb, kDims = 16))))
+      val model = ivfResidualMemo(s"$dir#rproj16",
+        Pca.fitIvfResidual(emb, kDims = 16))
+      // calibration is training-class work (amortized like the model
+      // fit — the sim_ann_* convention): memoized per (JVM, sfDir) so
+      // the gate times the SEARCH the calibrated budget serves
+      val np = rprojNprobeMemo(s"$dir#rproj16-np", {
+        val (_, npFloor) = Similarity.scaledIvfConfig(emb.count())
+        Pca.calibrateResidualNprobe(emb, model,
+          floor = math.max(8, npFloor))
+      })
+      Pca.ivfResidualCheck(emb, nprobe = np, modelOpt = Some(model))
     }),
     // the INCREMENTAL residual-model lifecycle: per-cell moments are
     // additive against the frozen coarse layout, so extends fold in
