@@ -176,6 +176,21 @@ object ScaleProbe {
       val nq = math.max(queries.count(), 1L)
       println(s"""{"probe":"ivf_scaled","n":$n,"nlist":$nl,"nprobe":${math.max(8, np)},"recall_ok":${check.getBoolean(0)},"cosines_exact":${check.getBoolean(1)},"candidates_per_query":${cand / nq},"corpus_fraction":${"%.4f".format(cand.toDouble / nq / n)}}""")
 
+      // the global arm at its own MEASURED budget: what nprobe does the
+      // global-projection ranking need to reach the same bar the
+      // residual arm holds — or does no budget up to nlist reach it
+      // (the ranking-bound verdict)? Prints the calibrated budget and
+      // the re-checked verdict at it, comparable line-for-line with
+      // ivf_rproj below.
+      val gnp = timed("ivf_scaled_calibrate")(
+        Pca.calibratePcaIvfNprobe(cemb, model, cents,
+          floor = math.max(8, np)))
+      val gcheck = timed("ivf_scaled_check_calibrated")(
+        Pca.pcaIvfCheck(cemb, nlist = nl, nprobe = gnp, coarseIters = iters,
+          modelOpt = Some(model), centsOpt = Some(cents)).head())
+      val gcand = Similarity.probedCandidateCount(proj, queries, cents, gnp)
+      println(s"""{"probe":"ivf_scaled_calibrated","n":$n,"nlist":$nl,"nprobe":$gnp,"recall_ok":${gcheck.getBoolean(0)},"cosines_exact":${gcheck.getBoolean(1)},"candidates_per_query":${gcand / nq},"corpus_fraction":${"%.4f".format(gcand.toDouble / nq / n)}}""")
+
       // r14 follow-through: the per-cell RESIDUAL projection arm (the
       // IVF-residual recipe) at the same scaled geometry and budgets —
       // the named fix for the 505k frontier, where the global 16-dim

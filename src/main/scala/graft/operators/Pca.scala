@@ -821,6 +821,36 @@ object Pca {
     * centroid training; serving cost is what it prices:
     * nprobe · n/nlist candidates per query.
     */
+  /** Shared ×1.5 calibration ladder: walk nprobe up from `seed` until
+    * the supplied search's sampled ε-recall (over the deterministic
+    * residue-7 calibration sample) reaches bar + HALF-MARGIN — a
+    * budget that only just clears the bar on the 32-query sample
+    * leaves nothing for a harder serving slice, and the half-margin is
+    * what made the 505k calibration land on the sweep-verified green
+    * range instead of its red lower edge.
+    */
+  private def calibrateLadder(emb: DataFrame, k: Int, bar: Double,
+                              epsTies: Double, seed: Int, cap: Int,
+                              sample: Int)
+                             (searchAt: (DataFrame, Int) => DataFrame): Int = {
+    val qdf = emb.filter(pmod(col("vec_id"), lit(101)) === 7)
+      .orderBy("vec_id").limit(sample)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, qdf, k)
+    val total = exact.count()
+    if (total == 0) return math.max(1, math.min(cap, seed))
+    val kth = exact.groupBy(col("query_id")).agg(min(col("cos")).as("kth"))
+    val barUse = math.min(1.0, bar + (1.0 - bar) / 2)
+    var np = math.max(1, math.min(cap, seed))
+    while (np < cap) {
+      val hits = searchAt(qdf, np).join(kth, "query_id")
+        .filter(col("cos") >= col("kth") - epsTies).count()
+      if (hits.toDouble >= barUse * total) return np
+      np = math.min(cap, math.ceil(np * 1.5).toInt)
+    }
+    cap
+  }
+
   def calibrateResidualNprobe(emb: DataFrame, model: IvfResidualModel,
                               k: Int = 10, bar: Double = 0.9,
                               epsTies: Double = 1e-3, mult: Int = 8,
@@ -828,29 +858,35 @@ object Pca {
     val n = emb.count()
     val seed = Similarity.calibratedNprobe(emb, model.cents, k, bar,
       sample, floor, epsTies)
-    val qdf = emb.filter(pmod(col("vec_id"), lit(101)) === 7)
-      .orderBy("vec_id").limit(sample)
-      .select(col("vec_id"), col("embedding"))
-    val exact = Similarity.bruteForceTopK(emb, qdf, k)
-    val total = exact.count()
-    if (total == 0) return math.min(model.nlist, seed)
-    val kth = exact.groupBy(col("query_id")).agg(min(col("cos")).as("kth"))
-    // half-margin acceptance: the sample's 32 spread queries measure
-    // tighter than any 5-query serving slice, and a budget that only
-    // just clears the bar on the sample leaves nothing for a harder
-    // slice (measured at 505k: a 0.925-acceptance admitted nprobe = 38
-    // where the gate's own queries need ≈56)
-    val barUse = math.min(1.0, bar + (1.0 - bar) / 2)
-    var np = math.min(model.nlist, seed)
-    while (np < model.nlist) {
-      val pool = probedMassMult(n, model.nlist, np, k, mult) * k
-      val hits = ivfResidualTopK(emb, qdf, model, k, np, pool)
-        .join(kth, "query_id")
-        .filter(col("cos") >= col("kth") - epsTies).count()
-      if (hits.toDouble >= barUse * total) return np
-      np = math.min(model.nlist, math.ceil(np * 1.5).toInt)
+    calibrateLadder(emb, k, bar, epsTies, seed, model.nlist, sample) {
+      (qdf, np) =>
+        ivfResidualTopK(emb, qdf, model, k, np,
+          probedMassMult(n, model.nlist, np, k, mult) * k)
     }
-    model.nlist
+  }
+
+  /** The same measured ladder for the GLOBAL-projection arm
+    * ([[pcaIvfTopK]]) — so a probe can quantify, at any scale, what
+    * budget the global ranking needs to reach the same ε-recall bar
+    * the residual arm holds (or that no budget up to nlist reaches it
+    * — the definitive ranking-bound verdict). No ε-prefix seed: the
+    * global arm probes cells laid out in PROJECTED space, where the
+    * prefix's full-space acceptability accounting doesn't transfer —
+    * the ladder starts at the analytic floor.
+    */
+  def calibratePcaIvfNprobe(emb: DataFrame, model: PcaModel,
+                            cents: Similarity.Cents, k: Int = 10,
+                            bar: Double = 0.9, epsTies: Double = 1e-3,
+                            mult: Int = 8, sample: Int = 32,
+                            floor: Int = 8): Int = {
+    val n = emb.count()
+    val nlist = cents.length
+    calibrateLadder(emb, k, bar, epsTies, floor, nlist, sample) {
+      (qdf, np) =>
+        pcaIvfTopK(emb, qdf, model, k, nlist, np,
+          mult = probedMassMult(n, nlist, np, k, mult),
+          centsOpt = Some(cents))
+    }
   }
 
   /** `nprobe = 0` (the default) resolves by the MEASURED end-to-end
