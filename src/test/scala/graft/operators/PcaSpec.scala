@@ -135,6 +135,24 @@ class PcaSpec extends SparkSuite with Matchers {
     row.getBoolean(1) shouldBe true
   }
 
+  test("calibratePcaIvfNprobe: floor binds when it already serves the " +
+      "bar; a floor at nlist is returned verbatim") {
+    val plain = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val clustered = Similarity.clusteredCorpus(plain)
+    val model = Pca.fit(clustered, 16)
+    val cents = Similarity.coarseCentroids(
+      Pca.project(clustered, model, projCol = "embedding"), 16, iters = 3)
+    val np = Pca.calibratePcaIvfNprobe(clustered, model, cents, floor = 8)
+    np should be >= 8
+    np should be <= 16
+    // the calibrated budget serves the check's own contract
+    val row = Pca.pcaIvfCheck(clustered, nlist = 16, nprobe = np,
+      modelOpt = Some(model), centsOpt = Some(cents)).head()
+    row.getBoolean(0) shouldBe true
+    row.getBoolean(1) shouldBe true
+    Pca.calibratePcaIvfNprobe(clustered, model, cents, floor = 16) shouldBe 16
+  }
+
   test("ivfResidual: fit is deterministic for a fixed input layout") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Pca.fitIvfResidual(emb, kDims = 8)
