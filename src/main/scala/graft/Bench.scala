@@ -32,6 +32,26 @@ object Bench {
     selected.headOption.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // ── null-gate throughput reference (r14 VERDICT task 1b) ──────────
+    // The r14 drift boards flagged same-code gates at up to 11× CPU
+    // because the whole BOX degraded through the session (three
+    // same-code boards spanned 1085→1771 total CPU-s); per-gate bands
+    // alone cannot distinguish "this gate regressed" from "everything
+    // on this board is slow". The null gate is a fixed synthetic
+    // workload (codegen'd hash + aggregate over a constant range — no
+    // I/O, no state, byte-identical every round) timed min-of-3 on the
+    // SAME board; bands store its reference CPU under "__null__", and
+    // every gate's measured CPU normalizes by bandNull/measuredNull
+    // before band comparison — a uniformly-slow board scales back to
+    // its band instead of flagging half the ledger.
+    val nullCpu = (1 to 3).map { _ =>
+      val c0 = osBean.getProcessCpuTime
+      // bit_xor, not sum: summing 64M hashes overflows Long under the
+      // ANSI default; xor is overflow-free and equally codegen'd
+      spark.range(0L, 64L * 1000 * 1000, 1L, numPartitions = 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
+      (osBean.getProcessCpuTime - c0) / 1e9
+    }.min
     // each query runs TWICE and reports the min: single-shot timings on
     // a shared sandbox vary 2-4× with CPU contention/GC (round 4's
     // driver file showed 17× phantom regressions on untouched queries),
@@ -94,9 +114,14 @@ object Bench {
             case (k, JDecimal(v)) => k -> v.toDouble
           }.toMap
       }
+    // normalize by the null gate when both boards measured it: a gate
+    // is flagged only when its CPU moved past 1.5× its band AFTER
+    // discounting the box-wide throughput shift the null gate measured
+    val nullScale = bands.get("__null__")
+      .filter(_ > 0).map(_ / math.max(nullCpu, 1e-9)).getOrElse(1.0)
     val flagged = results.flatMap { case (name, (_, c)) =>
       bands.get(name).collect {
-        case band if c > band * 1.5 && c - band > 1.5 =>
+        case band if c * nullScale > band * 1.5 && c * nullScale - band > 1.5 =>
           (name, band, c)
       }
     }
@@ -106,7 +131,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val driftJson = s"""{"band_file":"bench_bands.json",""" +
       s""""bands_known":${bands.size},"cpu_flagged":$flaggedJson,""" +
-      s""""n_flagged":${flagged.size}}"""
+      s""""n_flagged":${flagged.size},"null_cpu":${f2(nullCpu)},""" +
+      s""""null_scale":${f2(nullScale)}}"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_cpu_sec":$cpu,"total_cpu_sec":${fmt(totalCpu)},""" +
       s""""errors":$errJson,"drift":$driftJson,"cpus":$cpus,"sf":"$sfDir"}"""

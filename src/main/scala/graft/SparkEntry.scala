@@ -931,6 +931,17 @@ object SparkEntry {
   private def rprojNprobeMemo(key: String, calibrate: => Int): Int =
     rprojNprobeMemoMap.computeIfAbsent(key, _ => Int.box(calibrate)).intValue()
 
+  /** Per-(JVM, sfDir) memo of the `sim_topk_auto` gate's measured
+    * two-arm dispatch — both calibration ladders are training-class
+    * work (amortized like the model fits they ride on), so the gate
+    * times the dispatched SEARCH, not the decision.
+    */
+  private val annDispatchMemoMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.AnnDispatch]()
+  private def annDispatchMemo(key: String,
+                              decide: => Pca.AnnDispatch): Pca.AnnDispatch =
+    annDispatchMemoMap.computeIfAbsent(key, _ => decide)
+
   /** The `cur_semantic_prototypes` gate's trained centroids, per
     * (JVM, sfDir) — 16 cells × 2 Lloyd rounds over the whole
     * embeddings table (bit-deterministic training). The most recent
@@ -2216,6 +2227,43 @@ object SparkEntry {
           .select(col("doc_id"), col("lang").as("label")),
         k = 5, threshold = 0.4)
     }),
+    // semantic decon through the COST-BASED cross dispatcher (r14
+    // VERDICT task 4): at this n the analytic comparison keeps the
+    // banded arm at its occupancy-scaled multi-probe geometry —
+    // cur_semantic_decon_scaled's correctness-pinned configuration —
+    // so the exact-cosine oracle verifies the dispatcher's natural
+    // choice; the residual branch is contract-gated below
+    "cur_semantic_decon_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Curation.semanticDecontaminateAuto(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), 0.45)
+    }),
+    // the FORCED residual branch of the same dispatcher, contract-
+    // checked in-engine against the exact kill set: probe-and-verify
+    // makes false kills impossible (exact cosine on every candidate),
+    // and kill recall at the calibrated probe budget must hold the
+    // bar — the honest statement of what cell probing trades away,
+    // mirroring the recall-contract shape of every approximate arm
+    "cur_semantic_decon_rproj" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Curation.semanticDeconResidualCheck(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0), 0.45)
+    }),
+    // label propagation with the kNN stage routed through the cross
+    // dispatcher — natural choice at this n is the banded recall-1.0
+    // arm, so the exact-vote oracle verifies the routed path verbatim
+    "cur_label_prop_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Curation.propagateLabelsAuto(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0),
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("lang").as("label")),
+        k = 5, threshold = 0.4)
+    }),
     // length-bucketed batch assembly (padding minimization): the
     // per-bucket enumeration runs the two-phase range exchange, never
     // a one-task-per-bucket window; the oracle IS that naive window
@@ -2820,6 +2868,63 @@ object SparkEntry {
       })
       Pca.ivfResidualCheck(emb, nprobe = np, modelOpt = Some(model))
     }),
+    // AUTO-DISPATCHED ANN serving (r14 VERDICT task: make the residual
+    // arm the ENGINE's choice): both ranking arms calibrate their
+    // budgets on this corpus (measured ladders, memoized — training
+    // class) and annTopKAuto serves whichever measured cheaper at the
+    // bar; the contract row grades the DISPATCHED path on the spread
+    // sample disjoint from the calibration slice. The chosen arm is a
+    // measured decision, so it is spec-pinned (AnnDispatchSpec) and
+    // probe-printed, not a gate column.
+    "sim_topk_auto" -> ((s, dir) => {
+      val emb = s.read.parquet(clusteredGateCorpus(s, dir))
+      val model = fittedPcaMemo(s"$dir#clustered-pca16", Pca.fit(emb, 16))
+      val (nl, npRaw) = Similarity.scaledIvfConfig(emb.count())
+      val cents = trainedCentsMemo(s"$dir#pca16-ivf${nl}x3",
+        Similarity.coarseCentroids(
+          Pca.project(emb, model, projCol = "embedding"),
+          nlist = nl, iters = 3))
+      val rmodel = ivfResidualMemo(s"$dir#rproj16",
+        Pca.fitIvfResidual(emb, kDims = 16))
+      val disp = annDispatchMemo(s"$dir#ann-auto",
+        Pca.annDispatch(emb, model, cents, rmodel,
+          floor = math.max(8, npRaw)))
+      Pca.annAutoCheck(emb, model, cents, rmodel, dispatchOpt = Some(disp))
+    }),
+    // cross-set kNN at the RESIDUAL geometry (r14 VERDICT task 4): the
+    // semantic-decon/label-propagation workhorse shape — a query split
+    // probing the frozen 4/5 corpus's trained cell layout, ranked by
+    // the per-cell decomposition, exact rerank — contract-checked
+    // against the exact cross reference on the clustered corpus (the
+    // corpus where residual ranking is non-vacuous, like every rproj
+    // gate). Model + calibration memoized per (JVM, sfDir).
+    "sim_knn_cross_rproj" -> ((s, dir) => {
+      val emb = s.read.parquet(clusteredGateCorpus(s, dir))
+      val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val queries = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val model = ivfResidualMemo(s"$dir#rproj16-cross",
+        Pca.fitIvfResidual(corpus, kDims = 16))
+      val np = rprojNprobeMemo(s"$dir#rproj16-cross-np", {
+        val (_, npFloor) = Similarity.scaledIvfConfig(corpus.count())
+        Pca.calibrateResidualNprobe(corpus, model,
+          floor = math.max(8, npFloor))
+      })
+      Pca.ivfResidualCrossCheck(corpus, queries, nprobe = np,
+        modelOpt = Some(model))
+    }),
+    // cross-set kNN through the COST-BASED cross dispatcher: at this n
+    // the analytic comparison keeps the banded recall-1.0 arm (a
+    // query-heavy call amortizes the corpus signature), so the exact
+    // cross oracle verifies the dispatcher's natural choice — the
+    // residual branch is gated by sim_knn_cross_rproj and probed at
+    // scale by ScaleProbe's cross line
+    "sim_knn_cross_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Pca.knnJoinCrossAuto(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        threshold = 0.4, k = 3)
+    }),
     // the INCREMENTAL residual-model lifecycle: per-cell moments are
     // additive against the frozen coarse layout, so extends fold in
     // tranche scans only and the refit is a driver eigendecomposition
@@ -2917,12 +3022,20 @@ object SparkEntry {
       Similarity.similarPairsAuto(Tables.embeddings(s, dir), 0.4)),
     // the BANDED branch of the same dispatcher, hash-pinned: force the
     // branch the cost model would not take at this n so both arms of
-    // the dispatch are driver-verified against one oracle (the scaled
-    // multi-probe geometry holds recall 1.0 at this sf —
-    // sim_lsh_scaled's standing claim, re-derived every run)
+    // the dispatch are driver-verified against one oracle. The forced
+    // arm runs at an ESCALATED recall bar (0.99999 vs the dispatch
+    // default 0.97) — at sf0.01 that resolves to the same legacy
+    // 32×16 geometry as before (analytic recall ≈ 1−1e-14 already
+    // clears the bar), while at sf0.1 it escalates 60×12 →
+    // 120×24 multi-probe (expected misses at the analytic lower bound:
+    // 920 pairs × 1e-5 ≈ 0.01; the intermediate 0.9995 bar's 80×16
+    // still measured one missed pair), closing the one 0.996-recall
+    // FAIL row the r14 sf0.1 board carried: recall 1.0 is re-derived
+    // against the exact-pairs oracle on every run at BOTH sfs (the
+    // round_close ledger), like every recall-1.0 LSH gate.
     "sim_pairs_auto_banded" -> ((s, dir) =>
       Similarity.similarPairsAuto(Tables.embeddings(s, dir), 0.4,
-        force = Some(false))),
+        recallBar = 0.99999, force = Some(false))),
     // kNN through the dispatcher — the serving-shaped operator whose
     // pair-mining stage the cost model routes
     "sim_knn_auto" -> ((s, dir) =>
@@ -3023,6 +3136,36 @@ object SparkEntry {
        FROM documents d
        WHERE d.doc_id % 10 <> 0
          AND d.doc_id NOT IN (SELECT doc_id FROM dirty)"""
+
+  /** Exact-cosine kNN majority vote re-derived from scratch — shared
+    * oracle of `cur_label_propagation` (explicit recall-1.0 geometry)
+    * and `cur_label_prop_auto` (the dispatcher-routed kNN stage, whose
+    * natural choice at gate n is that same banded arm).
+    */
+  private val labelPropSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       seeds AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+       tgt AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+       p AS (
+         SELECT t.vec_id, s.vec_id AS nb,
+           round(list_sum(list_transform(range(1, len(t.v)+1), i -> t.v[i] * s.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(t.v)+1), i -> t.v[i] * t.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i] * s.v[i])))),
+             6) AS cos
+         FROM tgt t JOIN seeds s ON TRUE),
+       topk AS (
+         SELECT vec_id, nb,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb) AS rn
+         FROM p WHERE cos >= 0.4),
+       votes AS (
+         SELECT k.vec_id, d.lang AS label, count(*) AS votes
+         FROM topk k JOIN documents d ON k.nb = d.doc_id
+         WHERE k.rn <= 5 GROUP BY 1, 2),
+       win AS (
+         SELECT vec_id, label, votes,
+           row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS r
+         FROM votes)
+     SELECT vec_id, label, votes FROM win WHERE r = 1"""
 
   private val exactJaccardPairsSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -4445,13 +4588,19 @@ object SparkEntry {
     // embeddings — survivors counted per language
     // pipeline 7: containment decon feeds the Jaccard closure's argmax
     // survivor, the seeded cap, and the epoch recipe — every stage
-    // re-derived over the previous stage's survivors in one statement
+    // re-derived over the previous stage's survivors in one statement.
+    // The multiply-referenced CTEs carry MATERIALIZED hints (r15,
+    // VERDICT "What's wrong" #2): DuckDB otherwise re-inlines the
+    // shingle fan-out into each of its four consumers, and the oracle
+    // blew the sf0.1 sweep's 300 s subprocess cap (337.7 s solo);
+    // hinted it runs in ~65 s with byte-identical output (verified at
+    // sf0.01 before pinning) — the sweep needs no manual solo step.
     "cur_pipeline7" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(
+      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
                   list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
                 FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
          binter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
                     FROM sh a JOIN sh b
                       ON a.s = b.s AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
@@ -4460,10 +4609,10 @@ object SparkEntry {
                  JOIN sizes sa ON ca = sa.doc_id
                  JOIN sizes sb ON bb = sb.doc_id
                  WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5),
-         clean AS (SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         clean AS MATERIALIZED (SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
                    WHERE d.doc_id % 10 != 0
                      AND d.doc_id NOT IN (SELECT ca FROM bad)),
-         jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         jinter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                     WHERE a.doc_id IN (SELECT doc_id FROM clean)
                       AND b.doc_id IN (SELECT doc_id FROM clean)
@@ -4823,33 +4972,20 @@ object SparkEntry {
     // the scaled-geometry run must reproduce the SAME exact-cosine
     // filter (recall 1.0 at the n-derived config, re-derived per run)
     "cur_semantic_decon_scaled" -> semanticDeconSql,
+    // the dispatcher's natural (banded, scaled-geometry) choice must
+    // reproduce the same exact-cosine filter
+    "cur_semantic_decon_auto" -> semanticDeconSql,
+    // forced residual branch: in-engine contract row (kill recall at
+    // the calibrated probe budget + exact-verify precision)
+    "cur_semantic_decon_rproj" ->
+      """SELECT true AS kill_recall_ok, true AS no_false_kills""",
     // exact-cosine kNN majority vote re-derived from scratch: top-5
     // seeds per target (cos desc, seed id tiebreak) at >= 0.4, vote
     // counts exact longs, winner by (votes desc, label asc)
-    "cur_label_propagation" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         seeds AS (SELECT * FROM e WHERE vec_id % 5 = 0),
-         tgt AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
-         p AS (
-           SELECT t.vec_id, s.vec_id AS nb,
-             round(list_sum(list_transform(range(1, len(t.v)+1), i -> t.v[i] * s.v[i]))
-               / (sqrt(list_sum(list_transform(range(1, len(t.v)+1), i -> t.v[i] * t.v[i])))
-                * sqrt(list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i] * s.v[i])))),
-               6) AS cos
-           FROM tgt t JOIN seeds s ON TRUE),
-         topk AS (
-           SELECT vec_id, nb,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb) AS rn
-           FROM p WHERE cos >= 0.4),
-         votes AS (
-           SELECT k.vec_id, d.lang AS label, count(*) AS votes
-           FROM topk k JOIN documents d ON k.nb = d.doc_id
-           WHERE k.rn <= 5 GROUP BY 1, 2),
-         win AS (
-           SELECT vec_id, label, votes,
-             row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS r
-           FROM votes)
-       SELECT vec_id, label, votes FROM win WHERE r = 1""",
+    "cur_label_propagation" -> labelPropSql,
+    // the dispatcher-routed kNN stage keeps the banded recall-1.0 arm
+    // at this n, so the same exact-vote re-derivation is the oracle
+    "cur_label_prop_auto" -> labelPropSql,
     // the oracle is the naive per-bucket window formulation the
     // distributed enumeration must match row for row
     "cur_length_batches" ->
@@ -5752,30 +5888,49 @@ object SparkEntry {
     // sim_knn_join, at the n-derived geometry
     "sim_knn_scaled" -> knnJoinSql,
     // the dispatcher's two arms against ONE oracle: the natural choice
-    // at this n is the exact scan (cost), the forced arm is the scaled
-    // banded geometry at its standing recall-1.0 sf — both must equal
-    // the exact pair set
+    // at this n is the exact scan (cost), the forced arm runs the
+    // banded geometry ESCALATED to the 0.99999 analytic bar (32×16 at
+    // sf0.01, 120×24 at sf0.1 — r15: the 0.996-recall sf0.1 FAIL row
+    // closed) — both must equal the exact pair set
     "sim_pairs_auto" -> exactCosinePairsSql,
     "sim_pairs_auto_banded" -> exactCosinePairsSql,
     "sim_knn_auto" -> knnJoinSql,
     // cross-set kNN at the recall-1.0 LSH config: the oracle is the
     // exact query×corpus cosine ranking (queries = vec_id%5==0,
     // corpus = the rest)
-    "sim_knn_cross" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         p AS (
-           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))
-                * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
-               6) AS cos
-           FROM e a JOIN e b ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0)
-         SELECT query_id, neighbor_id, cos FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, neighbor_id) AS rn
-           FROM p WHERE cos >= 0.4)
-         WHERE rn <= 3""",
+    "sim_knn_cross" -> knnCrossSql,
+    // the cross dispatcher's natural choice at gate n is that same
+    // banded recall-1.0 arm — one exact oracle verifies the routing
+    "sim_knn_cross_auto" -> knnCrossSql,
+    // cross-set serving at the residual geometry: in-engine contract
+    // row vs the exact cross reference (ε-recall + rerank exactness)
+    "sim_knn_cross_rproj" ->
+      """SELECT true AS recall_ok, true AS cosines_exact""",
+    // auto-dispatched ANN serving: the contract row grades whichever
+    // arm the measured budgets chose, on the spread sample
+    "sim_topk_auto" ->
+      """SELECT true AS recall_ok, true AS cosines_exact""",
   ) ++ bpeOracles ++ semOracles
+
+  /** Exact cross-set kNN ranking (queries = vec_id%5==0, corpus = the
+    * rest) — shared oracle of `sim_knn_cross` (explicit recall-1.0
+    * geometry) and `sim_knn_cross_auto` (the dispatcher's natural
+    * banded choice at gate n).
+    */
+  private val knnCrossSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])))),
+             6) AS cos
+         FROM e a JOIN e b ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0)
+       SELECT query_id, neighbor_id, cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rn
+         FROM p WHERE cos >= 0.4)
+       WHERE rn <= 3"""
 
   /** Late-bound oracle for `cur_semantic_prototypes` (the BPE-oracle
     * pattern: built AFTER the gate run trains the model in this JVM):

@@ -806,6 +806,122 @@ object Curation {
     docs.join(dirty, Seq("doc_id"), "left_anti")
   }
 
+  /** [[semanticDecontaminate]] routed through [[Pca.crossDispatch]]:
+    * the engine picks the banded arm (cross-set LSH at the
+    * occupancy-scaled multi-probe geometry — signs the whole corpus
+    * per call) or the residual-store arm ([[Pca.
+    * residualThresholdCross]] — bench vectors probe a trained cell
+    * layout, touching nprobe/nlist of the corpus) from the measured
+    * costs. The banded arm's recall is the standing gate-pinned claim
+    * of its geometry; the residual arm's is the probe-coverage
+    * contract its calibrated budget prices — gate-pinned in-engine
+    * against the exact kill set on the forced branch. `force` pins an
+    * arm so both branches verify against one oracle (the
+    * [[Similarity.similarPairsAuto]] convention).
+    */
+  def semanticDecontaminateAuto(docs: DataFrame, corpusVecs: DataFrame,
+                                benchVecs: DataFrame, threshold: Double,
+                                kDims: Int = 16, bar: Double = 0.9,
+                                dim: Int = 64,
+                                dispatchOpt: Option[Pca.CrossDispatch] = None,
+                                force: Option[Boolean] = None): DataFrame = {
+    val d = dispatchOpt.getOrElse {
+      force match {
+        case Some(false) =>
+          Pca.CrossDispatch(residual = false, 0, 0d, 0d, None, None)
+        case Some(true) =>
+          val cd = Pca.crossDispatch(corpusVecs, benchVecs.count(),
+            bar = bar, kDims = kDims)
+          if (cd.rmodel.isDefined) cd.copy(residual = true)
+          else {
+            val n = corpusVecs.count()
+            val (nlist, _) = Similarity.scaledIvfConfig(n)
+            cd.copy(residual = true,
+              rmodel = Some(Pca.fitIvfResidual(corpusVecs, kDims, nlist)))
+          }
+        case None =>
+          Pca.crossDispatch(corpusVecs, benchVecs.count(), bar = bar,
+            kDims = kDims)
+      }
+    }
+    if (sys.env.contains("GRAFT_PROBE"))
+      println(f"[probe]   semanticDecontaminateAuto " +
+        f"costBanded=${d.analyticBanded}%.3g " +
+        f"costResidual=${d.analyticResidual}%.3g -> " +
+        (if (d.residual) "residual" else "banded"))
+    if (d.residual) {
+      // the decon arm serves the THRESHOLD-coverage budget, not the
+      // kNN one the generic dispatch priced — see
+      // semanticDeconResidualCheck for the measured divergence
+      val rm = d.rmodel.get
+      val (_, npFloor) = Similarity.scaledIvfConfig(corpusVecs.count())
+      val np = Pca.calibrateThresholdNprobe(corpusVecs, rm.cents,
+        benchVecs, threshold, bar, floor = math.max(8, npFloor))
+      val dirty = Pca.residualThresholdCross(corpusVecs, benchVecs,
+          rm, np, threshold)
+        .select(col("id_a").as("doc_id")).distinct()
+      docs.join(dirty, Seq("doc_id"), "left_anti")
+    } else {
+      val (planes, bands) =
+        Similarity.scaledLshConfig(corpusVecs.count(), targetOccupancy = 64)
+      semanticDecontaminate(docs, corpusVecs, benchVecs, threshold,
+        numPlanes = planes, bands = bands, dim = dim, multiProbe = true)
+    }
+  }
+
+  /** Contract of the residual decon branch as ONE invariant row,
+    * measured in-engine against the exact kill set (corpus ×
+    * broadcast-bench exact cosine — the oracle's own arithmetic):
+    * `kill_recall_ok` — the probed arm finds at least `minRecall` of
+    * the true above-threshold corpus ids at its calibrated budget;
+    * `no_false_kills` — every probed kill IS above threshold (true by
+    * construction: candidates verify by exact cosine; the row proves
+    * the construction). The kNN calibration budget is the honest
+    * proxy for threshold coverage — both quantities are "did the true
+    * neighbors' cells get probed", which is why the contract is
+    * MEASURED here rather than assumed transferred.
+    */
+  def semanticDeconResidualCheck(corpusVecs: DataFrame, benchVecs: DataFrame,
+                                 threshold: Double, kDims: Int = 16,
+                                 minRecall: Double = 0.9,
+                                 modelOpt: Option[Pca.IvfResidualModel] = None,
+                                 nprobe: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val spark = corpusVecs.sparkSession
+    val n = corpusVecs.count()
+    val (nlist, npFloor) = Similarity.scaledIvfConfig(n)
+    val model = modelOpt.getOrElse(Pca.fitIvfResidual(corpusVecs, kDims, nlist))
+    // THRESHOLD calibration, not the kNN budget: a decon query owes
+    // its whole above-threshold kill set, which spreads over more
+    // cells than its top-k (the r15 sf0.01 gate measured the kNN
+    // budget under-covering kills — coverage 0.9-bar missed)
+    val np = math.min(model.nlist,
+      if (nprobe > 0) nprobe
+      else Pca.calibrateThresholdNprobe(corpusVecs, model.cents, benchVecs,
+        threshold, minRecall, floor = math.max(8, npFloor)))
+    val probed = Pca.residualThresholdCross(corpusVecs, benchVecs, model,
+      np, threshold).select(col("id_a")).distinct()
+    val exact = corpusVecs.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"),
+        VectorFunctions.norm(col("embedding")).as("na"))
+      .join(broadcast(benchVecs.select(col("embedding").as("eb"),
+          VectorFunctions.norm(col("embedding")).as("nb"))),
+        round(VectorFunctions.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6) >= threshold)
+      .select(col("id_a")).distinct()
+    val nExact = exact.count()
+    val nHit = probed.join(exact, Seq("id_a"), "left_semi").count()
+    val falseKills = probed.join(exact, Seq("id_a"), "left_anti").count()
+    spark.createDataFrame(
+      java.util.List.of(Row(nHit.toDouble >= minRecall * nExact,
+        falseKills == 0L)),
+      StructType(Seq(
+        StructField("kill_recall_ok", BooleanType, nullable = false),
+        StructField("no_false_kills", BooleanType, nullable = false))))
+  }
+
   /** kNN label propagation — semi-supervised corpus labeling: each
     * TARGET vector takes the majority label among its k most-similar
     * SEED vectors at cosine ≥ `threshold` (the auto-labeling step a
@@ -828,6 +944,31 @@ object Curation {
     require(k >= 1, s"propagateLabels: k must be >= 1, got $k")
     val knn = Similarity.knnJoinCross(targetVecs, seedVecs, threshold, k,
       numPlanes, bands, dim)
+    labelVotes(knn, seedLabels)
+  }
+
+  /** [[propagateLabels]] with the kNN stage routed through
+    * [[Pca.knnJoinCrossAuto]] — the dispatcher picks banded LSH or the
+    * calibrated residual arm over the SEED side (the frozen-corpus
+    * side a serving loop probes repeatedly); the vote/tiebreak tail is
+    * shared verbatim with the explicit-geometry path.
+    */
+  def propagateLabelsAuto(targetVecs: DataFrame, seedVecs: DataFrame,
+                          seedLabels: DataFrame, k: Int = 5,
+                          threshold: Double = 0.4, kDims: Int = 16,
+                          bar: Double = 0.9,
+                          dispatchOpt: Option[Pca.CrossDispatch] = None,
+                          force: Option[Boolean] = None): DataFrame = {
+    require(k >= 1, s"propagateLabelsAuto: k must be >= 1, got $k")
+    labelVotes(Pca.knnJoinCrossAuto(targetVecs, seedVecs, threshold, k,
+      kDims, bar, dispatchOpt = dispatchOpt, force = force), seedLabels)
+  }
+
+  /** Shared vote tail of the label-propagation paths: majority label
+    * among each target's kNN edges, neighbor ties broken upstream,
+    * vote ties by (votes desc, label asc).
+    */
+  private def labelVotes(knn: DataFrame, seedLabels: DataFrame): DataFrame = {
     val votes = knn
       .join(seedLabels.select(col("doc_id").as("neighbor_id"), col("label")),
         "neighbor_id")

@@ -171,15 +171,36 @@ object Similarity {
     * literals. Shared by [[ivfTopK]] and the IVF-PQ composition
     * ([[Pq.ivfPqTopK]]).
     */
+  /** `trainSample` > 0 Lloyd-trains on a deterministic residue sample
+    * of about that many vectors instead of the full corpus — the Faiss
+    * convention (≈ 256 training points per centroid suffice for a
+    * stable layout; training on all of a 2e7-vector corpus pays
+    * iters · n · nlist · d MACs for no better cells). Assignment of
+    * the FULL corpus still happens wherever the layout is used; only
+    * the iterative refinement samples. Deterministic (pmod on vec_id,
+    * no RNG), so trained layouts stay reproducible; 0 (the default,
+    * and every gate's configuration) trains on everything.
+    */
   private[graft] def coarseCentroids(
       embeddings: DataFrame, nlist: Int,
-      iters: Int = 0): Cents = {
+      iters: Int = 0, trainSample: Long = 0): Cents = {
     val sampled = lowestByVecId(embeddings.select(col("vec_id"), col("embedding")), nlist)
       .map(_.getSeq[Float](1).toArray).zipWithIndex
       .map { case (v, i) =>
         (i, v, math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
       }
-    if (iters > 0) trainCentroids(embeddings, sampled, iters) else sampled
+    if (iters <= 0) sampled
+    else {
+      val trainSet =
+        if (trainSample <= 0) embeddings
+        else {
+          val n = embeddings.count()
+          val every = math.max(1L, n / math.max(trainSample, 1L))
+          if (every <= 1L) embeddings
+          else embeddings.filter(pmod(col("vec_id"), lit(every)) === 0)
+        }
+      trainCentroids(trainSet, sampled, iters)
+    }
   }
 
   /** Distributed spherical Lloyd (k-means) refinement of the coarse

@@ -20,7 +20,7 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
   test("registered gate count matches the declared coverage") {
     // bump alongside SURVEY.md §8 when adding gates — a mismatch means
     // either a silently-shadowed duplicate key or a stale coverage map
-    SparkEntry.queries.size shouldBe 227
+    SparkEntry.queries.size shouldBe 233
     // the BPE-model-dependent oracles embed the TRAINED model
     // artifacts, so they exist only after a gate run trains the model
     // in this JVM (Verify's dump order guarantees that); every other
@@ -44,7 +44,10 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val froms = "(?i)\\bFROM\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val cteNames = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      // `AS MATERIALIZED (` is the DuckDB CTE-materialization hint the
+      // slow multi-consumer oracles carry (cur_pipeline7)
+      val cteNames = ("(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?" +
+        "\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(").r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = froms -- tables -- cteNames
       withClue(s"$name references unknown tables: ") { unknown shouldBe empty }

@@ -34,6 +34,14 @@ norm(con.execute(sql).df()).to_parquet(out_file)
 """
 
 
+# Declared-slow oracles: per-entry override of the default subprocess
+# cap. cur_pipeline7's chained-CTE re-derivation passed solo at 337.7 s
+# at sf0.1 (r14 ledger) — a DECLARED slow oracle, not a hang; the sweep
+# must verify it without a manual solo step instead of reporting a
+# TIMEOUT row the round-close then has to explain away.
+SLOW_ORACLES = {"cur_pipeline7": 600.0}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
@@ -66,15 +74,16 @@ def main():
             outf = os.path.join(td, "exp.parquet")
             open(sqlf, "w").write(oracle[name])
             t0 = time.time()
+            budget = max(timeout, SLOW_ORACLES.get(name, 0.0))
             try:
                 r = subprocess.run(
                     [sys.executable, child_py, sf_dir, sqlf, outf],
-                    cwd=tools_dir, timeout=timeout,
+                    cwd=tools_dir, timeout=budget,
                     capture_output=True, text=True)
             except subprocess.TimeoutExpired:
                 n_timeout += 1
                 timed_out.append(name)
-                print(f"  [TIMEOUT] {name}: oracle exceeded {timeout:.0f}s "
+                print(f"  [TIMEOUT] {name}: oracle exceeded {budget:.0f}s "
                       f"at this sf", flush=True)
                 continue
             if r.returncode != 0:
