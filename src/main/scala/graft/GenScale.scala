@@ -171,7 +171,12 @@ object GenScale {
               .otherwise(-1.0d) * lit(0.35) * nrm /
               math.sqrt(dim)).cast("float")).cast("float")).as("embedding"),
         col("label"))
-    write("embeddings", rotated.unionByName(planted), 2)
+    // file count scales with the factor: 2 files suffice through the
+    // 505k-row geometries, but the factor-10000 (2e7-row, ~5 GB)
+    // corpus in 2 files would hand every downstream scan 2 tasks
+    // before its explicit exchange AND serialize the write itself
+    write("embeddings", rotated.unionByName(planted),
+      math.max(2, math.min(64, factor / 150)))
 
     println(s"[genscale] wrote factor-$factor corpus to $dst")
     spark.stop()

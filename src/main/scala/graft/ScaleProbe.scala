@@ -270,6 +270,69 @@ object ScaleProbe {
       println(s"""{"probe":"ivf_rproj_cross","n":$n,"nlist":${xmodel.nlist},"nprobe":$xnp,"recall_ok":${xcheck.getBoolean(0)},"cosines_exact":${xcheck.getBoolean(1)}}""")
     }
 
+    if (sections("ivfbig")) {
+      // r15 VERDICT task 5: the residual arm one decade past the 2.02M
+      // frontier (n ≈ 2e7). RESIDUAL-ONLY by design: the global arm is
+      // already measured RANKING-BOUND at 2M (flat quarter of the
+      // corpus per query, ladder exhausted) — re-laddering it here
+      // would cost hours to re-prove a settled verdict, so the probe
+      // spends the box on the arm whose trend is the claim. Train on
+      // the deterministic 256-per-centroid sample (Faiss convention —
+      // see coarseCentroids), build the serving index ONCE, calibrate
+      // and check against it; prints the same row shape as ivf_rproj
+      // plus the train/index/calibrate cost split.
+      import graft.operators.Pca
+      val dense = emb.select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))) - 1).cast("long").as("vec_id"),
+        col("embedding"))
+      val cemb = graft.operators.Dedup.materialize(
+        Similarity.clusteredCorpus(dense))
+      val (nl, np) = Similarity.scaledIvfConfig(n)
+      val iters = Similarity.scaledIvfIters(nl)
+      val ts = 256L * nl
+      val rmodel = timed(s"ivfbig_fit_${nl}x${iters}_s$ts")(
+        Pca.fitIvfResidual(cemb, kDims = 16, nlist = nl,
+          coarseIters = iters, trainSample = ts))
+      val ridx = timed("ivfbig_index")(
+        graft.operators.Dedup.materialize(
+          Pca.buildResidualIndex(cemb, rmodel)))
+      val rbudget = timed("ivfbig_calibrate")(
+        Pca.calibrateResidualBudget(cemb, rmodel, k = 10, bar = 0.9,
+          floor = math.max(8, np), indexOpt = Some(ridx)))
+      val rnp = rbudget.nprobe
+      val rcheck = timed("ivfbig_check")(
+        Pca.ivfResidualCheck(cemb, nprobe = rnp,
+          modelOpt = Some(rmodel), indexOpt = Some(ridx)).head())
+      val gradedQ = cemb.filter(pmod(col("vec_id"), lit(101)) === 13)
+        .orderBy("vec_id").limit(32)
+      val nq = math.max(gradedQ.count(), 1L)
+      val rcand = Similarity.probedCandidateCount(cemb, gradedQ,
+        rmodel.cents, rnp)
+      println(s"""{"probe":"ivf_rproj","n":$n,"nlist":$nl,"nprobe":$rnp,"budget_measured_ok":${rbudget.ok},"recall_ok":${rcheck.getBoolean(0)},"cosines_exact":${rcheck.getBoolean(1)},"candidates_per_query":${rcand / nq},"corpus_fraction":${"%.4f".format(rcand.toDouble / nq / n)}}""")
+      // cross-set at the same decade (own flag: the cross half refits
+      // and re-indexes the residue-split corpus — a second full index
+      // pass the probe run can defer when the box budget is tight)
+      if (sections("ivfbigx")) {
+        val rcorpus = graft.operators.Dedup.materialize(
+          cemb.filter(pmod(col("vec_id"), lit(101)) =!= 13))
+        val xmodel = timed("ivfbig_cross_fit")(
+          Pca.fitIvfResidual(rcorpus, kDims = 16, trainSample = ts))
+        val xidx = timed("ivfbig_cross_index")(
+          graft.operators.Dedup.materialize(
+            Pca.buildResidualIndex(rcorpus, xmodel)))
+        val xbudget = timed("ivfbig_cross_calibrate")(
+          Pca.calibrateResidualBudget(rcorpus, xmodel,
+            floor = math.max(8, np), indexOpt = Some(xidx)))
+        val xcheck = timed("ivfbig_cross_check")(
+          Pca.ivfResidualCrossCheck(rcorpus,
+            cemb.filter(pmod(col("vec_id"), lit(101)) === 13),
+            nprobe = xbudget.nprobe, modelOpt = Some(xmodel),
+            indexOpt = Some(xidx)).head())
+        println(s"""{"probe":"ivf_rproj_cross","n":$n,"nlist":${xmodel.nlist},"nprobe":${xbudget.nprobe},"recall_ok":${xcheck.getBoolean(0)},"cosines_exact":${xcheck.getBoolean(1)}}""")
+      }
+    }
+
     if (sections("ivfsweep")) {
       // diagnosis harness for the 505k residual-arm miss: fit the
       // residual model once, then sweep nprobe to separate PROBE loss
@@ -326,7 +389,9 @@ object ScaleProbe {
       }
     }
 
-    val docs = graft.util.Tables.documents(spark, dir)
+    // lazy like `emb`: an embeddings-only corpus dir (the ivf/ivfbig
+    // saturation corpora) must be probe-able without documents existing
+    lazy val docs = graft.util.Tables.documents(spark, dir)
     if (sections("ngram")) {
     val full = timed("ngram_jaccard_uncapped")(
       Dedup.ngramJaccard(docs, n = 2, threshold = 0.5).count())

@@ -2245,12 +2245,22 @@ object SparkEntry {
     // makes false kills impossible (exact cosine on every candidate),
     // and kill recall at the calibrated probe budget must hold the
     // bar — the honest statement of what cell probing trades away,
-    // mirroring the recall-contract shape of every approximate arm
+    // mirroring the recall-contract shape of every approximate arm.
+    // Model + threshold calibration memoized per (JVM, sfDir) like
+    // every trained artifact — the gate times the probe + audit.
     "cur_semantic_decon_rproj" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Curation.semanticDeconResidualCheck(
-        emb.filter(col("vec_id") % 10 =!= 0),
-        emb.filter(col("vec_id") % 10 === 0), 0.45)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val bench = emb.filter(col("vec_id") % 10 === 0)
+      val model = ivfResidualMemo(s"$dir#rproj16-decon",
+        Pca.fitIvfResidual(corpus, kDims = 16))
+      val np = rprojNprobeMemo(s"$dir#rproj16-decon-np", {
+        val (_, npFloor) = Similarity.scaledIvfConfig(corpus.count())
+        Pca.calibrateThresholdNprobe(corpus, model.cents, bench, 0.45,
+          floor = math.max(8, npFloor))
+      })
+      Curation.semanticDeconResidualCheck(corpus, bench, 0.45,
+        modelOpt = Some(model), nprobe = np)
     }),
     // label propagation with the kNN stage routed through the cross
     // dispatcher — natural choice at this n is the banded recall-1.0
