@@ -64,6 +64,32 @@ object ScaleProbe {
     // dir) must be probe-able without the other tables existing
     lazy val emb = graft.util.Tables.embeddings(spark, dir)
     lazy val n = emb.count()
+    // DENSIFY ids distributedly: clusteredCorpus blobs by contiguous
+    // vec_id RANGES, and GenScale's big-factor layouts (replica
+    // strides + the twin offset) leave the id space so sparse that the
+    // range cut collapses — so probe corpora re-rank ids 0..n-1 first.
+    // A global row_number window moves ALL data to ONE task (Spark's
+    // own WindowExec warning) — measured stuck >40 min sorting the 5 GB
+    // factor-10000 corpus in one partition. Range-partition on vec_id,
+    // sort within partitions, zipWithIndex: globally ordered dense
+    // ranks with every stage distributed (zipWithIndex's indices
+    // follow partition order, which the range exchange makes the
+    // global vec_id order).
+    def denseIds(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{LongType, StructType, StructField, ArrayType, FloatType}
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val sorted = e.select(col("vec_id"), col("embedding"))
+        .repartitionByRange(parts, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false))))
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          Row(i, r.getSeq[Float](1))
+        }, schema)
+    }
     if (Seq("lsh", "dispatch", "planted", "ivf").exists(sections))
       println(s"""{"probe":"corpus","dir":"$dir","vectors":$n,"threshold":$threshold}""")
 
@@ -155,10 +181,7 @@ object ScaleProbe {
       // degenerate "clustered" corpus that benchmarks nothing. The
       // gate corpora have dense 0..n-1 ids, so this matches their
       // construction. (One global row_number window — probe-only cost.)
-      val dense = emb.select(
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("vec_id"))) - 1).cast("long").as("vec_id"),
-        col("embedding"))
+      val dense = denseIds(emb)
       val cemb = graft.operators.Dedup.materialize(
         Similarity.clusteredCorpus(dense))
       val (nl, np) = Similarity.scaledIvfConfig(n)
@@ -282,10 +305,7 @@ object ScaleProbe {
       // and check against it; prints the same row shape as ivf_rproj
       // plus the train/index/calibrate cost split.
       import graft.operators.Pca
-      val dense = emb.select(
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("vec_id"))) - 1).cast("long").as("vec_id"),
-        col("embedding"))
+      val dense = denseIds(emb)
       val cemb = graft.operators.Dedup.materialize(
         Similarity.clusteredCorpus(dense))
       val (nl, np) = Similarity.scaledIvfConfig(n)
@@ -339,10 +359,7 @@ object ScaleProbe {
       // (candidates too narrow — recall rises with nprobe) from
       // RANKING loss (recall flat in nprobe)
       import graft.operators.Pca
-      val dense = emb.select(
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("vec_id"))) - 1).cast("long").as("vec_id"),
-        col("embedding"))
+      val dense = denseIds(emb)
       val cemb = graft.operators.Dedup.materialize(
         Similarity.clusteredCorpus(dense))
       val (nl, np0) = Similarity.scaledIvfConfig(n)
