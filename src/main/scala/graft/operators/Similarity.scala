@@ -455,6 +455,33 @@ object Similarity {
     */
   private[operators] def probeCellsOf(emb: Array[Float], cents: Cents,
                                       nprobe: Int): Array[Int] = {
+    // nprobe = 1 is the ASSIGNMENT path every corpus-sized pass runs
+    // (moment/index/training kernels) — a bare argmin loop, zero
+    // allocation. The general path below builds and sorts an
+    // nlist-entry boxed tuple array PER ROW, which at the scaled
+    // geometry (nlist ≈ √n = 4.5k at n = 2e7) turned the 2e7 moment
+    // pass allocation-bound — thread dumps showed the sort, not the
+    // MACs, on top (r15). Tiebreak matches the sort order exactly:
+    // ascending (score, cid).
+    if (nprobe == 1) {
+      var bestScore = Double.MaxValue
+      var bestCid = Int.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val c = cents(ci)
+        val v = c._2
+        val m = math.min(emb.length, v.length)
+        var acc = 0.0
+        var i = 0
+        while (i < m) { acc += emb(i).toDouble * v(i).toDouble; i += 1 }
+        val s = -acc / c._3
+        if (s < bestScore || (s == bestScore && c._1 < bestCid)) {
+          bestScore = s; bestCid = c._1
+        }
+        ci += 1
+      }
+      return Array(bestCid)
+    }
     val scored = new Array[(Double, Int)](cents.length)
     var ci = 0
     while (ci < cents.length) {
