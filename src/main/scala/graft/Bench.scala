@@ -32,26 +32,49 @@ object Bench {
     selected.headOption.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    // ── null-gate throughput reference (r14 VERDICT task 1b) ──────────
+    // ── null-gate throughput reference (r14 task 1b; reworked r16) ────
     // The r14 drift boards flagged same-code gates at up to 11× CPU
-    // because the whole BOX degraded through the session (three
-    // same-code boards spanned 1085→1771 total CPU-s); per-gate bands
-    // alone cannot distinguish "this gate regressed" from "everything
-    // on this board is slow". The null gate is a fixed synthetic
-    // workload (codegen'd hash + aggregate over a constant range — no
-    // I/O, no state, byte-identical every round) timed min-of-3 on the
-    // SAME board; bands store its reference CPU under "__null__", and
-    // every gate's measured CPU normalizes by bandNull/measuredNull
-    // before band comparison — a uniformly-slow board scales back to
-    // its band instead of flagging half the ledger.
-    val nullCpu = (1 to 3).map { _ =>
+    // because the whole BOX degraded through the session; per-gate
+    // bands alone cannot distinguish "this gate regressed" from
+    // "everything on this board is slow". The null gate is a fixed
+    // synthetic workload (codegen'd hash + aggregate over a constant
+    // range — no I/O, no state, byte-identical every round) timed on
+    // the SAME board; bands store its reference CPU under "__null__".
+    //
+    // r16 rework (r15 VERDICT finding 1): the r15 board measured ONE
+    // null up front, min-of-3 — a ~1 s burst that happened to land in
+    // an uncontended instant while the 32-way gates ran a contended
+    // stretch, so normalization scaled gate CPUs UP by 1.66× and
+    // flagged 51/233 same-code gates (the same-day quiet-box ledger
+    // disproved every one). Two structural fixes:
+    //  1. INTERLEAVED nulls — re-measure the 32-partition null every
+    //     NULL_EVERY gates, and normalize each gate by the MAX of its
+    //     window's bounding nulls (the most-contended local estimate),
+    //     so the reference samples the same contention the gate ran
+    //     under instead of one lucky instant (~15 extra ~1 s bursts on
+    //     a ~280 s board).
+    //  2. ONE-SIDED scaling — the null may only DISCOUNT a slow box
+    //     (scale = min(1, bandNull/windowNull)); scaling measurements
+    //     UP off a fast null is exactly the observed failure mode, and
+    //     a genuinely fast box needs no help: its gates measure at or
+    //     under band on their own.
+    def measureNull(parts: Int, rows: Long): Double = {
       val c0 = osBean.getProcessCpuTime
       // bit_xor, not sum: summing 64M hashes overflows Long under the
       // ANSI default; xor is overflow-free and equally codegen'd
-      spark.range(0L, 64L * 1000 * 1000, 1L, numPartitions = 32)
+      spark.range(0L, rows, 1L, numPartitions = parts)
         .selectExpr("bit_xor(xxhash64(id)) AS h").collect()
       (osBean.getProcessCpuTime - c0) / 1e9
-    }.min
+    }
+    val nullEvery = 16
+    // a SERIAL null alongside the parallel one: the two contention
+    // classes (one core vs all cores) degrade differently under
+    // co-resident load — reported in the JSON so a reader can tell a
+    // single-thread slowdown from a box-wide one (diagnostic only; all
+    // gates normalize by the parallel null, their own class)
+    val nullSerial = (1 to 2).map(_ => measureNull(1, 4L * 1000 * 1000)).min
+    val nullWindows = scala.collection.mutable.ArrayBuffer(
+      measureNull(32, 64L * 1000 * 1000))
     // each query runs TWICE and reports the min: single-shot timings on
     // a shared sandbox vary 2-4× with CPU contention/GC (round 4's
     // driver file showed 17× phantom regressions on untouched queries),
@@ -63,7 +86,7 @@ object Bench {
     // board lines had been cost-WITHOUT-answer for two rounds because
     // this catch was silent
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
       val runs = (1 to 2).map { _ =>
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
@@ -71,13 +94,20 @@ object Bench {
         catch { case _: Throwable => errors += name }
         ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
       }
+      if ((qi + 1) % nullEvery == 0)
+        nullWindows += measureNull(32, 64L * 1000 * 1000)
       // cpu is reported for the SAME run the wall time comes from
-      (name, runs.minBy(_._1))
+      (name, runs.minBy(_._1), qi / nullEvery)
     }
+    // close the final window so every gate has a null on both sides
+    if (selected.size % nullEvery != 0)
+      nullWindows += measureNull(32, 64L * 1000 * 1000)
+    // the board's best throughput estimate — what a band reseed records
+    val nullCpu = nullWindows.min
     def fmt(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + fmt(w) }
+    val qs = results.map { case (k, (w, _), _) => s"\"" + k + "\":" + fmt(w) }
       .mkString("{", ",", "}")
-    val cpu = results.map { case (k, (_, c)) => s"\"" + k + "\":" + fmt(c) }
+    val cpu = results.map { case (k, (_, c), _) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalCpu = results.map(_._2._2).sum
@@ -114,25 +144,35 @@ object Bench {
             case (k, JDecimal(v)) => k -> v.toDouble
           }.toMap
       }
-    // normalize by the null gate when both boards measured it: a gate
-    // is flagged only when its CPU moved past 1.5× its band AFTER
-    // discounting the box-wide throughput shift the null gate measured
-    val nullScale = bands.get("__null__")
-      .filter(_ > 0).map(_ / math.max(nullCpu, 1e-9)).getOrElse(1.0)
-    val flagged = results.flatMap { case (name, (_, c)) =>
+    // normalize by the gate's WINDOW null when both boards measured
+    // one: a gate is flagged only when its CPU moved past 1.5× its
+    // band AFTER discounting the contention its own window measured —
+    // and the discount is ONE-SIDED (capped at 1.0): the null may
+    // excuse a slow box, never amplify a fast instant into phantom
+    // flags (the r15 51/233 failure)
+    val bandNull = bands.get("__null__").filter(_ > 0)
+    def windowScale(w: Int): Double = {
+      val local = math.max(nullWindows(w),
+        nullWindows(math.min(w + 1, nullWindows.length - 1)))
+      bandNull.map(b => math.min(1.0, b / math.max(local, 1e-9))).getOrElse(1.0)
+    }
+    val flagged = results.flatMap { case (name, (_, c), w) =>
       bands.get(name).collect {
-        case band if c * nullScale > band * 1.5 && c * nullScale - band > 1.5 =>
-          (name, band, c)
+        case band if c * windowScale(w) > band * 1.5 &&
+            c * windowScale(w) - band > 1.5 =>
+          (name, band, c, windowScale(w))
       }
     }
     def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val flaggedJson = flagged.map { case (n, b, c) =>
-      s"\"" + n + s"\":{\"band\":${f2(b)},\"cpu\":${f2(c)}}"
+    val flaggedJson = flagged.map { case (n, b, c, s) =>
+      s"\"" + n + s"\":{\"band\":${f2(b)},\"cpu\":${f2(c)},\"scale\":${f2(s)}}"
     }.mkString("{", ",", "}")
+    val windowsJson = nullWindows.map(f2).mkString("[", ",", "]")
     val driftJson = s"""{"band_file":"bench_bands.json",""" +
       s""""bands_known":${bands.size},"cpu_flagged":$flaggedJson,""" +
       s""""n_flagged":${flagged.size},"null_cpu":${f2(nullCpu)},""" +
-      s""""null_scale":${f2(nullScale)}}"""
+      s""""null_serial":${f2(nullSerial)},""" +
+      s""""null_windows":$windowsJson}"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"queries_cpu_sec":$cpu,"total_cpu_sec":${fmt(totalCpu)},""" +
       s""""errors":$errJson,"drift":$driftJson,"cpus":$cpus,"sf":"$sfDir"}"""
@@ -153,7 +193,7 @@ object Bench {
       "cur_shuffle", "cur_pipeline", "mm_image_decode",
       "q_merge_upsert", "q_merge_read_range", "stream_apply_changes",
       "cur_semantic_prototypes")
-    val resMap = results.toMap
+    val resMap = results.map { case (k, wc, _) => k -> wc }.toMap
     // each headline query carries {w: wall sec, c: process-cpu sec} so a
     // reader can split latency from load (wall ≫ cpu/cores = stage
     // latency or contention, not compute) without opening BENCH_SELF

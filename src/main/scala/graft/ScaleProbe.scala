@@ -267,7 +267,7 @@ object ScaleProbe {
       // two measured budgets above (annDispatchFrom — no re-ladder).
       // The verdict task: the residual arm must be the ENGINE's
       // choice, not the caller's, wherever the measurements favor it.
-      val disp = Pca.annDispatchFrom(gbudget, rbudget, nl)
+      val disp = Pca.annDispatchFrom(gbudget, rbudget, nl, n)
       println(s"""{"probe":"ann_dispatch","n":$n,"nlist":$nl,"arm":"${if (disp.residual) "residual" else "global"}","global_nprobe":$gnp,"global_ok":${gbudget.ok},"residual_nprobe":$rnp,"residual_ok":${rbudget.ok}}""")
 
       // r15: CROSS-SET serving at the residual geometry (the
@@ -373,6 +373,36 @@ object ScaleProbe {
             modelOpt = Some(rmodel)).head())
         println(s"""{"probe":"ivfsweep","n":$n,"nlist":$nl,"nprobe":$np,"recall_ok":${row.getBoolean(0)},"cosines_exact":${row.getBoolean(1)}}""")
       }
+    }
+
+    if (sections("dwidth")) {
+      // r15 VERDICT task 4: embedding width as a MEASURED axis — the
+      // d = 64 corpus widened 4× by cosine-preserving diagonal ±1
+      // copies (every pairwise cosine identical by construction, so
+      // any recall movement is the width itself, not a new geometry).
+      // Prints the residual family's fit/calibrate/check costs and the
+      // dispatcher's derived-d cost split at d = 256.
+      import graft.operators.Pca
+      val dense = denseIds(emb)
+      val wide = graft.operators.Dedup.materialize(
+        Similarity.clusteredCorpus(dense).withColumn("embedding",
+          concat((0 until 4).map(j =>
+            transform(col("embedding"), (x, i) =>
+              when(pmod(i + lit(j), lit(3)) === 0, -x).otherwise(x))): _*)))
+      val (nl, np) = Similarity.scaledIvfConfig(n)
+      val iters = Similarity.scaledIvfIters(nl)
+      val rmodel = timed(s"dwidth_fit_${nl}x$iters")(
+        Pca.fitIvfResidual(wide, kDims = 16, nlist = nl,
+          coarseIters = iters))
+      val budget = timed("dwidth_calibrate")(
+        Pca.calibrateResidualBudget(wide, rmodel, floor = math.max(8, np)))
+      val row = timed("dwidth_check")(
+        Pca.ivfResidualCheck(wide, nprobe = budget.nprobe,
+          modelOpt = Some(rmodel)).head())
+      println(s"""{"probe":"dwidth","n":$n,"d":${rmodel.d},"nlist":$nl,"nprobe":${budget.nprobe},"budget_ok":${budget.ok},"recall_ok":${row.getBoolean(0)},"cosines_exact":${row.getBoolean(1)}}""")
+      val cd = Pca.crossDispatch(wide, nQueries = 32L,
+        rmodelOpt = Some(rmodel), budgetOpt = Some(budget))
+      println(s"""{"probe":"dwidth_dispatch","n":$n,"d":${rmodel.d},"cost_banded":${cd.analyticBanded},"cost_residual":${cd.analyticResidual},"arm":"${if (cd.residual) "residual" else "banded"}"}""")
     }
 
     if (sections("alerts")) {

@@ -931,16 +931,19 @@ object SparkEntry {
   private def rprojNprobeMemo(key: String, calibrate: => Int): Int =
     rprojNprobeMemoMap.computeIfAbsent(key, _ => Int.box(calibrate)).intValue()
 
-  /** Per-(JVM, sfDir) memo of the `sim_topk_auto` gate's measured
-    * two-arm dispatch — both calibration ladders are training-class
-    * work (amortized like the model fits they ride on), so the gate
-    * times the dispatched SEARCH, not the decision.
+  /** Per-(JVM, sfDir) memo of the `sim_topk_auto` gate's PERSISTED
+    * two-arm dispatch store (r15 VERDICT task 3) — both calibration
+    * ladders are training-class work, calibrated ONCE into a
+    * manifest-ledgered store; every gate invocation then serves from
+    * the STORED decision (three tiny reads, no corpus scan, no
+    * re-calibration — the fresh-session serve-many shape), so the gate
+    * times store-read dispatch + the dispatched search.
     */
-  private val annDispatchMemoMap =
-    new java.util.concurrent.ConcurrentHashMap[String, Pca.AnnDispatch]()
-  private def annDispatchMemo(key: String,
-                              decide: => Pca.AnnDispatch): Pca.AnnDispatch =
-    annDispatchMemoMap.computeIfAbsent(key, _ => decide)
+  private val annDispatchStoreMemoMap =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annDispatchStoreMemo(key: String,
+                                   build: => String): String =
+    annDispatchStoreMemoMap.computeIfAbsent(key, _ => build)
 
   /** The `cur_semantic_prototypes` gate's trained centroids, per
     * (JVM, sfDir) — 16 cells × 2 Lloyd rounds over the whole
@@ -2896,9 +2899,16 @@ object SparkEntry {
           nlist = nl, iters = 3))
       val rmodel = ivfResidualMemo(s"$dir#rproj16",
         Pca.fitIvfResidual(emb, kDims = 16))
-      val disp = annDispatchMemo(s"$dir#ann-auto",
-        Pca.annDispatch(emb, model, cents, rmodel,
-          floor = math.max(8, npRaw)))
+      val store = annDispatchStoreMemo(s"$dir#ann-auto-store", {
+        val p = tempIndexDir("graft-ann-dispatch")
+        Pca.buildAnnDispatchStore(emb, p, model, cents, rmodel,
+          floor = math.max(8, npRaw))
+        p
+      })
+      // the serving path reads the decision FROM THE STORE on every
+      // invocation (r15 VERDICT task 3): a fresh session pays three
+      // tiny manifest reads, never the two calibration ladders
+      val disp = Pca.annDispatchFromStore(s, store)
       Pca.annAutoCheck(emb, model, cents, rmodel, dispatchOpt = Some(disp))
     }),
     // cross-set kNN at the RESIDUAL geometry (r14 VERDICT task 4): the

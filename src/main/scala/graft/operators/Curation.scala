@@ -818,10 +818,18 @@ object Curation {
     * against the exact kill set on the forced branch. `force` pins an
     * arm so both branches verify against one oracle (the
     * [[Similarity.similarPairsAuto]] convention).
+    *
+    * `bar` defaults to 1.0: decontamination is leakage-sensitive, and
+    * the residual arm only guarantees kill recall >= bar — a sub-1.0
+    * default would let a cost heuristic silently downgrade the decon
+    * contract by corpus size (r15 ADVICE finding 3: an auto-dispatched
+    * large-corpus caller could retain up to 10% of truly contaminated
+    * docs where the explicit banded path was recall-1.0). Sub-1.0 kill
+    * recall is an explicit caller opt-in, never the engine's choice.
     */
   def semanticDecontaminateAuto(docs: DataFrame, corpusVecs: DataFrame,
                                 benchVecs: DataFrame, threshold: Double,
-                                kDims: Int = 16, bar: Double = 0.9,
+                                kDims: Int = 16, bar: Double = 1.0,
                                 dim: Int = 64,
                                 dispatchOpt: Option[Pca.CrossDispatch] = None,
                                 force: Option[Boolean] = None): DataFrame = {
@@ -831,7 +839,7 @@ object Curation {
           Pca.CrossDispatch(residual = false, 0, 0d, 0d, None, None)
         case Some(true) =>
           val cd = Pca.crossDispatch(corpusVecs, benchVecs.count(),
-            bar = bar, kDims = kDims)
+            bar = bar, kDims = kDims, threshold = threshold)
           if (cd.rmodel.isDefined) cd.copy(residual = true)
           else {
             val n = corpusVecs.count()
@@ -841,7 +849,7 @@ object Curation {
           }
         case None =>
           Pca.crossDispatch(corpusVecs, benchVecs.count(), bar = bar,
-            kDims = kDims)
+            kDims = kDims, threshold = threshold)
       }
     }
     if (sys.env.contains("GRAFT_PROBE"))
@@ -862,10 +870,15 @@ object Curation {
         .select(col("id_a").as("doc_id")).distinct()
       docs.join(dirty, Seq("doc_id"), "left_anti")
     } else {
-      val (planes, bands) =
-        Similarity.scaledLshConfig(corpusVecs.count(), targetOccupancy = 64)
+      // serve the geometry the dispatcher priced: the occupancy-scaled
+      // WIDE arm at the analytic recall bar (same r as the legacy
+      // scaled config — shared-prefix hyperplanes make its candidates a
+      // superset of the r15 geometry's, so recall only moves up)
+      val (planes, bands, mp) = Similarity.scaledLshConfigWideArm(
+        corpusVecs.count(), threshold,
+        recallBar = Pca.crossBandRecallBar)
       semanticDecontaminate(docs, corpusVecs, benchVecs, threshold,
-        numPlanes = planes, bands = bands, dim = dim, multiProbe = true)
+        numPlanes = planes, bands = bands, dim = dim, multiProbe = mp)
     }
   }
 

@@ -611,10 +611,10 @@ object Pca {
     */
   /** Per-task accumulator budget for [[residualMoments]]: in the worst
     * case every cell is touched by every task, so a task can hold up
-    * to `nlist · (1 + d + d²) · 8` bytes of moment partials —
+    * to `nlist · (1 + d + d(d+1)/2) · 8` bytes of moment partials —
     * QUADRATIC in the embedding width. At the probed geometries
-    * (d = 64, nlist ≈ √n up to ~4.5k at n = 2e7) that is ≤ ~150 MB;
-    * at d = 768 the same nlist would need ~10 GB per task and the
+    * (d = 64, nlist ≈ √n up to ~4.5k at n = 2e7) that is ≤ ~75 MB;
+    * at d = 768 the same nlist would need ~10.6 GB per task and the
     * driver collect several more — a silent OOM class. The guard
     * REFUSES past the budget with the arithmetic in the message, so a
     * wide-embedding deployment learns the bound at plan time (the
@@ -622,6 +622,24 @@ object Pca {
     * budget on executors actually sized for it).
     */
   private[operators] var maxMomentTaskBytes: Long = 2L * 1024 * 1024 * 1024
+
+  // ── packed upper-triangular second-moment layout (r16) ──────────────
+  // Σ r⊗r is symmetric, so only the upper triangle is accumulated and
+  // shipped: a moment array is [count | Σr (d) | packed Σr⊗r
+  // (d(d+1)/2)], total 1 + d + d(d+1)/2 doubles — HALF the r15 full-d²
+  // layout's footprint in task memory, shuffle payload (the per-cell
+  // partials are exchanged cell-keyed), store bytes, and driver
+  // collect. The flop count was already triangular (the accumulation
+  // loop only ever wrote j >= i); the layout now matches it.
+  /** Packed index of (i, j), j >= i: row i's entries are contiguous. */
+  @inline private def utIdx(d: Int, i: Int, j: Int): Int =
+    i * d - (i * (i - 1)) / 2 + (j - i)
+  private def utLen(d: Int): Int = d * (d + 1) / 2
+  /** Width from a packed array length 1 + d + d(d+1)/2 — the positive
+    * root of d² + 3d − 2(len − 1) = 0.
+    */
+  private def utWidth(len: Int): Int =
+    ((math.sqrt(9.0 + 8.0 * (len - 1)) - 3.0) / 2.0).round.toInt
 
   private def residualMoments(emb: DataFrame, cents: Similarity.Cents,
                               vecCol: String): Array[(Int, Array[Double])] = {
@@ -653,17 +671,17 @@ object Pca {
         it.foreach { v =>
           if (d == 0) {
             d = v.length
-            val need = cs.length.toLong * (1L + d + d.toLong * d) * 8L
+            val need = cs.length.toLong * (1L + d + d.toLong * (d + 1) / 2) * 8L
             require(need <= momentBudget,
               s"residualMoments: worst-case per-task accumulator " +
-                s"nlist=${cs.length} x (1+$d+$d^2) x 8B = $need bytes " +
+                s"nlist=${cs.length} x (1+$d+$d($d+1)/2) x 8B = $need bytes " +
                 s"exceeds the $momentBudget-byte budget (quadratic in " +
                 "embedding width) — reduce nlist, PCA-project first, or " +
                 "raise Pca.maxMomentTaskBytes on executors sized for it")
           }
           require(v.length == d, s"ragged embedding width: ${v.length} vs $d")
           val cell = cellOfKernel(v, cs)
-          val a = acc.getOrElseUpdate(cell, new Array[Double](1 + d + d * d))
+          val a = acc.getOrElseUpdate(cell, new Array[Double](1 + d + utLen(d)))
           val nrm0 = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
           val nrm = if (nrm0 == 0.0) 1.0 else nrm0
           val dir = ds(cell)
@@ -674,8 +692,11 @@ object Pca {
           i = 0
           while (i < d) {
             a(1 + i) += r(i)
+            val ri = r(i)
+            // row i of the packed upper triangle is contiguous
+            var idx = 1 + d + utIdx(d, i, i)
             var j = i
-            while (j < d) { a(1 + d + i * d + j) += r(i) * r(j); j += 1 }
+            while (j < d) { a(idx) += ri * r(j); idx += 1; j += 1 }
             i += 1
           }
         }
@@ -703,15 +724,13 @@ object Pca {
                                 kDims: Int): IvfResidualModel = {
     require(combined.nonEmpty, "cannot fit residual axes on an empty table")
     val dirs = cents.sortBy(_._1).map(centDir)
-    val d = math.sqrt((combined.head._2.length - 1).toDouble).toInt match {
-      case s if 1 + s + s * s == combined.head._2.length => s
-      case _ =>
-        // length = 1 + d + d²  ⇒  d from the positive quadratic root
-        ((math.sqrt(4.0 * (combined.head._2.length - 1) + 1) - 1) / 2).toInt
-    }
+    val d = utWidth(combined.head._2.length)
+    require(1 + d + utLen(d) == combined.head._2.length,
+      s"moment array length ${combined.head._2.length} is not a packed " +
+        s"upper-triangular layout (derived d=$d)")
     require(kDims >= 1 && kDims <= d, s"kDims must be in [1, $d]")
     // global residual moments: the starved-cell fallback axes
-    val global = new Array[Double](1 + d + d * d)
+    val global = new Array[Double](1 + d + utLen(d))
     combined.foreach { case (_, a) =>
       var i = 0
       while (i < global.length) { global(i) += a(i); i += 1 }
@@ -721,7 +740,7 @@ object Pca {
       val mu = Array.tabulate(d)(i => a(1 + i) / cn)
       val cov = Array.ofDim[Double](d, d)
       for (i <- 0 until d; j <- i until d) {
-        val c = a(1 + d + i * d + j) / cn - mu(i) * mu(j)
+        val c = a(1 + d + utIdx(d, i, j)) / cn - mu(i) * mu(j)
         cov(i)(j) = c; cov(j)(i) = c
       }
       val (values, vectors) = jacobiEigen(cov)
@@ -1069,7 +1088,11 @@ object Pca {
     val spark = emb.sparkSession
     val spreadQ = emb.filter(pmod(col("vec_id"), lit(101)) === 13)
       .orderBy("vec_id").limit(32)
-    val queries = if (spreadQ.isEmpty) emb.filter(col("vec_id") < 5)
+    // fallback (no residue-13 ids — tiny fixtures): hash-ordered slice,
+    // spread over the id space like the residue sample, not the
+    // r14-retired consecutive-low-id blob fringe
+    val queries = if (spreadQ.isEmpty)
+                    emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(32)
                   else spreadQ
     val n = emb.count()
     val model = modelOpt.getOrElse(fitIvfResidual(emb, kDims))
@@ -1178,16 +1201,25 @@ object Pca {
     * comparable price; ties prefer the global arm (one d×d
     * eigenproblem and reduced-space cell scoring vs nlist of each).
     */
+  /** `n` is the corpus count the dispatch was calibrated on (−1 when
+    * the caller never measured it): serving paths need n only for
+    * [[probedMassMult]], so carrying it here makes a dispatch-supplied
+    * [[annTopKAuto]] call scan-free — the serve-many shape (r15
+    * VERDICT: a full `emb.count()` per serving call is a corpus scan
+    * the declared serving entry point must not pay).
+    */
   case class AnnDispatch(residual: Boolean, nlist: Int,
                          global: CalibratedBudget,
-                         resid: CalibratedBudget)
+                         resid: CalibratedBudget,
+                         n: Long = -1L)
 
   /** The decision alone, from budgets already in hand — the path for
     * probes that measured both ladders themselves and must not pay
-    * them twice.
+    * them twice. Pass the corpus count `n` when known so downstream
+    * serving is scan-free.
     */
   def annDispatchFrom(g: CalibratedBudget, r: CalibratedBudget,
-                      nlist: Int): AnnDispatch = {
+                      nlist: Int, n: Long = -1L): AnnDispatch = {
     val residual =
       if (g.ok != r.ok) r.ok                 // only one arm verified green
       else if (g.ok) r.nprobe < g.nprobe     // both green: cheaper budget
@@ -1197,7 +1229,7 @@ object Pca {
         f"global=${g.nprobe}(ok=${g.ok},rec=${g.recall}%.3f) " +
         f"residual=${r.nprobe}(ok=${r.ok},rec=${r.recall}%.3f) -> " +
         (if (residual) "residual" else "global"))
-    AnnDispatch(residual, nlist, g, r)
+    AnnDispatch(residual, nlist, g, r, n)
   }
 
   def annDispatch(emb: DataFrame, model: PcaModel,
@@ -1209,7 +1241,10 @@ object Pca {
         sample, floor),
       calibrateResidualBudget(emb, rmodel, k, bar, epsTies, mult,
         sample, floor),
-      rmodel.nlist)
+      rmodel.nlist,
+      // the calibration above already scanned the corpus; one count
+      // here makes every dispatch-supplied serving call scan-free
+      emb.count())
 
   /** Top-k ANN serving through whichever ranking arm [[annDispatch]]
     * measured cheaper at the recall bar. The dispatch (like the two
@@ -1221,8 +1256,11 @@ object Pca {
                   cents: Similarity.Cents, rmodel: IvfResidualModel,
                   k: Int = 10, mult: Int = 8,
                   dispatchOpt: Option[AnnDispatch] = None): DataFrame = {
-    val n = emb.count()
     val d = dispatchOpt.getOrElse(annDispatch(emb, model, cents, rmodel, k))
+    // n comes from the dispatch when it carries one — a supplied
+    // dispatch makes serving scan-free (r15 VERDICT finding 2); only a
+    // legacy dispatch without a count pays the corpus scan here
+    val n = if (d.n >= 0L) d.n else emb.count()
     if (d.residual)
       ivfResidualTopK(emb, queries, rmodel, k, d.resid.nprobe,
         probedMassMult(n, rmodel.nlist, d.resid.nprobe, k, mult) * k)
@@ -1249,7 +1287,11 @@ object Pca {
     val spark = emb.sparkSession
     val spreadQ = emb.filter(pmod(col("vec_id"), lit(101)) === 13)
       .orderBy("vec_id").limit(32)
-    val queries = if (spreadQ.isEmpty) emb.filter(col("vec_id") < 5)
+    // fallback (no residue-13 ids — tiny fixtures): hash-ordered slice,
+    // spread over the id space like the residue sample, not the
+    // r14-retired consecutive-low-id blob fringe (r15 VERDICT finding 4)
+    val queries = if (spreadQ.isEmpty)
+                    emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(32)
                   else spreadQ
     val approx = annTopKAuto(emb, queries, model, cents, rmodel, k, mult,
       dispatchOpt)
@@ -1300,14 +1342,33 @@ object Pca {
                            rmodel: Option[IvfResidualModel],
                            resid: Option[CalibratedBudget])
 
+  /** Analytic recall bar the AUTO cross-set banded arm is served (and
+    * priced) at — the [[Similarity.scaledLshConfigWideArm]] escalation
+    * target. 0.99999 is the `sim_pairs_auto_banded` convention: at the
+    * gate corpora it resolves to geometries whose recall the exact
+    * oracles re-derive as 1.0 on every driver run, and at scale the
+    * expected-miss arithmetic stays below one pair per ~1e5 borderline
+    * pairs.
+    */
+  private[graft] val crossBandRecallBar = 0.99999
+
   def crossDispatch(corpus: DataFrame, nQueries: Long, k: Int = 10,
                     bar: Double = 0.9, kDims: Int = 16,
+                    threshold: Double = 0.4,
                     rmodelOpt: Option[IvfResidualModel] = None,
                     budgetOpt: Option[CalibratedBudget] = None): CrossDispatch = {
     val n = corpus.count()
     val (nlist, npFloor) = Similarity.scaledIvfConfig(n)
-    val (planes, _) = Similarity.scaledLshConfig(n)
-    val d = 64 // embedding width enters both sides only via constants
+    // price the geometry the banded branch actually SERVES (the wide
+    // recall-escalated arm at the caller's threshold) — r15 ADVICE: a
+    // dispatcher that prices one geometry and serves another compares
+    // nothing
+    val (planes, _, _) = Similarity.scaledLshConfigWideArm(n, threshold,
+      recallBar = crossBandRecallBar)
+    // embedding width from one corpus row — d enters the assignment
+    // term linearly, and the d = 64 constant this replaces (r15 VERDICT
+    // finding 3) mispriced it 12x at d = 768
+    val d = corpus.select(col("embedding")).head.getSeq[Float](0).length
     // stage 1: analytic costs at the SCALED geometries — the residual
     // side priced at the analytic probe floor (its calibrated budget
     // can only be larger, so a stage-1 banded win is safe without
@@ -1320,14 +1381,19 @@ object Pca {
         None, None)
     // stage 2: the residual arm must hold the caller's bar at a
     // MEASURED budget (fit + calibration are training-class, amortized
-    // via rmodelOpt/budgetOpt on repeated serving)
+    // via rmodelOpt/budgetOpt on repeated serving) — and the cost
+    // inequality RE-EVALUATES at the calibrated nprobe, keeping the
+    // per-query assignment term, so a budget that ballooned past the
+    // analytic floor cannot ride the stage-1 comparison into a
+    // dispatch the banded arm now wins (r15 ADVICE finding 1)
     val rmodel = rmodelOpt.getOrElse(fitIvfResidual(corpus, kDims, nlist))
     val budget = budgetOpt.getOrElse(
       calibrateResidualBudget(corpus, rmodel, k, bar,
         floor = math.max(8, npFloor)))
-    CrossDispatch(budget.ok, nlist, costBanded,
-      nQueries.toDouble * budget.nprobe * (n.toDouble / nlist) * kDims,
-      Some(rmodel), Some(budget))
+    val costCalibrated = nQueries.toDouble * budget.nprobe *
+      (n.toDouble / nlist) * kDims + nQueries.toDouble * nlist * d
+    CrossDispatch(budget.ok && costCalibrated < costBanded, nlist,
+      costBanded, costCalibrated, Some(rmodel), Some(budget))
   }
 
   /** MEASURED probe-budget calibration for THRESHOLD-match coverage —
@@ -1378,8 +1444,13 @@ object Pca {
       corpus.select(col("vec_id"), col("embedding"),
         VectorFunctions.norm(col("embedding")).as("c_nrm")),
       cents, "cell")
-    val counts = assigned.join(broadcast(q),
-        col("query_id") =!= col("vec_id"))
+    // count the SAME population the serving path must cover: the two
+    // sides are distinct tables (the ivfResidualTopKCross contract), so
+    // a query_id == vec_id row is a real partner residualThresholdCross
+    // emits and the gate oracle counts — excluding it (the r15 shape)
+    // undercounted exactly the same-id near-duplicate partners on
+    // overlapping id spaces (r15 ADVICE finding 4)
+    val counts = assigned.join(broadcast(q), lit(true))
       .filter(round(VectorFunctions.dot(col("q_emb"), col("embedding")) /
         (col("q_nrm") * col("c_nrm")), 6) >= threshold)
       .groupBy(col("query_id"), col("cell"))
@@ -1469,7 +1540,7 @@ object Pca {
       force match {
         case Some(false) => CrossDispatch(residual = false, 0, 0d, 0d, None, None)
         case Some(true) =>
-          crossDispatch(right, left.count(), k, bar, kDims) match {
+          crossDispatch(right, left.count(), k, bar, kDims, threshold) match {
             case cd if cd.rmodel.isDefined => cd.copy(residual = true)
             case cd =>
               val n = right.count()
@@ -1479,7 +1550,7 @@ object Pca {
                 resid = Some(calibrateResidualBudget(right, rm, k, bar,
                   floor = math.max(8, npFloor))))
           }
-        case None => crossDispatch(right, left.count(), k, bar, kDims)
+        case None => crossDispatch(right, left.count(), k, bar, kDims, threshold)
       }
     }
     if (sys.env.contains("GRAFT_PROBE"))
@@ -1493,8 +1564,21 @@ object Pca {
       val np = d.resid.get.nprobe
       ivfResidualTopKCross(right, left, rm, k, np,
         probedMassMult(n, rm.nlist, np, k, mult) * k, threshold)
-    } else
-      Similarity.knnJoinCross(left, right, threshold, k)
+    } else {
+      // serve the banded arm at the geometry the dispatcher PRICED —
+      // the occupancy-scaled wide arm at the analytic recall bar, not
+      // the fixed 32x16 default (r15 ADVICE finding 2: the default's
+      // 2-bit bands put ~n/4 rows per bucket at large n, a
+      // near-quadratic candidate stream nothing in the cost model
+      // represents); hyperplane width from one corpus row, like the
+      // dispatcher's assignment term
+      val n = right.count()
+      val (planes, bands, mp) = Similarity.scaledLshConfigWideArm(n,
+        threshold, recallBar = crossBandRecallBar)
+      val dim = right.select(col("embedding")).head.getSeq[Float](0).length
+      Similarity.knnJoinCross(left, right, threshold, k, planes, bands,
+        dim, multiProbe = mp)
+    }
   }
   //
   // The residual model's sufficient statistics are per-cell moment
@@ -1659,7 +1743,7 @@ object Pca {
     val d = model.d
     // fresh per-cell covariances (starved cells: the global fallback)
     val starvedFloor = math.max(2 * kDims, 8)
-    val global = new Array[Double](1 + d + d * d)
+    val global = new Array[Double](1 + d + utLen(d))
     fresh.foreach { case (_, a) =>
       var i = 0
       while (i < global.length) { global(i) += a(i); i += 1 }
@@ -1669,7 +1753,7 @@ object Pca {
       val mu = Array.tabulate(d)(i => a(1 + i) / cn)
       val cov = Array.ofDim[Double](d, d)
       for (i <- 0 until d; j <- i until d) {
-        val c = a(1 + d + i * d + j) / cn - mu(i) * mu(j)
+        val c = a(1 + d + utIdx(d, i, j)) / cn - mu(i) * mu(j)
         cov(i)(j) = c; cov(j)(i) = c
       }
       cov
@@ -1697,6 +1781,133 @@ object Pca {
       java.util.List.of(Row(momentsMatch, eigenOk, orthoOk, nShards == expectShards)),
       StructType(Seq("moments_match", "eigen_ok", "orthonormal_ok", "shards_ok")
         .map(StructField(_, BooleanType, nullable = false))))
+  }
+
+  // ── persisted ANN dispatch (r15 VERDICT task 3) ─────────────────────
+  //
+  // [[annDispatch]] is training-class — two measured calibration
+  // ladders over the corpus (70 s of the 135 s total at n = 2.02M,
+  // BENCH_NOTES r15) — but it was session-lived, so every fresh
+  // serving session re-paid it. The decision store persists BOTH arms'
+  // [[CalibratedBudget]]s, the chosen arm, and the calibration-time
+  // corpus count through [[graft.util.Manifest]] (generation history +
+  // asOf, like every persisted artifact here):
+  //
+  //   <path>/decision/ one row — the measured verdict
+  //   <path>/extents/  (shard_id, n_delta) — one row per extend
+  //   <path>/_meta/    generation manifests
+  //
+  // Lifecycle semantics (the frozen-quantizer convention of
+  // [[Pq.extendAnnIndex]] / [[Pq.rebalanceAnnIndex]]):
+  //  - EXTEND KEEPS the decision: an append under frozen quantizers
+  //    changes no ranking geometry; only n moves, and n is additive —
+  //    the ledgered extents row carries the delta (a re-delivered
+  //    shard id is a manifest no-op, so n can never double-count), and
+  //    the served dispatch's n is decision.n + Σ extents.
+  //  - REBALANCE RE-CALIBRATES: a retrained cell layout is a new
+  //    ranking, so the stored budgets are stale by construction;
+  //    [[recalibrateAnnDispatchStore]] rewrites decision + extents as
+  //    ONE generation, and `asOf` still serves the previous verdict.
+
+  private def decisionPath(p: String) = s"$p/decision"
+
+  private def writeDecision(spark: SparkSession, dir: String,
+                            d: AnnDispatch,
+                            mode: org.apache.spark.sql.SaveMode): Unit = {
+    import spark.implicits._
+    Seq((d.residual, d.nlist, d.n,
+        d.global.nprobe, d.global.recall, d.global.measured, d.global.ok,
+        d.resid.nprobe, d.resid.recall, d.resid.measured, d.resid.ok))
+      .toDF("residual", "nlist", "n",
+        "g_nprobe", "g_recall", "g_measured", "g_ok",
+        "r_nprobe", "r_recall", "r_measured", "r_ok")
+      .coalesce(1).write.mode(mode).parquet(dir)
+  }
+
+  /** Calibrate both arms on `emb` and persist the measured verdict at
+    * `path` (OVERWRITE build semantics). Returns the decision so the
+    * building session can serve immediately.
+    */
+  def buildAnnDispatchStore(emb: DataFrame, path: String, model: PcaModel,
+                            cents: Similarity.Cents,
+                            rmodel: IvfResidualModel,
+                            k: Int = 10, bar: Double = 0.9,
+                            epsTies: Double = 1e-3, mult: Int = 8,
+                            sample: Int = 32, floor: Int = 8): AnnDispatch = {
+    val spark = emb.sparkSession
+    val d = annDispatch(emb, model, cents, rmodel, k, bar, epsTies, mult,
+      sample, floor)
+    graft.util.Manifest.init(spark, path) {
+      writeDecision(spark, decisionPath(path), d,
+        org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    d
+  }
+
+  /** Record an appended tranche's size — the ONLY dispatch input an
+    * extend moves under frozen quantizers. No calibration runs; the
+    * ledger makes a retried delivery a no-op.
+    */
+  def extendAnnDispatchStore(spark: SparkSession, path: String,
+                             nDelta: Long,
+                             shardId: Option[String] = None): Unit = {
+    import spark.implicits._
+    graft.util.Manifest.extend(spark, path, shardId) {
+      Seq((shardId.getOrElse("_anon"), nDelta)).toDF("shard_id", "n_delta")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/extents")
+    }
+    ()
+  }
+
+  /** Re-measure both arms on the CURRENT corpus and commit the fresh
+    * verdict as one generation (the rebalance analogue): the old
+    * decision and its extents retire together — the new n is the
+    * recalibration corpus's own count.
+    */
+  def recalibrateAnnDispatchStore(emb: DataFrame, path: String,
+                                  model: PcaModel,
+                                  cents: Similarity.Cents,
+                                  rmodel: IvfResidualModel,
+                                  k: Int = 10, bar: Double = 0.9,
+                                  epsTies: Double = 1e-3, mult: Int = 8,
+                                  sample: Int = 32,
+                                  floor: Int = 8): AnnDispatch = {
+    val spark = emb.sparkSession
+    val d = annDispatch(emb, model, cents, rmodel, k, bar, epsTies, mult,
+      sample, floor)
+    val snap = graft.util.Manifest.snapshot(spark, path)
+    val old = snap.files.filter(f =>
+      f.startsWith("decision/") || f.startsWith("extents/")).toSet
+    graft.util.Manifest.rewriteFiles(spark, path, drop = old,
+        baseGen = Some(snap.gen)) { stage =>
+      writeDecision(spark, s"$stage/decision", d,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    d
+  }
+
+  /** Serve the stored decision — three tiny manifest-pinned reads, no
+    * corpus scan, no calibration: the fresh-session path of
+    * [[annTopKAuto]] (pass the result as `dispatchOpt`).
+    */
+  def annDispatchFromStore(spark: SparkSession, path: String,
+                           asOf: Option[Int] = None): AnnDispatch = {
+    val snap = graft.util.Manifest.snapshot(spark, path, asOf)
+    val row = graft.util.Manifest.read(spark, path, "decision", asOf)
+      .collect().head
+    val extents =
+      if (snap.files.exists(_.startsWith("extents/")))
+        graft.util.Manifest.read(spark, path, "extents", asOf)
+          .agg(sum(col("n_delta"))).collect().head.getLong(0)
+      else 0L
+    AnnDispatch(row.getBoolean(0), row.getInt(1),
+      CalibratedBudget(row.getInt(3), row.getDouble(4), row.getBoolean(5),
+        row.getBoolean(6)),
+      CalibratedBudget(row.getInt(7), row.getDouble(8), row.getBoolean(9),
+        row.getBoolean(10)),
+      row.getLong(2) + extents)
   }
 
   // ── incremental moment store ────────────────────────────────────────

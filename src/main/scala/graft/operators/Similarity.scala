@@ -466,6 +466,7 @@ object Similarity {
     if (nprobe == 1) {
       var bestScore = Double.MaxValue
       var bestCid = Int.MaxValue
+      var found = false
       var ci = 0
       while (ci < cents.length) {
         val c = cents(ci)
@@ -476,9 +477,24 @@ object Similarity {
         while (i < m) { acc += emb(i).toDouble * v(i).toDouble; i += 1 }
         val s = -acc / c._3
         if (s < bestScore || (s == bestScore && c._1 < bestCid)) {
-          bestScore = s; bestCid = c._1
+          bestScore = s; bestCid = c._1; found = true
         }
         ci += 1
+      }
+      // all-NaN scores (every centroid zero-norm: s = −0/0) never pass
+      // the < comparison, so bestCid would be Int.MaxValue — an invalid
+      // cell that corrupts centers(cell)/axes(cell) lookups downstream.
+      // The sort path's TotalOrdering compares equal NaNs by ascending
+      // cid; return the same cell so both paths stay bit-compatible on
+      // the degenerate input (r15 ADVICE).
+      if (!found) {
+        var minCid = cents(0)._1
+        var cj = 1
+        while (cj < cents.length) {
+          if (cents(cj)._1 < minCid) minCid = cents(cj)._1
+          cj += 1
+        }
+        bestCid = minCid
       }
       return Array(bestCid)
     }
@@ -1158,8 +1174,9 @@ object Similarity {
     */
   def knnJoinCross(left: DataFrame, right: DataFrame, threshold: Double,
                    k: Int, numPlanes: Int = 32, bands: Int = 16,
-                   dim: Int = 64): DataFrame = {
-    val pairs = crossMatches(left, right, threshold, numPlanes, bands, dim)
+                   dim: Int = 64, multiProbe: Boolean = false): DataFrame = {
+    val pairs = crossMatches(left, right, threshold, numPlanes, bands, dim,
+      multiProbe)
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b"))
     pairs.withColumn("rn", row_number().over(w))
