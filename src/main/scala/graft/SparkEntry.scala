@@ -3045,17 +3045,21 @@ object SparkEntry {
     // the dispatch are driver-verified against one oracle. The forced
     // arm runs at an ESCALATED recall bar (0.99999 vs the dispatch
     // default 0.97) — at sf0.01 that resolves to the same legacy
-    // 32×16 geometry as before (analytic recall ≈ 1−1e-14 already
-    // clears the bar), while at sf0.1 it escalates 60×12 →
-    // 120×24 multi-probe (expected misses at the analytic lower bound:
-    // 920 pairs × 1e-5 ≈ 0.01; the intermediate 0.9995 bar's 80×16
-    // still measured one missed pair), closing the one 0.996-recall
-    // FAIL row the r14 sf0.1 board carried: recall 1.0 is re-derived
+    // geometry as before (analytic recall already clears the bar),
+    // while at sf0.1 the escalation is RE-DERIVED from the r15
+    // two-arm dispatch with the band cap lifted to 128 (r16 VERDICT
+    // task 7): single-probe at 110 bands × 5 bits (550 planes,
+    // multi-word layout) reaches the same ≤1e-5 per-pair miss bound
+    // as the r15 120×24 multi-probe geometry (0.9^110 ≈ 9.3e-6;
+    // expected misses over the 920-pair oracle ≈ 0.009) at 3520n
+    // modeled candidates vs 4608n — and without the (1+r)× probe-row
+    // fan-out whose candidate distinct the r14 sf250e run measured at
+    // 4× the sp arm's shuffle volume. Recall 1.0 is re-derived
     // against the exact-pairs oracle on every run at BOTH sfs (the
     // round_close ledger), like every recall-1.0 LSH gate.
     "sim_pairs_auto_banded" -> ((s, dir) =>
       Similarity.similarPairsAuto(Tables.embeddings(s, dir), 0.4,
-        recallBar = 0.99999, force = Some(false))),
+        recallBar = 0.99999, force = Some(false), maxBands = 128)),
     // kNN through the dispatcher — the serving-shaped operator whose
     // pair-mining stage the cost model routes
     "sim_knn_auto" -> ((s, dir) =>
@@ -4608,50 +4612,63 @@ object SparkEntry {
     // embeddings — survivors counted per language
     // pipeline 7: containment decon feeds the Jaccard closure's argmax
     // survivor, the seeded cap, and the epoch recipe — every stage
-    // re-derived over the previous stage's survivors in one statement.
-    // The multiply-referenced CTEs carry MATERIALIZED hints (r15,
-    // VERDICT "What's wrong" #2): DuckDB otherwise re-inlines the
-    // shingle fan-out into each of its four consumers, and the oracle
-    // blew the sf0.1 sweep's 300 s subprocess cap (337.7 s solo);
-    // hinted it runs in ~65 s with byte-identical output (verified at
-    // sf0.01 before pinning) — the sweep needs no manual solo step.
+    // re-derived over the previous stage's survivors. STAGED as temp
+    // tables (r16, VERDICT task 7; DuckDB's execute() runs the
+    // statements in order and returns the last SELECT): the r15
+    // MATERIALIZED-hint single statement still re-planned the shingle
+    // self-join per consumer and ran ~65 s solo at sf0.1; the staged
+    // form additionally prunes SINGLETON shingles before the quadratic
+    // Jaccard join (a shingle held by one clean doc cannot contribute
+    // to any intersection — exact, since a shared shingle appears in
+    // both partners and survives the count>1 filter), measuring 64x
+    // faster with byte-identical output at sf0.01 AND sf0.1
+    // (tools/p7_oracle_dev.py).
     "cur_pipeline7" ->
-      """WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(
-                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
-                FROM toks),
-         sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         binter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
-                    FROM sh a JOIN sh b
-                      ON a.s = b.s AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
-                    GROUP BY 1, 2),
-         bad AS (SELECT DISTINCT ca FROM binter
-                 JOIN sizes sa ON ca = sa.doc_id
-                 JOIN sizes sb ON bb = sb.doc_id
-                 WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5),
-         clean AS MATERIALIZED (SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
-                   WHERE d.doc_id % 10 != 0
-                     AND d.doc_id NOT IN (SELECT ca FROM bad)),
-         jinter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                    WHERE a.doc_id IN (SELECT doc_id FROM clean)
-                      AND b.doc_id IN (SELECT doc_id FROM clean)
-                    GROUP BY 1, 2),
-         pairs AS (SELECT doc_a, doc_b FROM jinter
-                   JOIN sizes sa ON doc_a = sa.doc_id
-                   JOIN sizes sb ON doc_b = sb.doc_id
-                   WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
-         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                   UNION ALL SELECT doc_b, doc_a FROM pairs),
-         reach(src, node) AS (
-           SELECT DISTINCT s, s FROM edges
-           UNION
-           SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s),
-         comp AS (SELECT src AS doc_id, min(node) AS component_id
-                  FROM reach GROUP BY src),
-         lab AS (SELECT c.doc_id, c.lang, c.source, c.n_chars,
-                   coalesce(cm.component_id, c.doc_id) AS cid
-                 FROM clean c LEFT JOIN comp cm ON c.doc_id = cm.doc_id),
+      """CREATE OR REPLACE TEMP TABLE p7_sh AS
+           WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+           SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s
+           FROM toks;
+         CREATE OR REPLACE TEMP TABLE p7_sizes AS
+           SELECT doc_id, count(*) AS sz FROM p7_sh GROUP BY 1;
+         CREATE OR REPLACE TEMP TABLE p7_clean AS
+           WITH binter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
+                           FROM p7_sh a JOIN p7_sh b
+                             ON a.s = b.s AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+                           GROUP BY 1, 2),
+                bad AS (SELECT DISTINCT ca FROM binter
+                        JOIN p7_sizes sa ON ca = sa.doc_id
+                        JOIN p7_sizes sb ON bb = sb.doc_id
+                        WHERE round(i * 1.0 / LEAST(sa.sz, sb.sz), 6) >= 0.5)
+           SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+           WHERE d.doc_id % 10 != 0
+             AND d.doc_id NOT IN (SELECT ca FROM bad);
+         CREATE OR REPLACE TEMP TABLE p7_shc AS
+           SELECT sh.doc_id, sh.s FROM p7_sh sh
+           JOIN p7_clean c USING (doc_id)
+           WHERE sh.s IN (SELECT s FROM p7_sh sh2 JOIN p7_clean c2 USING (doc_id)
+                          GROUP BY s HAVING count(*) > 1);
+         CREATE OR REPLACE TEMP TABLE p7_comp AS
+           WITH RECURSIVE
+                jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                           FROM p7_shc a JOIN p7_shc b
+                             ON a.s = b.s AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                pairs AS (SELECT doc_a, doc_b FROM jinter
+                          JOIN p7_sizes sa ON doc_a = sa.doc_id
+                          JOIN p7_sizes sb ON doc_b = sb.doc_id
+                          WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5),
+                edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                          UNION ALL SELECT doc_b, doc_a FROM pairs),
+                reach(src, node) AS (
+                  SELECT DISTINCT s, s FROM edges
+                  UNION
+                  SELECT r.src, e.d FROM reach r JOIN edges e ON r.node = e.s)
+           SELECT src AS doc_id, min(node) AS component_id
+           FROM reach GROUP BY src;
+         WITH lab AS (SELECT c.doc_id, c.lang, c.source, c.n_chars,
+                        coalesce(cm.component_id, c.doc_id) AS cid
+                      FROM p7_clean c LEFT JOIN p7_comp cm ON c.doc_id = cm.doc_id),
          canon AS (SELECT doc_id, lang, source, n_chars FROM lab
                    QUALIFY row_number() OVER
                      (PARTITION BY cid ORDER BY n_chars DESC, doc_id DESC) = 1),

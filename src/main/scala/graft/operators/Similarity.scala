@@ -897,9 +897,9 @@ object Similarity {
   @volatile var bandedRowCostFactor: Double = 10.0
 
   def pairPlanFor(n: Long, threshold: Double, targetOccupancy: Int = 64,
-                  recallBar: Double = 0.97): PairPlan = {
+                  recallBar: Double = 0.97, maxBands: Int = 32): PairPlan = {
     val (numPlanes, bands, mp) = scaledLshConfigWideArm(n, threshold,
-      targetOccupancy, recallBar)
+      targetOccupancy, recallBar, maxBands)
     val r = numPlanes / bands
     val recall = bandRecall(threshold, r, bands, multiProbe = mp)
     // per-vector bucket rows per band: 1 base (+ r distance-1 probes
@@ -971,11 +971,11 @@ object Similarity {
 
   def dispatchFor(embeddings: DataFrame, threshold: Double,
                   dim: Int = 64, targetOccupancy: Int = 64,
-                  recallBar: Double = 0.97): Dispatch = {
+                  recallBar: Double = 0.97, maxBands: Int = 32): Dispatch = {
     // parquet-metadata count: the one driver-side statistic stage 1
     // needs (same device as Dedup's overlapDensity, cheaper)
     val n = embeddings.count()
-    val plan = pairPlanFor(n, threshold, targetOccupancy, recallBar)
+    val plan = pairPlanFor(n, threshold, targetOccupancy, recallBar, maxBands)
     val r = plan.numPlanes / plan.bands
     val probeRows = if (plan.multiProbe) 1.0 + r else 1.0
     if (plan.recall < recallBar || plan.bandedCost >= plan.exactCost)
@@ -988,16 +988,29 @@ object Similarity {
     }
   }
 
+  /** `maxBands` bounds the wide-arm escalation (default 32, every
+    * pinned geometry unchanged). Raising it admits the SINGLE-PROBE
+    * escalation at strict bars — more bands, but each contributes one
+    * bucket row per vector instead of (1+r), and no probe row ever
+    * duplicates a base collision: at bar 0.99999, n = 2e3, the sp arm
+    * (110 bands × 5 bits) models 3520n candidates vs multi-probe
+    * 120×24's 4608n, and the r14 sf250e run measured the sp arm's
+    * candidate DISTINCT at a quarter of the mp arm's shuffle volume —
+    * the r16 re-derivation of the forced-banded gate's geometry from
+    * the r15 two-arm dispatch (VERDICT task 7).
+    */
   def similarPairsAuto(embeddings: DataFrame, threshold: Double,
                        dim: Int = 64, targetOccupancy: Int = 64,
                        recallBar: Double = 0.97,
-                       force: Option[Boolean] = None): DataFrame = {
+                       force: Option[Boolean] = None,
+                       maxBands: Int = 32): DataFrame = {
     val d = force match {
       case Some(e) =>
         Dispatch(e, pairPlanFor(embeddings.count(), threshold,
-          targetOccupancy, recallBar), -1L, Double.NaN)
+          targetOccupancy, recallBar, maxBands), -1L, Double.NaN)
       case None =>
-        dispatchFor(embeddings, threshold, dim, targetOccupancy, recallBar)
+        dispatchFor(embeddings, threshold, dim, targetOccupancy, recallBar,
+          maxBands)
     }
     if (sys.env.contains("GRAFT_PROBE"))
       println(f"[probe]   similarPairsAuto t=$threshold " +

@@ -288,6 +288,30 @@ class SimilaritySpec extends SparkSuite with Matchers {
     Similarity.bandRecall(0.4, pl / bl, bl, multiProbe = true) should be < 0.97
   }
 
+  test("lifted band cap admits the single-probe escalation at the " +
+      "forced-gate bar (r16: sim_pairs_auto_banded geometry)") {
+    // the sf0.1 forced-banded gate shape: n = 2000, t = 0.4, bar
+    // 0.99999. At the default cap 32 only multi-probe escalation is
+    // feasible (24 bands × 5 bits × (1+r) probe rows = 4608n modeled
+    // candidates); at cap 128 the single-probe arm (110 bands × 5
+    // bits) reaches the same bar at 3520n — and wins the two-arm cost
+    // comparison, with no probe-row fan-out in the candidate distinct
+    val (pc, bc, mpc) = Similarity.scaledLshConfigWideArm(2000L, 0.4,
+      recallBar = 0.99999)
+    (pc, bc, mpc) shouldBe ((120, 24, true))
+    val (pw, bw, mpw) = Similarity.scaledLshConfigWideArm(2000L, 0.4,
+      recallBar = 0.99999, maxBands = 128)
+    (pw, bw, mpw) shouldBe ((550, 110, false))
+    // the analytic per-pair miss bound at the sp geometry clears the
+    // bar: (1 - p^5)^110 <= 1e-5 at p(0.4)
+    Similarity.bandRecall(0.4, 5, 110, multiProbe = false) should be >= 0.99999
+    // sf0.01 (n = 500): the legacy geometry already clears the bar —
+    // verbatim at any cap, so the small-sf gate pins are unchanged
+    Similarity.scaledLshConfigWideArm(500L, 0.4, recallBar = 0.99999,
+        maxBands = 128) shouldBe
+      Similarity.scaledLshConfigWideArm(500L, 0.4, recallBar = 0.99999)
+  }
+
   test("pairPlanFor chooses banded past the legacy saturation point at " +
       "high threshold (the r13 scale-killer regime)") {
     val plan = Similarity.pairPlanFor(500000L, 0.9)

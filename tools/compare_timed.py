@@ -35,11 +35,12 @@ norm(con.execute(sql).df()).to_parquet(out_file)
 
 
 # Declared-slow oracles: per-entry override of the default subprocess
-# cap. cur_pipeline7's chained-CTE re-derivation passed solo at 337.7 s
-# at sf0.1 (r14 ledger) — a DECLARED slow oracle, not a hang; the sweep
-# must verify it without a manual solo step instead of reporting a
-# TIMEOUT row the round-close then has to explain away.
-SLOW_ORACLES = {"cur_pipeline7": 600.0}
+# cap. Empty since r16: cur_pipeline7's oracle was re-staged as DuckDB
+# temp tables with singleton-shingle pruning (SparkEntry.oracleSql,
+# VERDICT r15 task 7) and now runs in ~8 s at sf0.1 even on a
+# contended box (tools/p7_oracle_dev.py: 64x over the r15 hinted
+# form, byte-identical output at both sfs).
+SLOW_ORACLES = {}
 
 
 def main():
