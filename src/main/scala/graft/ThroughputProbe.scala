@@ -127,15 +127,30 @@ object ThroughputProbe {
       }
 
     val symbols = Array("BTC-USD", "ETH-USD", "SOL-USD", "ADA-USD")
+    // the band join's OUTPUT is rate²-shaped at a fixed symbol
+    // universe (every A row matches all same-base B rows within the
+    // band: at 5000 ev/s over 4 symbols that is ~12k partners per
+    // row — the first probe run produced no completed batch at any
+    // rate ≥ 50k because the join was output-bound, not state-bound).
+    // A real feed grows by adding SYMBOLS, not by ticking one symbol
+    // 25,000×/s (the reference's live feed ran ~7 rows/s TOTAL — i.e.
+    // ~2 ev/s per symbol, the default here), so the spread section
+    // scales the universe to a constant per-symbol rate: band
+    // occupancy — and the ~10-partner per-row output — stays fixed
+    // while the rate, and the join/state machinery under test, scales.
+    def symbolsFor(rate: Int, perSymbolRate: Int = 2): Array[String] =
+      (0 until math.max(4, rate / perSymbolRate))
+        .map(i => f"S$i%05d-USD").toArray
 
-    def runRate(section: String, rate: Int)(
+    def runRate(section: String, rate: Int,
+                syms: Array[String] = symbols)(
         start: String => Seq[(String, org.apache.spark.sql.streaming.StreamingQuery)]): Unit = {
       val root = java.nio.file.Files
         .createTempDirectory(s"tput-$section-$rate-").toString
       val rawDir = s"$root/raw"
       new java.io.File(rawDir).mkdirs()
       val queries = start(root)
-      val (t, stop, appended) = appender(rawDir, rate, symbols)
+      val (t, stop, appended) = appender(rawDir, rate, syms)
       val t0 = System.currentTimeMillis()
       t.start()
       Thread.sleep(runSecs * 1000L)
@@ -172,7 +187,7 @@ object ThroughputProbe {
         dedupDelay = None)
 
     if (sections("spread")) rates.foreach { rate =>
-      runRate("spread", rate) { root =>
+      runRate("spread", rate, symbolsFor(rate)) { root =>
         val a = silverOf(root)
         val b = silverOf(root).withColumn("symbol",
           concat(substring_index(col("symbol"), "-", 1), lit("-EUR")))
