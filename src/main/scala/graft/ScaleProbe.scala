@@ -403,6 +403,22 @@ object ScaleProbe {
       val cd = Pca.crossDispatch(wide, nQueries = 32L,
         rmodelOpt = Some(rmodel), budgetOpt = Some(budget))
       println(s"""{"probe":"dwidth_dispatch","n":$n,"d":${rmodel.d},"cost_banded":${cd.analyticBanded},"cost_residual":${cd.analyticResidual},"arm":"${if (cd.residual) "residual" else "banded"}"}""")
+      // r16: the WIDE arm on the same corpus — in-engine width
+      // reduction (d = 256 → dRed = 32, half the true rank, genuinely
+      // lossy) with candidates in reduced space and full-width exact
+      // rerank; budget from the measured wide ladder, contract graded
+      // vs the full-width exact reference. Compares directly against
+      // the plain-residual rows above: same corpus, same bar.
+      val wmodel = timed(s"dwidth_wide_fit_${nl}x$iters")(
+        Pca.fitIvfResidualWide(wide, kDims = 16, dRed = 32, nlist = nl,
+          coarseIters = iters))
+      val wbudget = timed("dwidth_wide_calibrate")(
+        Pca.calibrateWideResidualBudget(wide, wmodel,
+          floor = math.max(8, np)))
+      val wrow = timed("dwidth_wide_check")(
+        Pca.ivfResidualWideCheck(wide, nprobe = wbudget.nprobe,
+          wmodelOpt = Some(wmodel)).head())
+      println(s"""{"probe":"dwidth_wide","n":$n,"d":${wmodel.d},"d_red":${wmodel.dRed},"nlist":$nl,"nprobe":${wbudget.nprobe},"budget_ok":${wbudget.ok},"recall_ok":${wrow.getBoolean(0)},"cosines_exact":${wrow.getBoolean(1)}}""")
     }
 
     if (sections("alerts")) {

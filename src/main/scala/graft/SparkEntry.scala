@@ -336,6 +336,24 @@ object SparkEntry {
       path
     })
 
+  /** The `sim_topk_wide` gate's corpus: the clustered corpus widened
+    * 4× by cosine-preserving diagonal ±1 copies (d = 256, every
+    * pairwise cosine identical to the base geometry by construction —
+    * the ScaleProbe `dwidth` fixture), materialized once per
+    * (JVM, sfDir) like the clustered corpus itself.
+    */
+  private val wideMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wideGateCorpus(s: SparkSession, dir: String): String =
+    wideMemo.computeIfAbsent(dir, _ => {
+      val path = tempIndexDir("graft-wide256")
+      s.read.parquet(clusteredGateCorpus(s, dir))
+        .withColumn("embedding", concat((0 until 4).map(j =>
+          transform(col("embedding"), (x, i) =>
+            when(pmod(i + lit(j), lit(3)) === 0, -x).otherwise(x))): _*))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Per-(JVM, sfDir) memo of the `text_unigram_incremental` gate's
     * vocabulary store: token counts built on the first doc_id tercile,
     * extended with the other two (ledgered appends). The gate query
@@ -925,6 +943,12 @@ object SparkEntry {
   private def ivfResidualMemo(key: String,
                               train: => Pca.IvfResidualModel): Pca.IvfResidualModel =
     ivfResidualModelMemo.computeIfAbsent(key, _ => train)
+
+  private val wideResidualModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.WideResidualModel]()
+  private def wideResidualMemo(key: String,
+                               train: => Pca.WideResidualModel): Pca.WideResidualModel =
+    wideResidualModelMemo.computeIfAbsent(key, _ => train)
 
   private val rprojNprobeMemoMap =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -2910,6 +2934,27 @@ object SparkEntry {
       // tiny manifest reads, never the two calibration ladders
       val disp = Pca.annDispatchFromStore(s, store)
       Pca.annAutoCheck(emb, model, cents, rmodel, dispatchOpt = Some(disp))
+    }),
+    // WIDE-EMBEDDING ANN serving (r16): the residual family off its
+    // d = 64 design point through the in-engine width reduction —
+    // gate corpus is the clustered corpus widened 4× cosine-preserving
+    // (d = 256, true rank 64), the wide arm reduces to dRed = 32
+    // (GENUINELY lossy: half the true rank), candidates rank in the
+    // reduced space, the exact rerank runs at full width, and the
+    // contract row grades ε-recall against the FULL-width exact
+    // reference on the spread sample. The budget comes from the
+    // measured wide ladder (memoized — training class), so the gate
+    // prices the projection loss the way serving would.
+    "sim_topk_wide" -> ((s, dir) => {
+      val emb = s.read.parquet(wideGateCorpus(s, dir))
+      val wmodel = wideResidualMemo(s"$dir#wide256to32",
+        Pca.fitIvfResidualWide(emb, kDims = 16, dRed = 32))
+      val np = rprojNprobeMemo(s"$dir#wide256to32-np", {
+        val (_, npFloor) = Similarity.scaledIvfConfig(emb.count())
+        Pca.calibrateWideResidualBudget(emb, wmodel,
+          floor = math.max(8, npFloor)).nprobe
+      })
+      Pca.ivfResidualWideCheck(emb, nprobe = np, wmodelOpt = Some(wmodel))
     }),
     // cross-set kNN at the RESIDUAL geometry (r14 VERDICT task 4): the
     // semantic-decon/label-propagation workhorse shape — a query split
@@ -5946,6 +5991,11 @@ object SparkEntry {
     // auto-dispatched ANN serving: the contract row grades whichever
     // arm the measured budgets chose, on the spread sample
     "sim_topk_auto" ->
+      """SELECT true AS recall_ok, true AS cosines_exact""",
+    // wide-embedding ANN serving (r16): the d = 256 corpus reduced to
+    // dRed = 32 in-engine, contract graded vs the full-width exact
+    // reference at the measured wide-ladder budget
+    "sim_topk_wide" ->
       """SELECT true AS recall_ok, true AS cosines_exact""",
   ) ++ bpeOracles ++ semOracles
 

@@ -840,12 +840,20 @@ object Curation {
         case Some(true) =>
           val cd = Pca.crossDispatch(corpusVecs, benchVecs.count(),
             bar = bar, kDims = kDims, threshold = threshold)
-          if (cd.rmodel.isDefined) cd.copy(residual = true)
+          if (cd.rmodel.isDefined || cd.wmodel.isDefined)
+            cd.copy(residual = true)
           else {
             val n = corpusVecs.count()
             val (nlist, _) = Similarity.scaledIvfConfig(n)
-            cd.copy(residual = true,
-              rmodel = Some(Pca.fitIvfResidual(corpusVecs, kDims, nlist)))
+            val dWidth = corpusVecs.select(col("embedding"))
+              .head.getSeq[Float](0).length
+            if (Pca.widthRequiresReduction(nlist, dWidth))
+              cd.copy(residual = true, wmodel = Some(Pca.fitIvfResidualWide(
+                corpusVecs, kDims, dRed = math.min(64, dWidth - 1),
+                nlist = nlist)))
+            else
+              cd.copy(residual = true,
+                rmodel = Some(Pca.fitIvfResidual(corpusVecs, kDims, nlist)))
           }
         case None =>
           Pca.crossDispatch(corpusVecs, benchVecs.count(), bar = bar,
@@ -861,14 +869,26 @@ object Curation {
       // the decon arm serves the THRESHOLD-coverage budget, not the
       // kNN one the generic dispatch priced — see
       // semanticDeconResidualCheck for the measured divergence
-      val rm = d.rmodel.get
       val (_, npFloor) = Similarity.scaledIvfConfig(corpusVecs.count())
-      val np = Pca.calibrateThresholdNprobe(corpusVecs, rm.cents,
-        benchVecs, threshold, bar, floor = math.max(8, npFloor))
-      val dirty = Pca.residualThresholdCross(corpusVecs, benchVecs,
-          rm, np, threshold)
-        .select(col("id_a").as("doc_id")).distinct()
-      docs.join(dirty, Seq("doc_id"), "left_anti")
+      val dirty = d.wmodel match {
+        case Some(wm) =>
+          // wide corpus (r16): the cell layout prunes in reduced
+          // space, every probed candidate and the coverage
+          // calibration count kills at FULL width
+          val np = Pca.calibrateThresholdNprobe(corpusVecs,
+            wm.rmodel.cents, benchVecs, threshold, bar,
+            floor = math.max(8, npFloor), reducerOpt = Some(wm.reducer))
+          Pca.residualThresholdCrossWide(corpusVecs, benchVecs, wm, np,
+            threshold)
+        case None =>
+          val rm = d.rmodel.get
+          val np = Pca.calibrateThresholdNprobe(corpusVecs, rm.cents,
+            benchVecs, threshold, bar, floor = math.max(8, npFloor))
+          Pca.residualThresholdCross(corpusVecs, benchVecs, rm, np,
+            threshold)
+      }
+      docs.join(dirty.select(col("id_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
     } else {
       // serve the geometry the dispatcher priced: the occupancy-scaled
       // WIDE arm at the analytic recall bar (same r as the legacy

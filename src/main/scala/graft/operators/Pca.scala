@@ -195,6 +195,24 @@ object Pca {
     * broadcast component matrix; output keeps the id column and adds
     * `projCol` as an Array[Float] of width `model.k`.
     */
+  /** Row kernel of [[project]]: one vector through the component
+    * matrix — shared by the map-only projection and the wide-arm
+    * assignment kernels so every reduction is bit-identical.
+    */
+  private def projectKernel(vec: Array[Float], m: PcaModel): Array[Float] = {
+    val out = new Array[Float](m.k)
+    var j = 0
+    while (j < m.k) {
+      val w = m.components(j)
+      var s = 0d
+      var i = 0
+      while (i < m.d) { s += (vec(i) - m.mean(i)) * w(i); i += 1 }
+      out(j) = s.toFloat
+      j += 1
+    }
+    out
+  }
+
   def project(emb: DataFrame, model: PcaModel, idCol: String = "vec_id",
               vecCol: String = "embedding", projCol: String = "proj"): DataFrame = {
     val spark = emb.sparkSession
@@ -203,19 +221,7 @@ object Pca {
     emb.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .mapPartitions { rows =>
         val m = bc.value
-        rows.map { case (id, vec) =>
-          val out = new Array[Float](m.k)
-          var j = 0
-          while (j < m.k) {
-            val w = m.components(j)
-            var s = 0d
-            var i = 0
-            while (i < m.d) { s += (vec(i) - m.mean(i)) * w(i); i += 1 }
-            out(j) = s.toFloat
-            j += 1
-          }
-          (id, out)
-        }
+        rows.map { case (id, vec) => (id, projectKernel(vec, m)) }
       }.toDF(idCol, projCol)
   }
 
@@ -676,8 +682,10 @@ object Pca {
               s"residualMoments: worst-case per-task accumulator " +
                 s"nlist=${cs.length} x (1+$d+$d($d+1)/2) x 8B = $need bytes " +
                 s"exceeds the $momentBudget-byte budget (quadratic in " +
-                "embedding width) — reduce nlist, PCA-project first, or " +
-                "raise Pca.maxMomentTaskBytes on executors sized for it")
+                "embedding width) — reduce nlist, use the wide arm " +
+                "(Pca.fitIvfResidualWide: global PCA pre-reduction, " +
+                "nlist-free moments at full width), or raise " +
+                "Pca.maxMomentTaskBytes on executors sized for it")
           }
           require(v.length == d, s"ragged embedding width: ${v.length} vs $d")
           val cell = cellOfKernel(v, cs)
@@ -859,13 +867,28 @@ object Pca {
                                model: IvfResidualModel, k: Int, nprobe: Int,
                                pool: Int, excludeSelf: Boolean,
                                indexOpt: Option[DataFrame] = None): DataFrame = {
-    require(nprobe >= 1 && nprobe <= model.nlist)
     require(pool >= k, "rerank pool must cover k")
-    val spark = emb.sparkSession
+    val indexed = indexOpt.getOrElse(buildResidualIndex(emb, model))
+    val top = residualCandidates(indexed, queries, model, nprobe, pool,
+      excludeSelf)
+    rerankExact(top, emb, queries, k)
+  }
+
+  /** Candidate stage of the residual family alone — probe → residual
+    * rank → top `pool` (query_id, neighbor_id) per query, NO rerank —
+    * so a caller whose ranking space differs from its scoring space
+    * (the wide arm: candidates in the reduced space, exact cosines in
+    * the full one) can graft its own [[rerankExact]] tail on. The
+    * query side must be the SAME width as `model.d`.
+    */
+  private def residualCandidates(indexed: DataFrame, queries: DataFrame,
+                                 model: IvfResidualModel, nprobe: Int,
+                                 pool: Int, excludeSelf: Boolean): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.nlist)
+    val spark = queries.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val bc = spark.sparkContext.broadcast(model)
-    val indexed = indexOpt.getOrElse(buildResidualIndex(emb, model))
     // query side: explode into probed cells, then per (query, cell)
     // the exact offset term and the projected query — tiny, broadcast
     val q = Similarity.withProbeCells(
@@ -903,10 +926,307 @@ object Pca {
         col("base") + VectorFunctions.dot(col("qproj"), col("rproj")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val top = cand.withColumn("r", row_number().over(w))
+    cand.withColumn("r", row_number().over(w))
       .filter(col("r") <= pool)
       .select(col("query_id"), col("neighbor_id"))
+  }
+
+  // ── wide-embedding residual arm (r16) ───────────────────────────────
+  //
+  // [[residualMoments]]' per-task accumulator is nlist · d²/2 doubles —
+  // at d = 768 under the n = 2e7 scaled geometry that is ~10.6 GB per
+  // task, which [[maxMomentTaskBytes]] refuses at plan time. Until now
+  // the documented workaround ("a PCA pre-reduction") was advice; this
+  // family makes it in-engine: ONE global PCA fit (a single packed
+  // d(d+1)/2 moment accumulator per task — ~2.4 MB at d = 768, width-
+  // quadratic but nlist-FREE — plus a driver Jacobi, seconds at
+  // embedding widths), then the whole residual machinery runs in the
+  // dRed-dimensional projected space where the per-cell moments are
+  // back at the design point (nlist · dRed²/2). Serving follows the
+  // family contract: candidates rank in reduced space, the top `pool`
+  // rerank by EXACT full-width cosine ([[rerankExact]] — the shared
+  // tail), so emitted cosines are exact and only the candidate SET
+  // stacks one more approximation (global projection loss, priced by
+  // the same measured calibration ladder as every other arm — recall
+  // is graded against the FULL-space exact reference, so a reduction
+  // that loses the neighborhood shows up as a bigger nprobe or a
+  // definitive `ok = false`, never silently).
+
+  /** The two-stage wide model: a global reducer (d → dRed) and the
+    * residual layout fit in the REDUCED space. `rmodel.d == dRed`;
+    * the full width survives only in `reducer.d`.
+    */
+  case class WideResidualModel(reducer: PcaModel, rmodel: IvfResidualModel) {
+    def d: Int = reducer.d
+    def dRed: Int = reducer.k
+    def nlist: Int = rmodel.nlist
+  }
+
+  /** Reduce a full-width corpus to the wide model's serving space —
+    * map-only (broadcast components), output (vec_id, embedding) so
+    * every reduced-space consumer sees the standard column shape.
+    */
+  private def reduceWidth(emb: DataFrame, reducer: PcaModel): DataFrame =
+    project(emb, reducer, projCol = "embedding")
+
+  /** Fit the wide arm: global PCA to `dRed`, then [[fitIvfResidual]]
+    * on the reduced corpus (same geometry defaults — occupancy-scaled
+    * nlist, sampled Lloyd via `trainSample`). Training-class: two
+    * corpus passes (global moments; reduced residual moments) + the
+    * coarse training [[fitIvfResidual]] already does.
+    */
+  def fitIvfResidualWide(emb: DataFrame, kDims: Int = 16, dRed: Int = 64,
+                         nlist: Int = 0, coarseIters: Int = -1,
+                         vecCol: String = "embedding",
+                         trainSample: Long = 0): WideResidualModel = {
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dRed < d,
+      s"fitIvfResidualWide reduces $d -> $dRed; at dRed >= d use " +
+        "fitIvfResidual directly (no reduction to pay for)")
+    require(kDims <= dRed, s"kDims ($kDims) must fit in dRed ($dRed)")
+    val reducer = fit(emb, dRed, vecCol)
+    val red = Dedup.materialize(
+      reduceWidth(emb.select(col("vec_id"), col(vecCol).as("embedding")),
+        reducer))
+    val rmodel = fitIvfResidual(red, kDims, nlist, coarseIters,
+      trainSample = trainSample)
+    WideResidualModel(reducer, rmodel)
+  }
+
+  /** The wide arm's serving index: the REDUCED-space residual index
+    * (neighbor_id, cell, W_c ρ) — one reduce + one index pass over the
+    * corpus. Build once and pass through `indexOpt` on every serve /
+    * calibration rung, exactly like [[buildResidualIndex]].
+    */
+  def buildWideResidualIndex(emb: DataFrame,
+                             wmodel: WideResidualModel): DataFrame =
+    buildResidualIndex(reduceWidth(emb, wmodel.reducer), wmodel.rmodel)
+
+  /** Top-k ANN at full width through the wide arm: queries reduce
+    * map-side, candidates come from the reduced-space residual probe
+    * ([[residualCandidates]]), and the top `pool` per query rerank by
+    * exact FULL-width cosine. Output matches
+    * [[Similarity.bruteForceTopK]]: (query_id, neighbor_id, cos, rank)
+    * with exact emitted cosines.
+    */
+  def ivfResidualTopKWide(emb: DataFrame, queries: DataFrame,
+                          wmodel: WideResidualModel, k: Int, nprobe: Int,
+                          pool: Int,
+                          indexOpt: Option[DataFrame] = None): DataFrame = {
+    require(pool >= k, "rerank pool must cover k")
+    val indexed = indexOpt.getOrElse(buildWideResidualIndex(emb, wmodel))
+    val redQ = reduceWidth(
+      queries.select(col("vec_id"), col("embedding")), wmodel.reducer)
+    val top = residualCandidates(indexed, redQ, wmodel.rmodel, nprobe, pool,
+      excludeSelf = true)
     rerankExact(top, emb, queries, k)
+  }
+
+  /** The measured ladder for the wide arm — recall graded against the
+    * FULL-width exact reference (the ladder's own brute-force pass on
+    * `emb`), so the global projection loss is priced into the budget
+    * with everything else. `indexOpt` as everywhere: the ladder
+    * searches the same corpus at several budgets, so at-scale callers
+    * build [[buildWideResidualIndex]] once and pass it through.
+    */
+  def calibrateWideResidualBudget(emb: DataFrame, wmodel: WideResidualModel,
+                                  k: Int = 10, bar: Double = 0.9,
+                                  epsTies: Double = 1e-3, mult: Int = 8,
+                                  sample: Int = 32, floor: Int = 8,
+                                  indexOpt: Option[DataFrame] = None): CalibratedBudget = {
+    val n = emb.count()
+    val seed = math.max(1, math.min(wmodel.nlist, floor))
+    calibrateLadder(emb, k, bar, epsTies, seed, wmodel.nlist, sample) {
+      (qdf, np) =>
+        ivfResidualTopKWide(emb, qdf, wmodel, k, np,
+          probedMassMult(n, wmodel.nlist, np, k, mult) * k,
+          indexOpt = indexOpt)
+    }
+  }
+
+  /** Search-quality contract of the wide arm, one invariant row
+    * mirroring [[ivfResidualCheck]] (same spread residue-13 graded
+    * sample, disjoint from the ladder's residue-7 calibration slice):
+    * ε-recall vs the FULL-width exact reference ≥ `minRecall` AND
+    * emitted-cosine exactness. `nprobe = 0` resolves by the measured
+    * wide ladder.
+    */
+  def ivfResidualWideCheck(emb: DataFrame, k: Int = 10,
+                           nprobe: Int = 0, mult: Int = 8,
+                           minRecall: Double = 0.9,
+                           wmodelOpt: Option[WideResidualModel] = None,
+                           kDims: Int = 16, dRed: Int = 64,
+                           epsTies: Double = 1e-3,
+                           indexOpt: Option[DataFrame] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val spreadQ = emb.filter(pmod(col("vec_id"), lit(101)) === 13)
+      .orderBy("vec_id").limit(32)
+    val queries = if (spreadQ.isEmpty)
+                    emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(32)
+                  else spreadQ
+    val n = emb.count()
+    val wmodel = wmodelOpt.getOrElse(fitIvfResidualWide(emb, kDims, dRed))
+    val (_, np) = Similarity.scaledIvfConfig(n)
+    val nprobeUse = math.min(wmodel.nlist,
+      if (nprobe > 0) nprobe
+      else calibrateWideResidualBudget(emb, wmodel, k, minRecall,
+        epsTies = epsTies, mult = mult, floor = math.max(8, np),
+        indexOpt = indexOpt).nprobe)
+    val pool = probedMassMult(n, wmodel.nlist, nprobeUse, k, mult) * k
+    val approx = ivfResidualTopKWide(emb, queries, wmodel, k, nprobeUse,
+      pool, indexOpt = indexOpt)
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+    val total = exact.count()
+    val kth = exact.groupBy(col("query_id")).agg(min(col("cos")).as("kth"))
+    val hits = approx.join(kth, "query_id")
+      .filter(col("cos") >= col("kth") - epsTies).count()
+    val mismatches = approx.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+          col("cos").as("ref_cos")),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("ref_cos")).count()
+    spark.createDataFrame(
+      java.util.List.of(Row(hits.toDouble >= minRecall * total,
+        mismatches == 0L)),
+      StructType(Seq("recall_ok", "cosines_exact")
+        .map(StructField(_, BooleanType, nullable = false))))
+  }
+
+  /** [[annDispatch]] for a wide corpus: the two serving arms that
+    * exist at width (the global-projection arm works at any d; the
+    * plain residual arm's moments don't) calibrated on the same
+    * measured ladders and compared by [[annDispatchFrom]]'s rules. The
+    * returned dispatch serves through [[annTopKAutoWide]].
+    */
+  def annDispatchWide(emb: DataFrame, model: PcaModel,
+                      cents: Similarity.Cents, wmodel: WideResidualModel,
+                      k: Int = 10, bar: Double = 0.9, epsTies: Double = 1e-3,
+                      mult: Int = 8, sample: Int = 32,
+                      floor: Int = 8): AnnDispatch =
+    annDispatchFrom(
+      calibratePcaIvfBudget(emb, model, cents, k, bar, epsTies, mult,
+        sample, floor),
+      calibrateWideResidualBudget(emb, wmodel, k, bar, epsTies, mult,
+        sample, floor),
+      wmodel.nlist,
+      emb.count())
+
+  /** [[annTopKAuto]] at width: serve through whichever arm the wide
+    * dispatch measured cheaper at the recall bar. Pass the dispatch
+    * back in (or a stored one — [[AnnDispatch]] is arm-agnostic, so
+    * the r15 decision store carries wide verdicts unchanged) to keep
+    * serving calibration-free and scan-free.
+    */
+  def annTopKAutoWide(emb: DataFrame, queries: DataFrame, model: PcaModel,
+                      cents: Similarity.Cents, wmodel: WideResidualModel,
+                      k: Int = 10, mult: Int = 8,
+                      dispatchOpt: Option[AnnDispatch] = None): DataFrame = {
+    val d = dispatchOpt.getOrElse(
+      annDispatchWide(emb, model, cents, wmodel, k))
+    val n = if (d.n >= 0L) d.n else emb.count()
+    if (d.residual)
+      ivfResidualTopKWide(emb, queries, wmodel, k, d.resid.nprobe,
+        probedMassMult(n, wmodel.nlist, d.resid.nprobe, k, mult) * k)
+    else
+      pcaIvfTopK(emb, queries, model, k, cents.length, d.global.nprobe,
+        mult = probedMassMult(n, cents.length, d.global.nprobe, k, mult),
+        centsOpt = Some(cents))
+  }
+
+  /** Full-width rows assigned to the wide model's REDUCED-space cell
+    * layout in ONE map-only pass (reduce + argmin against the
+    * broadcast layout per row — dRed·d + nlist·dRed MACs, no corpus
+    * shuffle, no join): the wide analogue of [[Similarity.cellAssign]]
+    * that keeps the full vector in the row for exact scoring.
+    */
+  private def assignCellsWide(corpus: DataFrame, reducer: PcaModel,
+                              cents: Similarity.Cents): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcR = spark.sparkContext.broadcast(reducer)
+    val bcC = spark.sparkContext.broadcast(cents)
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val m = bcR.value; val cs = bcC.value
+        it.map { case (id, v) =>
+          (id, v, cellOfKernel(projectKernel(v, m), cs))
+        }
+      }.toDF("vec_id", "embedding", "cell")
+  }
+
+  /** The wide analogue of [[Similarity.withProbeCells]]: each
+    * full-width query reduces map-side and explodes into its `nprobe`
+    * nearest REDUCED-space cells, keeping the full vector in the row
+    * for exact scoring.
+    */
+  private def withProbeCellsWide(queries: DataFrame,
+                                 wmodel: WideResidualModel,
+                                 nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcR = spark.sparkContext.broadcast(wmodel.reducer)
+    val bcC = spark.sparkContext.broadcast(wmodel.rmodel.cents)
+    queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val m = bcR.value; val cs = bcC.value
+        it.flatMap { case (id, v) =>
+          Similarity.probeCellsOf(projectKernel(v, m), cs, nprobe)
+            .map(c => (id, v, c))
+        }
+      }.toDF("vec_id", "embedding", "probe_cell")
+  }
+
+  /** Cross-set kNN through the WIDE arm ([[ivfResidualTopKCross]] at
+    * width): queries reduce map-side and probe the corpus's frozen
+    * reduced-space layout, candidates rank by the reduced residual
+    * decomposition, the top `pool` rerank by exact FULL-width cosine,
+    * rows below `threshold` drop. Same output contract as the plain
+    * cross path: (query_id, neighbor_id, cos).
+    */
+  def ivfResidualTopKCrossWide(corpus: DataFrame, queries: DataFrame,
+                               wmodel: WideResidualModel, k: Int,
+                               nprobe: Int, pool: Int,
+                               threshold: Double = Double.NegativeInfinity,
+                               indexOpt: Option[DataFrame] = None): DataFrame = {
+    require(pool >= k, "rerank pool must cover k")
+    val indexed = indexOpt.getOrElse(buildWideResidualIndex(corpus, wmodel))
+    val redQ = reduceWidth(
+      queries.select(col("vec_id"), col("embedding")), wmodel.reducer)
+    val top = residualCandidates(indexed, redQ, wmodel.rmodel, nprobe, pool,
+      excludeSelf = false)
+    rerankExact(top, corpus, queries, k)
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Cross-set THRESHOLD match through the WIDE arm
+    * ([[residualThresholdCross]] at width): the cell layout prunes in
+    * reduced space (map-only assignment both sides — no corpus
+    * shuffle), every probed candidate verifies by EXACT full-width
+    * cosine, so precision is exact at any d and recall is the probed
+    * coverage the calibration prices.
+    */
+  def residualThresholdCrossWide(corpus: DataFrame, queries: DataFrame,
+                                 wmodel: WideResidualModel, nprobe: Int,
+                                 threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(nprobe >= 1 && nprobe <= wmodel.nlist)
+    val assigned = assignCellsWide(corpus, wmodel.reducer,
+        wmodel.rmodel.cents)
+      .select(col("vec_id").as("id_a"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm_a"), col("cell"))
+    val q = withProbeCellsWide(queries, wmodel, nprobe)
+      .select(col("vec_id").as("id_b"), col("embedding").as("q_emb"),
+        VectorFunctions.norm(col("embedding")).as("nrm_b"),
+        col("probe_cell"))
+    assigned.join(broadcast(q), col("cell") === col("probe_cell"))
+      .withColumn("cos", round(
+        VectorFunctions.dot(col("embedding"), col("q_emb")) /
+          (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Search-quality contract of [[ivfResidualTopK]], mirroring
@@ -1340,7 +1660,18 @@ object Pca {
   case class CrossDispatch(residual: Boolean, nlist: Int,
                            analyticBanded: Double, analyticResidual: Double,
                            rmodel: Option[IvfResidualModel],
-                           resid: Option[CalibratedBudget])
+                           resid: Option[CalibratedBudget],
+                           wmodel: Option[WideResidualModel] = None)
+
+  /** Worst-case [[residualMoments]] per-task accumulator for a given
+    * (nlist, d) — the arithmetic of the plan-time refusal, exposed so
+    * dispatchers can route WIDE corpora to [[fitIvfResidualWide]]
+    * instead of walking into the refusal.
+    */
+  private[operators] def plainMomentBytes(nlist: Int, d: Int): Long =
+    nlist.toLong * (1L + d + d.toLong * (d + 1) / 2) * 8L
+  private[operators] def widthRequiresReduction(nlist: Int, d: Int): Boolean =
+    plainMomentBytes(nlist, d) > maxMomentTaskBytes
 
   /** Analytic recall bar the AUTO cross-set banded arm is served (and
     * priced) at — the [[Similarity.scaledLshConfigWideArm]] escalation
@@ -1385,7 +1716,26 @@ object Pca {
     // inequality RE-EVALUATES at the calibrated nprobe, keeping the
     // per-query assignment term, so a budget that ballooned past the
     // analytic floor cannot ride the stage-1 comparison into a
-    // dispatch the banded arm now wins (r15 ADVICE finding 1)
+    // dispatch the banded arm now wins (r15 ADVICE finding 1).
+    // A corpus too WIDE for the plain per-cell moments (the plan-time
+    // refusal arithmetic) fits the wide arm instead (r16): reduced-
+    // space layout, full-width exact scoring — the residual family
+    // stays dispatchable at any d instead of crashing the dispatcher.
+    if (rmodelOpt.isEmpty && widthRequiresReduction(nlist, d)) {
+      val wmodel = fitIvfResidualWide(corpus, kDims,
+        dRed = math.min(64, d - 1), nlist = nlist)
+      val budget = budgetOpt.getOrElse(
+        calibrateWideResidualBudget(corpus, wmodel, k, bar,
+          floor = math.max(8, npFloor)))
+      // assignment prices in REDUCED space plus the query reduction
+      // itself (d·dRed MACs per query)
+      val dRed = wmodel.dRed
+      val costCalibrated = nQueries.toDouble * budget.nprobe *
+        (n.toDouble / nlist) * kDims +
+        nQueries.toDouble * (nlist.toDouble * dRed + d.toDouble * dRed)
+      return CrossDispatch(budget.ok && costCalibrated < costBanded, nlist,
+        costBanded, costCalibrated, None, Some(budget), Some(wmodel))
+    }
     val rmodel = rmodelOpt.getOrElse(fitIvfResidual(corpus, kDims, nlist))
     val budget = budgetOpt.getOrElse(
       calibrateResidualBudget(corpus, rmodel, k, bar,
@@ -1421,10 +1771,18 @@ object Pca {
     * exact answer at the un-pruned cost. Real contamination at scale
     * IS the evidence-rich regime, where the calibration prunes.
     */
+  /** `reducerOpt` (r16): on a WIDE corpus the cell layout lives in the
+    * reduced space, so assignment and each query's probe-cell order
+    * run through the reducer — while the partner counting stays at
+    * FULL width (a kill is a full-width cosine ≥ threshold, whatever
+    * space the pruning lives in). Pass `wmodel.reducer` with
+    * `wmodel.rmodel.cents`; the plain path is byte-identical to r15.
+    */
   def calibrateThresholdNprobe(corpus: DataFrame, cents: Similarity.Cents,
                                queries: DataFrame, threshold: Double,
                                bar: Double = 0.9, sample: Int = 32,
-                               floor: Int = 8, minEvidence: Long = 8): Int = {
+                               floor: Int = 8, minEvidence: Long = 8,
+                               reducerOpt: Option[PcaModel] = None): Int = {
     import graft.functions.VectorFunctions
     val nlist = cents.length
     val spreadQ = queries.filter(pmod(col("vec_id"), lit(101)) === 7)
@@ -1437,13 +1795,25 @@ object Pca {
     val qvecs = qdf.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     if (qvecs.isEmpty) return math.min(nlist, math.max(1, floor))
+    // probe-order vectors live in the layout's own space
+    val probeVecs: Map[Long, Array[Float]] = reducerOpt match {
+      case Some(red) => qvecs.map { case (id, v) =>
+        id -> projectKernel(v, red) }.toMap
+      case None => qvecs.toMap
+    }
     val q = qdf.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       VectorFunctions.norm(col("embedding")).as("q_nrm"))
-    val assigned = Similarity.cellAssign(
-      corpus.select(col("vec_id"), col("embedding"),
-        VectorFunctions.norm(col("embedding")).as("c_nrm")),
-      cents, "cell")
+    val assigned = reducerOpt match {
+      case Some(red) =>
+        assignCellsWide(corpus, red, cents)
+          .select(col("vec_id"), col("embedding"),
+            VectorFunctions.norm(col("embedding")).as("c_nrm"), col("cell"))
+      case None => Similarity.cellAssign(
+        corpus.select(col("vec_id"), col("embedding"),
+          VectorFunctions.norm(col("embedding")).as("c_nrm")),
+        cents, "cell")
+    }
     // count the SAME population the serving path must cover: the two
     // sides are distinct tables (the ivfResidualTopKCross contract), so
     // a query_id == vec_id row is a real partner residualThresholdCross
@@ -1459,14 +1829,14 @@ object Pca {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val byQuery = counts.groupBy(_._1)
     if (counts.map(_._3).sum < minEvidence) return nlist
-    val perQueryPrefix = qvecs.map { case (qid, v) =>
+    val perQueryPrefix = qvecs.map { case (qid, _) =>
       val cellCnt = byQuery.getOrElse(qid, Array.empty[(Long, Int, Long)])
         .map { case (_, cell, cnt) => cell -> cnt }.toMap
       val total = cellCnt.values.sum
       if (total == 0L) floor
       else {
         val need = math.ceil(bar * total).toLong
-        val order = Similarity.probeCellsOf(v, cents, nlist)
+        val order = Similarity.probeCellsOf(probeVecs(qid), cents, nlist)
         var acc = 0L
         var p = 0
         while (p < order.length && acc < need) {
@@ -1541,14 +1911,27 @@ object Pca {
         case Some(false) => CrossDispatch(residual = false, 0, 0d, 0d, None, None)
         case Some(true) =>
           crossDispatch(right, left.count(), k, bar, kDims, threshold) match {
-            case cd if cd.rmodel.isDefined => cd.copy(residual = true)
+            case cd if cd.rmodel.isDefined || cd.wmodel.isDefined =>
+              cd.copy(residual = true)
             case cd =>
+              // stage-1 banded win fit nothing; a forced residual arm
+              // fits here — wide when the plain moments would refuse
               val n = right.count()
               val (nlist, npFloor) = Similarity.scaledIvfConfig(n)
-              val rm = fitIvfResidual(right, kDims, nlist)
-              cd.copy(residual = true, rmodel = Some(rm),
-                resid = Some(calibrateResidualBudget(right, rm, k, bar,
-                  floor = math.max(8, npFloor))))
+              val dim = right.select(col("embedding"))
+                .head.getSeq[Float](0).length
+              if (widthRequiresReduction(nlist, dim)) {
+                val wm = fitIvfResidualWide(right, kDims,
+                  dRed = math.min(64, dim - 1), nlist = nlist)
+                cd.copy(residual = true, wmodel = Some(wm),
+                  resid = Some(calibrateWideResidualBudget(right, wm, k,
+                    bar, floor = math.max(8, npFloor))))
+              } else {
+                val rm = fitIvfResidual(right, kDims, nlist)
+                cd.copy(residual = true, rmodel = Some(rm),
+                  resid = Some(calibrateResidualBudget(right, rm, k, bar,
+                    floor = math.max(8, npFloor))))
+              }
           }
         case None => crossDispatch(right, left.count(), k, bar, kDims, threshold)
       }
@@ -1560,10 +1943,16 @@ object Pca {
         (if (d.residual) "residual" else "banded"))
     if (d.residual) {
       val n = right.count()
-      val rm = d.rmodel.get
       val np = d.resid.get.nprobe
-      ivfResidualTopKCross(right, left, rm, k, np,
-        probedMassMult(n, rm.nlist, np, k, mult) * k, threshold)
+      d.wmodel match {
+        case Some(wm) =>
+          ivfResidualTopKCrossWide(right, left, wm, k, np,
+            probedMassMult(n, wm.nlist, np, k, mult) * k, threshold)
+        case None =>
+          val rm = d.rmodel.get
+          ivfResidualTopKCross(right, left, rm, k, np,
+            probedMassMult(n, rm.nlist, np, k, mult) * k, threshold)
+      }
     } else {
       // serve the banded arm at the geometry the dispatcher PRICED —
       // the occupancy-scaled wide arm at the analytic recall bar, not

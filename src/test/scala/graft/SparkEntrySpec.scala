@@ -20,7 +20,7 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
   test("registered gate count matches the declared coverage") {
     // bump alongside SURVEY.md §8 when adding gates — a mismatch means
     // either a silently-shadowed duplicate key or a stale coverage map
-    SparkEntry.queries.size shouldBe 233
+    SparkEntry.queries.size shouldBe 234
     // the BPE-model-dependent oracles embed the TRAINED model
     // artifacts, so they exist only after a gate run trains the model
     // in this JVM (Verify's dump order guarantees that); every other
@@ -49,7 +49,11 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
       val cteNames = ("(?i)\\b([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?" +
         "\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(").r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val unknown = froms -- tables -- cteNames
+      // staged oracles (cur_pipeline7) declare TEMP TABLEs so DuckDB
+      // evaluates each stage once — their names are local, like CTEs
+      val tempNames = "(?i)\\bTEMP\\s+TABLE\\s+([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = froms -- tables -- cteNames -- tempNames
       withClue(s"$name references unknown tables: ") { unknown shouldBe empty }
     }
   }
