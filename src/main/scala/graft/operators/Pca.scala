@@ -2222,10 +2222,20 @@ object Pca {
                             rmodel: IvfResidualModel,
                             k: Int = 10, bar: Double = 0.9,
                             epsTies: Double = 1e-3, mult: Int = 8,
-                            sample: Int = 32, floor: Int = 8): AnnDispatch = {
-    val spark = emb.sparkSession
-    val d = annDispatch(emb, model, cents, rmodel, k, bar, epsTies, mult,
-      sample, floor)
+                            sample: Int = 32, floor: Int = 8): AnnDispatch =
+    buildAnnDispatchStoreFrom(emb.sparkSession, path,
+      annDispatch(emb, model, cents, rmodel, k, bar, epsTies, mult,
+        sample, floor))
+
+  /** Persist a dispatch already measured by the caller — the
+    * [[AnnDispatch]] row is arm-agnostic (budgets + the chosen arm),
+    * so a WIDE verdict ([[annDispatchWide]]) persists and serves
+    * through the same store as a plain one; the caller re-pairs it
+    * with the matching models at serve time, exactly as with the
+    * live-calibrated path.
+    */
+  def buildAnnDispatchStoreFrom(spark: SparkSession, path: String,
+                                d: AnnDispatch): AnnDispatch = {
     graft.util.Manifest.init(spark, path) {
       writeDecision(spark, decisionPath(path), d,
         org.apache.spark.sql.SaveMode.Overwrite)

@@ -124,6 +124,30 @@ class WideResidualSpec extends SparkSuite with Matchers {
     direct.except(auto).count() shouldBe 0L
   }
 
+  test("a WIDE dispatch persists through the decision store " +
+      "(arm-agnostic row): stored verdict round-trips bit-identical " +
+      "and annTopKAutoWide serves from it scan-free") {
+    val clustered = Dedup.materialize(Similarity.clusteredCorpus(emb))
+    val model = Pca.fit(clustered, 16)
+    val cents = Similarity.coarseCentroids(
+      Pca.project(clustered, model, projCol = "embedding"), 16, iters = 3)
+    val wmodel = Pca.fitIvfResidualWide(clustered, kDims = 8, dRed = 16,
+      nlist = 16)
+    val disp = Pca.annDispatchWide(clustered, model, cents, wmodel)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-wide-disp").toString
+    Pca.buildAnnDispatchStoreFrom(spark, store, disp)
+    val back = Pca.annDispatchFromStore(spark, store)
+    back shouldBe disp
+    val queries = clustered.filter(col("vec_id") < 20)
+    val viaStore = Pca.annTopKAutoWide(clustered, queries, model, cents,
+      wmodel, k = 5, dispatchOpt = Some(back))
+    val viaLive = Pca.annTopKAutoWide(clustered, queries, model, cents,
+      wmodel, k = 5, dispatchOpt = Some(disp))
+    viaStore.except(viaLive).count() shouldBe 0L
+    viaLive.except(viaStore).count() shouldBe 0L
+  }
+
   test("crossDispatch at width (r16): a corpus whose plain moments " +
       "exceed the budget dispatches through the WIDE arm instead of " +
       "crashing, and the wide cross path at nprobe = nlist with an " +
