@@ -421,6 +421,38 @@ object ScaleProbe {
       println(s"""{"probe":"dwidth_wide","n":$n,"d":${wmodel.d},"d_red":${wmodel.dRed},"nlist":$nl,"nprobe":${wbudget.nprobe},"budget_ok":${wbudget.ok},"recall_ok":${wrow.getBoolean(0)},"cosines_exact":${wrow.getBoolean(1)}}""")
     }
 
+    if (sections("dwidth768")) {
+      // r16: the REFUSED regime served at scale — d = 768 at the
+      // occupancy-scaled nlist, where the plain residual fit's
+      // worst-case per-task accumulator provably exceeds the moment
+      // budget (the plan-time refusal demonstrated in the specs), so
+      // ONLY the wide arm exists. Widen 12× cosine-preserving and run
+      // the wide family end-to-end: the line that turns "the refusal
+      // names a workaround" into "the workaround holds its contract
+      // at n = 5e5".
+      import graft.operators.Pca
+      val dense = denseIds(emb)
+      val wide = graft.operators.Dedup.materialize(
+        Similarity.clusteredCorpus(dense).withColumn("embedding",
+          concat((0 until 12).map(j =>
+            transform(col("embedding"), (x, i) =>
+              when(pmod(i + lit(j), lit(3)) === 0, -x).otherwise(x))): _*)))
+      val (nl, np) = Similarity.scaledIvfConfig(n)
+      val refusedBytes = nl.toLong * (1L + 768L + 768L * 769L / 2L) * 8L
+      println(s"""{"probe":"dwidth768_refusal","nlist":$nl,"plain_moment_bytes":$refusedBytes,"budget":${Pca.maxMomentTaskBytes},"plain_refused":${refusedBytes > Pca.maxMomentTaskBytes}}""")
+      val iters = Similarity.scaledIvfIters(nl)
+      val wmodel = timed(s"dwidth768_wide_fit_${nl}x$iters")(
+        Pca.fitIvfResidualWide(wide, kDims = 16, dRed = 32, nlist = nl,
+          coarseIters = iters))
+      val wbudget = timed("dwidth768_wide_calibrate")(
+        Pca.calibrateWideResidualBudget(wide, wmodel,
+          floor = math.max(8, np)))
+      val wrow = timed("dwidth768_wide_check")(
+        Pca.ivfResidualWideCheck(wide, nprobe = wbudget.nprobe,
+          wmodelOpt = Some(wmodel)).head())
+      println(s"""{"probe":"dwidth768_wide","n":$n,"d":${wmodel.d},"d_red":${wmodel.dRed},"nlist":$nl,"nprobe":${wbudget.nprobe},"budget_ok":${wbudget.ok},"recall_ok":${wrow.getBoolean(0)},"cosines_exact":${wrow.getBoolean(1)}}""")
+    }
+
     if (sections("alerts")) {
       // r14 task 6: the hot-key slice-and-stitch plan vs the
       // one-task-per-key batch shape, on the adversarial input the

@@ -627,7 +627,7 @@ object Pca {
     * fix is a tighter nlist, a PCA pre-reduction, or raising the
     * budget on executors actually sized for it).
     */
-  private[operators] var maxMomentTaskBytes: Long = 2L * 1024 * 1024 * 1024
+  private[graft] var maxMomentTaskBytes: Long = 2L * 1024 * 1024 * 1024
 
   // ── packed upper-triangular second-moment layout (r16) ──────────────
   // Σ r⊗r is symmetric, so only the upper triangle is accumulated and
@@ -1668,7 +1668,7 @@ object Pca {
     * dispatchers can route WIDE corpora to [[fitIvfResidualWide]]
     * instead of walking into the refusal.
     */
-  private[operators] def plainMomentBytes(nlist: Int, d: Int): Long =
+  private[graft] def plainMomentBytes(nlist: Int, d: Int): Long =
     nlist.toLong * (1L + d + d.toLong * (d + 1) / 2) * 8L
   private[operators] def widthRequiresReduction(nlist: Int, d: Int): Boolean =
     plainMomentBytes(nlist, d) > maxMomentTaskBytes
