@@ -662,10 +662,16 @@ object Pca {
     // order-sensitive and shuffle-fetch order is not deterministic, so
     // the exchange hashes on vec_id (deterministic membership) and
     // sorts within partitions (deterministic order) — bit-identical
-    // partials for a fixed corpus, whatever the input layout.
+    // partials for a fixed corpus at a fixed width. Width is the r16
+    // scale-adaptive rule ([[Width.partsFor]]): ~100k FLOPs/row still
+    // amortizes per-task overhead at 256 KB/task, and any at-scale
+    // corpus saturates the conf cap (results were never
+    // partition-count-canonical across deployments — Verify runs at 8
+    // cores, Bench at 32 — and every oracle comparison rounds).
     val partials = emb
       .select(col("vec_id"), col(vecCol))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .repartition(Width.partsFor(emb.select(col("vec_id"), col(vecCol))),
+        col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
       .select(col(vecCol))
       .as[Array[Float]].rdd
@@ -840,7 +846,10 @@ object Pca {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
     emb.select(col("vec_id").cast("long"), col("embedding"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      // r16: scale-adaptive width (see [[Width]]) — the per-row kernel
+      // is nlist·d MACs; a small tranche no longer pays full-box task
+      // overhead, an at-scale corpus still saturates the conf cap
+      .repartition(Width.partsFor(emb))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val m = bc.value

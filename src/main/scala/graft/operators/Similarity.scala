@@ -33,14 +33,26 @@ object Similarity {
   /** Cosine similarity of two numeric array columns (double result). */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
-  /** Spread the streamed side of a pair join across the session's
-    * shuffle-partition count. Embedding tables often arrive as one
-    * file; without this the O(N²)/O(candidates) probe stage runs as a
-    * single task. Explicit count — AQE would coalesce a column-only
-    * repartition of a small input even though the join fans out.
+  /** Spread the streamed side of a pair join. Embedding tables often
+    * arrive as one file; without this the O(N²)/O(candidates) probe
+    * stage runs as a single task. Explicit count — AQE would coalesce
+    * a column-only repartition of a small input even though the join
+    * fans out.
+    *
+    * Width (r16, guide §2.2/§2.5): `dense = true` — the LSH candidate
+    * miners, whose downstream fan-out is QUADRATIC in bucket occupancy
+    * — always take the full conf width (byte estimates cannot see that
+    * compute). Everything else (probe/assignment/signature passes,
+    * fan-out linear in rows × a bounded query set) takes the
+    * scale-adaptive [[Width.partsFor]] width: measured r16, the warm
+    * 2000-row ANN check gates spent >90% of their CPU on per-task
+    * overhead at the old full width; at 100 TB the byte rule saturates
+    * to the conf width immediately, so the cluster plan is unchanged.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+  private def spread(df: DataFrame, dense: Boolean = false): DataFrame = {
+    val parts =
+      if (dense) df.sparkSession.sessionState.conf.numShufflePartitions
+      else Width.partsFor(df)
     df.repartition(parts, col("vec_id"))
   }
 
@@ -68,7 +80,7 @@ object Similarity {
     * pairs); for the at-scale path see [[lshPairs]].
     */
   def pairsAboveThreshold(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = spread(embeddings).select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+    val a = spread(embeddings, dense = true).select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       VectorFunctions.norm(col("embedding")).as("nrm_a"))
     val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       VectorFunctions.norm(col("embedding")).as("nrm_b"))
@@ -1040,7 +1052,7 @@ object Similarity {
   def lshPairs(embeddings: DataFrame, threshold: Double,
                numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     require(numPlanes % bands == 0)
-    val sig = spread(embeddings).select(col("vec_id"), col("embedding"),
+    val sig = spread(embeddings, dense = true).select(col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"),
       bandBucketArray(col("embedding"), numPlanes, bands, dim).as("bb"))
     // lean bucket rows: the explode and the self-join exchange carry
@@ -1154,7 +1166,7 @@ object Similarity {
         .select(col("vec_id"), col("bb.band").as("band"),
           col("bb.bucket").as("bucket"))
     }
-    val ls = sigOf(spread(left))
+    val ls = sigOf(spread(left, dense = true))
     val rs = sigOf(right)
     val cand = bucketsOf(ls, multiProbe).as("a")
       .join(bucketsOf(rs, probe = false).as("b"),
@@ -1229,7 +1241,7 @@ object Similarity {
                          dim: Int = 64): DataFrame = {
     require(numPlanes % bands == 0)
     val r = numPlanes / bands
-    val sig = spread(embeddings).select(col("vec_id"), col("embedding"),
+    val sig = spread(embeddings, dense = true).select(col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"),
       bandBucketArray(col("embedding"), numPlanes, bands, dim).as("bb"))
     // the signature dots are computed ONCE into the `bb` attribute;
@@ -1251,12 +1263,22 @@ object Similarity {
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"), col("bb.is_base").as("is_base"))
     val baseRows = ext.filter(col("is_base")).drop("is_base")
+    // ORIENTED join (r16): unlike MinHash second-minimum substitution
+    // (one-sided — only the DISAGREEING doc's probe hits the other's
+    // base bucket, so bucketCandidates must keep both orders), a
+    // hyperplane bit-flip probe is symmetric: bucketU ^ (1<<j) ==
+    // bucketV  ⟺  bucketV ^ (1<<j) == bucketU. Every distance-1 pair
+    // therefore matches from BOTH sides, and every base×base pair in
+    // both orders — `<` keeps exactly one match row per (pair, band,
+    // collision), halving the join output and the candidate-distinct
+    // shuffle (the dominant stage: at sf0.1's 96×24 wide gate the
+    // probe fan-out is ~5× the base mass) with a bit-identical
+    // candidate set (spec: oriented == least/greatest-of-=!= form).
     val cand = ext.as("a")
       .join(baseRows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
-        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"))
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     verifyCosine(cand, sig, threshold)
   }

@@ -148,6 +148,31 @@ class SimilaritySpec extends SparkSuite with Matchers {
     gained.exists(identity) shouldBe true
   }
 
+  test("lshPairsMultiProbe oriented join == the legacy both-orders form (r16)") {
+    // r16 halved the multi-probe candidate join by orienting it
+    // (a.vec_id < b.vec_id): a hyperplane bit-flip probe is symmetric
+    // (bucketU^(1<<j)==bucketV ⟺ bucketV^(1<<j)==bucketU), so every
+    // d≤1 pair matches from BOTH sides and one orientation suffices.
+    // The legacy both-orders join survives verbatim inside
+    // crossMatches(emb, emb, multiProbe=true) — ext(left) × base(right)
+    // with NO id constraint — so folding that to unordered pairs is an
+    // exact reconstruction of the pre-r16 candidate set. Strained
+    // configs on purpose: candidates there are a strict subset of what
+    // wider configs find, so a dropped orientation would surface as a
+    // missing pair.
+    for ((np, b) <- Seq((16, 4), (32, 8))) {
+      val legacy = Similarity.crossMatches(emb, emb, 0.4, np, b,
+          multiProbe = true)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+        .distinct()
+      val oriented = Similarity.lshPairsMultiProbe(emb, 0.4, np, b)
+      oriented.exceptAll(legacy).count() shouldBe 0
+      legacy.exceptAll(oriented).count() shouldBe 0
+    }
+  }
+
   test("lshPairsMultiProbe gate config (16 planes x 8 bands) finds every exact pair") {
     // sim_lsh_multiprobe's oracle claim: recall 1.0 with HALF the
     // hyperplanes of the single-probe gate (32x16) — the signature
