@@ -934,16 +934,21 @@ object Curation {
       if (nprobe > 0) nprobe
       else Pca.calibrateThresholdNprobe(corpusVecs, model.cents, benchVecs,
         threshold, minRecall, floor = math.max(8, npFloor)))
-    val probed = Pca.residualThresholdCross(corpusVecs, benchVecs, model,
-      np, threshold).select(col("id_a")).distinct()
-    val exact = corpusVecs.select(col("vec_id").as("id_a"),
+    // r16: the three contract counts below are separate actions — the
+    // probed kill set was re-derived twice and the exact broadcast
+    // reference three times per gate run. Both are id sets bounded by
+    // the kill count; snapshot once, count scans.
+    val probed = Dedup.materialize(
+      Pca.residualThresholdCross(corpusVecs, benchVecs, model,
+        np, threshold).select(col("id_a")).distinct())
+    val exact = Dedup.materialize(corpusVecs.select(col("vec_id").as("id_a"),
         col("embedding").as("ea"),
         VectorFunctions.norm(col("embedding")).as("na"))
       .join(broadcast(benchVecs.select(col("embedding").as("eb"),
           VectorFunctions.norm(col("embedding")).as("nb"))),
         round(VectorFunctions.dot(col("ea"), col("eb")) /
           (col("na") * col("nb")), 6) >= threshold)
-      .select(col("id_a")).distinct()
+      .select(col("id_a")).distinct())
     val nExact = exact.count()
     val nHit = probed.join(exact, Seq("id_a"), "left_semi").count()
     val falseKills = probed.join(exact, Seq("id_a"), "left_anti").count()

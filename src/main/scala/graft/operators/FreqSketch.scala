@@ -100,7 +100,15 @@ object FreqSketch {
     * shuffle is added at scale.
     */
   def widenToCores(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    // r16: width is the scale-adaptive rule (see [[Width]]) capped at
+    // the session parallelism — a micro-batch of a few hundred docs no
+    // longer fans ~40 ms/task of overhead across the whole box per
+    // batch per stage, while any at-scale corpus still saturates the
+    // cap (the byte estimate of a real corpus exceeds it immediately).
+    // When the optimizer has no size estimate, partsFor returns the
+    // cap — never narrower than the pre-r16 behavior's intent.
+    val p = math.min(df.sparkSession.sparkContext.defaultParallelism,
+      Width.partsFor(df, target = 32L * 1024))
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 

@@ -231,8 +231,11 @@ object Pq {
     val books = booksOpt.getOrElse(trainedBooks(embeddings, m, numCentroids, dim, kmeansIters))
     // the stored index: (cell, vec_id, codes), partitioned by cell —
     // explicit count, AQE would coalesce a column-only repartition of a
-    // small build side even though the probe join fans out
-    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    // small build side even though the probe join fans out. Width is
+    // the r16 scale-adaptive rule (see [[Width]]): probe fan-out is
+    // queries x occupancy — linear in rows — and a small corpus no
+    // longer pays full-box task overhead per stage
+    val parts = Width.partsFor(embeddings)
     val codes = Similarity.cellAssign(embeddings, cents, "cell")
       .select(col("vec_id"), col("cell"),
         VectorFunctions.pqEncode(col("embedding"), toSeq3(books)).as("codes"))
@@ -365,7 +368,7 @@ object Pq {
       Similarity.coarseCentroids(embeddings, nlist, coarseIters))
     val books = booksOpt.getOrElse(
       residualBooks(embeddings, cents, m, numCentroids, dim, kmeansIters))
-    val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = Width.partsFor(embeddings) // r16 scale-adaptive (see above)
     val codes = residuals(embeddings, cents)
       .select(col("vec_id"), col("cell"),
         VectorFunctions.pqEncode(col("resid"), toSeq3(books), normalize = false)

@@ -38,19 +38,31 @@ private[operators] object Width {
     * @volatile var so probes/specs can pin widths; production clusters
     * keep the default — any real corpus saturates the conf cap.
     */
-  @volatile var targetBytesPerTask: Long =
-    sys.env.get("GRAFT_WIDTH_TARGET").map(_.toLong).getOrElse(256L * 1024)
+  @volatile var targetBytesPerTask: Long = 256L * 1024
 
   /** min(conf, max(1, ceil(sizeInBytes / targetBytesPerTask))). Falls
     * back to the full conf width when the optimizer has no usable size
     * estimate (never narrows blindly).
     */
-  def partsFor(df: DataFrame): Int = {
+  def partsFor(df: DataFrame): Int = partsFor(df, targetBytesPerTask)
+
+  /** [[partsFor]] at an explicit per-task byte budget — for frames
+    * whose per-byte compute is far off the vector-kernel calibration
+    * point (tokenization/shingling over COMPRESSED parquet text: the
+    * size estimate is file bytes, ~4x under the in-memory string
+    * bytes, and the per-byte kernel cost is higher — use a smaller
+    * budget there).
+    */
+  def partsFor(df: DataFrame, target: Long): Int = {
     val conf = df.sparkSession.sessionState.conf.numShufflePartitions
     val bytes =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
-    val t = BigInt(math.max(targetBytesPerTask, 1L))
+    // GRAFT_WIDTH_TARGET overrides every call site — the plan-dump /
+    // A-B knob (=1 reproduces the pre-r16 full-width plans); the
+    // parameterisation requested for scale-dependent settings
+    val eff = sys.env.get("GRAFT_WIDTH_TARGET").map(_.toLong).getOrElse(target)
+    val t = BigInt(math.max(eff, 1L))
     ((bytes + t - 1) / t).min(BigInt(conf)).max(BigInt(1)).toInt
   }
 }
